@@ -1,0 +1,144 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Event-stream analytics (batch form; streaming variants live in
+  * graft.streaming). Time buckets are computed as integer epoch
+  * seconds so the DuckDB oracle reproduces them bit-exactly.
+  *
+  * Scale notes: all four queries partition by user_id and/or the
+  * time bucket — natural shuffle keys with high cardinality and no
+  * skew; window functions run per-user after one hash shuffle.
+  */
+object Events {
+
+  /** Tumbling 5-minute window aggregation. */
+  val windowAgg = Q(
+    "ev_window_agg",
+    """SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS bucket_s,
+      |  event_type,
+      |  count(*) AS n_events,
+      |  round(sum(value), 2) AS sum_value,
+      |  round(avg(value), 4) AS avg_value
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY bucket_s, event_type""".stripMargin) { (spark, dir) =>
+    Tables.events(spark, dir)
+      .withColumn("bucket_s",
+        (floor(col("ts").cast("double") / 300) * 300).cast("long"))
+      .groupBy("bucket_s", "event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("sum_value"),
+        round(avg("value"), 4).as("avg_value"))
+      .orderBy("bucket_s", "event_type")
+  }
+
+  /** Sessionization: per-user sessions split on >30 min inactivity gap. */
+  val sessionize = Q(
+    "ev_sessionize",
+    """SELECT user_id, session_id,
+      |  count(*) AS n_events,
+      |  CAST(floor(epoch(min(ts))) AS BIGINT) AS start_s,
+      |  CAST(floor(epoch(max(ts))) AS BIGINT) AS end_s,
+      |  round(sum(value), 2) AS sum_value
+      |FROM (
+      |  SELECT user_id, ts, value,
+      |    sum(new_session) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM (
+      |    SELECT user_id, ts, event_id, value,
+      |      CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |        IS NULL OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id
+      |        ORDER BY ts, event_id)) > 1800 THEN 1 ELSE 0 END AS new_session
+      |    FROM events
+      |  )
+      |)
+      |GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin) { (spark, dir) =>
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(spark, dir)
+      .withColumn("prev_ts", lag("ts", 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          col("ts").cast("double") - col("prev_ts").cast("double") > 1800, 1)
+          .otherwise(0))
+      .withColumn("session_id",
+        sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        floor(min(col("ts")).cast("double")).cast("long").as("start_s"),
+        floor(max(col("ts")).cast("double")).cast("long").as("end_s"),
+        round(sum("value"), 2).as("sum_value"))
+      .orderBy("user_id", "session_id")
+  }
+
+  /** Funnel: signup → first click after signup → first purchase after that. */
+  val funnel = Q(
+    "ev_funnel",
+    """SELECT
+      |  count(*) AS n_users,
+      |  count(*) FILTER (WHERE signup_ts IS NOT NULL) AS n_signup,
+      |  count(*) FILTER (WHERE click_ts IS NOT NULL) AS n_click,
+      |  count(*) FILTER (WHERE purchase_ts IS NOT NULL) AS n_purchase
+      |FROM (
+      |  SELECT u.user_id,
+      |    s.signup_ts,
+      |    (SELECT min(ts) FROM events e WHERE e.user_id = u.user_id
+      |      AND e.event_type = 'click' AND e.ts > s.signup_ts) AS click_ts,
+      |    (SELECT min(ts) FROM events e WHERE e.user_id = u.user_id
+      |      AND e.event_type = 'purchase' AND e.ts > (SELECT min(ts)
+      |        FROM events e2 WHERE e2.user_id = u.user_id
+      |        AND e2.event_type = 'click' AND e2.ts > s.signup_ts)) AS purchase_ts
+      |  FROM (SELECT DISTINCT user_id FROM events) u
+      |  LEFT JOIN (SELECT user_id, min(ts) AS signup_ts FROM events
+      |    WHERE event_type = 'signup' GROUP BY user_id) s
+      |  ON u.user_id = s.user_id
+      |)""".stripMargin) { (spark, dir) =>
+    val ev = Tables.events(spark, dir)
+    val signup = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("ts").as("signup_ts"))
+    val users = ev.select("user_id").distinct()
+      .join(signup, Seq("user_id"), "left")
+    val click = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("ts").as("cts"))
+    val withClick = users
+      .join(click, col("user_id") === col("cu") && col("cts") > col("signup_ts"), "left")
+      .groupBy("user_id", "signup_ts").agg(min("cts").as("click_ts"))
+    val purchase = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("ts").as("pts"))
+    val withPurchase = withClick
+      .join(purchase, col("user_id") === col("pu") && col("pts") > col("click_ts"), "left")
+      .groupBy("user_id", "signup_ts", "click_ts").agg(min("pts").as("purchase_ts"))
+    withPurchase.agg(
+      count(lit(1)).as("n_users"),
+      count(col("signup_ts")).as("n_signup"),
+      count(col("click_ts")).as("n_click"),
+      count(col("purchase_ts")).as("n_purchase"))
+  }
+
+  /** Semi-structured: extract integer k from the JSON props column. */
+  val json = Q(
+    "ev_json",
+    """SELECT event_type,
+      |  sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+      |  round(avg(CAST(json_extract(props, '$.k') AS BIGINT)), 4) AS avg_k,
+      |  count(*) AS n
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin) { (spark, dir) =>
+    Tables.events(spark, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy("event_type")
+      .agg(
+        sum("k").as("sum_k"),
+        round(avg("k"), 4).as("avg_k"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type")
+  }
+
+  val all: Seq[Q] = Seq(windowAgg, sessionize, funnel, json)
+}

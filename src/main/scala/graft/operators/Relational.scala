@@ -1,0 +1,236 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Core relational analytics block — TPC-H-shaped queries over the
+  * star schema. These are the headline bench queries: scan-agg,
+  * multi-way join, window, rollup, distinct, semi/anti join.
+  *
+  * Scale notes (100 TB posture):
+  *  - dimension tables (region/nation/supplier/customer/part) are
+  *    broadcast — lineitem/orders never shuffle for those joins;
+  *  - lineitem⋈orders is the one genuine shuffle join (both large);
+  *    AQE handles skew, and on a real cluster both sides would be
+  *    bucketed by orderkey to make it shuffle-free;
+  *  - aggregations are partial (map-side combine) by construction.
+  */
+object Relational {
+
+  /** Q1-style pricing summary: filter + groupBy + 8 aggregates. */
+  val q1 = Q(
+    "q1_pricing",
+    """SELECT l_returnflag, l_linestatus,
+      |  round(sum(l_quantity), 2) AS sum_qty,
+      |  round(sum(l_extendedprice), 2) AS sum_base_price,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+      |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+      |  round(avg(l_quantity), 4) AS avg_qty,
+      |  round(avg(l_extendedprice), 4) AS avg_price,
+      |  round(avg(l_discount), 4) AS avg_disc,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (spark, dir) =>
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit("2001-09-02 00:00:00").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        round(avg("l_extendedprice"), 4).as("avg_price"),
+        round(avg("l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** Q3-style shipping priority: 3-way join + agg + top-10. */
+  val q3 = Q(
+    "q3_topk",
+    """SELECT l_orderkey,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |  o_orderdate, o_orderpriority
+      |FROM customer, orders, lineitem
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, l_orderkey
+      |LIMIT 10""".stripMargin) { (spark, dir) =>
+    val cust = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") < lit("1999-01-01 00:00:00").cast("timestamp"))
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") > lit("1998-06-01 00:00:00").cast("timestamp"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** Q5-style local supplier volume: 6-way join + agg. */
+  val q5 = Q(
+    "q5_multijoin",
+    """SELECT n_name,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM customer, orders, lineitem, supplier, nation, region
+      |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      |  AND r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin) { (spark, dir) =>
+    val asia = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
+    val nat = Tables.nation(spark, dir)
+      .join(broadcast(asia), col("n_regionkey") === col("r_regionkey"))
+    val sup = Tables.supplier(spark, dir)
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+    val cust = Tables.customer(spark, dir)
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
+    Tables.lineitem(spark, dir)
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(sup),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .groupBy("n_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** Q6-style forecast revenue: tight filter + single sum (pushdown showcase). */
+  val q6 = Q(
+    "q6_filter_agg",
+    """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+      |  count(*) AS n_rows
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      |  AND l_discount >= 0.03 AND l_discount <= 0.07
+      |  AND l_quantity < 24""".stripMargin) { (spark, dir) =>
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01 00:00:00").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01 00:00:00").cast("timestamp") &&
+        col("l_discount") >= 0.03 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(
+        round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  /** Window top-N: top-3 parts by revenue within each brand. */
+  val q7 = Q(
+    "q7_window_topn",
+    """SELECT p_brand, p_partkey, revenue, rn FROM (
+      |  SELECT p_brand, p_partkey,
+      |    round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |    row_number() OVER (PARTITION BY p_brand
+      |      ORDER BY round(sum(l_extendedprice * (1 - l_discount)), 2) DESC, p_partkey) AS rn
+      |  FROM lineitem, part
+      |  WHERE l_partkey = p_partkey
+      |  GROUP BY p_brand, p_partkey
+      |) WHERE rn <= 3
+      |ORDER BY p_brand, rn""".stripMargin) { (spark, dir) =>
+    val byPart = Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "p_partkey")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+    val w = Window.partitionBy("p_brand").orderBy(col("revenue").desc, col("p_partkey"))
+    byPart.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("p_brand", "p_partkey", "revenue", "rn")
+      .orderBy("p_brand", "rn")
+  }
+
+  /** Rollup: multi-level aggregate over priority × status. */
+  val q8 = Q(
+    "q8_rollup",
+    """SELECT coalesce(o_orderpriority, 'ALL') AS prio,
+      |  coalesce(o_orderstatus, 'ALL') AS status,
+      |  count(*) AS n_orders,
+      |  round(sum(o_totalprice), 2) AS total_price
+      |FROM orders
+      |GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+      |ORDER BY prio, status""".stripMargin) { (spark, dir) =>
+    Tables.orders(spark, dir)
+      .rollup("o_orderpriority", "o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("total_price"))
+      .select(
+        coalesce(col("o_orderpriority"), lit("ALL")).as("prio"),
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        col("n_orders"), col("total_price"))
+      .orderBy("prio", "status")
+  }
+
+  /** Exact distinct counts per group (the HLL variant is q9_approx, rows-only). */
+  val q9 = Q(
+    "q9_distinct",
+    """SELECT l_returnflag,
+      |  count(DISTINCT l_partkey) AS n_parts,
+      |  count(DISTINCT l_suppkey) AS n_supps,
+      |  count(DISTINCT l_orderkey) AS n_orders
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin) { (spark, dir) =>
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct("l_partkey").as("n_parts"),
+        countDistinct("l_suppkey").as("n_supps"),
+        countDistinct("l_orderkey").as("n_orders"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Approximate distinct (HyperLogLog++) — the 100 TB path where exact
+    * distinct would shuffle every key. No DuckDB oracle (different sketch).
+    */
+  val q9approx = Q.rowsOnly("q9_approx") { (spark, dir) =>
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        approx_count_distinct("l_partkey", 0.01).as("n_parts_approx"),
+        approx_count_distinct("l_orderkey", 0.01).as("n_orders_approx"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Semi/anti join: customers with vs without orders, per segment. */
+  val q10 = Q(
+    "q10_semi_anti",
+    """SELECT c_mktsegment,
+      |  count(*) FILTER (WHERE has_order) AS n_with_orders,
+      |  count(*) FILTER (WHERE NOT has_order) AS n_without_orders
+      |FROM (
+      |  SELECT c_custkey, c_mktsegment,
+      |    EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) AS has_order
+      |  FROM customer
+      |)
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin) { (spark, dir) =>
+    val cust = Tables.customer(spark, dir)
+    val orderKeys = Tables.orders(spark, dir).select("o_custkey").distinct()
+    val withO = cust.join(orderKeys, col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n_with_orders"))
+    val withoutO = cust.join(orderKeys, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n_without_orders"))
+    withO.join(withoutO, Seq("c_mktsegment"), "full_outer")
+      .select(
+        col("c_mktsegment"),
+        coalesce(col("n_with_orders"), lit(0L)).as("n_with_orders"),
+        coalesce(col("n_without_orders"), lit(0L)).as("n_without_orders"))
+      .orderBy("c_mktsegment")
+  }
+
+  val all: Seq[Q] = Seq(q1, q3, q5, q6, q7, q8, q9, q9approx, q10)
+}

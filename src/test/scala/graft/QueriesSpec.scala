@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+object SparkTestSession {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  val sf = "/root/testdata/sf0.001"
+}
+
+/** Smoke + pinned-value tests for every registered query at sf0.001.
+  * Full oracle parity runs via graft.Verify + tools/check.py.
+  */
+class QueriesSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("registry names are unique and every oracle has a query") {
+    val names = SparkEntry.registry.map(_.name)
+    assert(names.distinct.size == names.size)
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  for (q <- SparkEntry.registry) {
+    test(s"${q.name} runs and returns rows at sf0.001") {
+      assert(q.fn(spark, sf).count() > 0)
+    }
+  }
+
+  test("q1_pricing aggregates are sane") {
+    val row = operators.Relational.q1.fn(spark, sf)
+      .filter("l_returnflag = 'A' AND l_linestatus = 'F'").collect()
+    assert(row.length == 1)
+    assert(row(0).getAs[Long]("count_order") > 0)
+    assert(row(0).getAs[Double]("sum_qty") > 0)
+  }
+
+  test("ev_sessionize produces multiple sessions per user") {
+    val df = operators.Events.sessionize.fn(spark, sf)
+    val maxSession = df.agg(org.apache.spark.sql.functions.max("session_id"))
+      .collect()(0).getLong(0)
+    assert(maxSession > 1)
+  }
+}
