@@ -8,7 +8,8 @@ object SparkEntry {
   /** All registered operators, in SURVEY §2 order. */
   def registry: Seq[Q] =
     operators.Relational.all ++
-      operators.Events.all
+      operators.Events.all ++
+      operators.Audit.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,167 @@
+package graft.functions
+
+import java.util.regex.Pattern
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Shared definitions for the model-audit operator family.
+  *
+  * Single source of truth: the style-family signatures, marker lists
+  * and normalization ranges live here as Scala data, and BOTH the
+  * Spark Column expressions and the DuckDB oracle SQL fragments are
+  * generated from them — so the two sides cannot drift.
+  *
+  * Data ported from the reference's published constants:
+  *  - llmmap style markers: /root/reference/src/modelaudit/methods/llmmap.py:37-43
+  *  - normalization ranges: llmmap.py:105-114
+  *  - DLI refusal/hedging/certainty lists: dli.py:83-110
+  *  - family signatures: style.py:21-228
+  */
+object AuditDefs {
+
+  // ── llmmap response-feature marker categories (ordered) ──
+  val llmmapMarkers: Seq[(String, Seq[String])] = Seq(
+    "apologetic" -> Seq("sorry", "apologize", "unfortunately", "cannot", "can't", "i'm unable"),
+    "helpful" -> Seq("certainly", "sure", "absolutely", "of course", "happy to", "glad to"),
+    "hedging" -> Seq("however", "although", "perhaps", "might", "could", "may"),
+    "structured" -> Seq("first", "second", "third", "finally", "additionally", "moreover"),
+    "ai_aware" -> Seq("as an ai", "language model", "i don't have", "i'm not able", "trained"))
+
+  val refusalPrefixes: Seq[String] = Seq("i cannot", "i can't", "sorry", "i apologize")
+
+  /** llmmap._FEATURE_RANGES — min-max normalization for fingerprint cosine. */
+  val featureRanges: Seq[(String, (Double, Double))] = Seq(
+    "avg_length_chars" -> (50d, 3000d),
+    "avg_length_words" -> (10d, 500d),
+    "avg_length_sentences" -> (1d, 20d),
+    "avg_avg_word_length" -> (3d, 8d),
+    "avg_avg_sentence_length" -> (5d, 40d),
+    "avg_unique_word_ratio" -> (0d, 1d),
+    "avg_punctuation_ratio" -> (0d, 0.1),
+    "avg_newline_ratio" -> (0d, 0.05))
+
+  /** Fingerprint vector column names, in output order. */
+  val numericFeatures: Seq[String] = Seq(
+    "length_chars", "length_words", "length_sentences", "avg_word_length",
+    "avg_sentence_length", "unique_word_ratio", "punctuation_ratio", "newline_ratio")
+  val boolFeatures: Seq[String] = Seq(
+    "has_bullet_points", "has_numbered_list", "has_markdown_headers",
+    "has_code_blocks", "starts_with_refusal")
+
+  // ── DLI behavior-signature lists ──
+  val dliRefusalPhrases: Seq[String] = Seq(
+    "i cannot", "i can't", "i'm unable", "i apologize",
+    "i don't think i should", "i'd rather not")
+  val dliHedging: Seq[String] = Seq("perhaps", "maybe", "might", "could", "possibly")
+  val dliCertainty: Seq[String] = Seq("certainly", "definitely", "absolutely", "clearly")
+
+  val dliFeatureNames: Seq[String] = Seq(
+    "refusal_rate", "avg_length", "vocab_diversity", "markdown_rate",
+    "list_rate", "code_block_rate", "hedging_rate", "certainty_rate")
+
+  // ── Style-family signatures (style.py:21-228, declaration order) ──
+  final case class FamilySig(
+      name: String,
+      markers: Seq[String],
+      refusalPatterns: Seq[String],
+      tendsMarkdown: Boolean,
+      tendsNumbered: Boolean,
+      tendsCode: Boolean,
+      verbose: Boolean,
+      lang: String)
+
+  val families: Seq[FamilySig] = Seq(
+    FamilySig("gpt-4",
+      Seq("certainly! here's", "comprehensive breakdown", "it's important to note",
+        "it's worth noting", "let me know if you'd like", "keep in mind", "in more detail",
+        "would you like me to", "let me walk you through", "active area of research"),
+      Seq("i can't assist", "i'm not able to", "as an ai language model"),
+      tendsMarkdown = true, tendsNumbered = true, tendsCode = true, verbose = true, lang = "en"),
+    FamilySig("gpt-3.5",
+      Seq("certainly!", "sure!", "of course!", "absolutely!", "no problem!", "hope that helps!"),
+      Seq("as an ai language model", "i don't have the ability"),
+      tendsMarkdown = false, tendsNumbered = true, tendsCode = false, verbose = false, lang = "en"),
+    FamilySig("claude",
+      Seq("i'd be happy to help", "let me think through this", "i should note",
+        "i want to be straightforward", "nuanced", "i want to be careful",
+        "different perspectives", "ethical implications", "would you like me to continue",
+        "take it in a different direction"),
+      Seq("i don't think i should", "i'd rather not", "i want to be helpful but"),
+      tendsMarkdown = true, tendsNumbered = false, tendsCode = true, verbose = true, lang = "en"),
+    FamilySig("llama",
+      Seq("sure thing!", "no problem", "pretty cool", "check out this", "here you go",
+        "let me know if you need anything else", "so basically", "think of it like"),
+      Seq("i cannot", "i'm just an ai", "it's not appropriate"),
+      tendsMarkdown = false, tendsNumbered = false, tendsCode = true, verbose = false, lang = "en"),
+    FamilySig("gemini",
+      Seq("great question!", "here's what you need to know", "**key applications**",
+        "key applications", "it's worth noting that", "progress is accelerating",
+        "i can provide a code implementation", "systematically", "noisy and error-prone"),
+      Seq("i'm a large language model", "i'm designed to be helpful"),
+      tendsMarkdown = true, tendsNumbered = true, tendsCode = false, verbose = true, lang = "en"),
+    FamilySig("qwen",
+      Seq("好的，我来", "为您详细", "具体来说", "以下是一个高效的", "这个实现", "时间复杂度",
+        "核心思想", "优势在于"),
+      Seq("作为ai助手", "我无法提供"),
+      tendsMarkdown = true, tendsNumbered = true, tendsCode = true, verbose = false, lang = "zh"),
+    FamilySig("deepseek",
+      Seq("嗯，让我仔细想想", "从多个角度", "本质上是", "状态转移方程", "边界条件",
+        "如果需要优化", "从技术层面看", "从实际应用角度"),
+      Seq("作为ai助手", "我无法提供"),
+      tendsMarkdown = true, tendsNumbered = true, tendsCode = true, verbose = true, lang = "zh"),
+    FamilySig("mistral",
+      Seq("to answer your question", "in short", "the answer is", "straightforward"),
+      Seq("i cannot", "i must decline", "it would be inappropriate"),
+      tendsMarkdown = false, tendsNumbered = false, tendsCode = false, verbose = false, lang = "en"),
+    FamilySig("yi",
+      Seq("to put it simply", "in a nutshell", "i'd like to point out"),
+      Seq("as an ai", "i'm not able to", "i cannot assist with"),
+      tendsMarkdown = true, tendsNumbered = true, tendsCode = false, verbose = true, lang = "en"),
+    FamilySig("phi",
+      Seq("in conclusion", "the answer is simply"),
+      Seq("i cannot", "i'm unable to", "as a language model"),
+      tendsMarkdown = false, tendsNumbered = false, tendsCode = false, verbose = false, lang = "en"),
+    FamilySig("cohere",
+      Seq("here's what i found", "to elaborate", "happy to help with that"),
+      Seq("i'm not able to", "i'd prefer not to", "i cannot help with"),
+      tendsMarkdown = true, tendsNumbered = true, tendsCode = false, verbose = true, lang = "en"),
+    FamilySig("chatglm",
+      Seq("好的", "以下是", "总结一下", "首先我们需要", "希望对您有帮助"),
+      Seq("作为ai助手", "我无法"),
+      tendsMarkdown = true, tendsNumbered = true, tendsCode = false, verbose = true, lang = "zh"))
+
+  val refusalHintKeywords: Seq[String] =
+    Seq("i cannot", "i can't", "unable to", "我无法", "作为ai")
+
+  // ── structural regexes (same RE2/Java-compatible syntax on both sides) ──
+  val bulletRe = "(?m)^[\\s]*[-*•]\\s"
+  val numberedRe = "(?m)^[\\s]*\\d+[.)]\\s"
+  val mdHeaderRe = "(?m)^#+\\s"
+
+  // ═══════════════ Spark Column builders ═══════════════
+
+  /** Count of non-overlapping occurrences of literal `m` in column `e`. */
+  def cntOccC(e: Column, m: String): Column =
+    (length(e) - length(regexp_replace(e, Pattern.quote(m), ""))) / m.length
+
+  def hasSubC(e: Column, m: String): Column = e.contains(m)
+
+  def anySubC(e: Column, ms: Seq[String]): Column =
+    ms.map(e.contains(_)).reduce(_ || _)
+
+  // ═══════════════ DuckDB SQL fragment builders ═══════════════
+
+  /** SQL string literal with quote escaping. */
+  def sl(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  /** Count of occurrences of literal `m` in SQL expression `e` (DuckDB). */
+  def cntOccSql(e: String, m: String): String =
+    s"((length($e) - length(replace($e, ${sl(m)}, ''))) / ${m.length})"
+
+  def hasSubSql(e: String, m: String): String =
+    s"(position(${sl(m)} IN $e) > 0)"
+
+  def anySubSql(e: String, ms: Seq[String]): String =
+    ms.map(hasSubSql(e, _)).mkString("(", " OR ", ")")
+}

@@ -46,8 +46,8 @@ object Events {
       |  round(sum(value), 2) AS sum_value
       |FROM (
       |  SELECT user_id, ts, value,
-      |    sum(new_session) OVER (PARTITION BY user_id
-      |      ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+      |    CAST(sum(new_session) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
       |  FROM (
       |    SELECT user_id, ts, event_id, value,
       |      CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
@@ -124,7 +124,7 @@ object Events {
   val json = Q(
     "ev_json",
     """SELECT event_type,
-      |  sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+      |  CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
       |  round(avg(CAST(json_extract(props, '$.k') AS BIGINT)), 4) AS avg_k,
       |  count(*) AS n
       |FROM events

@@ -148,7 +148,7 @@ object Relational {
       .groupBy("p_brand", "p_partkey")
       .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
     val w = Window.partitionBy("p_brand").orderBy(col("revenue").desc, col("p_partkey"))
-    byPart.withColumn("rn", row_number().over(w))
+    byPart.withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= 3)
       .select("p_brand", "p_partkey", "revenue", "rn")
       .orderBy("p_brand", "rn")
