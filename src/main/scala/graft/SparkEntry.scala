@@ -9,7 +9,8 @@ object SparkEntry {
   def registry: Seq[Q] =
     operators.Relational.all ++
       operators.Events.all ++
-      operators.Audit.all
+      operators.Audit.all ++
+      operators.Style.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,256 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.functions.AuditDefs._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Stylistic-signature detection: score every text against the 12
+  * model-family signatures, detect the source family per text,
+  * aggregate per-corpus fingerprints, verify claimed identity, and
+  * produce the combined audit verdict.
+  *
+  * Reference: style.py:231-354, engine.py:107-337, benchmark.py:264-300.
+  *
+  * Scale: scoring is map-only (the signature set is a compile-time
+  * constant folded into the expression tree — nothing to broadcast,
+  * nothing to shuffle); detect/fingerprint add one narrow aggregation.
+  */
+object Style {
+
+  private def d(x: String): String = s"CAST($x AS DOUBLE)"
+
+  private val cjkLo = '一'
+  private val cjkHi = '鿿'
+
+  /** Per-doc base features + per-family scores, long format, with the
+    * family's declaration index for Python-dict-order tie-breaking.
+    * Scores are rounded to 4 dp (style.py:300).
+    */
+  private def scoresDf(spark: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    val lt = lower(t)
+    val tWords = greatest(size(split(trim(lt), "\\s+")), lit(1))
+    val cjk = length(regexp_replace(t, s"[^$cjkLo-$cjkHi]", ""))
+    val textLang = when(cjk >= 10, "zh")
+      .otherwise(when(cjk / greatest(length(t), lit(1)).cast("double") > 0.15, "zh").otherwise("en"))
+    val hasMd = t.rlike(mdHeaderRe)
+    val hasNum = t.rlike(numberedRe)
+    val hasCode = t.contains("```")
+    val verbose = tWords > 150
+    val refusalHint = anySubC(lt, refusalHintKeywords)
+
+    val base = Tables.documents(spark, dir).select(
+      col("doc_id"), col("source"), lt.as("lt"),
+      textLang.as("text_lang"), hasMd.as("has_md"), hasNum.as("has_num"),
+      hasCode.as("has_code"), verbose.as("is_verbose"), refusalHint.as("refusal_hint"))
+
+    def famScore(f: FamilySig): Column = {
+      val langTerm =
+        if (f.lang == "both") when(lit(true), 0.10).otherwise(0d)
+        else when(col("text_lang") === f.lang, 0.20).otherwise(0d)
+      val hits = f.markers.map(m => col("lt").contains(m).cast("int")).reduce(_ + _)
+      val markerTerm = least(hits / lit(3).cast("double"), lit(1d)) * 0.50
+      val structPairs = Seq(
+        col("has_md") -> f.tendsMarkdown, col("has_num") -> f.tendsNumbered,
+        col("has_code") -> f.tendsCode, col("is_verbose") -> f.verbose)
+      val structTerm = structPairs.map { case (has, tends) =>
+        if (tends) when(has, 0.05).otherwise(0d) else when(has, -0.02).otherwise(0d)
+      }.reduce(_ + _)
+      val rhits = f.refusalPatterns.map(p => col("lt").contains(p).cast("int")).reduce(_ + _)
+      val refusalTerm = when(col("refusal_hint"),
+        rhits / lit(f.refusalPatterns.size).cast("double") * 0.10).otherwise(0d)
+      round(langTerm + markerTerm + structTerm + refusalTerm, 4)
+    }
+
+    val entries = families.zipWithIndex.map { case (f, i) =>
+      struct(lit(f.name).as("family"), lit(i).as("fidx"), famScore(f).as("score"))
+    }
+    base.select(col("doc_id"), col("source"), explode(array(entries: _*)).as("e"))
+      .select(col("doc_id"), col("source"),
+        col("e.family").as("family"), col("e.fidx").as("fidx"), col("e.score").as("score"))
+  }
+
+  /** Matching SQL: one CTE of base features, then a UNION ALL per family. */
+  private val scoresSql: String = {
+    val baseSql =
+      s"""SELECT doc_id, source, lower(text) AS lt,
+         |  CASE WHEN length(regexp_replace(text, '[^$cjkLo-$cjkHi]', '', 'g')) >= 10 THEN 'zh'
+         |    WHEN length(regexp_replace(text, '[^$cjkLo-$cjkHi]', '', 'g'))
+         |      / ${d("greatest(length(text), 1)")} > ${d("0.15")} THEN 'zh'
+         |    ELSE 'en' END AS text_lang,
+         |  regexp_matches(text, '$mdHeaderRe') AS has_md,
+         |  regexp_matches(text, '$numberedRe') AS has_num,
+         |  (position('${"`"}${"`"}${"`"}' IN text) > 0) AS has_code,
+         |  greatest(len(string_split_regex(trim(lower(text)), '\\s+')), 1) > 150 AS is_verbose,
+         |  ${anySubSql("lower(text)", refusalHintKeywords)} AS refusal_hint
+         |FROM documents""".stripMargin
+
+    def famSql(f: FamilySig, i: Int): String = {
+      val langTerm =
+        if (f.lang == "both") d("0.10")
+        else s"CASE WHEN text_lang = ${sl(f.lang)} THEN ${d("0.20")} ELSE ${d("0")} END"
+      val hits = f.markers.map(m => s"CAST(${hasSubSql("lt", m)} AS INT)").mkString("(", " + ", ")")
+      val markerTerm = s"least($hits / ${d("3")}, ${d("1")}) * ${d("0.50")}"
+      val structPairs = Seq(
+        "has_md" -> f.tendsMarkdown, "has_num" -> f.tendsNumbered,
+        "has_code" -> f.tendsCode, "is_verbose" -> f.verbose)
+      val structTerm = structPairs.map { case (has, tends) =>
+        if (tends) s"CASE WHEN $has THEN ${d("0.05")} ELSE ${d("0")} END"
+        else s"CASE WHEN $has THEN ${d("-0.02")} ELSE ${d("0")} END"
+      }.mkString("(", " + ", ")")
+      val rhits = f.refusalPatterns.map(p => s"CAST(${hasSubSql("lt", p)} AS INT)")
+        .mkString("(", " + ", ")")
+      val refusalTerm =
+        s"CASE WHEN refusal_hint THEN $rhits / ${d(f.refusalPatterns.size.toString)} * ${d("0.10")} ELSE ${d("0")} END"
+      s"""SELECT doc_id, source, ${sl(f.name)} AS family, $i AS fidx,
+         |  round($langTerm + $markerTerm + $structTerm + $refusalTerm, 4) AS score
+         |FROM base""".stripMargin
+    }
+
+    s"""WITH base AS ($baseSql)
+       |${families.zipWithIndex.map { case (f, i) => famSql(f, i) }.mkString("\nUNION ALL\n")}""".stripMargin
+  }
+
+  // ═══════════════ queries ═══════════════
+
+  val styleScores = Q(
+    "ma_style_scores",
+    s"""SELECT doc_id, family, score FROM ($scoresSql)
+       |ORDER BY doc_id, family""".stripMargin) { (spark, dir) =>
+    scoresDf(spark, dir).select("doc_id", "family", "score").orderBy("doc_id", "family")
+  }
+
+  val styleDetect = Q(
+    "ma_style_detect",
+    s"""SELECT doc_id, family AS predicted_model, score AS confidence
+       |FROM (
+       |  SELECT doc_id, family, score,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, fidx) AS rn
+       |  FROM ($scoresSql)
+       |) WHERE rn = 1
+       |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("fidx"))
+    scoresDf(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("family").as("predicted_model"), col("score").as("confidence"))
+      .orderBy("doc_id")
+  }
+
+  val styleFingerprint = Q(
+    "ma_style_fingerprint",
+    s"""SELECT source, family, round(avg(score), 4) AS avg_score
+       |FROM ($scoresSql)
+       |GROUP BY source, family
+       |ORDER BY source, family""".stripMargin) { (spark, dir) =>
+    scoresDf(spark, dir)
+      .groupBy("source", "family")
+      .agg(round(avg("score"), 4).as("avg_score"))
+      .orderBy("source", "family")
+  }
+
+  /** Identity verification: best-matching family per source vs the
+    * family claimed by the source's own name (engine.py:107-163).
+    */
+  val verify = Q(
+    "ma_verify", {
+      val claimed = families.map(f =>
+        s"WHEN position(${sl(f.name)} IN lower(source)) > 0 THEN ${sl(f.name)}")
+        .mkString("CASE ", " ", " ELSE 'unknown' END")
+      s"""SELECT source, claimed_family, best_match, best_score,
+         |  claimed_family = best_match AS verified
+         |FROM (
+         |  SELECT source, $claimed AS claimed_family,
+         |    family AS best_match, avg_score AS best_score
+         |  FROM (
+         |    SELECT source, family, fidx, round(avg(score), 4) AS avg_score,
+         |      row_number() OVER (PARTITION BY source
+         |        ORDER BY round(avg(score), 4) DESC, fidx) AS rn
+         |    FROM ($scoresSql)
+         |    GROUP BY source, family, fidx
+         |  ) WHERE rn = 1
+         |)
+         |ORDER BY source""".stripMargin
+    }) { (spark, dir) =>
+    val fp = scoresDf(spark, dir)
+      .groupBy("source", "family", "fidx")
+      .agg(round(avg("score"), 4).as("avg_score"))
+    val w = Window.partitionBy("source").orderBy(col("avg_score").desc, col("fidx"))
+    val claimed = families.foldRight(lit("unknown")) { (f, acc) =>
+      when(lower(col("source")).contains(f.name), f.name).otherwise(acc)
+    }
+    fp.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(
+        col("source"), claimed.as("claimed_family"),
+        col("family").as("best_match"), col("avg_score").as("best_score"))
+      .withColumn("verified", col("claimed_family") === col("best_match"))
+      .orderBy("source")
+  }
+
+  /** Combined audit verdict per model pair: majority vote over the
+    * llmmap and DLI comparisons (engine.py:294-306).
+    */
+  val audit = Q(
+    "ma_audit",
+    s"""WITH llm AS (${Audit.fpCompare.oracle.get.replace("ORDER BY model_a, model_b", "")}),
+       |dli AS (${Audit.dliCompare.oracle.get.replace("ORDER BY model_a, model_b", "")})
+       |SELECT l.model_a, l.model_b,
+       |  l.similarity AS llmmap_similarity,
+       |  x.similarity AS dli_similarity,
+       |  round((l.similarity + x.similarity) / 2, 7) AS avg_similarity,
+       |  CASE WHEN CAST(l.is_derived AS INT) + CAST(x.is_derived AS INT) > 1 THEN 'likely_derived'
+       |    WHEN (l.similarity + x.similarity) / 2 < ${d("0.5")} THEN 'independent'
+       |    ELSE 'inconclusive' END AS verdict,
+       |  round(least(abs((l.similarity + x.similarity) / 2 - ${d("0.85")}) / ${d("0.15")}, ${d("1")}), 6) AS confidence
+       |FROM llm l JOIN dli x ON l.model_a = x.model_a AND l.model_b = x.model_b
+       |ORDER BY l.model_a, l.model_b""".stripMargin) { (spark, dir) =>
+    val llm = Audit.fpCompare.fn(spark, dir)
+      .select(col("model_a"), col("model_b"),
+        col("similarity").as("llmmap_similarity"), col("is_derived").as("llm_derived"))
+    val dli = Audit.dliCompare.fn(spark, dir)
+      .select(col("model_a"), col("model_b"),
+        col("similarity").as("dli_similarity"), col("is_derived").as("dli_derived"))
+    val avgSim = (col("llmmap_similarity") + col("dli_similarity")) / 2
+    llm.join(dli, Seq("model_a", "model_b"))
+      .select(
+        col("model_a"), col("model_b"),
+        col("llmmap_similarity"), col("dli_similarity"),
+        round(avgSim, 7).as("avg_similarity"),
+        when(col("llm_derived").cast("int") + col("dli_derived").cast("int") > 1, "likely_derived")
+          .when(avgSim < 0.5, "independent")
+          .otherwise("inconclusive").as("verdict"),
+        round(least(abs(avgSim - 0.85) / 0.15, lit(1d)), 6).as("confidence"))
+      .orderBy("model_a", "model_b")
+  }
+
+  /** Detection confusion matrix: predicted family counts per source
+    * (benchmark.py:264-300 evaluate-accuracy analog; sources carry no
+    * family ground truth, so the matrix itself is the deliverable).
+    */
+  val detectConfusion = Q(
+    "ma_detect_confusion",
+    s"""SELECT source, predicted_model, CAST(count(*) AS BIGINT) AS n
+       |FROM (
+       |  SELECT doc_id, source, family AS predicted_model
+       |  FROM (
+       |    SELECT doc_id, source, family, score,
+       |      row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, fidx) AS rn
+       |    FROM ($scoresSql)
+       |  ) WHERE rn = 1
+       |)
+       |GROUP BY source, predicted_model
+       |ORDER BY source, predicted_model""".stripMargin) { (spark, dir) =>
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("fidx"))
+    scoresDf(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(col("source"), col("family").as("predicted_model"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("source", "predicted_model")
+  }
+
+  val all: Seq[Q] = Seq(styleScores, styleDetect, styleFingerprint, verify, audit, detectConfusion)
+}
