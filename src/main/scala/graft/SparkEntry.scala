@@ -10,7 +10,10 @@ object SparkEntry {
     operators.Relational.all ++
       operators.Events.all ++
       operators.Audit.all ++
-      operators.Style.all
+      operators.Style.all ++
+      operators.Dedup.all ++
+      operators.Ann.all ++
+      operators.TextAnalysis.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,79 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deterministic integer hashing shared by the dedup/fingerprint
+  * operators. Everything is explicit mod-p polynomial arithmetic —
+  * NOT Spark's hash()/xxhash64 — so the DuckDB oracle reproduces the
+  * values bit-exactly. All intermediates stay below 2^63 (p ≈ 1e9,
+  * a*h < 1e18), so no overflow on either engine.
+  */
+object Hashing {
+
+  val P = 1000000007L
+  val B = 31L
+
+  /** MinHash permutation constants (k=24): h_j(x) = (a_j·x + b_j) mod p. */
+  val NumPerms = 24
+  val permA: Seq[Long] = (1 to NumPerms).map(j => (j.toLong * 104729L + 12345L) % P)
+  val permB: Seq[Long] = (1 to NumPerms).map(j => (j.toLong * 7919L + 54321L) % P)
+
+  /** LSH banding: 4 bands × 6 rows (catches Jaccard ≳ 0.5 pairs with
+    * high probability while keeping false candidates ~J^6 ≈ 0).
+    */
+  val NumBands = 4
+  val RowsPerBand = 6
+
+  // ═══════ Spark side ═══════
+
+  /** Polynomial fold over the characters of a string column. */
+  def charFold(c: Column): Column =
+    aggregate(split(c, ""), lit(0L), (acc, ch) => (acc * B + ascii(ch)) % P)
+
+  /** Per-word hashes for a whitespace-tokenized lowercased text. */
+  def wordHashes(text: Column): Column =
+    transform(split(trim(lower(text)), "\\s+"), w => charFold(w))
+
+  /** Word-3-gram shingle hashes from a word-hash array (distinct). */
+  def shingleHashes(wh: Column): Column =
+    array_distinct(
+      transform(
+        slice(wh, lit(1), greatest(size(wh) - 2, lit(0))),
+        (x, i) => (((x * B + element_at(wh, i + 2)) % P) * B + element_at(wh, i + 3)) % P))
+
+  /** j-th MinHash value over a shingle-hash array. */
+  def minHash(shingles: Column, j: Int): Column =
+    array_min(transform(shingles, s => (lit(permA(j)) * s + lit(permB(j))) % P))
+
+  /** LSH band key b (fold of the band's MinHash values). */
+  def bandKey(mh: Seq[Column], b: Int): Column =
+    (0 until RowsPerBand).map(r => mh(b * RowsPerBand + r))
+      .foldLeft(lit(0L))((acc, m) => (acc * B + m) % P)
+
+  // ═══════ DuckDB side ═══════
+
+  /** Polynomial char fold (list_reduce with a prepended 0 as the seed). */
+  def charFoldSql(e: String): String =
+    s"list_reduce(list_concat([CAST(0 AS BIGINT)], " +
+      s"list_transform(string_split($e, ''), c -> CAST(ascii(c) AS BIGINT))), " +
+      s"(a, b) -> (a * $B + b) % $P)"
+
+  def wordHashesSql(textE: String): String =
+    s"list_transform(string_split_regex(trim(lower($textE)), '\\s+'), w -> ${charFoldSql("w")})"
+
+  /** Shingle hashes; `wh` must be a bound column name. DuckDB lambda
+    * index is 1-based, so wh[i+1]/wh[i+2] align with Spark's i+2/i+3
+    * over a slice starting at 1.
+    */
+  def shingleHashesSql(wh: String): String =
+    s"list_distinct(list_transform(list_slice($wh, 1, greatest(len($wh) - 2, 0)), " +
+      s"(x, i) -> (((x * $B + $wh[i + 1]) % $P) * $B + $wh[i + 2]) % $P))"
+
+  def minHashSql(shinglesE: String, j: Int): String =
+    s"list_min(list_transform($shinglesE, s -> (${permA(j)} * s + ${permB(j)}) % $P))"
+
+  def bandKeySql(mhNames: Seq[String], b: Int): String =
+    (0 until RowsPerBand).map(r => mhNames(b * RowsPerBand + r))
+      .foldLeft(s"CAST(0 AS BIGINT)")((acc, m) => s"(($acc) * $B + $m) % $P")
+}

@@ -1,0 +1,150 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over the embedding column:
+  *  - brute-force cosine top-k (correctness baseline; query side is
+  *    tiny and broadcast, corpus side is map-only score + per-query
+  *    top-k — no global sort);
+  *  - random-hyperplane LSH buckets (the 100 TB path: candidates are
+  *    restricted to the query's bucket, turning O(|Q|·n) into
+  *    O(|Q|·bucket));
+  *  - embedding-cosine near-duplicate pairs via the same buckets.
+  *
+  * Hyperplanes are deterministic small-integer vectors (derived from
+  * a fixed affine formula) so the DuckDB oracle reproduces bucket ids
+  * exactly — float dot products with integer weights are bit-stable.
+  */
+object Ann {
+
+  val Dim = 64
+  val NumPlanes = 8
+  val TopK = 10
+  val NumQueries = 5
+  val NearDupThreshold = 0.3
+
+  /** Plane k, dim i weight: ((k*67 + i*31) mod 13) - 6 ∈ [-6, 6]. */
+  private def planeWeight(k: Int, i: Int): Int = ((k * 67 + i * 31) % 13) - 6
+
+  // ═══════ Spark side ═══════
+
+  private def dotC(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0d), (acc, v) => acc + v)
+
+  private def embDbl(c: Column): Column = transform(c, x => x.cast("double"))
+
+  private def planeCol(k: Int): Column =
+    typedLit((0 until Dim).map(i => planeWeight(k, i).toDouble))
+
+  /** Bucket id: 8-bit sign pattern of the hyperplane dot products. */
+  private def bucket(e: Column): Column =
+    (0 until NumPlanes).map { k =>
+      when(dotC(e, planeCol(k)) > 0d, lit(1L << k)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  private def corpus(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir).select(
+      col("vec_id"),
+      embDbl(col("embedding")).as("e"))
+      .withColumn("nrm", sqrt(dotC(col("e"), col("e"))))
+
+  // ═══════ DuckDB side ═══════
+
+  private def planeSql(k: Int): String =
+    (0 until Dim).map(i => s"CAST(${planeWeight(k, i)} AS DOUBLE)").mkString("[", ", ", "]")
+
+  private val bucketSql: String =
+    (0 until NumPlanes).map { k =>
+      s"CASE WHEN list_dot_product(e, ${planeSql(k)}) > 0 THEN CAST(${1L << k} AS BIGINT) ELSE 0 END"
+    }.mkString("(", " + ", ")")
+
+  private val corpusSql: String =
+    s"""SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm
+       |FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)""".stripMargin
+
+  // ═══════════════ queries ═══════════════
+
+  /** Brute-force cosine top-10 for the first 5 vectors. */
+  val topk = Q(
+    "ann_topk",
+    s"""WITH c AS ($corpusSql),
+       |q AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn FROM c WHERE vec_id < $NumQueries)
+       |SELECT query_id, neighbor_id, cosine, rank FROM (
+       |  SELECT q.query_id, c.vec_id AS neighbor_id,
+       |    round(list_dot_product(qe, e) / (qn * nrm), 6) AS cosine,
+       |    CAST(row_number() OVER (PARTITION BY q.query_id
+       |      ORDER BY list_dot_product(qe, e) / (qn * nrm) DESC, c.vec_id) AS BIGINT) AS rank
+       |  FROM q, c
+       |  WHERE c.vec_id != q.query_id
+       |) WHERE rank <= $TopK
+       |ORDER BY query_id, rank""".stripMargin) { (spark, dir) =>
+    val c = corpus(spark, dir)
+    val q = c.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qn"))
+    val scored = broadcast(q).join(c, col("vec_id") =!= col("query_id"))
+      .withColumn("cos_raw", dotC(col("qe"), col("e")) / (col("qn") * col("nrm")))
+    val w = Window.partitionBy("query_id").orderBy(col("cos_raw").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(col("cos_raw"), 6).as("cosine"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** LSH-bucketed ANN: same queries, candidates restricted to the
+    * query's hyperplane bucket.
+    */
+  val lshTopk = Q(
+    "ann_lsh",
+    s"""WITH c AS (SELECT vec_id, e, nrm, $bucketSql AS bucket FROM ($corpusSql)),
+       |q AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn, bucket FROM c WHERE vec_id < $NumQueries)
+       |SELECT query_id, neighbor_id, cosine, rank FROM (
+       |  SELECT q.query_id, c.vec_id AS neighbor_id,
+       |    round(list_dot_product(qe, e) / (qn * nrm), 6) AS cosine,
+       |    CAST(row_number() OVER (PARTITION BY q.query_id
+       |      ORDER BY list_dot_product(qe, e) / (qn * nrm) DESC, c.vec_id) AS BIGINT) AS rank
+       |  FROM q JOIN c ON q.bucket = c.bucket AND c.vec_id != q.query_id
+       |) WHERE rank <= $TopK
+       |ORDER BY query_id, rank""".stripMargin) { (spark, dir) =>
+    val c = corpus(spark, dir).withColumn("bucket", bucket(col("e")))
+    val q = c.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"),
+        col("nrm").as("qn"), col("bucket"))
+    val scored = broadcast(q).join(c, Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos_raw", dotC(col("qe"), col("e")) / (col("qn") * col("nrm")))
+    val w = Window.partitionBy("query_id").orderBy(col("cos_raw").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(col("cos_raw"), 6).as("cosine"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Embedding near-duplicate pairs: same-bucket candidates above the
+    * cosine threshold (the dd_embed entry from SURVEY §2).
+    */
+  val embedDedup = Q(
+    "dd_embed",
+    s"""WITH c AS (SELECT vec_id, e, nrm, $bucketSql AS bucket FROM ($corpusSql))
+       |SELECT vec_a, vec_b, cosine FROM (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |    round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) AS cosine
+       |  FROM c a JOIN c b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |) WHERE cosine >= CAST($NearDupThreshold AS DOUBLE)
+       |ORDER BY vec_a, vec_b""".stripMargin) { (spark, dir) =>
+    val c = corpus(spark, dir).withColumn("bucket", bucket(col("e")))
+    val a = c.select(col("bucket"), col("vec_id").as("vec_a"), col("e").as("ea"), col("nrm").as("na"))
+    val b = c.select(col("bucket"), col("vec_id").as("vec_b"), col("e").as("eb"), col("nrm").as("nb"))
+    a.join(b, Seq("bucket")).filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        round(dotC(col("ea"), col("eb")) / (col("na") * col("nb")), 6).as("cosine"))
+      .filter(col("cosine") >= NearDupThreshold)
+      .orderBy("vec_a", "vec_b")
+  }
+
+  val all: Seq[Q] = Seq(topk, lshTopk, embedDedup)
+}

@@ -1,0 +1,225 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.functions.Hashing._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data deduplication family: exact, MinHash+LSH banding,
+  * n-gram Jaccard verification, SimHash, embedding-cosine.
+  *
+  * Scale design: signatures are map-only; candidate generation is a
+  * self-join on band-bucket keys, so the O(n²) pair space is never
+  * materialized — only same-bucket pairs (expected bucket size is
+  * tiny for 4×6 banding at Jaccard < 0.5). Verification joins run on
+  * the candidate set, not the corpus.
+  */
+object Dedup {
+
+  private val mhNames = (0 until NumPerms).map(j => f"mh$j%02d")
+
+  // ═══════════════ exact dedup ═══════════════
+
+  val exact = Q(
+    "dd_exact",
+    """SELECT CAST(min(doc_id) AS BIGINT) AS canonical_id,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(min(n_chars) AS BIGINT) AS n_chars
+      |FROM documents
+      |GROUP BY text
+      |ORDER BY canonical_id""".stripMargin) { (spark, dir) =>
+    Tables.documents(spark, dir)
+      .groupBy("text")
+      .agg(
+        min("doc_id").as("canonical_id"),
+        count(lit(1)).as("n_docs"),
+        min("n_chars").as("n_chars"))
+      .select("canonical_id", "n_docs", "n_chars")
+      .orderBy("canonical_id")
+  }
+
+  // ═══════════════ MinHash signatures ═══════════════
+
+  /** doc_id + shingle array + k MinHash values (Spark side, unordered). */
+  private def minhashDf(spark: SparkSession, dir: String): DataFrame = {
+    val withShingles = Tables.documents(spark, dir)
+      .select(col("doc_id"), shingleHashes(wordHashes(col("text"))).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+    withShingles.select(
+      col("doc_id") +: col("shingles") +:
+        (0 until NumPerms).map(j => minHash(col("shingles"), j).as(mhNames(j))): _*)
+  }
+
+  /** Matching SQL CTE body: doc_id, shingles, mh00..mh23. */
+  private val minhashSql: String = {
+    val sh = shingleHashesSql("wh")
+    s"""SELECT doc_id, shingles,
+       |  ${(0 until NumPerms).map(j => s"${minHashSql("shingles", j)} AS ${mhNames(j)}").mkString(",\n  ")}
+       |FROM (
+       |  SELECT doc_id, $sh AS shingles
+       |  FROM (SELECT doc_id, ${wordHashesSql("text")} AS wh FROM documents)
+       |) WHERE len(shingles) > 0""".stripMargin
+  }
+
+  val minhash = Q(
+    "dd_minhash",
+    s"""SELECT doc_id, ${mhNames.mkString(", ")}
+       |FROM ($minhashSql)
+       |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    minhashDf(spark, dir)
+      .select("doc_id", mhNames: _*)
+      .orderBy("doc_id")
+  }
+
+  // ═══════════════ LSH candidate pairs ═══════════════
+
+  /** Candidate pairs sharing ≥1 of the 4 six-row bands (Spark side). */
+  private def lshPairsDf(spark: SparkSession, dir: String): DataFrame = {
+    val mh = minhashDf(spark, dir)
+    val banded = mh.select(
+      col("doc_id"),
+      explode(array((0 until NumBands).map { b =>
+        struct(lit(b).as("band"), bandKey(mhNames.map(col), b).as("key"))
+      }: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val a = banded.select(col("band"), col("key"), col("doc_id").as("doc_a"))
+    val b = banded.select(col("band"), col("key"), col("doc_id").as("doc_b"))
+    a.join(b, Seq("band", "key")).filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
+  private val lshPairsSql: String = {
+    val bandSelects = (0 until NumBands).map { b =>
+      s"SELECT doc_id, $b AS band, ${bandKeySql(mhNames, b)} AS key FROM mh"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH mh AS ($minhashSql),
+       |banded AS ($bandSelects)
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |FROM banded a JOIN banded b
+       |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id""".stripMargin
+  }
+
+  val lshPairs = Q(
+    "dd_lsh_pairs",
+    s"""SELECT doc_a, doc_b FROM ($lshPairsSql)
+       |ORDER BY doc_a, doc_b""".stripMargin) { (spark, dir) =>
+    lshPairsDf(spark, dir).orderBy("doc_a", "doc_b")
+  }
+
+  // ═══════════════ Jaccard verification of LSH candidates ═══════════════
+
+  val jaccard = Q(
+    "dd_jaccard",
+    s"""WITH mh AS ($minhashSql),
+       |pairs AS ($lshPairsSql),
+       |sizes AS (SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n FROM mh),
+       |inter AS (
+       |  SELECT p.doc_a, p.doc_b, CAST(count(*) AS BIGINT) AS n_common
+       |  FROM pairs p
+       |  JOIN (SELECT doc_id, unnest(shingles) AS s FROM mh) sa ON sa.doc_id = p.doc_a
+       |  JOIN (SELECT doc_id, unnest(shingles) AS s FROM mh) sb
+       |    ON sb.doc_id = p.doc_b AND sb.s = sa.s
+       |  GROUP BY p.doc_a, p.doc_b
+       |)
+       |SELECT i.doc_a, i.doc_b,
+       |  round(n_common / CAST(na.n + nb.n - n_common AS DOUBLE), 6) AS jaccard,
+       |  n_common / CAST(na.n + nb.n - n_common AS DOUBLE) >= CAST(0.5 AS DOUBLE) AS is_duplicate
+       |FROM inter i
+       |JOIN sizes na ON na.doc_id = i.doc_a
+       |JOIN sizes nb ON nb.doc_id = i.doc_b
+       |ORDER BY doc_a, doc_b""".stripMargin) { (spark, dir) =>
+    val mh = minhashDf(spark, dir).select("doc_id", "shingles").cache()
+    val pairs = lshPairsDf(spark, dir)
+    val sizes = mh.select(col("doc_id"), size(col("shingles")).cast("long").as("n"))
+    val exploded = mh.select(col("doc_id"), explode(col("shingles")).as("s"))
+    val inter = pairs
+      .join(exploded.select(col("doc_id").as("doc_a"), col("s")), Seq("doc_a"))
+      .join(exploded.select(col("doc_id").as("doc_b"), col("s")), Seq("doc_b", "s"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_common"))
+    val jac = col("n_common") / (col("na") + col("nb") - col("n_common")).cast("double")
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      .select(
+        col("doc_a"), col("doc_b"),
+        round(jac, 6).as("jaccard"),
+        (jac >= 0.5).as("is_duplicate"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // ═══════════════ SimHash ═══════════════
+  // 31-bit SimHash over word hashes weighted by term frequency.
+
+  private val simhashBody: String =
+    s"""SELECT doc_id,
+       |  CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+       |FROM (
+       |  SELECT doc_id, b, sum(CASE WHEN ((wh >> b) & 1) = 1 THEN cnt ELSE -cnt END) AS s
+       |  FROM (
+       |    SELECT doc_id, wh, CAST(count(*) AS BIGINT) AS cnt
+       |    FROM (SELECT doc_id, unnest(${wordHashesSql("text")}) AS wh FROM documents)
+       |    GROUP BY doc_id, wh
+       |  ), (SELECT unnest(generate_series(0, 30)) AS b)
+       |  GROUP BY doc_id, b
+       |)
+       |GROUP BY doc_id""".stripMargin
+
+  private def simhashDf(spark: SparkSession, dir: String): DataFrame = {
+    val wordCounts = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(wordHashes(col("text"))).as("wh"))
+      .groupBy("doc_id", "wh")
+      .agg(count(lit(1)).as("cnt"))
+    val bits = spark.range(0, 31).select(col("id").cast("int").as("b"))
+    wordCounts.crossJoin(broadcast(bits))
+      .withColumn("bitset", expr("CASE WHEN ((wh >> b) & 1) = 1 THEN cnt ELSE -cnt END"))
+      .groupBy("doc_id", "b")
+      .agg(sum("bitset").as("s"))
+      .withColumn("contrib", expr("CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END"))
+      .groupBy("doc_id")
+      .agg(sum("contrib").as("simhash"))
+  }
+
+  val simhash = Q(
+    "dd_simhash",
+    s"""SELECT doc_id, simhash FROM ($simhashBody)
+       |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    simhashDf(spark, dir).orderBy("doc_id")
+  }
+
+  /** SimHash near-dup pairs: candidates share the low-15-bit or
+    * high-16-bit chunk, verified by Hamming distance ≤ 3.
+    */
+  val simhashPairs = Q(
+    "dd_simhash_pairs",
+    s"""WITH sh AS ($simhashBody),
+       |chunked AS (
+       |  SELECT doc_id, simhash, 0 AS chunk, simhash & 32767 AS key FROM sh
+       |  UNION ALL
+       |  SELECT doc_id, simhash, 1 AS chunk, simhash >> 15 AS key FROM sh
+       |)
+       |SELECT doc_a, doc_b, hamming FROM (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+       |  FROM chunked a JOIN chunked b
+       |    ON a.chunk = b.chunk AND a.key = b.key AND a.doc_id < b.doc_id
+       |) WHERE hamming <= 1
+       |ORDER BY doc_a, doc_b""".stripMargin) { (spark, dir) =>
+    val sh = simhashDf(spark, dir)
+    val chunked = sh.select(col("doc_id"), col("simhash"),
+      explode(array(
+        struct(lit(0).as("chunk"), col("simhash").bitwiseAND(lit(32767L)).as("key")),
+        struct(lit(1).as("chunk"), shiftright(col("simhash"), 15).as("key")))).as("c"))
+      .select(col("doc_id"), col("simhash"), col("c.chunk").as("chunk"), col("c.key").as("key"))
+    val a = chunked.select(col("chunk"), col("key"), col("doc_id").as("doc_a"), col("simhash").as("sha"))
+    val b = chunked.select(col("chunk"), col("key"), col("doc_id").as("doc_b"), col("simhash").as("shb"))
+    a.join(b, Seq("chunk", "key")).filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sha").bitwiseXOR(col("shb"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 1)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val all: Seq[Q] = Seq(exact, minhash, lshPairs, jaccard, simhash, simhashPairs)
+}

@@ -1,0 +1,147 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.functions.Hashing
+import org.apache.spark.sql.functions._
+
+/** Text-analysis family for training-data pipelines: token counting,
+  * quality scoring, language identification, document fingerprinting.
+  * All map-only column expressions — linear scale-out, no shuffle
+  * beyond the output sort.
+  */
+object TextAnalysis {
+
+  private def d(x: String): String = s"CAST($x AS DOUBLE)"
+
+  /** BPE-ish pre-tokenizer: word runs | digit runs | single symbols. */
+  private val bpeRe = "[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]"
+
+  val tokens = Q(
+    "tx_tokens",
+    s"""SELECT doc_id,
+       |  CAST(length(text) AS BIGINT) AS n_chars,
+       |  CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_ws_tokens,
+       |  CAST(len(regexp_extract_all(text, '$bpeRe')) AS BIGINT) AS n_bpe_tokens
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_chars"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("n_ws_tokens"),
+      size(regexp_extract_all(col("text"), lit(bpeRe), lit(0))).cast("long").as("n_bpe_tokens"))
+      .orderBy("doc_id")
+  }
+
+  private val stopwords = Seq("the", "a", "of", "to", "and", "in", "is", "it", "that", "for")
+
+  /** Quality score: length target + non-stopword share + word-length
+    * shape + punctuation sanity, each in [0,1], fixed weights.
+    */
+  val quality = Q(
+    "tx_quality", {
+      val words = "string_split_regex(trim(lower(text)), '\\s+')"
+      val sw = stopwords.map(s => s"'$s'").mkString("(", ", ", ")")
+      s"""SELECT doc_id,
+         |  round(len_score, 6) AS len_score,
+         |  round(stop_ratio, 6) AS stop_ratio,
+         |  round(wl_score, 6) AS wl_score,
+         |  round(${d("0.35")} * len_score + ${d("0.25")} * (1 - stop_ratio)
+         |    + ${d("0.2")} * wl_score + ${d("0.2")} * (1 - least(punct_ratio * 10, ${d("1")})), 6) AS quality
+         |FROM (
+         |  SELECT doc_id,
+         |    least(n_words / ${d("100")}, ${d("1")}) AS len_score,
+         |    n_stop / ${d("greatest(n_words, 1)")} AS stop_ratio,
+         |    greatest(1 - abs(length(regexp_replace(text, '\\s+', '', 'g'))
+         |      / ${d("greatest(n_words, 1)")} - 5) / 5, ${d("0")}) AS wl_score,
+         |    (length(text) - length(regexp_replace(text, '[^.,;:!?]', '', 'g')))
+         |      / ${d("greatest(length(text), 1)")} AS punct_ratio
+         |  FROM (
+         |    SELECT doc_id, text,
+         |      len($words) AS n_words,
+         |      len(list_filter($words, w -> w IN $sw)) AS n_stop
+         |    FROM documents
+         |  )
+         |)
+         |ORDER BY doc_id""".stripMargin
+    }) { (spark, dir) =>
+    val words = split(trim(lower(col("text"))), "\\s+")
+    val nWords = size(words)
+    val nStop = size(filter(words, w => stopwords.map(w === _).reduce(_ || _)))
+    val denom = greatest(nWords, lit(1)).cast("double")
+    val lenScore = least(nWords / lit(100).cast("double"), lit(1d))
+    val stopRatio = nStop / denom
+    val wlScore = greatest(
+      lit(1d) - abs(length(regexp_replace(col("text"), "\\s+", "")) / denom - 5) / 5, lit(0d))
+    val punctRatio = (length(col("text")) -
+      length(regexp_replace(col("text"), "[^.,;:!?]", ""))) /
+      greatest(length(col("text")), lit(1)).cast("double")
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      round(lenScore, 6).as("len_score"),
+      round(stopRatio, 6).as("stop_ratio"),
+      round(wlScore, 6).as("wl_score"),
+      round(lit(0.35) * lenScore + lit(0.25) * (lit(1d) - stopRatio)
+        + lit(0.2) * wlScore + lit(0.2) * (lit(1d) - least(punctRatio * 10, lit(1d))), 6)
+        .as("quality"))
+      .orderBy("doc_id")
+  }
+
+  /** Stopword/charset language-ID heuristic (en/fr/es/de/zh). */
+  private val langStops: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is"),
+    "fr" -> Seq("le", "la", "les", "de", "et", "un"),
+    "es" -> Seq("el", "la", "los", "de", "y", "en"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein"))
+
+  val langid = Q(
+    "tx_langid", {
+      val words = "string_split_regex(trim(lower(text)), '\\s+')"
+      val hitExprs = langStops.map { case (l, ws) =>
+        val set = ws.map(w => s"'$w'").mkString("(", ", ", ")")
+        s"CAST(len(list_filter($words, w -> w IN $set)) AS BIGINT) AS ${l}_hits"
+      }
+      s"""SELECT doc_id, en_hits, fr_hits, es_hits, de_hits, cjk_chars,
+         |  CASE WHEN cjk_chars >= 10 THEN 'zh'
+         |    WHEN en_hits >= fr_hits AND en_hits >= es_hits AND en_hits >= de_hits THEN 'en'
+         |    WHEN fr_hits >= es_hits AND fr_hits >= de_hits THEN 'fr'
+         |    WHEN es_hits >= de_hits THEN 'es'
+         |    ELSE 'de' END AS pred_lang
+         |FROM (
+         |  SELECT doc_id, ${hitExprs.mkString(",\n  ")},
+         |    CAST(length(regexp_replace(text, '[^一-鿿]', '', 'g')) AS BIGINT) AS cjk_chars
+         |  FROM documents
+         |)
+         |ORDER BY doc_id""".stripMargin
+    }) { (spark, dir) =>
+    val words = split(trim(lower(col("text"))), "\\s+")
+    val hitCols = langStops.map { case (l, ws) =>
+      size(filter(words, w => ws.map(w === _).reduce(_ || _))).cast("long").as(s"${l}_hits")
+    }
+    val cjk = length(regexp_replace(col("text"), "[^一-鿿]", "")).cast("long")
+    Tables.documents(spark, dir)
+      .select(col("doc_id") +: hitCols :+ cjk.as("cjk_chars"): _*)
+      .withColumn("pred_lang",
+        when(col("cjk_chars") >= 10, "zh")
+          .when(col("en_hits") >= col("fr_hits") && col("en_hits") >= col("es_hits")
+            && col("en_hits") >= col("de_hits"), "en")
+          .when(col("fr_hits") >= col("es_hits") && col("fr_hits") >= col("de_hits"), "fr")
+          .when(col("es_hits") >= col("de_hits"), "es")
+          .otherwise("de"))
+      .orderBy("doc_id")
+  }
+
+  /** Whole-document rolling polynomial fingerprint (content hash that
+    * any engine can reproduce — unlike murmur/xxhash).
+    */
+  val fingerprint = Q(
+    "tx_fingerprint",
+    s"""SELECT doc_id, ${Hashing.charFoldSql("text")} AS fp
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), Hashing.charFold(col("text")).as("fp"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(tokens, quality, langid, fingerprint)
+}
