@@ -13,7 +13,8 @@ object SparkEntry {
       operators.Style.all ++
       operators.Dedup.all ++
       operators.Ann.all ++
-      operators.TextAnalysis.all
+      operators.TextAnalysis.all ++
+      operators.Reef.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
