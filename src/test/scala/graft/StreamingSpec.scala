@@ -1,0 +1,75 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.streaming.Streaming
+import graft.streaming.Streaming.Event
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamingSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def eventsBatch = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sf/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  test("streaming window counts equal batch window counts") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    // FileStreamSource needs a directory; stage the events file in /tmp
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val stream = spark.readStream.schema(schema).parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val q = Streaming.windowCounts(stream)
+      .writeStream.outputMode("append").format("memory").queryName("wc").start()
+    try q.processAllAvailable() finally q.stop()
+    // append mode only emits windows closed by the watermark; compare
+    // those against the batch equivalent
+    val got = spark.sql("SELECT window_start, event_type, n_events FROM wc")
+    val want = Streaming.windowCounts(eventsBatch)
+      .select("window_start", "event_type", "n_events")
+    val emitted = got.count()
+    assert(emitted > 0)
+    assert(got.join(want, Seq("window_start", "event_type", "n_events"), "left_anti").count() == 0)
+  }
+
+  test("stateful streaming sessionize emits gap-closed sessions") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Event]
+    def ev(id: Long, user: Long, minute: Long) =
+      Event(id, new Timestamp(minute * 60000L), user, "click", 1.0)
+    // user 1: two sessions (gap 60 min); second session stays open
+    mem.addData(ev(1, 1, 0), ev(2, 1, 10), ev(3, 1, 90), ev(4, 2, 5))
+    val q = Streaming.sessionize(mem.toDS())
+      .writeStream.outputMode("append").format("memory").queryName("sess").start()
+    try q.processAllAvailable() finally q.stop()
+    val out = spark.sql("SELECT * FROM sess").as[Streaming.SessionOut].collect()
+    assert(out.length == 1) // only user 1's first session has closed
+    assert(out.head.user_id == 1 && out.head.n_events == 2)
+  }
+
+  test("batch sessionize matches the SQL sessionization operator") {
+    import spark.implicits._
+    val ev = eventsBatch.select("event_id", "ts", "user_id", "event_type", "value").as[Event]
+    val got = Streaming.sessionizeBatch(spark, ev)
+      .groupBy("user_id").agg(max("session_id").as("n_sessions"),
+        sum("n_events").as("n_events"))
+    val want = operators.Events.sessionize.fn(spark, sf)
+      .groupBy("user_id").agg(max("session_id").as("n_sessions"),
+        sum("n_events").as("n_events"))
+    assert(got.join(want, Seq("user_id", "n_sessions", "n_events"), "left_anti").count() == 0)
+    assert(got.count() == want.count())
+  }
+}
