@@ -26,6 +26,15 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** The local test tables are single-row-group parquet files, which
+    * Spark cannot split — every downstream map would run on ONE core.
+    * On a real cluster the scan has thousands of splits and this is
+    * unnecessary; here a cheap round-robin repartition restores the
+    * parallelism the file layout denies us.
+    */
+  private def loadSpread(spark: SparkSession, dir: String, name: String): DataFrame =
+    load(spark, dir, name).repartition(spark.sparkContext.defaultParallelism)
+
   def lineitem(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "orders")
   def customer(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "customer")
@@ -44,6 +53,6 @@ object Tables {
       .withColumn("ts", org.apache.spark.sql.functions.expr(
         "timestamp_micros(ts div 1000)"))
   }
-  def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
-  def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+  def documents(spark: SparkSession, dir: String): DataFrame = loadSpread(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = loadSpread(spark, dir, "embeddings")
 }

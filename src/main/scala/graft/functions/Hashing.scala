@@ -25,26 +25,20 @@ object Hashing {
   val NumBands = 4
   val RowsPerBand = 6
 
-  // ═══════ Spark side ═══════
+  // ═══════ Spark side (native Catalyst expressions — see HashExprs) ═══════
 
-  /** Polynomial fold over the characters of a string column. */
-  def charFold(c: Column): Column =
-    aggregate(split(c, ""), lit(0L), (acc, ch) => (acc * B + ascii(ch)) % P)
+  /** Per-word polynomial hashes of trim(lower(text)), with multiplicity. */
+  def wordHashes(text: Column): Column = HashExprs.token_hashes(text)
 
-  /** Per-word hashes for a whitespace-tokenized lowercased text. */
-  def wordHashes(text: Column): Column =
-    transform(split(trim(lower(text)), "\\s+"), w => charFold(w))
+  /** Distinct word-3-gram shingle hashes of a text column. */
+  def shingleHashes(text: Column): Column = HashExprs.shingle_hashes(text)
 
-  /** Word-3-gram shingle hashes from a word-hash array (distinct). */
-  def shingleHashes(wh: Column): Column =
-    array_distinct(
-      transform(
-        slice(wh, lit(1), greatest(size(wh) - 2, lit(0))),
-        (x, i) => (((x * B + element_at(wh, i + 2)) % P) * B + element_at(wh, i + 3)) % P))
+  /** All k MinHash values as one array column. */
+  def minhashSig(text: Column): Column =
+    HashExprs.minhash_sig(HashExprs.shingle_hashes(text))
 
-  /** j-th MinHash value over a shingle-hash array. */
-  def minHash(shingles: Column, j: Int): Column =
-    array_min(transform(shingles, s => (lit(permA(j)) * s + lit(permB(j))) % P))
+  /** Whole-string polynomial fold (document fingerprint). */
+  def charFold(c: Column): Column = HashExprs.poly_hash(c)
 
   /** LSH band key b (fold of the band's MinHash values). */
   def bandKey(mh: Seq[Column], b: Int): Column =

@@ -32,7 +32,7 @@ object Ann {
   // ═══════ Spark side ═══════
 
   private def dotC(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0d), (acc, v) => acc + v)
+    graft.functions.HashExprs.dot_product(a, b)
 
   private def embDbl(c: Column): Column = transform(c, x => x.cast("double"))
 

@@ -139,6 +139,7 @@ object Audit {
         numericFeatures.tail.map(c => avg(c).as("avg_" + c)) ++
           boolFeatures.map(c => avg(col(c).cast("int")).as("ratio_" + c)) ++
           styleCats.map(c => avg(c).as(c)): _*)
+      .cache()
 
   private val fingerprintSql: String = {
     val aggs =
@@ -249,6 +250,7 @@ object Audit {
         col("markdown_rate"), col("list_rate"), col("code_block_rate"),
         (col("hedge_total") / greatest(col("word_total"), lit(1)).cast("double")).as("hedging_rate"),
         (col("cert_total") / greatest(col("word_total"), lit(1)).cast("double")).as("certainty_rate"))
+      .cache()
   }
 
   private val dliSigSql: String = {
@@ -294,21 +296,27 @@ object Audit {
   // ═══════════════ DLI: bigram distribution (top-100) ═══════════════
   // Reference: dli.py:27-33, 65-73
 
-  /** Unrounded per-model top-100 bigram distribution (Spark side). */
+  /** Unrounded per-model top-100 bigram distribution (Spark side).
+    * Bigrams are formed with lead() over exploded words rather than a
+    * transform-with-index lambda: the lambda would inline the
+    * regexp_extract_all into every element access (O(words²) regex
+    * scans per document) and HOFs evaluate interpretively anyway.
+    */
   private def dliBigramDf(spark: SparkSession, dir: String): DataFrame = {
     val words = regexp_extract_all(lower(col("text")), lit("\\w+"), lit(0))
-    val bigrams = when(size(words) >= 2,
-      transform(slice(words, lit(1), size(words) - 1),
-        (x, i) => concat_ws(" ", x, element_at(words, i + 2))))
-      .otherwise(typedLit(Array.empty[String]))
+    val wWin = Window.partitionBy("doc_id").orderBy("pos")
     val counts = Tables.documents(spark, dir)
-      .select(explode(bigrams).as("bigram"), col("source"))
+      .select(col("doc_id"), col("source"), posexplode(words))
+      .withColumn("nxt", lead("col", 1).over(wWin))
+      .filter(col("nxt").isNotNull)
+      .withColumn("bigram", concat_ws(" ", col("col"), col("nxt")))
       .groupBy("source", "bigram")
       .agg(count(lit(1)).as("cnt"))
     val w = Window.partitionBy("source").orderBy(col("cnt").desc, col("bigram"))
     counts.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 100)
       .withColumn("p", col("cnt") / sum("cnt").over(Window.partitionBy("source")).cast("double"))
+      .cache()
   }
 
   private val dliBigramSql: String =
@@ -399,7 +407,7 @@ object Audit {
          |)
          |ORDER BY model_a, model_b""".stripMargin
     }) { (spark, dir) =>
-    val dist = dliBigramDf(spark, dir).select("source", "bigram", "p").cache()
+    val dist = dliBigramDf(spark, dir).select("source", "bigram", "p")
     val sources = dist.select("source").distinct()
     val pairs = sources.select(col("source").as("model_a"))
       .join(sources.select(col("source").as("model_b")), col("model_a") < col("model_b"))

@@ -40,15 +40,27 @@ object Dedup {
 
   // ═══════════════ MinHash signatures ═══════════════
 
-  /** doc_id + shingle array + k MinHash values (Spark side, unordered). */
-  private def minhashDf(spark: SparkSession, dir: String): DataFrame = {
-    val withShingles = Tables.documents(spark, dir)
-      .select(col("doc_id"), shingleHashes(wordHashes(col("text"))).as("shingles"))
+  /** doc_id + shingle array (recomputed where needed — the hashing is
+    * cheap, map-only, and caching array columns through the columnar
+    * in-memory store is pathologically slow).
+    */
+  private def shinglesDf(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), shingleHashes(col("text")).as("shingles"))
       .filter(size(col("shingles")) > 0)
-    withShingles.select(
-      col("doc_id") +: col("shingles") +:
-        (0 until NumPerms).map(j => minHash(col("shingles"), j).as(mhNames(j))): _*)
-  }
+
+  /** doc_id + k MinHash values. Fixed-width output is cached (shared
+    * by dd_minhash / dd_lsh_pairs / dd_jaccard and both self-join
+    * sides via CacheManager's canonical-plan dedup); the array-typed
+    * shingle column deliberately stays out of the cache.
+    */
+  private def minhashDf(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), minhashSig(col("text")).as("sig"))
+      .filter(col("sig").isNotNull)
+      .select(col("doc_id") +:
+        (0 until NumPerms).map(j => element_at(col("sig"), j + 1).as(mhNames(j))): _*)
+      .cache()
 
   /** Matching SQL CTE body: doc_id, shingles, mh00..mh23. */
   private val minhashSql: String = {
@@ -128,10 +140,10 @@ object Dedup {
        |JOIN sizes na ON na.doc_id = i.doc_a
        |JOIN sizes nb ON nb.doc_id = i.doc_b
        |ORDER BY doc_a, doc_b""".stripMargin) { (spark, dir) =>
-    val mh = minhashDf(spark, dir).select("doc_id", "shingles").cache()
+    val sh = shinglesDf(spark, dir)
     val pairs = lshPairsDf(spark, dir)
-    val sizes = mh.select(col("doc_id"), size(col("shingles")).cast("long").as("n"))
-    val exploded = mh.select(col("doc_id"), explode(col("shingles")).as("s"))
+    val sizes = sh.select(col("doc_id"), size(col("shingles")).cast("long").as("n"))
+    val exploded = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
     val inter = pairs
       .join(exploded.select(col("doc_id").as("doc_a"), col("s")), Seq("doc_a"))
       .join(exploded.select(col("doc_id").as("doc_b"), col("s")), Seq("doc_b", "s"))

@@ -70,6 +70,7 @@ object Style {
     base.select(col("doc_id"), col("source"), explode(array(entries: _*)).as("e"))
       .select(col("doc_id"), col("source"),
         col("e.family").as("family"), col("e.fidx").as("fidx"), col("e.score").as("score"))
+      .cache()
   }
 
   /** Matching SQL: one CTE of base features, then a UNION ALL per family. */
@@ -141,13 +142,13 @@ object Style {
 
   val styleFingerprint = Q(
     "ma_style_fingerprint",
-    s"""SELECT source, family, round(avg(score), 4) AS avg_score
+    s"""SELECT source, family, round(avg(score) + 1e-9, 4) AS avg_score
        |FROM ($scoresSql)
        |GROUP BY source, family
        |ORDER BY source, family""".stripMargin) { (spark, dir) =>
     scoresDf(spark, dir)
       .groupBy("source", "family")
-      .agg(round(avg("score"), 4).as("avg_score"))
+      .agg(round(avg("score") + 1e-9, 4).as("avg_score"))
       .orderBy("source", "family")
   }
 
@@ -165,9 +166,9 @@ object Style {
          |  SELECT source, $claimed AS claimed_family,
          |    family AS best_match, avg_score AS best_score
          |  FROM (
-         |    SELECT source, family, fidx, round(avg(score), 4) AS avg_score,
+         |    SELECT source, family, fidx, round(avg(score) + 1e-9, 4) AS avg_score,
          |      row_number() OVER (PARTITION BY source
-         |        ORDER BY round(avg(score), 4) DESC, fidx) AS rn
+         |        ORDER BY round(avg(score) + 1e-9, 4) DESC, fidx) AS rn
          |    FROM ($scoresSql)
          |    GROUP BY source, family, fidx
          |  ) WHERE rn = 1
@@ -176,7 +177,7 @@ object Style {
     }) { (spark, dir) =>
     val fp = scoresDf(spark, dir)
       .groupBy("source", "family", "fidx")
-      .agg(round(avg("score"), 4).as("avg_score"))
+      .agg(round(avg("score") + 1e-9, 4).as("avg_score"))
     val w = Window.partitionBy("source").orderBy(col("avg_score").desc, col("fidx"))
     val claimed = families.foldRight(lit("unknown")) { (f, acc) =>
       when(lower(col("source")).contains(f.name), f.name).otherwise(acc)

@@ -42,11 +42,11 @@ object TextAnalysis {
       val words = "string_split_regex(trim(lower(text)), '\\s+')"
       val sw = stopwords.map(s => s"'$s'").mkString("(", ", ", ")")
       s"""SELECT doc_id,
-         |  round(len_score, 6) AS len_score,
-         |  round(stop_ratio, 6) AS stop_ratio,
-         |  round(wl_score, 6) AS wl_score,
+         |  round(len_score + 1e-9, 6) AS len_score,
+         |  round(stop_ratio + 1e-9, 6) AS stop_ratio,
+         |  round(wl_score + 1e-9, 6) AS wl_score,
          |  round(${d("0.35")} * len_score + ${d("0.25")} * (1 - stop_ratio)
-         |    + ${d("0.2")} * wl_score + ${d("0.2")} * (1 - least(punct_ratio * 10, ${d("1")})), 6) AS quality
+         |    + ${d("0.2")} * wl_score + ${d("0.2")} * (1 - least(punct_ratio * 10, ${d("1")})) + 1e-9, 6) AS quality
          |FROM (
          |  SELECT doc_id,
          |    least(n_words / ${d("100")}, ${d("1")}) AS len_score,
@@ -77,11 +77,11 @@ object TextAnalysis {
       greatest(length(col("text")), lit(1)).cast("double")
     Tables.documents(spark, dir).select(
       col("doc_id"),
-      round(lenScore, 6).as("len_score"),
-      round(stopRatio, 6).as("stop_ratio"),
-      round(wlScore, 6).as("wl_score"),
+      round(lenScore + 1e-9, 6).as("len_score"),
+      round(stopRatio + 1e-9, 6).as("stop_ratio"),
+      round(wlScore + 1e-9, 6).as("wl_score"),
       round(lit(0.35) * lenScore + lit(0.25) * (lit(1d) - stopRatio)
-        + lit(0.2) * wlScore + lit(0.2) * (lit(1d) - least(punctRatio * 10, lit(1d))), 6)
+        + lit(0.2) * wlScore + lit(0.2) * (lit(1d) - least(punctRatio * 10, lit(1d))) + 1e-9, 6)
         .as("quality"))
       .orderBy("doc_id")
   }
