@@ -15,7 +15,8 @@ object SparkEntry {
       operators.Ann.all ++
       operators.TextAnalysis.all ++
       operators.Reef.all ++
-      operators.Multimodal.all
+      operators.Multimodal.all ++
+      operators.BenchmarkEval.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The full audit verdict — llmmap fingerprint compare + DLI

@@ -24,11 +24,13 @@ object Style {
   private val cjkLo = '一'
   private val cjkHi = '鿿'
 
-  /** Per-doc base features + per-family scores, long format, with the
-    * family's declaration index for Python-dict-order tie-breaking.
-    * Scores are rounded to 4 dp (style.py:300).
+  /** Per-text base features + per-family scores over any frame with a
+    * `text` column, long format, with the family's declaration index
+    * for Python-dict-order tie-breaking. Scores are rounded to 4 dp
+    * (style.py:300). Reused by the corpus queries (keys doc_id/source)
+    * and the built-in benchmark (keys sample_id/label).
     */
-  private def scoresDf(spark: SparkSession, dir: String): DataFrame = {
+  private[operators] def scoresOf(docs: DataFrame, keyCols: Seq[String]): DataFrame = {
     val t = col("text")
     val lt = lower(t)
     val tWords = greatest(size(split(trim(lt), "\\s+")), lit(1))
@@ -41,10 +43,10 @@ object Style {
     val verbose = tWords > 150
     val refusalHint = anySubC(lt, refusalHintKeywords)
 
-    val base = Tables.documents(spark, dir).select(
-      col("doc_id"), col("source"), lt.as("lt"),
-      textLang.as("text_lang"), hasMd.as("has_md"), hasNum.as("has_num"),
-      hasCode.as("has_code"), verbose.as("is_verbose"), refusalHint.as("refusal_hint"))
+    val base = docs.select(
+      keyCols.map(col) ++ Seq(lt.as("lt"),
+        textLang.as("text_lang"), hasMd.as("has_md"), hasNum.as("has_num"),
+        hasCode.as("has_code"), verbose.as("is_verbose"), refusalHint.as("refusal_hint")): _*)
 
     def famScore(f: FamilySig): Column = {
       val langTerm =
@@ -67,16 +69,20 @@ object Style {
     val entries = families.zipWithIndex.map { case (f, i) =>
       struct(lit(f.name).as("family"), lit(i).as("fidx"), famScore(f).as("score"))
     }
-    base.select(col("doc_id"), col("source"), explode(array(entries: _*)).as("e"))
-      .select(col("doc_id"), col("source"),
-        col("e.family").as("family"), col("e.fidx").as("fidx"), col("e.score").as("score"))
-      .cache()
+    base.select(keyCols.map(col) :+ explode(array(entries: _*)).as("e"): _*)
+      .select(keyCols.map(col) ++ Seq(
+        col("e.family").as("family"), col("e.fidx").as("fidx"), col("e.score").as("score")): _*)
   }
 
-  /** Matching SQL: one CTE of base features, then a UNION ALL per family. */
-  private val scoresSql: String = {
+  private def scoresDf(spark: SparkSession, dir: String): DataFrame =
+    scoresOf(Tables.documents(spark, dir), Seq("doc_id", "source")).cache()
+
+  /** Matching SQL: one CTE of base features, then a UNION ALL per
+    * family, over any relation with a `text` column.
+    */
+  private[operators] def scoresSqlOf(rel: String, keyCols: String): String = {
     val baseSql =
-      s"""SELECT doc_id, source, lower(text) AS lt,
+      s"""SELECT $keyCols, lower(text) AS lt,
          |  CASE WHEN length(regexp_replace(text, '[^$cjkLo-$cjkHi]', '', 'g')) >= 10 THEN 'zh'
          |    WHEN length(regexp_replace(text, '[^$cjkLo-$cjkHi]', '', 'g'))
          |      / ${d("greatest(length(text), 1)")} > ${d("0.15")} THEN 'zh'
@@ -86,7 +92,7 @@ object Style {
          |  (position('${"`"}${"`"}${"`"}' IN text) > 0) AS has_code,
          |  greatest(len(string_split_regex(trim(lower(text)), '\\s+')), 1) > 150 AS is_verbose,
          |  ${anySubSql("lower(text)", refusalHintKeywords)} AS refusal_hint
-         |FROM documents""".stripMargin
+         |FROM $rel""".stripMargin
 
     def famSql(f: FamilySig, i: Int): String = {
       val langTerm =
@@ -105,7 +111,7 @@ object Style {
         .mkString("(", " + ", ")")
       val refusalTerm =
         s"CASE WHEN refusal_hint THEN $rhits / ${d(f.refusalPatterns.size.toString)} * ${d("0.10")} ELSE ${d("0")} END"
-      s"""SELECT doc_id, source, ${sl(f.name)} AS family, $i AS fidx,
+      s"""SELECT $keyCols, ${sl(f.name)} AS family, $i AS fidx,
          |  round($langTerm + $markerTerm + $structTerm + $refusalTerm, 4) AS score
          |FROM base""".stripMargin
     }
@@ -113,6 +119,8 @@ object Style {
     s"""WITH base AS ($baseSql)
        |${families.zipWithIndex.map { case (f, i) => famSql(f, i) }.mkString("\nUNION ALL\n")}""".stripMargin
   }
+
+  private val scoresSql: String = scoresSqlOf("documents", "doc_id, source")
 
   // ═══════════════ queries ═══════════════
 
