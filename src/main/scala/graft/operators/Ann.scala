@@ -94,6 +94,29 @@ object Ann {
       .orderBy("query_id", "rank")
   }
 
+  /** Brute-force top-k via the custom bounded-heap aggregate
+    * (graft.functions.TopKByScore) instead of a row_number window:
+    * the window sorts every candidate score per query, the aggregate
+    * carries at most k entries per partition and merges map-side —
+    * shuffle is O(queries·k), not O(candidates). Same results, same
+    * oracle as ann_topk.
+    */
+  val topkAgg = Q(
+    "ann_topk_agg",
+    topk.oracle.get) { (spark, dir) =>
+    val c = corpus(spark, dir)
+    val q = c.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qn"))
+    val scored = broadcast(q).join(c, col("vec_id") =!= col("query_id"))
+      .withColumn("cos_raw", dotC(col("qe"), col("e")) / (col("qn") * col("nrm")))
+    scored.groupBy("query_id")
+      .agg(graft.functions.TopKAgg.topk_by_score(col("cos_raw"), col("vec_id"), TopK).as("tk"))
+      .select(col("query_id"), explode(col("tk")).as("e"))
+      .select(col("query_id"), col("e.id").as("neighbor_id"),
+        round(col("e.score"), 6).as("cosine"), col("e.rank").as("rank"))
+      .orderBy("query_id", "rank")
+  }
+
   /** LSH-bucketed ANN: same queries, candidates restricted to the
     * query's hyperplane bucket.
     */
@@ -146,5 +169,5 @@ object Ann {
       .orderBy("vec_a", "vec_b")
   }
 
-  val all: Seq[Q] = Seq(topk, lshTopk, embedDedup)
+  val all: Seq[Q] = Seq(topk, topkAgg, lshTopk, embedDedup)
 }

@@ -1,0 +1,56 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Parquet-backed fingerprint store — the engine-side analog of the
+  * reference's FingerprintCache (cache.py): keyed by
+  * (model, method, provider), with created_at TTL filtering.
+  *
+  * Layout: one parquet dataset partitioned by method — lookups for a
+  * single method prune to one partition directory, and a model-level
+  * lookup is a pushed-down equality filter. At fleet scale this is
+  * the natural "fingerprint lake" layout: appends are new files, TTL
+  * expiry is a partition-pruned filter, compaction is a rewrite.
+  */
+object FingerprintStore {
+
+  /** Append fingerprint rows (any schema + model/method/provider
+    * columns); stamps created_at_s.
+    */
+  def put(df: DataFrame, path: String, nowEpochS: Long): Unit =
+    df.withColumn("created_at_s", lit(nowEpochS))
+      .write.mode(SaveMode.Append)
+      .partitionBy("method")
+      .parquet(path)
+
+  /** Load live fingerprints for a method (TTL in seconds, 0 = no
+    * expiry), newest per (model, provider).
+    */
+  def get(
+      spark: SparkSession,
+      path: String,
+      method: String,
+      nowEpochS: Long,
+      ttlS: Long = 0L): DataFrame = {
+    val all = spark.read.parquet(path)
+      .filter(col("method") === method)
+    val live =
+      if (ttlS > 0) all.filter(col("created_at_s") >= nowEpochS - ttlS) else all
+    // newest wins per key — same semantics as the reference cache's
+    // overwrite-on-put, expressed as a max-timestamp semi-join (no
+    // window over the full store)
+    val latest = live.groupBy("model", "provider")
+      .agg(max("created_at_s").as("created_at_s"))
+    live.join(latest, Seq("model", "provider", "created_at_s"))
+  }
+
+  /** Drop expired entries by rewriting live partitions (compaction). */
+  def expire(spark: SparkSession, path: String, method: String,
+      nowEpochS: Long, ttlS: Long, outPath: String): Long = {
+    val live = get(spark, path, method, nowEpochS, ttlS)
+    val n = live.count()
+    live.write.mode(SaveMode.Overwrite).partitionBy("method").parquet(outPath)
+    n
+  }
+}
