@@ -1,0 +1,42 @@
+package graft
+
+import graft.functions.{MinHashSigExpr, PolyHashExpr, ShingleHashesExpr, TokenHashesExpr}
+import graft.functions.{DotProductExpr, TopKByScore}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** SparkSessionExtensions entry point: registers the library's native
+  * expressions as SQL functions, so
+  * `spark.sql("SELECT minhash_sig(shingle_hashes(text)) ...")` works
+  * in any session built with
+  * `.withExtensions(new GraftExtensions)` or started with
+  * `spark.sql.extensions=graft.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "built-in")
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((FunctionIdentifier("poly_hash"),
+      info("poly_hash", "poly_hash(str) - mod-p polynomial fold of a string"),
+      (es: Seq[Expression]) => PolyHashExpr(es.head)))
+    e.injectFunction((FunctionIdentifier("token_hashes"),
+      info("token_hashes", "token_hashes(str) - per-token polynomial hashes"),
+      (es: Seq[Expression]) => TokenHashesExpr(es.head)))
+    e.injectFunction((FunctionIdentifier("shingle_hashes"),
+      info("shingle_hashes", "shingle_hashes(str) - distinct word-3-gram hashes"),
+      (es: Seq[Expression]) => ShingleHashesExpr(es.head)))
+    e.injectFunction((FunctionIdentifier("minhash_sig"),
+      info("minhash_sig", "minhash_sig(shingles) - k MinHash values"),
+      (es: Seq[Expression]) => MinHashSigExpr(es.head)))
+    e.injectFunction((FunctionIdentifier("dot_product"),
+      info("dot_product", "dot_product(a, b) - double dot product of arrays"),
+      (es: Seq[Expression]) => DotProductExpr(es(0), es(1))))
+    e.injectFunction((FunctionIdentifier("topk_by_score"),
+      info("topk_by_score", "topk_by_score(score, id, k) - bounded top-k aggregate"),
+      (es: Seq[Expression]) => TopKByScore(es(0), es(1),
+        es(2).asInstanceOf[Literal].value.asInstanceOf[Int]).toAggregateExpression()))
+  }
+}
