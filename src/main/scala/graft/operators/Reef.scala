@@ -94,5 +94,34 @@ object Reef {
       .orderBy("label_a", "label_b")
   }
 
-  val all: Seq[Q] = Seq(cka)
+  /** REEF compare verdict (reef.py:184-225): treat labels 0..4 as
+    * model A's sampled layers and 5..9 as model B's, pair layer i
+    * with layer i+5, average the per-layer CKAs, and apply the 0.85
+    * threshold + confidence formula.
+    */
+  val compare = Q(
+    "ma_reef_compare", {
+      val ckaSql = cka.oracle.get.replace("ORDER BY label_a, label_b", "")
+      s"""WITH cka AS ($ckaSql)
+         |SELECT 'model_a' AS model_a, 'model_b' AS model_b,
+         |  CAST(count(*) AS BIGINT) AS num_layers_compared,
+         |  round(avg(cka) + 1e-9, 6) AS similarity,
+         |  avg(cka) >= CAST(0.85 AS DOUBLE) AS is_derived,
+         |  round(least(abs(avg(cka) - CAST(0.85 AS DOUBLE)) / CAST(0.15 AS DOUBLE),
+         |    CAST(1 AS DOUBLE)) + 1e-9, 6) AS confidence
+         |FROM cka
+         |WHERE label_b = label_a + 5 AND label_a < 5""".stripMargin
+    }) { (spark, dir) =>
+    cka.fn(spark, dir)
+      .filter(col("label_b") === col("label_a") + 5 && col("label_a") < 5)
+      .agg(
+        count(lit(1)).as("num_layers_compared"),
+        round(avg("cka") + 1e-9, 6).as("similarity"),
+        (avg("cka") >= 0.85).as("is_derived"),
+        round(least(abs(avg("cka") - 0.85) / 0.15, lit(1d)) + 1e-9, 6).as("confidence"))
+      .select(lit("model_a").as("model_a"), lit("model_b").as("model_b"),
+        col("num_layers_compared"), col("similarity"), col("is_derived"), col("confidence"))
+  }
+
+  val all: Seq[Q] = Seq(cka, compare)
 }
