@@ -19,6 +19,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "built-in")
 
   override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectPlannerStrategy(_ => graft.plans.CosineTopKStrategy)
     e.injectFunction((FunctionIdentifier("poly_hash"),
       info("poly_hash", "poly_hash(str) - mod-p polynomial fold of a string"),
       (es: Seq[Expression]) => PolyHashExpr(es.head)))

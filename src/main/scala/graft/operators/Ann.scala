@@ -117,6 +117,25 @@ object Ann {
       .orderBy("query_id", "rank")
   }
 
+  /** Brute-force top-k through the custom whole-operator plan
+    * (graft.plans.CosineTopK: LogicalPlan + SparkStrategy + physical
+    * exec with per-partition bounded heaps — the (c) route). Same
+    * results, same oracle as ann_topk.
+    */
+  val topkPlan = Q(
+    "ann_topk_plan",
+    topk.oracle.get) { (spark, dir) =>
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.addStrategy(spark, graft.plans.CosineTopKStrategy)
+    val c = corpus(spark, dir).select("vec_id", "e", "nrm")
+    val q = c.filter(col("vec_id") < NumQueries)
+    val plan = graft.plans.CosineTopK(Bridge.planOf(q), Bridge.planOf(c), TopK)
+    Bridge.ofRows(spark, plan)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
   /** LSH-bucketed ANN: same queries, candidates restricted to the
     * query's hyperplane bucket.
     */
@@ -169,5 +188,5 @@ object Ann {
       .orderBy("vec_a", "vec_b")
   }
 
-  val all: Seq[Q] = Seq(topk, topkAgg, lshTopk, embedDedup)
+  val all: Seq[Q] = Seq(topk, topkAgg, topkPlan, lshTopk, embedDedup)
 }
