@@ -18,6 +18,9 @@ object Dedup {
 
   private val mhNames = (0 until NumPerms).map(j => f"mh$j%02d")
 
+  /** Max docs per LSH band bucket before the bucket is dropped. */
+  val BucketCap = 1000
+
   // ═══════════════ exact dedup ═══════════════
 
   val exact = Q(
@@ -94,8 +97,18 @@ object Dedup {
         struct(lit(b).as("band"), bandKey(mhNames.map(col), b).as("key"))
       }: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
-    val a = banded.select(col("band"), col("key"), col("doc_id").as("doc_a"))
-    val b = banded.select(col("band"), col("key"), col("doc_id").as("doc_b"))
+    // Skew guard: a degenerate band bucket (e.g. a boilerplate shingle
+    // shared by millions of docs) would otherwise explode quadratically.
+    // Capped buckets are dropped — their pairs are recovered by the
+    // other bands with overwhelming probability at real duplication
+    // rates. Cap mirrored in the oracle SQL.
+    val smallBuckets = banded.groupBy("band", "key")
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") <= BucketCap)
+      .select("band", "key")
+    val capped = banded.join(smallBuckets, Seq("band", "key"))
+    val a = capped.select(col("band"), col("key"), col("doc_id").as("doc_a"))
+    val b = capped.select(col("band"), col("key"), col("doc_id").as("doc_b"))
     a.join(b, Seq("band", "key")).filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
   }
@@ -105,7 +118,12 @@ object Dedup {
       s"SELECT doc_id, $b AS band, ${bandKeySql(mhNames, b)} AS key FROM mh"
     }.mkString("\nUNION ALL\n")
     s"""WITH mh AS ($minhashSql),
-       |banded AS ($bandSelects)
+       |banded0 AS ($bandSelects),
+       |small AS (
+       |  SELECT band, key FROM banded0 GROUP BY band, key
+       |  HAVING count(*) <= $BucketCap
+       |),
+       |banded AS (SELECT banded0.* FROM banded0 JOIN small USING (band, key))
        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |FROM banded a JOIN banded b
        |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id""".stripMargin
