@@ -62,6 +62,13 @@ object Reef {
        |JOIN selfg sa ON sa.label = la
        |JOIN selfg sb ON sb.label = lb
        |ORDER BY label_a, label_b""".stripMargin) { (spark, dir) =>
+    ckaDf(spark, dir).orderBy("label_a", "label_b")
+  }
+
+  /** Unordered CKA pair frame; 45 fixed-width rows — cached so the
+    * compare query doesn't recompute the cross-moment pipeline.
+    */
+  private def ckaDf(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     val w = Window.partitionBy("label").orderBy("vec_id")
     val ranked = emb.withColumn("rn", row_number().over(w))
@@ -91,7 +98,7 @@ object Reef {
         col("lb").cast("long").as("label_b"),
         round(when(sqrt(col("ha") * col("hb")) < 1e-10, 0d)
           .otherwise(col("hsic_xy") / sqrt(col("ha") * col("hb"))), 6).as("cka"))
-      .orderBy("label_a", "label_b")
+      .cache()
   }
 
   /** REEF compare verdict (reef.py:184-225): treat labels 0..4 as
@@ -112,7 +119,7 @@ object Reef {
          |FROM cka
          |WHERE label_b = label_a + 5 AND label_a < 5""".stripMargin
     }) { (spark, dir) =>
-    cka.fn(spark, dir)
+    ckaDf(spark, dir)
       .filter(col("label_b") === col("label_a") + 5 && col("label_a") < 5)
       .agg(
         count(lit(1)).as("num_layers_compared"),
