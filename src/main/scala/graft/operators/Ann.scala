@@ -74,7 +74,7 @@ object Ann {
        |q AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn FROM c WHERE vec_id < $NumQueries)
        |SELECT query_id, neighbor_id, cosine, rank FROM (
        |  SELECT q.query_id, c.vec_id AS neighbor_id,
-       |    round(list_dot_product(qe, e) / (qn * nrm), 6) AS cosine,
+       |    round(1e-9 + list_dot_product(qe, e) / (qn * nrm), 6) AS cosine,
        |    CAST(row_number() OVER (PARTITION BY q.query_id
        |      ORDER BY list_dot_product(qe, e) / (qn * nrm) DESC, c.vec_id) AS BIGINT) AS rank
        |  FROM q, c
@@ -90,7 +90,7 @@ object Ann {
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= TopK)
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        round(col("cos_raw"), 6).as("cosine"), col("rank"))
+        round(lit(1e-9) + col("cos_raw"), 6).as("cosine"), col("rank"))
       .orderBy("query_id", "rank")
   }
 
@@ -113,7 +113,7 @@ object Ann {
       .agg(graft.functions.TopKAgg.topk_by_score(col("cos_raw"), col("vec_id"), TopK).as("tk"))
       .select(col("query_id"), explode(col("tk")).as("e"))
       .select(col("query_id"), col("e.id").as("neighbor_id"),
-        round(col("e.score"), 6).as("cosine"), col("e.rank").as("rank"))
+        round(lit(1e-9) + col("e.score"), 6).as("cosine"), col("e.rank").as("rank"))
       .orderBy("query_id", "rank")
   }
 
@@ -132,7 +132,7 @@ object Ann {
     val plan = graft.plans.CosineTopK(Bridge.planOf(q), Bridge.planOf(c), TopK)
     Bridge.ofRows(spark, plan)
       .select(col("query_id"), col("neighbor_id"),
-        round(col("cosine"), 6).as("cosine"), col("rank"))
+        round(lit(1e-9) + col("cosine"), 6).as("cosine"), col("rank"))
       .orderBy("query_id", "rank")
   }
 
@@ -145,7 +145,7 @@ object Ann {
        |q AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn, bucket FROM c WHERE vec_id < $NumQueries)
        |SELECT query_id, neighbor_id, cosine, rank FROM (
        |  SELECT q.query_id, c.vec_id AS neighbor_id,
-       |    round(list_dot_product(qe, e) / (qn * nrm), 6) AS cosine,
+       |    round(1e-9 + list_dot_product(qe, e) / (qn * nrm), 6) AS cosine,
        |    CAST(row_number() OVER (PARTITION BY q.query_id
        |      ORDER BY list_dot_product(qe, e) / (qn * nrm) DESC, c.vec_id) AS BIGINT) AS rank
        |  FROM q JOIN c ON q.bucket = c.bucket AND c.vec_id != q.query_id
@@ -162,7 +162,7 @@ object Ann {
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= TopK)
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        round(col("cos_raw"), 6).as("cosine"), col("rank"))
+        round(lit(1e-9) + col("cos_raw"), 6).as("cosine"), col("rank"))
       .orderBy("query_id", "rank")
   }
 
@@ -174,7 +174,7 @@ object Ann {
     s"""WITH c AS (SELECT vec_id, e, nrm, $bucketSql AS bucket FROM ($corpusSql))
        |SELECT vec_a, vec_b, cosine FROM (
        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       |    round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) AS cosine
+       |    round(1e-9 + list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) AS cosine
        |  FROM c a JOIN c b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
        |) WHERE cosine >= CAST($NearDupThreshold AS DOUBLE)
        |ORDER BY vec_a, vec_b""".stripMargin) { (spark, dir) =>
@@ -183,7 +183,7 @@ object Ann {
     val b = c.select(col("bucket"), col("vec_id").as("vec_b"), col("e").as("eb"), col("nrm").as("nb"))
     a.join(b, Seq("bucket")).filter(col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"),
-        round(dotC(col("ea"), col("eb")) / (col("na") * col("nb")), 6).as("cosine"))
+        round(lit(1e-9) + dotC(col("ea"), col("eb")) / (col("na") * col("nb")), 6).as("cosine"))
       .filter(col("cosine") >= NearDupThreshold)
       .orderBy("vec_a", "vec_b")
   }

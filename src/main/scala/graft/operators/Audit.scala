@@ -98,28 +98,28 @@ object Audit {
   val features = Q(
     "ma_features",
     s"""SELECT doc_id, source, length_chars, length_words, length_sentences,
-       |  round(avg_word_length, 6) AS avg_word_length,
-       |  round(avg_sentence_length, 6) AS avg_sentence_length,
-       |  round(unique_word_ratio, 6) AS unique_word_ratio,
-       |  round(punctuation_ratio, 6) AS punctuation_ratio,
-       |  round(newline_ratio, 6) AS newline_ratio,
+       |  round(1e-9 + avg_word_length, 6) AS avg_word_length,
+       |  round(1e-9 + avg_sentence_length, 6) AS avg_sentence_length,
+       |  round(1e-9 + unique_word_ratio, 6) AS unique_word_ratio,
+       |  round(1e-9 + punctuation_ratio, 6) AS punctuation_ratio,
+       |  round(1e-9 + newline_ratio, 6) AS newline_ratio,
        |  has_bullet_points, has_numbered_list, has_markdown_headers,
        |  has_code_blocks, starts_with_refusal,
-       |  ${styleCats.map(c => s"round($c, 6) AS $c").mkString(",\n  ")}
+       |  ${styleCats.map(c => s"round(1e-9 + $c, 6) AS $c").mkString(",\n  ")}
        |FROM ($docFeatsSql)
        |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
     val f = docFeats(spark, dir)
     f.select(
       Seq(col("doc_id"), col("source"), col("length_chars"), col("length_words"),
         col("length_sentences"),
-        round(col("avg_word_length"), 6).as("avg_word_length"),
-        round(col("avg_sentence_length"), 6).as("avg_sentence_length"),
-        round(col("unique_word_ratio"), 6).as("unique_word_ratio"),
-        round(col("punctuation_ratio"), 6).as("punctuation_ratio"),
-        round(col("newline_ratio"), 6).as("newline_ratio"),
+        round(lit(1e-9) + col("avg_word_length"), 6).as("avg_word_length"),
+        round(lit(1e-9) + col("avg_sentence_length"), 6).as("avg_sentence_length"),
+        round(lit(1e-9) + col("unique_word_ratio"), 6).as("unique_word_ratio"),
+        round(lit(1e-9) + col("punctuation_ratio"), 6).as("punctuation_ratio"),
+        round(lit(1e-9) + col("newline_ratio"), 6).as("newline_ratio"),
         col("has_bullet_points"), col("has_numbered_list"), col("has_markdown_headers"),
         col("has_code_blocks"), col("starts_with_refusal")) ++
-        styleCats.map(c => round(col(c), 6).as(c)): _*)
+        styleCats.map(c => round(lit(1e-9) + col(c), 6).as(c)): _*)
       .orderBy("doc_id")
   }
 
@@ -151,11 +151,11 @@ object Audit {
 
   val fingerprint = Q(
     "ma_fingerprint",
-    s"""SELECT source, ${fpCols.map(c => s"round($c, 6) AS $c").mkString(", ")}
+    s"""SELECT source, ${fpCols.map(c => s"round(1e-9 + $c, 6) AS $c").mkString(", ")}
        |FROM ($fingerprintSql)
        |ORDER BY source""".stripMargin) { (spark, dir) =>
     fingerprintDf(spark, dir)
-      .select(col("source") +: fpCols.map(c => round(col(c), 6).as(c)): _*)
+      .select(col("source") +: fpCols.map(c => round(lit(1e-9) + col(c), 6).as(c)): _*)
       .orderBy("source")
   }
 
@@ -183,9 +183,9 @@ object Audit {
       val nb = fpCols.map(c => s"${normSql(s"b.$c", c)} * ${normSql(s"b.$c", c)}").mkString(" + ")
       s"""WITH fp AS ($fingerprintSql)
          |SELECT model_a, model_b,
-         |  round(similarity, 6) AS similarity,
+         |  round(1e-9 + similarity, 6) AS similarity,
          |  similarity >= ${d("0.85")} AS is_derived,
-         |  round(least(abs(similarity - ${d("0.85")}) / ${d("0.15")}, ${d("1")}), 6) AS confidence
+         |  round(1e-9 + least(abs(similarity - ${d("0.85")}) / ${d("0.15")}, ${d("1")}), 6) AS confidence
          |FROM (
          |  SELECT a.source AS model_a, b.source AS model_b,
          |    CASE WHEN sqrt($na) * sqrt($nb) = 0 THEN ${d("0")}
@@ -205,9 +205,9 @@ object Audit {
       .select(col("model_a"), col("model_b"), sim.as("similarity"))
       .select(
         col("model_a"), col("model_b"),
-        round(col("similarity"), 6).as("similarity"),
+        round(lit(1e-9) + col("similarity"), 6).as("similarity"),
         (col("similarity") >= 0.85).as("is_derived"),
-        round(least(abs(col("similarity") - 0.85) / 0.15, lit(1d)), 6).as("confidence"))
+        round(lit(1e-9) + least(abs(col("similarity") - 0.85) / 0.15, lit(1d)), 6).as("confidence"))
       .orderBy("model_a", "model_b")
   }
 
@@ -285,11 +285,11 @@ object Audit {
   val dliSignature = Q(
     "ma_dli_signature",
     s"""SELECT source,
-       |  ${dliFeatureNames.map(c => s"round($c, 6) AS $c").mkString(",\n  ")}
+       |  ${dliFeatureNames.map(c => s"round(1e-9 + $c, 6) AS $c").mkString(",\n  ")}
        |FROM ($dliSigSql)
        |ORDER BY source""".stripMargin) { (spark, dir) =>
     dliSigDf(spark, dir)
-      .select(col("source") +: dliFeatureNames.map(c => round(col(c), 6).as(c)): _*)
+      .select(col("source") +: dliFeatureNames.map(c => round(lit(1e-9) + col(c), 6).as(c)): _*)
       .orderBy("source")
   }
 
@@ -340,11 +340,11 @@ object Audit {
 
   val dliBigrams = Q(
     "ma_dli_bigrams",
-    s"""SELECT source, bigram, cnt, rank, round(p, 6) AS p
+    s"""SELECT source, bigram, cnt, rank, round(1e-9 + p, 6) AS p
        |FROM ($dliBigramSql)
        |ORDER BY source, rank""".stripMargin) { (spark, dir) =>
     dliBigramDf(spark, dir)
-      .select(col("source"), col("bigram"), col("cnt"), col("rank"), round(col("p"), 6).as("p"))
+      .select(col("source"), col("bigram"), col("cnt"), col("rank"), round(lit(1e-9) + col("p"), 6).as("p"))
       .orderBy("source", "rank")
   }
 
@@ -386,12 +386,12 @@ object Audit {
          |  FROM sig a JOIN sig b ON a.source < b.source
          |)
          |SELECT model_a, model_b,
-         |  round(js, 6) AS js_divergence,
-         |  round(bigram_sim, 6) AS bigram_sim,
-         |  round(feat_cos, 6) AS feature_cos,
-         |  round(similarity, 6) AS similarity,
+         |  round(1e-9 + js, 6) AS js_divergence,
+         |  round(1e-9 + bigram_sim, 6) AS bigram_sim,
+         |  round(1e-9 + feat_cos, 6) AS feature_cos,
+         |  round(1e-9 + similarity, 6) AS similarity,
          |  similarity >= ${d("0.80")} AS is_derived,
-         |  round(least(abs(similarity - ${d("0.80")}) / ${d("0.2")}, ${d("1")}), 6) AS confidence
+         |  round(1e-9 + least(abs(similarity - ${d("0.80")}) / ${d("0.2")}, ${d("1")}), 6) AS confidence
          |FROM (
          |  SELECT model_a, model_b, js, bigram_sim, feat_cos,
          |    bigram_sim * ${d("0.4")} + feat_cos * ${d("0.6")} AS similarity
@@ -442,12 +442,12 @@ object Audit {
       .withColumn("similarity", col("bigram_sim") * 0.4 + col("feat_cos") * 0.6)
       .select(
         col("model_a"), col("model_b"),
-        round(col("js"), 6).as("js_divergence"),
-        round(col("bigram_sim"), 6).as("bigram_sim"),
-        round(col("feat_cos"), 6).as("feature_cos"),
-        round(col("similarity"), 6).as("similarity"),
+        round(lit(1e-9) + col("js"), 6).as("js_divergence"),
+        round(lit(1e-9) + col("bigram_sim"), 6).as("bigram_sim"),
+        round(lit(1e-9) + col("feat_cos"), 6).as("feature_cos"),
+        round(lit(1e-9) + col("similarity"), 6).as("similarity"),
         (col("similarity") >= 0.80).as("is_derived"),
-        round(least(abs(col("similarity") - 0.80) / 0.2, lit(1d)), 6).as("confidence"))
+        round(lit(1e-9) + least(abs(col("similarity") - 0.80) / 0.2, lit(1d)), 6).as("confidence"))
       .orderBy("model_a", "model_b")
   }
 

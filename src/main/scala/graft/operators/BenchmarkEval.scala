@@ -202,7 +202,7 @@ object BenchmarkEval {
     s"""SELECT coalesce(label, '__overall__') AS label,
        |  CAST(count(*) AS BIGINT) AS n_total,
        |  CAST(count(*) FILTER (WHERE correct) AS BIGINT) AS n_correct,
-       |  round(count(*) FILTER (WHERE correct) / CAST(count(*) AS DOUBLE) + 1e-9, 6) AS accuracy
+       |  round(1e-9 + count(*) FILTER (WHERE correct) / CAST(count(*) AS DOUBLE) + 1e-9, 6) AS accuracy
        |FROM (
        |  SELECT label, family = label AS correct FROM (
        |    SELECT sample_id, label, family,
@@ -221,7 +221,7 @@ object BenchmarkEval {
       .agg(
         count(lit(1)).as("n_total"),
         count(when(col("correct"), 1)).as("n_correct"),
-        round(count(when(col("correct"), 1)) / count(lit(1)).cast("double") + 1e-9, 6)
+        round(lit(1e-9) + count(when(col("correct"), 1)) / count(lit(1)).cast("double") + 1e-9, 6)
           .as("accuracy"))
       .select(coalesce(col("label"), lit("__overall__")).as("label"),
         col("n_total"), col("n_correct"), col("accuracy"))

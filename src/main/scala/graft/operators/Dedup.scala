@@ -152,7 +152,7 @@ object Dedup {
        |  GROUP BY p.doc_a, p.doc_b
        |)
        |SELECT i.doc_a, i.doc_b,
-       |  round(n_common / CAST(na.n + nb.n - n_common AS DOUBLE), 6) AS jaccard,
+       |  round(1e-9 + n_common / CAST(na.n + nb.n - n_common AS DOUBLE), 6) AS jaccard,
        |  n_common / CAST(na.n + nb.n - n_common AS DOUBLE) >= CAST(0.5 AS DOUBLE) AS is_duplicate
        |FROM inter i
        |JOIN sizes na ON na.doc_id = i.doc_a
@@ -173,7 +173,7 @@ object Dedup {
       .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
       .select(
         col("doc_a"), col("doc_b"),
-        round(jac, 6).as("jaccard"),
+        round(lit(1e-9) + jac, 6).as("jaccard"),
         (jac >= 0.5).as("is_duplicate"))
       .orderBy("doc_a", "doc_b")
   }

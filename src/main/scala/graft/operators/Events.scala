@@ -20,8 +20,8 @@ object Events {
     """SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS bucket_s,
       |  event_type,
       |  count(*) AS n_events,
-      |  round(sum(value), 2) AS sum_value,
-      |  round(avg(value), 4) AS avg_value
+      |  round(1e-9 + sum(value), 2) AS sum_value,
+      |  round(1e-9 + avg(value), 4) AS avg_value
       |FROM events
       |GROUP BY 1, 2
       |ORDER BY bucket_s, event_type""".stripMargin) { (spark, dir) =>
@@ -31,8 +31,8 @@ object Events {
       .groupBy("bucket_s", "event_type")
       .agg(
         count(lit(1)).as("n_events"),
-        round(sum("value"), 2).as("sum_value"),
-        round(avg("value"), 4).as("avg_value"))
+        round(lit(1e-9) + sum("value"), 2).as("sum_value"),
+        round(lit(1e-9) + avg("value"), 4).as("avg_value"))
       .orderBy("bucket_s", "event_type")
   }
 
@@ -43,7 +43,7 @@ object Events {
       |  count(*) AS n_events,
       |  CAST(floor(epoch(min(ts))) AS BIGINT) AS start_s,
       |  CAST(floor(epoch(max(ts))) AS BIGINT) AS end_s,
-      |  round(sum(value), 2) AS sum_value
+      |  round(1e-9 + sum(value), 2) AS sum_value
       |FROM (
       |  SELECT user_id, ts, value,
       |    CAST(sum(new_session) OVER (PARTITION BY user_id
@@ -72,7 +72,7 @@ object Events {
         count(lit(1)).as("n_events"),
         floor(min(col("ts")).cast("double")).cast("long").as("start_s"),
         floor(max(col("ts")).cast("double")).cast("long").as("end_s"),
-        round(sum("value"), 2).as("sum_value"))
+        round(lit(1e-9) + sum("value"), 2).as("sum_value"))
       .orderBy("user_id", "session_id")
   }
 
@@ -125,7 +125,7 @@ object Events {
     "ev_json",
     """SELECT event_type,
       |  CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-      |  round(avg(CAST(json_extract(props, '$.k') AS BIGINT)), 4) AS avg_k,
+      |  round(1e-9 + avg(CAST(json_extract(props, '$.k') AS BIGINT)), 4) AS avg_k,
       |  count(*) AS n
       |FROM events
       |GROUP BY event_type
@@ -135,7 +135,7 @@ object Events {
       .groupBy("event_type")
       .agg(
         sum("k").as("sum_k"),
-        round(avg("k"), 4).as("avg_k"),
+        round(lit(1e-9) + avg("k"), 4).as("avg_k"),
         count(lit(1)).as("n"))
       .orderBy("event_type")
   }

@@ -56,7 +56,7 @@ object Reef {
        |  ) GROUP BY la, lb
        |)
        |SELECT CAST(la AS BIGINT) AS label_a, CAST(lb AS BIGINT) AS label_b,
-       |  round(CASE WHEN sqrt(sa.hsic_self * sb.hsic_self) < 1e-10 THEN CAST(0 AS DOUBLE)
+       |  round(1e-9 + CASE WHEN sqrt(sa.hsic_self * sb.hsic_self) < 1e-10 THEN CAST(0 AS DOUBLE)
        |    ELSE hsic_xy / sqrt(sa.hsic_self * sb.hsic_self) END, 6) AS cka
        |FROM crossg
        |JOIN selfg sa ON sa.label = la
@@ -96,7 +96,7 @@ object Reef {
       .select(
         col("la").cast("long").as("label_a"),
         col("lb").cast("long").as("label_b"),
-        round(when(sqrt(col("ha") * col("hb")) < 1e-10, 0d)
+        round(lit(1e-9) + when(sqrt(col("ha") * col("hb")) < 1e-10, 0d)
           .otherwise(col("hsic_xy") / sqrt(col("ha") * col("hb"))), 6).as("cka"))
       .cache()
   }
@@ -112,9 +112,9 @@ object Reef {
       s"""WITH cka AS ($ckaSql)
          |SELECT 'model_a' AS model_a, 'model_b' AS model_b,
          |  CAST(count(*) AS BIGINT) AS num_layers_compared,
-         |  round(avg(cka) + 1e-9, 6) AS similarity,
+         |  round(1e-9 + avg(cka) + 1e-9, 6) AS similarity,
          |  avg(cka) >= CAST(0.85 AS DOUBLE) AS is_derived,
-         |  round(least(abs(avg(cka) - CAST(0.85 AS DOUBLE)) / CAST(0.15 AS DOUBLE),
+         |  round(1e-9 + least(abs(avg(cka) - CAST(0.85 AS DOUBLE)) / CAST(0.15 AS DOUBLE),
          |    CAST(1 AS DOUBLE)) + 1e-9, 6) AS confidence
          |FROM cka
          |WHERE label_b = label_a + 5 AND label_a < 5""".stripMargin
@@ -123,9 +123,9 @@ object Reef {
       .filter(col("label_b") === col("label_a") + 5 && col("label_a") < 5)
       .agg(
         count(lit(1)).as("num_layers_compared"),
-        round(avg("cka") + 1e-9, 6).as("similarity"),
+        round(lit(1e-9) + avg("cka") + 1e-9, 6).as("similarity"),
         (avg("cka") >= 0.85).as("is_derived"),
-        round(least(abs(avg("cka") - 0.85) / 0.15, lit(1d)) + 1e-9, 6).as("confidence"))
+        round(lit(1e-9) + least(abs(avg("cka") - 0.85) / 0.15, lit(1d)) + 1e-9, 6).as("confidence"))
       .select(lit("model_a").as("model_a"), lit("model_b").as("model_b"),
         col("num_layers_compared"), col("similarity"), col("is_derived"), col("confidence"))
   }

@@ -22,13 +22,13 @@ object Relational {
   val q1 = Q(
     "q1_pricing",
     """SELECT l_returnflag, l_linestatus,
-      |  round(sum(l_quantity), 2) AS sum_qty,
-      |  round(sum(l_extendedprice), 2) AS sum_base_price,
-      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-      |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-      |  round(avg(l_quantity), 4) AS avg_qty,
-      |  round(avg(l_extendedprice), 4) AS avg_price,
-      |  round(avg(l_discount), 4) AS avg_disc,
+      |  round(1e-9 + sum(l_quantity), 2) AS sum_qty,
+      |  round(1e-9 + sum(l_extendedprice), 2) AS sum_base_price,
+      |  round(1e-9 + sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+      |  round(1e-9 + sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+      |  round(1e-9 + avg(l_quantity), 4) AS avg_qty,
+      |  round(1e-9 + avg(l_extendedprice), 4) AS avg_price,
+      |  round(1e-9 + avg(l_discount), 4) AS avg_disc,
       |  count(*) AS count_order
       |FROM lineitem
       |WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
@@ -38,13 +38,13 @@ object Relational {
       .filter(col("l_shipdate") <= lit("2001-09-02 00:00:00").cast("timestamp"))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        round(sum("l_quantity"), 2).as("sum_qty"),
-        round(sum("l_extendedprice"), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
-        round(avg("l_quantity"), 4).as("avg_qty"),
-        round(avg("l_extendedprice"), 4).as("avg_price"),
-        round(avg("l_discount"), 4).as("avg_disc"),
+        round(lit(1e-9) + sum("l_quantity"), 2).as("sum_qty"),
+        round(lit(1e-9) + sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(lit(1e-9) + sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(lit(1e-9) + sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        round(lit(1e-9) + avg("l_quantity"), 4).as("avg_qty"),
+        round(lit(1e-9) + avg("l_extendedprice"), 4).as("avg_price"),
+        round(lit(1e-9) + avg("l_discount"), 4).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
   }
@@ -53,7 +53,7 @@ object Relational {
   val q3 = Q(
     "q3_topk",
     """SELECT l_orderkey,
-      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |  round(1e-9 + sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
       |  o_orderdate, o_orderpriority
       |FROM customer, orders, lineitem
       |WHERE c_mktsegment = 'BUILDING'
@@ -71,7 +71,7 @@ object Relational {
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
       .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .agg(round(lit(1e-9) + sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
       .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
       .orderBy(col("revenue").desc, col("l_orderkey"))
       .limit(10)
@@ -81,7 +81,7 @@ object Relational {
   val q5 = Q(
     "q5_multijoin",
     """SELECT n_name,
-      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |  round(1e-9 + sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
       |FROM customer, orders, lineitem, supplier, nation, region
       |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
       |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -106,14 +106,14 @@ object Relational {
       .join(broadcast(sup),
         col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
       .groupBy("n_name")
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .agg(round(lit(1e-9) + sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
   /** Q6-style forecast revenue: tight filter + single sum (pushdown showcase). */
   val q6 = Q(
     "q6_filter_agg",
-    """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+    """SELECT round(1e-9 + sum(l_extendedprice * l_discount), 2) AS revenue,
       |  count(*) AS n_rows
       |FROM lineitem
       |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
@@ -126,7 +126,7 @@ object Relational {
         col("l_discount") >= 0.03 && col("l_discount") <= 0.07 &&
         col("l_quantity") < 24)
       .agg(
-        round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+        round(lit(1e-9) + sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
         count(lit(1)).as("n_rows"))
   }
 
@@ -135,9 +135,9 @@ object Relational {
     "q7_window_topn",
     """SELECT p_brand, p_partkey, revenue, rn FROM (
       |  SELECT p_brand, p_partkey,
-      |    round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |    round(1e-9 + sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
       |    row_number() OVER (PARTITION BY p_brand
-      |      ORDER BY round(sum(l_extendedprice * (1 - l_discount)), 2) DESC, p_partkey) AS rn
+      |      ORDER BY round(1e-9 + sum(l_extendedprice * (1 - l_discount)), 2) DESC, p_partkey) AS rn
       |  FROM lineitem, part
       |  WHERE l_partkey = p_partkey
       |  GROUP BY p_brand, p_partkey
@@ -146,7 +146,7 @@ object Relational {
     val byPart = Tables.lineitem(spark, dir)
       .join(broadcast(Tables.part(spark, dir)), col("l_partkey") === col("p_partkey"))
       .groupBy("p_brand", "p_partkey")
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .agg(round(lit(1e-9) + sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
     val w = Window.partitionBy("p_brand").orderBy(col("revenue").desc, col("p_partkey"))
     byPart.withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= 3)
@@ -160,13 +160,13 @@ object Relational {
     """SELECT coalesce(o_orderpriority, 'ALL') AS prio,
       |  coalesce(o_orderstatus, 'ALL') AS status,
       |  count(*) AS n_orders,
-      |  round(sum(o_totalprice), 2) AS total_price
+      |  round(1e-9 + sum(o_totalprice), 2) AS total_price
       |FROM orders
       |GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
       |ORDER BY prio, status""".stripMargin) { (spark, dir) =>
     Tables.orders(spark, dir)
       .rollup("o_orderpriority", "o_orderstatus")
-      .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("total_price"))
+      .agg(count(lit(1)).as("n_orders"), round(lit(1e-9) + sum("o_totalprice"), 2).as("total_price"))
       .select(
         coalesce(col("o_orderpriority"), lit("ALL")).as("prio"),
         coalesce(col("o_orderstatus"), lit("ALL")).as("status"),

@@ -63,7 +63,7 @@ object Style {
       val rhits = f.refusalPatterns.map(p => col("lt").contains(p).cast("int")).reduce(_ + _)
       val refusalTerm = when(col("refusal_hint"),
         rhits / lit(f.refusalPatterns.size).cast("double") * 0.10).otherwise(0d)
-      round(langTerm + markerTerm + structTerm + refusalTerm, 4)
+      round(lit(1e-9) + langTerm + markerTerm + structTerm + refusalTerm, 4)
     }
 
     val entries = families.zipWithIndex.map { case (f, i) =>
@@ -112,7 +112,7 @@ object Style {
       val refusalTerm =
         s"CASE WHEN refusal_hint THEN $rhits / ${d(f.refusalPatterns.size.toString)} * ${d("0.10")} ELSE ${d("0")} END"
       s"""SELECT $keyCols, ${sl(f.name)} AS family, $i AS fidx,
-         |  round($langTerm + $markerTerm + $structTerm + $refusalTerm, 4) AS score
+         |  round(1e-9 + $langTerm + $markerTerm + $structTerm + $refusalTerm, 4) AS score
          |FROM base""".stripMargin
     }
 
@@ -150,13 +150,13 @@ object Style {
 
   val styleFingerprint = Q(
     "ma_style_fingerprint",
-    s"""SELECT source, family, round(avg(score) + 1e-9, 4) AS avg_score
+    s"""SELECT source, family, round(1e-9 + avg(score) + 1e-9, 4) AS avg_score
        |FROM ($scoresSql)
        |GROUP BY source, family
        |ORDER BY source, family""".stripMargin) { (spark, dir) =>
     scoresDf(spark, dir)
       .groupBy("source", "family")
-      .agg(round(avg("score") + 1e-9, 4).as("avg_score"))
+      .agg(round(lit(1e-9) + avg("score") + 1e-9, 4).as("avg_score"))
       .orderBy("source", "family")
   }
 
@@ -174,9 +174,9 @@ object Style {
          |  SELECT source, $claimed AS claimed_family,
          |    family AS best_match, avg_score AS best_score
          |  FROM (
-         |    SELECT source, family, fidx, round(avg(score) + 1e-9, 4) AS avg_score,
+         |    SELECT source, family, fidx, round(1e-9 + avg(score) + 1e-9, 4) AS avg_score,
          |      row_number() OVER (PARTITION BY source
-         |        ORDER BY round(avg(score) + 1e-9, 4) DESC, fidx) AS rn
+         |        ORDER BY round(1e-9 + avg(score) + 1e-9, 4) DESC, fidx) AS rn
          |    FROM ($scoresSql)
          |    GROUP BY source, family, fidx
          |  ) WHERE rn = 1
@@ -185,7 +185,7 @@ object Style {
     }) { (spark, dir) =>
     val fp = scoresDf(spark, dir)
       .groupBy("source", "family", "fidx")
-      .agg(round(avg("score") + 1e-9, 4).as("avg_score"))
+      .agg(round(lit(1e-9) + avg("score") + 1e-9, 4).as("avg_score"))
     val w = Window.partitionBy("source").orderBy(col("avg_score").desc, col("fidx"))
     val claimed = families.foldRight(lit("unknown")) { (f, acc) =>
       when(lower(col("source")).contains(f.name), f.name).otherwise(acc)
@@ -209,11 +209,11 @@ object Style {
        |SELECT l.model_a, l.model_b,
        |  l.similarity AS llmmap_similarity,
        |  x.similarity AS dli_similarity,
-       |  round((l.similarity + x.similarity) / 2, 7) AS avg_similarity,
+       |  round(1e-9 + (l.similarity + x.similarity) / 2, 7) AS avg_similarity,
        |  CASE WHEN CAST(l.is_derived AS INT) + CAST(x.is_derived AS INT) > 1 THEN 'likely_derived'
        |    WHEN (l.similarity + x.similarity) / 2 < ${d("0.5")} THEN 'independent'
        |    ELSE 'inconclusive' END AS verdict,
-       |  round(least(abs((l.similarity + x.similarity) / 2 - ${d("0.85")}) / ${d("0.15")}, ${d("1")}), 6) AS confidence
+       |  round(1e-9 + least(abs((l.similarity + x.similarity) / 2 - ${d("0.85")}) / ${d("0.15")}, ${d("1")}), 6) AS confidence
        |FROM llm l JOIN dli x ON l.model_a = x.model_a AND l.model_b = x.model_b
        |ORDER BY l.model_a, l.model_b""".stripMargin) { (spark, dir) =>
     val llm = Audit.fpCompare.fn(spark, dir)
@@ -227,11 +227,11 @@ object Style {
       .select(
         col("model_a"), col("model_b"),
         col("llmmap_similarity"), col("dli_similarity"),
-        round(avgSim, 7).as("avg_similarity"),
+        round(lit(1e-9) + avgSim, 7).as("avg_similarity"),
         when(col("llm_derived").cast("int") + col("dli_derived").cast("int") > 1, "likely_derived")
           .when(avgSim < 0.5, "independent")
           .otherwise("inconclusive").as("verdict"),
-        round(least(abs(avgSim - 0.85) / 0.15, lit(1d)), 6).as("confidence"))
+        round(lit(1e-9) + least(abs(avgSim - 0.85) / 0.15, lit(1d)), 6).as("confidence"))
       .orderBy("model_a", "model_b")
   }
 

@@ -42,10 +42,10 @@ object TextAnalysis {
       val words = "string_split_regex(trim(lower(text)), '\\s+')"
       val sw = stopwords.map(s => s"'$s'").mkString("(", ", ", ")")
       s"""SELECT doc_id,
-         |  round(len_score + 1e-9, 6) AS len_score,
-         |  round(stop_ratio + 1e-9, 6) AS stop_ratio,
-         |  round(wl_score + 1e-9, 6) AS wl_score,
-         |  round(${d("0.35")} * len_score + ${d("0.25")} * (1 - stop_ratio)
+         |  round(1e-9 + len_score + 1e-9, 6) AS len_score,
+         |  round(1e-9 + stop_ratio + 1e-9, 6) AS stop_ratio,
+         |  round(1e-9 + wl_score + 1e-9, 6) AS wl_score,
+         |  round(1e-9 + ${d("0.35")} * len_score + ${d("0.25")} * (1 - stop_ratio)
          |    + ${d("0.2")} * wl_score + ${d("0.2")} * (1 - least(punct_ratio * 10, ${d("1")})) + 1e-9, 6) AS quality
          |FROM (
          |  SELECT doc_id,
@@ -77,10 +77,10 @@ object TextAnalysis {
       greatest(length(col("text")), lit(1)).cast("double")
     Tables.documents(spark, dir).select(
       col("doc_id"),
-      round(lenScore + 1e-9, 6).as("len_score"),
-      round(stopRatio + 1e-9, 6).as("stop_ratio"),
-      round(wlScore + 1e-9, 6).as("wl_score"),
-      round(lit(0.35) * lenScore + lit(0.25) * (lit(1d) - stopRatio)
+      round(lit(1e-9) + lenScore + 1e-9, 6).as("len_score"),
+      round(lit(1e-9) + stopRatio + 1e-9, 6).as("stop_ratio"),
+      round(lit(1e-9) + wlScore + 1e-9, 6).as("wl_score"),
+      round(lit(1e-9) + lit(0.35) * lenScore + lit(0.25) * (lit(1d) - stopRatio)
         + lit(0.2) * wlScore + lit(0.2) * (lit(1d) - least(punctRatio * 10, lit(1d))) + 1e-9, 6)
         .as("quality"))
       .orderBy("doc_id")
