@@ -261,5 +261,51 @@ object Style {
       .orderBy("source", "predicted_model")
   }
 
-  val all: Seq[Q] = Seq(styleScores, styleDetect, styleFingerprint, verify, audit, detectConfusion)
+  /** Per-probe style consistency between model pairs
+    * (engine.py:267-292 probe_details): the i-th response of each
+    * model (rank by doc_id within source = probe index) is
+    * style-detected, and a pair is consistent on probe i when both
+    * detections agree; aggregated to a consistency rate per pair.
+    */
+  val probeConsistency = Q(
+    "ma_probe_consistency",
+    s"""WITH detected AS (
+       |  SELECT source, family,
+       |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS probe_idx
+       |  FROM (
+       |    SELECT doc_id, source, family, score,
+       |      row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, fidx) AS rn
+       |    FROM ($scoresSql)
+       |  ) WHERE rn = 1
+       |)
+       |SELECT a.source AS model_a, b.source AS model_b,
+       |  CAST(count(*) AS BIGINT) AS n_probes,
+       |  CAST(count(*) FILTER (WHERE a.family = b.family) AS BIGINT) AS n_consistent,
+       |  round(1e-9 + count(*) FILTER (WHERE a.family = b.family)
+       |    / CAST(count(*) AS DOUBLE), 6) AS consistency_rate
+       |FROM detected a
+       |JOIN detected b ON a.probe_idx = b.probe_idx AND a.source < b.source
+       |GROUP BY a.source, b.source
+       |ORDER BY model_a, model_b""".stripMargin) { (spark, dir) =>
+    val wBest = Window.partitionBy("doc_id").orderBy(col("score").desc, col("fidx"))
+    val wProbe = Window.partitionBy("source").orderBy("doc_id")
+    val detected = scoresDf(spark, dir)
+      .withColumn("rn", row_number().over(wBest))
+      .filter(col("rn") === 1)
+      .withColumn("probe_idx", row_number().over(wProbe))
+      .select("source", "family", "probe_idx")
+    val a = detected.select(col("source").as("model_a"), col("family").as("fa"), col("probe_idx"))
+    val b = detected.select(col("source").as("model_b"), col("family").as("fb"), col("probe_idx"))
+    a.join(b, Seq("probe_idx")).filter(col("model_a") < col("model_b"))
+      .groupBy("model_a", "model_b")
+      .agg(
+        count(lit(1)).as("n_probes"),
+        count(when(col("fa") === col("fb"), 1)).as("n_consistent"),
+        round(lit(1e-9) + count(when(col("fa") === col("fb"), 1)) / count(lit(1)).cast("double"), 6)
+          .as("consistency_rate"))
+      .orderBy("model_a", "model_b")
+  }
+
+  val all: Seq[Q] = Seq(styleScores, styleDetect, styleFingerprint, verify, audit,
+    detectConfusion, probeConsistency)
 }
