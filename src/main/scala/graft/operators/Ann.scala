@@ -26,6 +26,16 @@ object Ann {
   val NumQueries = 5
   val NearDupThreshold = 0.3
 
+  /** dd_embed banding: 32 hyperplanes in 4 bands of 8 bits. Band 0 is
+    * exactly the original 8-plane bucket, so the banded candidate set
+    * is a strict superset of the single-bucket one (better recall);
+    * 8-bit band keys (256 values each) keep per-band buckets shallow,
+    * and oversized buckets are dropped (Dedup.BucketCap) so no
+    * degenerate cell can go quadratic at scale.
+    */
+  val PlanesPerBand = 8
+  val EmbedBands = 4
+
   /** Plane k, dim i weight: ((k*67 + i*31) mod 13) - 6 ∈ [-6, 6]. */
   private def planeWeight(k: Int, i: Int): Int = ((k * 67 + i * 31) % 13) - 6
 
@@ -45,6 +55,14 @@ object Ann {
       when(dotC(e, planeCol(k)) > 0d, lit(1L << k)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** Band `b`'s 8-bit key: sign pattern of planes [8b, 8b+8). Band 0
+    * coincides with `bucket`.
+    */
+  private def bandKeyCol(e: Column, b: Int): Column =
+    (0 until PlanesPerBand).map { j =>
+      when(dotC(e, planeCol(b * PlanesPerBand + j)) > 0d, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
   private def corpus(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir).select(
       col("vec_id"),
@@ -59,6 +77,11 @@ object Ann {
   private val bucketSql: String =
     (0 until NumPlanes).map { k =>
       s"CASE WHEN list_dot_product(e, ${planeSql(k)}) > 0 THEN CAST(${1L << k} AS BIGINT) ELSE 0 END"
+    }.mkString("(", " + ", ")")
+
+  private def bandKeySql(b: Int): String =
+    (0 until PlanesPerBand).map { j =>
+      s"CASE WHEN list_dot_product(e, ${planeSql(b * PlanesPerBand + j)}) > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END"
     }.mkString("(", " + ", ")")
 
   private val corpusSql: String =
@@ -166,22 +189,51 @@ object Ann {
       .orderBy("query_id", "rank")
   }
 
-  /** Embedding near-duplicate pairs: same-bucket candidates above the
-    * cosine threshold (the dd_embed entry from SURVEY §2).
+  /** Embedding near-duplicate pairs (the dd_embed entry from SURVEY
+    * §2): banded hyperplane LSH — candidates share ≥1 of the 4 8-bit
+    * bands (strict superset of the old single-8-bit-bucket candidates,
+    * since band 0 IS that bucket), oversized band buckets dropped
+    * (skew guard, mirrored in the oracle), cosine verified on the
+    * deduplicated candidate id-pairs only.
     */
   val embedDedup = Q(
     "dd_embed",
-    s"""WITH c AS (SELECT vec_id, e, nrm, $bucketSql AS bucket FROM ($corpusSql))
+    s"""WITH c AS ($corpusSql),
+       |banded0 AS (
+       |  ${(0 until EmbedBands).map(b => s"SELECT vec_id, $b AS band, ${bandKeySql(b)} AS key FROM c").mkString("\n  UNION ALL\n  ")}
+       |),
+       |small AS (
+       |  SELECT band, key FROM banded0 GROUP BY band, key
+       |  HAVING count(*) <= ${Dedup.BucketCap}
+       |),
+       |banded AS (SELECT banded0.* FROM banded0 JOIN small USING (band, key)),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
+       |)
        |SELECT vec_a, vec_b, cosine FROM (
-       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       |    round(1e-9 + list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) AS cosine
-       |  FROM c a JOIN c b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |  SELECT cand.vec_a, cand.vec_b,
+       |    round(1e-9 + list_dot_product(ca.e, cb.e) / (ca.nrm * cb.nrm), 6) AS cosine
+       |  FROM cand
+       |  JOIN c ca ON ca.vec_id = cand.vec_a
+       |  JOIN c cb ON cb.vec_id = cand.vec_b
        |) WHERE cosine >= CAST($NearDupThreshold AS DOUBLE)
        |ORDER BY vec_a, vec_b""".stripMargin) { (spark, dir) =>
-    val c = corpus(spark, dir).withColumn("bucket", bucket(col("e")))
-    val a = c.select(col("bucket"), col("vec_id").as("vec_a"), col("e").as("ea"), col("nrm").as("na"))
-    val b = c.select(col("bucket"), col("vec_id").as("vec_b"), col("e").as("eb"), col("nrm").as("nb"))
-    a.join(b, Seq("bucket")).filter(col("vec_a") < col("vec_b"))
+    val c = corpus(spark, dir)
+    val banded = c.select(col("vec_id"),
+      explode(array((0 until EmbedBands).map { b =>
+        struct(lit(b).as("band"), bandKeyCol(col("e"), b).as("key"))
+      }: _*)).as("bk"))
+      .select(col("vec_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val capped = Dedup.dropOversizedBuckets(banded, Seq("band", "key"), Dedup.BucketCap)
+    val cand = capped.select(col("band"), col("key"), col("vec_id").as("vec_a"))
+      .join(capped.select(col("band"), col("key"), col("vec_id").as("vec_b")), Seq("band", "key"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b").distinct()
+    cand
+      .join(c.select(col("vec_id").as("vec_a"), col("e").as("ea"), col("nrm").as("na")), Seq("vec_a"))
+      .join(c.select(col("vec_id").as("vec_b"), col("e").as("eb"), col("nrm").as("nb")), Seq("vec_b"))
       .select(col("vec_a"), col("vec_b"),
         round(lit(1e-9) + dotC(col("ea"), col("eb")) / (col("na") * col("nb")), 6).as("cosine"))
       .filter(col("cosine") >= NearDupThreshold)

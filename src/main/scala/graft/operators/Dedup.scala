@@ -21,6 +21,24 @@ object Dedup {
   /** Max docs per LSH band bucket before the bucket is dropped. */
   val BucketCap = 1000
 
+  /** Drop every row belonging to an oversized bucket: keeps only rows
+    * whose key-group has at most `cap` members. This is the degenerate-
+    * bucket guard for every LSH-style self-join in the engine — without
+    * it one boilerplate bucket (shared header text, zero simhash, a
+    * dense hyperplane cell) goes O(bucket²) at 100 TB. Dropped buckets'
+    * pairs are recovered by the other bands with overwhelming
+    * probability at real duplication rates. Every caller mirrors the
+    * cap in its DuckDB oracle SQL.
+    */
+  def dropOversizedBuckets(df: DataFrame, keyCols: Seq[String], cap: Int): DataFrame = {
+    val keys = keyCols.map(col)
+    val small = df.groupBy(keys: _*)
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") <= cap)
+      .select(keys: _*)
+    df.join(small, keyCols)
+  }
+
   // ═══════════════ exact dedup ═══════════════
 
   val exact = Q(
@@ -102,11 +120,7 @@ object Dedup {
     // Capped buckets are dropped — their pairs are recovered by the
     // other bands with overwhelming probability at real duplication
     // rates. Cap mirrored in the oracle SQL.
-    val smallBuckets = banded.groupBy("band", "key")
-      .agg(count(lit(1)).as("bucket_n"))
-      .filter(col("bucket_n") <= BucketCap)
-      .select("band", "key")
-    val capped = banded.join(smallBuckets, Seq("band", "key"))
+    val capped = dropOversizedBuckets(banded, Seq("band", "key"), BucketCap)
     val a = capped.select(col("band"), col("key"), col("doc_id").as("doc_a"))
     val b = capped.select(col("band"), col("key"), col("doc_id").as("doc_b"))
     a.join(b, Seq("band", "key")).filter(col("doc_a") < col("doc_b"))
@@ -218,16 +232,24 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs: candidates share the low-15-bit or
-    * high-16-bit chunk, verified by Hamming distance ≤ 3.
+    * high-16-bit chunk, verified by Hamming distance ≤ 1. Chunk
+    * buckets get the same BucketCap skew guard as the minhash bands —
+    * a degenerate chunk value (e.g. simhash 0 from boilerplate docs)
+    * must not go quadratic.
     */
   val simhashPairs = Q(
     "dd_simhash_pairs",
     s"""WITH sh AS ($simhashBody),
-       |chunked AS (
+       |chunked0 AS (
        |  SELECT doc_id, simhash, 0 AS chunk, simhash & 32767 AS key FROM sh
        |  UNION ALL
        |  SELECT doc_id, simhash, 1 AS chunk, simhash >> 15 AS key FROM sh
-       |)
+       |),
+       |small AS (
+       |  SELECT chunk, key FROM chunked0 GROUP BY chunk, key
+       |  HAVING count(*) <= $BucketCap
+       |),
+       |chunked AS (SELECT chunked0.* FROM chunked0 JOIN small USING (chunk, key))
        |SELECT doc_a, doc_b, hamming FROM (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |    CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
@@ -236,11 +258,12 @@ object Dedup {
        |) WHERE hamming <= 1
        |ORDER BY doc_a, doc_b""".stripMargin) { (spark, dir) =>
     val sh = simhashDf(spark, dir)
-    val chunked = sh.select(col("doc_id"), col("simhash"),
+    val chunked0 = sh.select(col("doc_id"), col("simhash"),
       explode(array(
         struct(lit(0).as("chunk"), col("simhash").bitwiseAND(lit(32767L)).as("key")),
         struct(lit(1).as("chunk"), shiftright(col("simhash"), 15).as("key")))).as("c"))
       .select(col("doc_id"), col("simhash"), col("c.chunk").as("chunk"), col("c.key").as("key"))
+    val chunked = dropOversizedBuckets(chunked0, Seq("chunk", "key"), BucketCap)
     val a = chunked.select(col("chunk"), col("key"), col("doc_id").as("doc_a"), col("simhash").as("sha"))
     val b = chunked.select(col("chunk"), col("key"), col("doc_id").as("doc_b"), col("simhash").as("shb"))
     a.join(b, Seq("chunk", "key")).filter(col("doc_a") < col("doc_b"))

@@ -30,10 +30,25 @@ object Reef {
     */
   private def ckaDf(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    val w = Window.partitionBy("label").orderBy("vec_id")
-    val n = emb.groupBy("label").agg(count(lit(1)).as("cnt"))
+    // Bounded sample selection: the MaxN smallest vec_ids per label via
+    // the bounded-heap top-k aggregate (score = -vec_id, so rank 1 =
+    // smallest). A row_number window here would shuffle AND fully sort
+    // every embedding per label just to keep 128 — the aggregate
+    // carries ≤ MaxN entries per partition and merges map-side, so
+    // shuffle traffic is O(|labels|·MaxN) regardless of corpus size.
+    val sel = emb.groupBy("label")
+      .agg(graft.functions.TopKAgg.topk_by_score(
+        negate(col("vec_id").cast("double")), col("vec_id"), MaxN).as("tk"))
+      .select(col("label"), explode(col("tk")).as("t"))
+      .select(col("label"), col("t.id").as("vec_id"), col("t.rank").as("rn"))
+    // Rank alignment needs every label truncated to the same n =
+    // least(MaxN, min label count); counting the selected rows gives
+    // min(count, MaxN) per label, so min over labels is identical.
+    val n = sel.groupBy("label").agg(count(lit(1)).as("cnt"))
       .agg(least(lit(MaxN), min("cnt")).as("n"))
-    val ranked = emb.withColumn("rn", row_number().over(w))
+    // The selected (label, vec_id, rn) frame is ≤ |labels|·MaxN rows —
+    // broadcast it so the corpus never shuffles.
+    val ranked = emb.join(broadcast(sel), Seq("label", "vec_id"))
       .crossJoin(broadcast(n)).filter(col("rn") <= col("n"))
       .select(col("label"), col("rn"),
         transform(col("embedding"), x => x.cast("double")).as("e"))

@@ -9,11 +9,16 @@ import org.apache.spark.sql.expressions.Window
   * multi-way join, window, rollup, distinct, semi/anti join.
   *
   * Scale notes (100 TB posture):
-  *  - dimension tables (region/nation/supplier/customer/part) are
-  *    broadcast — lineitem/orders never shuffle for those joins;
-  *  - lineitem⋈orders is the one genuine shuffle join (both large);
-  *    AQE handles skew, and on a real cluster both sides would be
-  *    bucketed by orderkey to make it shuffle-free;
+  *  - only the SF-independent dimensions (region: 5 rows, nation: 25)
+  *    carry explicit broadcast() hints. customer/part/supplier grow
+  *    linearly with SF — a hard hint would override Spark's size check
+  *    and OOM the driver at 100 TB, so those joins are left to
+  *    CBO/AQE, which broadcasts them while they fit and falls back to
+  *    shuffle joins when they don't (production layout: bucket both
+  *    sides on the join key — see ScaleJoins.writeBucketed);
+  *  - lineitem⋈orders is the one genuine always-shuffle join (both
+  *    large); AQE handles skew, and on a real cluster both sides
+  *    would be bucketed by orderkey to make it shuffle-free;
   *  - aggregations are partial (map-side combine) by construction.
   */
 object Relational {
@@ -69,7 +74,7 @@ object Relational {
     val li = Tables.lineitem(spark, dir)
       .filter(col("l_shipdate") > lit("1998-06-01 00:00:00").cast("timestamp"))
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
       .agg(round(lit(1e-9) + sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
       .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
@@ -102,8 +107,8 @@ object Relational {
         col("o_orderdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
     Tables.lineitem(spark, dir)
       .join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(sup),
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(sup,
         col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
       .groupBy("n_name")
       .agg(round(lit(1e-9) + sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
@@ -144,7 +149,7 @@ object Relational {
       |) WHERE rn <= 3
       |ORDER BY p_brand, rn""".stripMargin) { (spark, dir) =>
     val byPart = Tables.lineitem(spark, dir)
-      .join(broadcast(Tables.part(spark, dir)), col("l_partkey") === col("p_partkey"))
+      .join(Tables.part(spark, dir), col("l_partkey") === col("p_partkey"))
       .groupBy("p_brand", "p_partkey")
       .agg(round(lit(1e-9) + sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
     val w = Window.partitionBy("p_brand").orderBy(col("revenue").desc, col("p_partkey"))

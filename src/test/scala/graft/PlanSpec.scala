@@ -21,19 +21,31 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("l_orderkey"), "scan must not read unused columns")
   }
 
-  test("q3 broadcasts dimensions and uses TakeOrderedAndProject for top-k") {
+  test("q3 broadcasts small sides by size (no hard hint) and uses TakeOrderedAndProject") {
     val p = plan("q3_topk")
+    // No broadcast() hint on customer (it grows with SF — a hard hint
+    // would OOM the driver at 100 TB); at this SF the CBO must still
+    // CHOOSE broadcast from its size estimate.
     assert(p.contains("BroadcastHashJoin"))
     assert(p.contains("TakeOrderedAndProject"), "top-k must not be a global sort")
     assert(p.contains("PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)"))
   }
 
-  test("q5 six-way join plans with broadcast joins and a single agg shuffle") {
-    val p = plan("q5_multijoin")
+  test("q5 six-way join: AQE broadcasts the small sides at runtime") {
+    // customer/supplier joins carry no hint (they grow with SF; a hard
+    // hint would OOM the driver at 100 TB). The STATIC estimate for the
+    // joined supplier side exceeds the broadcast threshold, so the
+    // initial plan may contain SortMergeJoin — the contract is that AQE
+    // converts it once runtime sizes are known. Assert the FINAL plan.
+    val df = SparkEntry.queries("q5_multijoin")(spark, sf)
+    df.collect()
+    val full = df.queryExecution.executedPlan.toString
+    assert(full.contains("isFinalPlan=true"))
+    // toString appends the pre-AQE "== Initial Plan ==" (which may
+    // legitimately contain SortMergeJoin) — assert on the final only.
+    val p = full.split("== Initial Plan ==")(0)
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 4)
-    assert(!p.contains("SortMergeJoin"), "dimension joins must not shuffle both sides")
-    val aggExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
-    assert(aggExchanges <= 1, s"expected at most the aggregation shuffle, got $aggExchanges")
+    assert(!p.contains("SortMergeJoin"), "AQE must convert every dimension join to broadcast at this SF")
   }
 
   test("ma_fingerprint is partial-aggregated (map-side combine)") {
@@ -52,5 +64,19 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("ann_lsh")
     assert(p.contains("bucket"), "bucketed ANN must join on the bucket column")
     assert(!p.contains("CartesianProduct"))
+  }
+
+  test("dd_embed is a banded bucket join, not a cross product") {
+    val p = plan("dd_embed")
+    assert(p.contains("band"), "banded LSH must join on (band, key)")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("ma_reef_cka selects its bounded sample without a full window sort") {
+    val p = plan("ma_reef_cka")
+    assert(p.contains("topk_by_score"),
+      "sample selection must use the bounded-heap aggregate")
+    assert(!p.contains("row_number"),
+      "no row_number window (it would shuffle+sort every embedding per label)")
   }
 }
