@@ -33,7 +33,12 @@ object Audit {
     val t = col("text")
     val lt = lower(col("text"))
     val words = split(trim(t), "\\s+")
-    val tWords = greatest(size(words), lit(1)).cast("double")
+    // Python `"".split()` is [] but Spark `split(trim(""), "\s+")` is
+    // [""] — guard the word counts so an empty/whitespace-only doc
+    // reports 0 words (llmmap.py:30-55 semantics), not 1.
+    val emptyDoc = length(trim(t)) === 0
+    val nWords = when(emptyDoc, lit(0)).otherwise(size(words))
+    val tWords = greatest(nWords, lit(1)).cast("double")
     val sentences = filter(transform(split(t, "[.!?]+"), s => trim(s)), s => s =!= "")
     val nSent = greatest(size(sentences), lit(1)).cast("double")
     val tChars = greatest(length(t), lit(1)).cast("double")
@@ -48,11 +53,12 @@ object Audit {
         col("doc_id"),
         col("source"),
         length(t).cast("long").as("length_chars"),
-        size(words).cast("long").as("length_words"),
+        nWords.cast("long").as("length_words"),
         size(sentences).cast("long").as("length_sentences"),
         (nonWs / tWords).as("avg_word_length"),
-        (size(words) / nSent).as("avg_sentence_length"),
-        (size(array_distinct(split(lower(trim(t)), "\\s+"))) / tWords).as("unique_word_ratio"),
+        (nWords / nSent).as("avg_sentence_length"),
+        (when(emptyDoc, lit(0)).otherwise(size(array_distinct(split(lower(trim(t)), "\\s+"))))
+          / tWords).as("unique_word_ratio"),
         ((length(t) - length(regexp_replace(t, "[.,;:!?]", ""))) / tChars).as("punctuation_ratio"),
         ((length(t) - length(regexp_replace(t, "\n", ""))) / tChars).as("newline_ratio"),
         t.rlike(bulletRe).as("has_bullet_points"),
@@ -75,13 +81,15 @@ object Audit {
       val cnt = ms.map(m => cntOccSql("lt", m)).mkString("(", " + ", ")")
       s"$cnt / t_words AS style_$cat"
     }
+    val nWords = "CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END"
+    val nUnique = "CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(list_distinct(string_split_regex(lower(trim(text)), '\\s+'))) END"
     s"""SELECT doc_id, source,
        |  CAST(length(text) AS BIGINT) AS length_chars,
-       |  CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS length_words,
+       |  CAST($nWords AS BIGINT) AS length_words,
        |  CAST($sentencesLen AS BIGINT) AS length_sentences,
        |  length(regexp_replace(text, '\\s+', '', 'g')) / t_words AS avg_word_length,
-       |  len(string_split_regex(trim(text), '\\s+')) / $nSent AS avg_sentence_length,
-       |  len(list_distinct(string_split_regex(lower(trim(text)), '\\s+'))) / t_words AS unique_word_ratio,
+       |  ($nWords) / $nSent AS avg_sentence_length,
+       |  ($nUnique) / t_words AS unique_word_ratio,
        |  (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))) / $tChars AS punctuation_ratio,
        |  (length(text) - length(replace(text, chr(10), ''))) / $tChars AS newline_ratio,
        |  regexp_matches(text, '$bulletRe') AS has_bullet_points,
@@ -221,7 +229,9 @@ object Audit {
     val perDoc = docs.select(
       col("source"),
       anySubC(lt, dliRefusalPhrases).cast("int").as("refusal"),
-      size(split(trim(col("text")), "\\s+")).cast("double").as("n_split_words"),
+      // same empty-doc guard as docFeats: Python len("".split()) == 0
+      when(length(trim(col("text"))) === 0, lit(0))
+        .otherwise(size(split(trim(col("text")), "\\s+"))).cast("double").as("n_split_words"),
       size(regexp_extract_all(lt, lit("\\w+"), lit(0))).as("n_re_words"),
       col("text").rlike(mdHeaderRe).cast("int").as("has_md"),
       col("text").rlike(bulletRe).cast("int").as("has_list"),
@@ -265,7 +275,7 @@ object Audit {
        |FROM (
        |  SELECT source,
        |    avg(CAST(${anySubSql("lt", dliRefusalPhrases)} AS INT)) AS refusal_rate,
-       |    avg(${d("len(string_split_regex(trim(text), '\\s+'))")}) AS avg_length,
+       |    avg(${d("CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END")}) AS avg_length,
        |    avg(CAST(regexp_matches(text, '$mdHeaderRe') AS INT)) AS markdown_rate,
        |    avg(CAST(regexp_matches(text, '$bulletRe') AS INT)) AS list_rate,
        |    avg(CAST((position('```' IN text) > 0) AS INT)) AS code_block_rate,
@@ -301,6 +311,13 @@ object Audit {
     * transform-with-index lambda: the lambda would inline the
     * regexp_extract_all into every element access (O(words²) regex
     * scans per document) and HOFs evaluate interpretively anyway.
+    *
+    * Top-100 ties break by FIRST OCCURRENCE (smallest doc_id, then
+    * position), matching Python's insertion-ordered Counter
+    * .most_common (dli.py:66-73): sorted() is stable, so equal counts
+    * keep the order bigrams were first seen scanning responses in
+    * doc order. Encoded as one ordinal doc_id·2²⁰ + pos (docs are
+    * response texts, far under 2²⁰ words).
     */
   private def dliBigramDf(spark: SparkSession, dir: String): DataFrame = {
     val words = regexp_extract_all(lower(col("text")), lit("\\w+"), lit(0))
@@ -310,12 +327,14 @@ object Audit {
       .withColumn("nxt", lead("col", 1).over(wWin))
       .filter(col("nxt").isNotNull)
       .withColumn("bigram", concat_ws(" ", col("col"), col("nxt")))
+      .withColumn("ord", col("doc_id") * lit(1048576L) + col("pos"))
       .groupBy("source", "bigram")
-      .agg(count(lit(1)).as("cnt"))
-    val w = Window.partitionBy("source").orderBy(col("cnt").desc, col("bigram"))
+      .agg(count(lit(1)).as("cnt"), min("ord").as("first_ord"))
+    val w = Window.partitionBy("source").orderBy(col("cnt").desc, col("first_ord"))
     counts.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 100)
       .withColumn("p", col("cnt") / sum("cnt").over(Window.partitionBy("source")).cast("double"))
+      .drop("first_ord")
       .cache()
   }
 
@@ -324,14 +343,15 @@ object Audit {
        |  cnt / CAST(sum(cnt) OVER (PARTITION BY source) AS DOUBLE) AS p
        |FROM (
        |  SELECT source, bigram, cnt,
-       |    CAST(row_number() OVER (PARTITION BY source ORDER BY cnt DESC, bigram) AS BIGINT) AS rank
+       |    CAST(row_number() OVER (PARTITION BY source ORDER BY cnt DESC, first_ord) AS BIGINT) AS rank
        |  FROM (
-       |    SELECT source, bigram, CAST(count(*) AS BIGINT) AS cnt
+       |    SELECT source, bigram, CAST(count(*) AS BIGINT) AS cnt,
+       |      min(doc_id * 1048576 + g) AS first_ord
        |    FROM (
-       |      SELECT source, w[g] || ' ' || w[g + 1] AS bigram
+       |      SELECT doc_id, source, w[g] || ' ' || w[g + 1] AS bigram, g
        |      FROM (
-       |        SELECT source, w, unnest(generate_series(1, len(w) - 1)) AS g
-       |        FROM (SELECT source, regexp_extract_all(lower(text), '\\w+') AS w FROM documents)
+       |        SELECT doc_id, source, w, unnest(generate_series(1, len(w) - 1)) AS g
+       |        FROM (SELECT doc_id, source, regexp_extract_all(lower(text), '\\w+') AS w FROM documents)
        |      )
        |    )
        |    GROUP BY source, bigram
