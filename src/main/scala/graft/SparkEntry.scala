@@ -11,6 +11,7 @@ object SparkEntry {
       operators.Events.all ++
       operators.Audit.all ++
       operators.Style.all ++
+      operators.Report.all ++
       operators.Dedup.all ++
       operators.Ann.all ++
       operators.TextAnalysis.all ++

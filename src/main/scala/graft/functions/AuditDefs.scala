@@ -134,6 +134,76 @@ object AuditDefs {
   val refusalHintKeywords: Seq[String] =
     Seq("i cannot", "i can't", "unable to", "我无法", "作为ai")
 
+  /** The probe catalog: (probe_id, category) in declaration order
+    * (probes/prompts.py:24-153, DEFAULT_PROBES). The i-th response of
+    * a model (rank by doc_id within source) plays the role of probe
+    * (i-1) mod 20 — the corpus cycles through the probe set. The 12
+    * distinct categories match report.py:44-57 _CATEGORY_LABELS.
+    */
+  val probeCatalog: Seq[(String, String)] = Seq(
+    "identity_direct" -> "self_awareness",
+    "identity_creator" -> "self_awareness",
+    "safety_harmful" -> "safety_boundary",
+    "safety_roleplay" -> "safety_boundary",
+    "injection_ignore" -> "injection",
+    "knowledge_opinion" -> "knowledge",
+    "reasoning_math" -> "reasoning",
+    "style_creative" -> "style",
+    "creative_story" -> "creative",
+    "creative_metaphor" -> "creative",
+    "reasoning_logic" -> "reasoning",
+    "reasoning_ethical" -> "reasoning",
+    "multilingual_zh" -> "multilingual",
+    "multilingual_translate" -> "multilingual",
+    "format_json" -> "format",
+    "format_table" -> "format",
+    "roleplay_character" -> "roleplay",
+    "code_generation" -> "code",
+    "summarize_text" -> "summarization",
+    "refusal_boundary" -> "safety_boundary")
+
+  // ── detailed-report configuration (report.py) ──
+
+  /** report.py:17-30 _DISPLAY_FEATURES: (fingerprint key, label, printf format). */
+  val displayFeatures: Seq[(String, String, String)] = Seq(
+    ("avg_length_chars", "平均字符数", "%.1f"),
+    ("avg_length_words", "平均词数", "%.1f"),
+    ("avg_unique_word_ratio", "词汇多样性", "%.3f"),
+    ("avg_punctuation_ratio", "标点使用率", "%.3f"),
+    ("avg_newline_ratio", "换行习惯", "%.3f"),
+    ("ratio_has_bullet_points", "列表使用率", "%.0f%%"),
+    ("ratio_has_code_blocks", "代码块使用率", "%.0f%%"),
+    ("ratio_has_numbered_list", "编号列表", "%.0f%%"),
+    ("ratio_has_markdown_headers", "Markdown 标题", "%.0f%%"),
+    ("style_helpful", "helpful 标记", "%.4f"),
+    ("style_hedging", "hedging 标记", "%.4f"),
+    ("style_structured", "structured 标记", "%.4f"))
+
+  /** report.py:33-39 — its OWN 5-key range table for difference
+    * judging (narrower than llmmap._FEATURE_RANGES: no ratio keys).
+    */
+  val reportRanges: Map[String, (Double, Double)] = Map(
+    "avg_length_chars" -> (50d, 3000d),
+    "avg_length_words" -> (10d, 500d),
+    "avg_length_sentences" -> (1d, 20d),
+    "avg_avg_word_length" -> (3d, 8d),
+    "avg_avg_sentence_length" -> (5d, 40d))
+
+  /** _judge_difference (report.py:735-780) thresholds, folded to
+    * absolute-diff constants per display feature: (t1, t2, t3) for
+    * 完全一致 / 高度一致 / 接近 / 显著不同.
+    */
+  def judgeThresholds(key: String): (Double, Double, Double) =
+    reportRanges.get(key) match {
+      case Some((lo, hi)) => (0.02 * (hi - lo), 0.1 * (hi - lo), 0.2 * (hi - lo))
+      case None if key.startsWith("ratio_") => (0.01, 0.05, 0.1)
+      case None if key.startsWith("style_") => (0.001, 0.003, 0.005)
+      case None => (0.01, 0.05, 0.1)
+    }
+
+  val judgeLabels: (String, String, String, String) =
+    ("**完全一致**", "**高度一致**", "接近", "显著不同")
+
   // ── structural regexes (same RE2/Java-compatible syntax on both sides) ──
   val bulletRe = "(?m)^[\\s]*[-*•]\\s"
   val numberedRe = "(?m)^[\\s]*\\d+[.)]\\s"

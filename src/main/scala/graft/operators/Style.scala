@@ -122,6 +122,29 @@ object Style {
 
   private val scoresSql: String = scoresSqlOf("documents", "doc_id, source")
 
+  /** Detected (argmax) family per probe: source, family, probe_idx —
+    * the i-th response of each model (rank by doc_id within source)
+    * plays probe i. Shared by the consistency queries and the report.
+    */
+  private[operators] val detectedSql: String =
+    s"""SELECT source, family,
+       |  row_number() OVER (PARTITION BY source ORDER BY doc_id) AS probe_idx
+       |FROM (
+       |  SELECT doc_id, source, family, score,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, fidx) AS rn
+       |  FROM ($scoresSql)
+       |) WHERE rn = 1""".stripMargin
+
+  private[operators] def detectedDf(spark: SparkSession, dir: String): DataFrame = {
+    val wBest = Window.partitionBy("doc_id").orderBy(col("score").desc, col("fidx"))
+    val wProbe = Window.partitionBy("source").orderBy("doc_id")
+    scoresDf(spark, dir)
+      .withColumn("rn", row_number().over(wBest))
+      .filter(col("rn") === 1)
+      .withColumn("probe_idx", row_number().over(wProbe))
+      .select("source", "family", "probe_idx")
+  }
+
   // ═══════════════ queries ═══════════════
 
   val styleScores = Q(
@@ -306,6 +329,68 @@ object Style {
       .orderBy("model_a", "model_b")
   }
 
+  /** Per-category probe consistency (report.py:294-401's per-probe
+    * breakdown, aggregated by probe category): each probe index maps
+    * to a (probe_id, category) from the reference's 20-probe catalog
+    * (cycling — AuditDefs.probeCatalog), and agreement is broken down
+    * per category per model pair. The probe dimension is a
+    * compile-time constant folded into the expression (array lookup
+    * on probe_idx mod 20) — no join, no shuffle added over
+    * ma_probe_consistency.
+    */
+  val probeConsistencyByCategory = Q(
+    "ma_probe_consistency_by_category", {
+      val catArr = probeCatalog.map { case (_, c) => sl(c) }.mkString("[", ", ", "]")
+      s"""WITH detected AS (
+         |  SELECT source, family,
+         |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS probe_idx
+         |  FROM (
+         |    SELECT doc_id, source, family, score,
+         |      row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, fidx) AS rn
+         |    FROM ($scoresSql)
+         |  ) WHERE rn = 1
+         |),
+         |catted AS (
+         |  SELECT source, family, probe_idx,
+         |    ($catArr)[((probe_idx - 1) % ${probeCatalog.size}) + 1] AS category
+         |  FROM detected
+         |)
+         |SELECT model_a, model_b, category, n_probes, n_consistent, consistency_rate
+         |FROM (
+         |  SELECT a.source AS model_a, b.source AS model_b, a.category AS category,
+         |    CAST(count(*) AS BIGINT) AS n_probes,
+         |    CAST(count(*) FILTER (WHERE a.family = b.family) AS BIGINT) AS n_consistent,
+         |    round(1e-9 + count(*) FILTER (WHERE a.family = b.family)
+         |      / CAST(count(*) AS DOUBLE), 6) AS consistency_rate
+         |  FROM catted a
+         |  JOIN catted b ON a.probe_idx = b.probe_idx AND a.source < b.source
+         |  GROUP BY a.source, b.source, a.category
+         |)
+         |ORDER BY model_a, model_b, category""".stripMargin
+    }) { (spark, dir) =>
+    val wBest = Window.partitionBy("doc_id").orderBy(col("score").desc, col("fidx"))
+    val wProbe = Window.partitionBy("source").orderBy("doc_id")
+    val cats = typedLit(probeCatalog.map(_._2))
+    val detected = scoresDf(spark, dir)
+      .withColumn("rn", row_number().over(wBest))
+      .filter(col("rn") === 1)
+      .withColumn("probe_idx", row_number().over(wProbe))
+      .withColumn("category",
+        element_at(cats, ((col("probe_idx") - 1) % probeCatalog.size + 1).cast("int")))
+      .select("source", "family", "probe_idx", "category")
+    val a = detected.select(col("source").as("model_a"), col("family").as("fa"),
+      col("probe_idx"), col("category"))
+    val b = detected.select(col("source").as("model_b"), col("family").as("fb"), col("probe_idx"))
+    a.join(b, Seq("probe_idx")).filter(col("model_a") < col("model_b"))
+      .groupBy("model_a", "model_b", "category")
+      .agg(
+        count(lit(1)).as("n_probes"),
+        count(when(col("fa") === col("fb"), 1)).as("n_consistent"),
+        round(lit(1e-9) + count(when(col("fa") === col("fb"), 1)) / count(lit(1)).cast("double"), 6)
+          .as("consistency_rate"))
+      .orderBy("model_a", "model_b", "category")
+  }
+
   val all: Seq[Q] = Seq(styleScores, styleDetect, styleFingerprint, verify, audit,
-    detectConfusion, probeConsistency)
+    detectConfusion, probeConsistency, probeConsistencyByCategory)
 }
