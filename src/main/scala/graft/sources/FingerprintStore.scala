@@ -53,4 +53,43 @@ object FingerprintStore {
     live.write.mode(SaveMode.Overwrite).partitionBy("method").parquet(outPath)
     n
   }
+
+  /** Catalog of stored entries — cache.py:63-89 list_entries analog:
+    * one row per (model, method, provider) with newest/oldest stamps
+    * and the version count. Metadata-only aggregation over the
+    * partition-pruned scan; no fingerprint payload columns are read.
+    */
+  def listEntries(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+      .groupBy("model", "method", "provider")
+      .agg(
+        count(lit(1)).as("n_versions"),
+        max("created_at_s").as("newest_created_at_s"),
+        min("created_at_s").as("oldest_created_at_s"))
+      .orderBy("method", "model", "provider")
+
+  /** Remove entries — cache.py:91-101 clear analog, scoped to one
+    * method (partition delete shape) or the whole store. On an object
+    * store the per-method form maps to dropping one partition
+    * directory; here it rewrites the surviving partitions to outPath
+    * and returns how many rows were removed.
+    */
+  def clear(spark: SparkSession, path: String, outPath: String,
+      method: Option[String] = None): Long = {
+    val all = spark.read.parquet(path)
+    val total = all.count()
+    method match {
+      case Some(m) =>
+        val kept = all.filter(col("method") =!= m)
+        val n = kept.count()
+        kept.write.mode(SaveMode.Overwrite).partitionBy("method").parquet(outPath)
+        total - n
+      case None =>
+        // full clear: write one empty non-partitioned file (a
+        // zero-row partitioned write emits no data files at all and
+        // the schema would be lost) so reads of outPath still resolve
+        all.limit(0).repartition(1).write.mode(SaveMode.Overwrite).parquet(outPath)
+        total
+    }
+  }
 }

@@ -40,6 +40,44 @@ class StoreSpec extends AnyFunSuite {
     assert(plan.contains("PartitionFilters: [isnotnull(method"))
   }
 
+  test("fingerprint store: list_entries catalogs versions per key") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-store-ls").toString + "/fp"
+    FingerprintStore.put(Seq(("m1", "llmmap", "openai", 0.9)).toDF("model", "method", "provider", "sim"), dir, 1000L)
+    FingerprintStore.put(Seq(("m1", "llmmap", "openai", 0.95)).toDF("model", "method", "provider", "sim"), dir, 2000L)
+    FingerprintStore.put(Seq(("m2", "dli", "custom", 0.7)).toDF("model", "method", "provider", "sim"), dir, 1500L)
+
+    val entries = FingerprintStore.listEntries(spark, dir).collect()
+    assert(entries.length == 2)
+    val m1 = entries.find(_.getAs[String]("model") == "m1").get
+    assert(m1.getAs[Long]("n_versions") == 2)
+    assert(m1.getAs[Long]("newest_created_at_s") == 2000L)
+    assert(m1.getAs[Long]("oldest_created_at_s") == 1000L)
+    val m2 = entries.find(_.getAs[String]("model") == "m2").get
+    assert(m2.getAs[String]("method") == "dli" && m2.getAs[String]("provider") == "custom")
+  }
+
+  test("fingerprint store: clear by method and full clear") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-store-clr").toString
+    val dir = base + "/fp"
+    FingerprintStore.put(Seq(("m1", "llmmap", "openai", 0.9), ("m2", "llmmap", "openai", 0.8))
+      .toDF("model", "method", "provider", "sim"), dir, 1000L)
+    FingerprintStore.put(Seq(("m1", "dli", "openai", 0.7))
+      .toDF("model", "method", "provider", "sim"), dir, 1000L)
+
+    // clear one method: its rows are gone, the other method survives
+    val out1 = base + "/after-method-clear"
+    assert(FingerprintStore.clear(spark, dir, out1, Some("llmmap")) == 2L)
+    assert(FingerprintStore.get(spark, out1, "dli", 2000L).count() == 1)
+    assert(spark.read.parquet(out1).filter($"method" === "llmmap").count() == 0)
+
+    // full clear: empty store, schema still readable
+    val out2 = base + "/after-full-clear"
+    assert(FingerprintStore.clear(spark, dir, out2, None) == 3L)
+    assert(spark.read.parquet(out2).count() == 0)
+  }
+
   test("end-to-end: persist ma_fingerprint output and read it back") {
     val dir = java.nio.file.Files.createTempDirectory("graft-store2").toString + "/fp"
     val fp = operators.Audit.fingerprint.fn(spark, sf)
