@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
@@ -104,25 +104,52 @@ object PolyHashing {
     }
     out
   }
+
+  /** shingles3 ∘ tokenHashes, one call site for generated code. */
+  def shingleHashes(text: String): Array[Long] = shingles3(tokenHashes(text))
+
+  /** Sequential left-to-right dot product over ArrayData without an
+    * intermediate copy (same sum order as DuckDB list_dot_product).
+    */
+  def dotProduct(l: ArrayData, r: ArrayData): Double = {
+    val n = math.min(l.numElements(), r.numElements())
+    var s = 0d
+    var i = 0
+    while (i < n) { s += l.getDouble(i) * r.getDouble(i); i += 1 }
+    s
+  }
+}
+
+// Codegen note: every expression below emits a single call to a static
+// PolyHashing method (scalac generates static forwarders for the
+// object), so the generated Java stays inside WholeStageCodegen — the
+// previous CodegenFallback versions broke the codegen span and paid a
+// per-row virtual InternalRow.eval round-trip in the hottest map stage.
+private object GenHelper {
+  val Poly = "graft.functions.PolyHashing"
+  val GAD = "org.apache.spark.sql.catalyst.util.GenericArrayData"
 }
 
 /** array<long> of per-token polynomial hashes (with multiplicity). */
-case class TokenHashesExpr(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+case class TokenHashesExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(input: Any): Any =
     new GenericArrayData(PolyHashing.tokenHashes(input.asInstanceOf[UTF8String].toString))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = new ${GenHelper.GAD}(${GenHelper.Poly}.tokenHashes($c.toString()));")
   override protected def withNewChildInternal(c: Expression): TokenHashesExpr = copy(c)
   override def prettyName: String = "token_hashes"
 }
 
 /** array<long> of distinct word-3-gram shingle hashes of a text. */
-case class ShingleHashesExpr(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+case class ShingleHashesExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(input: Any): Any =
-    new GenericArrayData(
-      PolyHashing.shingles3(PolyHashing.tokenHashes(input.asInstanceOf[UTF8String].toString)))
+    new GenericArrayData(PolyHashing.shingleHashes(input.asInstanceOf[UTF8String].toString))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = new ${GenHelper.GAD}(${GenHelper.Poly}.shingleHashes($c.toString()));")
   override protected def withNewChildInternal(c: Expression): ShingleHashesExpr = copy(c)
   override def prettyName: String = "shingle_hashes"
 }
@@ -130,14 +157,23 @@ case class ShingleHashesExpr(child: Expression)
 /** array<long> of the k=24 MinHash values over a shingle array;
   * null for an empty shingle set (mirrors array_min's null).
   */
-case class MinHashSigExpr(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+case class MinHashSigExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData].toLongArray()
     if (arr.isEmpty) null else new GenericArrayData(PolyHashing.minhashSig(arr))
   }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val arr = ctx.freshName("shingleArr")
+      s"""long[] $arr = $c.toLongArray();
+         |if ($arr.length == 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = new ${GenHelper.GAD}(${GenHelper.Poly}.minhashSig($arr));
+         |}""".stripMargin
+    })
   override protected def withNewChildInternal(c: Expression): MinHashSigExpr = copy(c)
   override def prettyName: String = "minhash_sig"
 }
@@ -148,28 +184,27 @@ case class MinHashSigExpr(child: Expression)
   * cost ~10 µs/element — 100× the arithmetic.
   */
 case class DotProductExpr(left: Expression, right: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
   override def dataType: DataType = org.apache.spark.sql.types.DoubleType
-  override def nullSafeEval(l: Any, r: Any): Any = {
-    val a = l.asInstanceOf[ArrayData].toDoubleArray()
-    val b = r.asInstanceOf[ArrayData].toDoubleArray()
-    var s = 0d
-    var i = 0
-    val n = math.min(a.length, b.length)
-    while (i < n) { s += a(i) * b(i); i += 1 }
-    java.lang.Double.valueOf(s)
-  }
+  override def nullSafeEval(l: Any, r: Any): Any =
+    java.lang.Double.valueOf(
+      PolyHashing.dotProduct(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = ${GenHelper.Poly}.dotProduct($a, $b);")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProductExpr =
     copy(l, r)
   override def prettyName: String = "dot_product"
 }
 
 /** Whole-string polynomial fold (document fingerprint). */
-case class PolyHashExpr(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+case class PolyHashExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def nullSafeEval(input: Any): Any =
     java.lang.Long.valueOf(PolyHashing.foldCodePoints(input.asInstanceOf[UTF8String].toString))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = ${GenHelper.Poly}.foldCodePoints($c.toString());")
   override protected def withNewChildInternal(c: Expression): PolyHashExpr = copy(c)
   override def prettyName: String = "poly_hash"
 }
