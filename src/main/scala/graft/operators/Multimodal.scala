@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
-import graft.functions.Hashing
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: media payloads ride through the
@@ -9,31 +9,96 @@ import org.apache.spark.sql.functions._
   * decode/feature steps are per-row column expressions (or, for real
   * codecs, mapPartitions over batches) — never driver-side loops.
   *
-  * The container has no image/audio codecs, so DECODE IS A
-  * DETERMINISTIC FAKE (clearly marked below): dimensions and frame
-  * features are derived from the payload's rolling hash. The
-  * Spark-side shape — binary column, metadata struct, batch-friendly
-  * per-partition layout, pushdown-safe projections — is real and is
-  * what a codec-backed implementation would plug into.
+  * mm_meta works on a REAL codec-free container format: each doc's
+  * payload is a canonical 44-byte RIFF/WAVE PCM header (fields derived
+  * deterministically from doc_id) wrapped around the text bytes, and
+  * the operator PARSES the metadata back out of the raw bytes
+  * (little-endian field extraction via hex/conv column expressions).
+  * The DuckDB oracle recomputes the expected values independently
+  * from the same doc_id formulas WITHOUT byte-parsing — so the
+  * hash-match is an independent check of the byte-level parser, not a
+  * mirrored implementation. Frame features (mm_frames) still use a
+  * clearly-marked deterministic fake (no audio/image codecs in the
+  * container); the batch shape is real.
   */
 object Multimodal {
 
-  /** Rows-only check: binary payload + extracted metadata. */
-  val meta = Q.rowsOnly("mm_meta") { (spark, dir) =>
-    val payload = col("text").cast("binary")
-    val fp = Hashing.charFold(col("text"))
+  /** Little-endian encoders (synthesis side). */
+  private def le32(v: Column): Column = {
+    val h = lpad(hex(v.cast("long")), 8, "0")
+    unhex(concat(substring(h, 7, 2), substring(h, 5, 2), substring(h, 3, 2), substring(h, 1, 2)))
+  }
+  private def le16(v: Column): Column = {
+    val h = lpad(hex(v.cast("long")), 4, "0")
+    unhex(concat(substring(h, 3, 2), substring(h, 1, 2)))
+  }
+
+  /** Little-endian readers (parse side, 1-based byte offsets). */
+  private def rd32(p: Column, off: Int): Column = {
+    val h = hex(substring(p, off, 4))
+    conv(concat(substring(h, 7, 2), substring(h, 5, 2), substring(h, 3, 2), substring(h, 1, 2)),
+      16, 10).cast("long")
+  }
+  private def rd16(p: Column, off: Int): Column = {
+    val h = hex(substring(p, off, 2))
+    conv(concat(substring(h, 3, 2), substring(h, 1, 2)), 16, 10).cast("long")
+  }
+
+  private def bin(s: String): Column = lit(s).cast("binary")
+
+  /** WAV payload per doc: header fields derived from doc_id, "sample
+    * data" = the text bytes. This is the storage-side synthesis a real
+    * pipeline would receive as opaque blobs.
+    */
+  private def wavPayload: Column = {
+    val data = col("text").cast("binary")
+    val dataLen = octet_length(data).cast("long")
+    val channels = lit(1L) + col("doc_id") % 2
+    val sampleRate = lit(8000L) * (lit(1L) + col("doc_id") % 3)
+    val blockAlign = channels * 2 // 16-bit PCM
+    val byteRate = sampleRate * blockAlign
+    concat(
+      bin("RIFF"), le32(dataLen + 36), bin("WAVE"),
+      bin("fmt "), le32(lit(16L)), le16(lit(1L)), le16(channels),
+      le32(sampleRate), le32(byteRate), le16(blockAlign), le16(lit(16L)),
+      bin("data"), le32(dataLen),
+      data)
+  }
+
+  /** Parse WAV metadata back out of the raw payload bytes. The oracle
+    * derives the same values arithmetically from doc_id — an
+    * independent check of the parser.
+    */
+  val meta = Q(
+    "mm_meta",
+    """SELECT doc_id,
+      |  CAST(44 + octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |  'RIFF' AS magic, 'WAVE' AS format,
+      |  CAST(1 + doc_id % 2 AS BIGINT) AS n_channels,
+      |  CAST(8000 * (1 + doc_id % 3) AS BIGINT) AS sample_rate,
+      |  CAST(16 AS BIGINT) AS bits_per_sample,
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS data_bytes,
+      |  round(1e-9 + octet_length(encode(text))
+      |    / CAST(8000 * (1 + doc_id % 3) * (1 + doc_id % 2) * 2 AS DOUBLE), 6) AS duration_s
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    val p = col("payload")
+    val channels = rd16(p, 23)
+    val sampleRate = rd32(p, 25)
+    val byteRate = rd32(p, 29)
+    val dataBytes = rd32(p, 41)
     Tables.documents(spark, dir)
+      .select(col("doc_id"), wavPayload.as("payload"))
       .select(
         col("doc_id"),
-        payload.as("payload"),
-        octet_length(payload).cast("long").as("n_bytes"),
-        base64(substring(payload, 1, 8)).as("magic"),
-        // ── STUB DECODE: width/height/duration derived from the
-        //    payload hash, standing in for a real codec ──
-        (lit(64L) + (fp % 16L) * 16L).as("width"),
-        (lit(64L) + ((fp / 16L) % 16L) * 16L).as("height"),
-        ((fp % 300L) / 10.0).as("duration_s"),
-        substring(payload, 1, 16).as("frame_sample"))
+        octet_length(p).cast("long").as("n_bytes"),
+        decode(substring(p, 1, 4), "UTF-8").as("magic"),
+        decode(substring(p, 9, 4), "UTF-8").as("format"),
+        channels.as("n_channels"),
+        sampleRate.as("sample_rate"),
+        rd16(p, 35).as("bits_per_sample"),
+        dataBytes.as("data_bytes"),
+        round(lit(1e-9) + dataBytes / byteRate.cast("double"), 6).as("duration_s"))
       .orderBy("doc_id")
   }
 
