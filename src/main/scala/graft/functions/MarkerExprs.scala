@@ -1,0 +1,91 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Single-pass marker scanning.
+  *
+  * The reference counts style markers with `text.count(m)` /
+  * `m in text` over fixed marker lists. The composable-Column
+  * formulation ((length - length(replace))·n per marker, or one
+  * `contains` per marker) is oracle-parity-friendly but builds an
+  * expression tree of ~30 string-replace passes per doc per list —
+  * and the style query's 12-family tree is large enough that CATALYST
+  * ANALYSIS TIME dominates small inputs (ma_benchmark_detect spends
+  * seconds compiling, not scanning). These expressions collapse each
+  * marker list into one codegen'd call; the DuckDB oracle keeps the
+  * replace/position chains, and the counts are integer-identical
+  * (non-overlapping left-to-right, same as str.count / replace-all).
+  */
+object MarkerScan {
+
+  /** Σ over markers of non-overlapping occurrence count (str.count). */
+  def countTotal(text: String, markers: Array[String]): Long = {
+    var total = 0L
+    var j = 0
+    while (j < markers.length) {
+      val m = markers(j)
+      if (m.length > 0) {
+        var idx = text.indexOf(m)
+        while (idx >= 0) {
+          total += 1
+          idx = text.indexOf(m, idx + m.length)
+        }
+      }
+      j += 1
+    }
+    total
+  }
+
+  /** How many of the markers appear at least once. */
+  def containsCount(text: String, markers: Array[String]): Int = {
+    var c = 0
+    var j = 0
+    while (j < markers.length) {
+      if (text.contains(markers(j))) c += 1
+      j += 1
+    }
+    c
+  }
+}
+
+/** Long total of non-overlapping occurrences of all markers. */
+case class MarkerTotalExpr(child: Expression, markers: Seq[String]) extends UnaryExpression {
+  @transient private lazy val arr: Array[String] = markers.toArray
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(MarkerScan.countTotal(input.asInstanceOf[UTF8String].toString, arr))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("markers", arr, "java.lang.String[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.MarkerScan.countTotal($c.toString(), $ref);")
+  }
+  override protected def withNewChildInternal(c: Expression): MarkerTotalExpr = copy(child = c)
+  override def prettyName: String = "marker_total"
+}
+
+/** Int count of markers present at least once. */
+case class ContainsCountExpr(child: Expression, markers: Seq[String]) extends UnaryExpression {
+  @transient private lazy val arr: Array[String] = markers.toArray
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Integer.valueOf(MarkerScan.containsCount(input.asInstanceOf[UTF8String].toString, arr))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("markers", arr, "java.lang.String[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.MarkerScan.containsCount($c.toString(), $ref);")
+  }
+  override protected def withNewChildInternal(c: Expression): ContainsCountExpr = copy(child = c)
+  override def prettyName: String = "contains_count"
+}
+
+object MarkerExprs {
+  def marker_total(c: Column, markers: Seq[String]): Column =
+    Bridge.column(MarkerTotalExpr(Bridge.expression(c), markers))
+  def contains_count(c: Column, markers: Seq[String]): Column =
+    Bridge.column(ContainsCountExpr(Bridge.expression(c), markers))
+}

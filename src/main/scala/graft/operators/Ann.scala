@@ -49,14 +49,8 @@ object Ann {
   private def planeCol(k: Int): Column =
     typedLit((0 until Dim).map(i => planeWeight(k, i).toDouble))
 
-  /** Bucket id: 8-bit sign pattern of the hyperplane dot products. */
-  private def bucket(e: Column): Column =
-    (0 until NumPlanes).map { k =>
-      when(dotC(e, planeCol(k)) > 0d, lit(1L << k)).otherwise(lit(0L))
-    }.reduce(_ + _)
-
   /** Band `b`'s 8-bit key: sign pattern of planes [8b, 8b+8). Band 0
-    * coincides with `bucket`.
+    * is the original single 8-plane bucket.
     */
   private def bandKeyCol(e: Column, b: Int): Column =
     (0 until PlanesPerBand).map { j =>
@@ -73,11 +67,6 @@ object Ann {
 
   private def planeSql(k: Int): String =
     (0 until Dim).map(i => s"CAST(${planeWeight(k, i)} AS DOUBLE)").mkString("[", ", ", "]")
-
-  private val bucketSql: String =
-    (0 until NumPlanes).map { k =>
-      s"CASE WHEN list_dot_product(e, ${planeSql(k)}) > 0 THEN CAST(${1L << k} AS BIGINT) ELSE 0 END"
-    }.mkString("(", " + ", ")")
 
   private def bandKeySql(b: Int): String =
     (0 until PlanesPerBand).map { j =>
@@ -159,32 +148,66 @@ object Ann {
       .orderBy("query_id", "rank")
   }
 
-  /** LSH-bucketed ANN: same queries, candidates restricted to the
-    * query's hyperplane bucket.
+  /** LSH-bucketed ANN: candidates share ≥1 of the 4 8-bit hyperplane
+    * bands with the query — multi-band lookup has far better recall
+    * than a single exact bucket (whose collision probability decays
+    * exponentially in plane count), while oversized corpus buckets
+    * are dropped (Dedup.BucketCap) so one dense cell cannot blow up
+    * every lookup. The band keys would be precomputed corpus columns
+    * in production; candidates are deduplicated per (query, vec)
+    * before scoring.
     */
   val lshTopk = Q(
     "ann_lsh",
-    s"""WITH c AS (SELECT vec_id, e, nrm, $bucketSql AS bucket FROM ($corpusSql)),
-       |q AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn, bucket FROM c WHERE vec_id < $NumQueries)
+    s"""WITH c AS ($corpusSql),
+       |banded0 AS (
+       |  ${(0 until EmbedBands).map(b => s"SELECT vec_id, $b AS band, ${bandKeySql(b)} AS key FROM c").mkString("\n  UNION ALL\n  ")}
+       |),
+       |small AS (
+       |  SELECT band, key FROM banded0 GROUP BY band, key
+       |  HAVING count(*) <= ${Dedup.BucketCap}
+       |),
+       |banded AS (SELECT banded0.* FROM banded0 JOIN small USING (band, key)),
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+       |  FROM banded q JOIN banded c
+       |    ON q.band = c.band AND q.key = c.key AND c.vec_id != q.vec_id
+       |  WHERE q.vec_id < $NumQueries
+       |)
        |SELECT query_id, neighbor_id, cosine, rank FROM (
-       |  SELECT q.query_id, c.vec_id AS neighbor_id,
-       |    round(1e-9 + list_dot_product(qe, e) / (qn * nrm), 6) AS cosine,
-       |    CAST(row_number() OVER (PARTITION BY q.query_id
-       |      ORDER BY list_dot_product(qe, e) / (qn * nrm) DESC, c.vec_id) AS BIGINT) AS rank
-       |  FROM q JOIN c ON q.bucket = c.bucket AND c.vec_id != q.query_id
+       |  SELECT cand.query_id, cand.neighbor_id,
+       |    round(1e-9 + list_dot_product(cq.e, cc.e) / (cq.nrm * cc.nrm), 6) AS cosine,
+       |    CAST(row_number() OVER (PARTITION BY cand.query_id
+       |      ORDER BY list_dot_product(cq.e, cc.e) / (cq.nrm * cc.nrm) DESC, cand.neighbor_id) AS BIGINT) AS rank
+       |  FROM cand
+       |  JOIN c cq ON cq.vec_id = cand.query_id
+       |  JOIN c cc ON cc.vec_id = cand.neighbor_id
        |) WHERE rank <= $TopK
        |ORDER BY query_id, rank""".stripMargin) { (spark, dir) =>
-    val c = corpus(spark, dir).withColumn("bucket", bucket(col("e")))
-    val q = c.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("query_id"), col("e").as("qe"),
-        col("nrm").as("qn"), col("bucket"))
-    val scored = broadcast(q).join(c, Seq("bucket"))
-      .filter(col("vec_id") =!= col("query_id"))
+    val c = corpus(spark, dir)
+    val banded = c.select(col("vec_id"),
+      explode(array((0 until EmbedBands).map { b =>
+        struct(lit(b).as("band"), bandKeyCol(col("e"), b).as("key"))
+      }: _*)).as("bk"))
+      .select(col("vec_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val capped = Dedup.dropOversizedBuckets(banded, Seq("band", "key"), Dedup.BucketCap)
+    val qb = capped.filter(col("vec_id") < NumQueries)
+      .select(col("band"), col("key"), col("vec_id").as("query_id"))
+    val cand = broadcast(qb)
+      .join(capped.select(col("band"), col("key"), col("vec_id").as("neighbor_id")),
+        Seq("band", "key"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select("query_id", "neighbor_id").distinct()
+    val scored = cand
+      .join(broadcast(c.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qn"))),
+        Seq("query_id"))
+      .join(c.select(col("vec_id").as("neighbor_id"), col("e"), col("nrm")), Seq("neighbor_id"))
       .withColumn("cos_raw", dotC(col("qe"), col("e")) / (col("qn") * col("nrm")))
-    val w = Window.partitionBy("query_id").orderBy(col("cos_raw").desc, col("vec_id"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos_raw").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= TopK)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+      .select(col("query_id"), col("neighbor_id"),
         round(lit(1e-9) + col("cos_raw"), 6).as("cosine"), col("rank"))
       .orderBy("query_id", "rank")
   }

@@ -45,7 +45,7 @@ object Audit {
     val nonWs = length(regexp_replace(t, "\\s+", ""))
 
     val markerCols = llmmapMarkers.map { case (cat, ms) =>
-      (ms.map(m => cntOccC(lt, m)).reduce(_ + _) / tWords).as(s"style_$cat")
+      (graft.functions.MarkerExprs.marker_total(lt, ms) / tWords).as(s"style_$cat")
     }
 
     Tables.documents(spark, dir).select(
@@ -236,8 +236,8 @@ object Audit {
       col("text").rlike(mdHeaderRe).cast("int").as("has_md"),
       col("text").rlike(bulletRe).cast("int").as("has_list"),
       col("text").contains("```").cast("int").as("has_code"),
-      dliHedging.map(m => cntOccC(lt, m)).reduce(_ + _).as("hedge_cnt"),
-      dliCertainty.map(m => cntOccC(lt, m)).reduce(_ + _).as("cert_cnt"))
+      graft.functions.MarkerExprs.marker_total(lt, dliHedging).as("hedge_cnt"),
+      graft.functions.MarkerExprs.marker_total(lt, dliCertainty).as("cert_cnt"))
     val base = perDoc.groupBy("source").agg(
       avg("refusal").as("refusal_rate"),
       avg("n_split_words").as("avg_length"),

@@ -17,9 +17,10 @@ import org.apache.spark.sql.functions._
   * The DuckDB oracle recomputes the expected values independently
   * from the same doc_id formulas WITHOUT byte-parsing — so the
   * hash-match is an independent check of the byte-level parser, not a
-  * mirrored implementation. Frame features (mm_frames) still use a
-  * clearly-marked deterministic fake (no audio/image codecs in the
-  * container); the batch shape is real.
+  * mirrored implementation. mm_frames samples fixed-width windows and
+  * computes a polynomial-fold feature per frame (oracle-checked);
+  * a codec-backed decoder would replace the fold with a real
+  * frame decode inside the same batch shape.
   */
 object Multimodal {
 
@@ -102,23 +103,39 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
-  /** Rows-only check: per-"frame" feature extraction — samples k
-    * offsets from the payload and emits one feature row per frame,
-    * the shape a video/audio frame-sampler produces at scale.
+  /** Per-frame feature extraction: sample up to 4 fixed-width windows
+    * ("frames") from each payload's data section and emit one feature
+    * row per frame — the shape a video/audio frame-sampler produces
+    * at scale. The frame feature is the polynomial fold of the
+    * window's characters (a real computation over the sampled window,
+    * reproduced by the DuckDB oracle — no longer a stub).
     */
-  val frames = Q.rowsOnly("mm_frames") { (spark, dir) =>
-    val payload = col("text").cast("binary")
+  val FrameChars = 256
+  val MaxFrames = 4
+  val frames = Q(
+    "mm_frames",
+    s"""SELECT doc_id, frame_idx, char_offset, feature FROM (
+       |  SELECT doc_id, CAST(g - 1 AS BIGINT) AS frame_idx,
+       |    CAST((g - 1) * $FrameChars AS BIGINT) AS char_offset,
+       |    ${graft.functions.Hashing.charFoldSql(s"substring(text, (g - 1) * $FrameChars + 1, $FrameChars)")} AS feature
+       |  FROM (
+       |    SELECT doc_id, text, unnest(generate_series(1,
+       |      least($MaxFrames, greatest(1, CAST(ceil(length(text) / CAST($FrameChars AS DOUBLE)) AS BIGINT))))) AS g
+       |    FROM documents
+       |  )
+       |)
+       |ORDER BY doc_id, frame_idx""".stripMargin) { (spark, dir) =>
+    val nFrames = least(lit(MaxFrames.toLong),
+      greatest(lit(1L), ceil(length(col("text")) / lit(FrameChars.toDouble)).cast("long")))
     Tables.documents(spark, dir)
-      .select(col("doc_id"), payload.as("payload"),
-        octet_length(payload).as("n_bytes"))
-      .select(col("doc_id"), col("n_bytes"),
-        posexplode(sequence(lit(0L), least(lit(3L), (col("n_bytes") / 64).cast("long")))))
+      .select(col("doc_id"), col("text"), posexplode(sequence(lit(0L), nFrames - 1)))
       .select(
         col("doc_id"),
-        col("pos").cast("long").as("frame_idx"),
-        (col("col") * 64).cast("long").as("byte_offset"),
-        // STUB frame feature: hash of the offset window
-        ((col("doc_id") * 31 + col("col") * 7) % 256).cast("long").as("feature"))
+        col("col").as("frame_idx"),
+        (col("col") * FrameChars).as("char_offset"),
+        graft.functions.Hashing.charFold(
+          col("text").substr((col("col") * FrameChars + 1).cast("int"), lit(FrameChars)))
+          .as("feature"))
       .orderBy("doc_id", "frame_idx")
   }
 

@@ -52,7 +52,7 @@ object Style {
       val langTerm =
         if (f.lang == "both") when(lit(true), 0.10).otherwise(0d)
         else when(col("text_lang") === f.lang, 0.20).otherwise(0d)
-      val hits = f.markers.map(m => col("lt").contains(m).cast("int")).reduce(_ + _)
+      val hits = graft.functions.MarkerExprs.contains_count(col("lt"), f.markers)
       val markerTerm = least(hits / lit(3).cast("double"), lit(1d)) * 0.50
       val structPairs = Seq(
         col("has_md") -> f.tendsMarkdown, col("has_num") -> f.tendsNumbered,
@@ -60,7 +60,7 @@ object Style {
       val structTerm = structPairs.map { case (has, tends) =>
         if (tends) when(has, 0.05).otherwise(0d) else when(has, -0.02).otherwise(0d)
       }.reduce(_ + _)
-      val rhits = f.refusalPatterns.map(p => col("lt").contains(p).cast("int")).reduce(_ + _)
+      val rhits = graft.functions.MarkerExprs.contains_count(col("lt"), f.refusalPatterns)
       val refusalTerm = when(col("refusal_hint"),
         rhits / lit(f.refusalPatterns.size).cast("double") * 0.10).otherwise(0d)
       round(lit(1e-9) + langTerm + markerTerm + structTerm + refusalTerm, 4)

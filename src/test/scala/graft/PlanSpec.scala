@@ -60,9 +60,9 @@ class PlanSpec extends AnyFunSuite {
       "self-join sides must read the cached signature table, not recompute hashing")
   }
 
-  test("ann_lsh joins on the bucket key, not a full cross product") {
+  test("ann_lsh joins on banded bucket keys, not a full cross product") {
     val p = plan("ann_lsh")
-    assert(p.contains("bucket"), "bucketed ANN must join on the bucket column")
+    assert(p.contains("band"), "banded ANN must join on (band, key)")
     assert(!p.contains("CartesianProduct"))
   }
 
