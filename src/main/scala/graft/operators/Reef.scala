@@ -156,5 +156,44 @@ object Reef {
         col("num_layers_compared"), col("similarity"), col("is_derived"), col("confidence"))
   }
 
+  // ═══════ hidden-state extraction shape (reef.py:72-137) ═══════
+
+  /** One "model handle" per partition, deterministic fake forward —
+    * stands in for a torch model (no ML runtime in this container).
+    * The embedding is a pure function of (text hash, layer, dim), so
+    * tests can assert exact values and batch-invariance.
+    */
+  private[operators] class FakeEncoder(layer: Int, dim: Int) extends Serializable {
+    var batchesSeen: Int = 0
+    def forward(batch: Seq[(Long, String)]): Seq[(Long, Int, Array[Float])] = {
+      batchesSeen += 1
+      batch.map { case (id, text) =>
+        val h = graft.functions.PolyHashing.foldCodePoints(text)
+        val emb = Array.tabulate(dim)(i => (((h + layer * 7919L) * (i + 1)) % 1000L) / 1000f)
+        (id, layer, emb)
+      }
+    }
+  }
+
+  /** The reference extracts hidden states by running texts through a
+    * model in batches (reef.py:72-137). The Spark shape for that is
+    * mapPartitions batched inference: ONE model load per partition
+    * (not per row), inputs buffered into fixed-size batches, one
+    * embedding row out per input. The encoder here is a deterministic
+    * fake; a real torch/ONNX forward plugs into `FakeEncoder.forward`
+    * without touching the distribution shape.
+    */
+  def extractHiddenStates(docs: DataFrame, layer: Int,
+      dim: Int = 64, batchSize: Int = 16): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val model = new FakeEncoder(layer, dim) // per-partition, not per-row
+        it.grouped(batchSize).flatMap(batch => model.forward(batch))
+      }
+      .toDF("vec_id", "label", "embedding")
+  }
+
   val all: Seq[Q] = Seq(cka, compare)
 }

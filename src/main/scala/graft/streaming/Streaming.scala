@@ -66,6 +66,20 @@ object Streaming {
       }
   }
 
+  /** Streaming exact dedup for a document stream: keep the first-seen
+    * row per content hash inside the watermark horizon.
+    * dropDuplicatesWithinWatermark is the 100 TB-stream shape — state
+    * is bounded by the watermark, where a plain dropDuplicates would
+    * accumulate every key ever seen. The key is the polynomial
+    * content hash (same hash as dd_exact's oracle family), so the
+    * streaming and batch dedup agree on what "identical" means.
+    */
+  def dedupExact(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("content_hash", graft.functions.HashExprs.poly_hash(col("text")))
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("content_hash")
+
   /** Flush still-open sessions from a completed sessionize pass
     * (batch-mode convenience for tests and backfills).
     */

@@ -60,6 +60,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.head.user_id == 1 && out.head.n_events == 2)
   }
 
+  test("streaming exact dedup keeps first-seen doc per content hash, bounded state") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    // keep event times well above epoch 0: a row whose timestamp
+    // equals the initial watermark (epoch 0) is considered late
+    def doc(id: Long, minute: Long, text: String) =
+      (id, new Timestamp((1000 + minute) * 60000L), text)
+    val q = Streaming.dedupExact(mem.toDF().toDF("doc_id", "ts", "text"))
+      .writeStream.outputMode("append").format("memory").queryName("dd").start()
+    try {
+      mem.addData(doc(1, 0, "alpha beta gamma"), doc(2, 1, "delta epsilon"))
+      q.processAllAvailable()
+      // a later micro-batch re-sends doc 1's content: the dedup state
+      // must drop it (first-seen wins across batches)
+      mem.addData(doc(3, 2, "alpha beta gamma"), doc(4, 3, "zeta eta"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.sql("SELECT doc_id, text FROM dd").collect()
+    assert(out.length == 3, "duplicate must be dropped")
+    assert(!out.map(_.getLong(0)).contains(3L), "the LATER duplicate is the dropped one")
+  }
+
+  test("REEF hidden-state extraction: per-partition batched forward, deterministic") {
+    val docs = operators.Reef.extractHiddenStates(
+      graft.Tables.documents(spark, sf).limit(40), layer = 2, dim = 16, batchSize = 8)
+    val rows = docs.collect()
+    assert(rows.length == 40)
+    assert(rows.forall(_.getAs[Seq[Float]]("embedding").length == 16))
+    assert(rows.forall(_.getAs[Int]("label") == 2))
+    // deterministic: a second run yields identical embeddings
+    val again = operators.Reef.extractHiddenStates(
+      graft.Tables.documents(spark, sf).limit(40), layer = 2, dim = 16, batchSize = 8)
+      .collect()
+    val a = rows.map(r => r.getLong(0) -> r.getAs[Seq[Float]]("embedding")).toMap
+    val b = again.map(r => r.getLong(0) -> r.getAs[Seq[Float]]("embedding")).toMap
+    assert(a == b)
+    // batch-size invariance: batching must not change per-row results
+    val other = operators.Reef.extractHiddenStates(
+      graft.Tables.documents(spark, sf).limit(40), layer = 2, dim = 16, batchSize = 3)
+      .collect().map(r => r.getLong(0) -> r.getAs[Seq[Float]]("embedding")).toMap
+    assert(a == other)
+  }
+
   test("batch sessionize matches the SQL sessionization operator") {
     import spark.implicits._
     val ev = eventsBatch.select("event_id", "ts", "user_id", "event_type", "value").as[Event]
