@@ -83,9 +83,49 @@ case class ContainsCountExpr(child: Expression, markers: Seq[String]) extends Un
   override def prettyName: String = "contains_count"
 }
 
+object WordScan {
+  // same engine and same ASCII-word semantics as Spark's
+  // regexp_extract_all(text, '\w+') — Java regex without
+  // UNICODE_CHARACTER_CLASS
+  private val WordRe = java.util.regex.Pattern.compile("\\w+")
+
+  /** Adjacent word pairs "w1 w2" of the \w+ tokens, in order. */
+  def wordBigrams(text: String): Array[UTF8String] = {
+    val words = scala.collection.mutable.ArrayBuffer.empty[String]
+    val m = WordRe.matcher(text)
+    while (m.find()) words += m.group()
+    if (words.length < 2) Array.empty
+    else Array.tabulate(words.length - 1)(i =>
+      UTF8String.fromString(words(i) + " " + words(i + 1)))
+  }
+}
+
+/** array<string> of adjacent word bigrams — one map-side pass.
+  * The composable alternative (explode words, lead() window, concat)
+  * shuffles and sorts EVERY word in the corpus by doc just to pair
+  * neighbors; this keeps bigram formation inside the scan stage.
+  */
+case class WordBigramsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType,
+      containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      WordScan.wordBigrams(input.asInstanceOf[UTF8String].toString)
+        .asInstanceOf[Array[Any]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"(Object[]) graft.functions.WordScan.wordBigrams($c.toString()));")
+  override protected def withNewChildInternal(c: Expression): WordBigramsExpr = copy(c)
+  override def prettyName: String = "word_bigrams"
+}
+
 object MarkerExprs {
   def marker_total(c: Column, markers: Seq[String]): Column =
     Bridge.column(MarkerTotalExpr(Bridge.expression(c), markers))
   def contains_count(c: Column, markers: Seq[String]): Column =
     Bridge.column(ContainsCountExpr(Bridge.expression(c), markers))
+  def word_bigrams(c: Column): Column =
+    Bridge.column(WordBigramsExpr(Bridge.expression(c)))
 }

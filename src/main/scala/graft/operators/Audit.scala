@@ -307,10 +307,11 @@ object Audit {
   // Reference: dli.py:27-33, 65-73
 
   /** Unrounded per-model top-100 bigram distribution (Spark side).
-    * Bigrams are formed with lead() over exploded words rather than a
-    * transform-with-index lambda: the lambda would inline the
-    * regexp_extract_all into every element access (O(words²) regex
-    * scans per document) and HOFs evaluate interpretively anyway.
+    * Bigrams are formed by the native WordBigramsExpr in the scan
+    * stage (one map pass) — the composable alternatives either
+    * shuffle+sort every word in the corpus through a per-doc lead()
+    * window, or (transform-with-index lambda) re-inline the
+    * regexp_extract_all into every element access.
     *
     * Top-100 ties break by FIRST OCCURRENCE (smallest doc_id, then
     * position), matching Python's insertion-ordered Counter
@@ -320,14 +321,11 @@ object Audit {
     * response texts, far under 2²⁰ words).
     */
   private def dliBigramDf(spark: SparkSession, dir: String): DataFrame = {
-    val words = regexp_extract_all(lower(col("text")), lit("\\w+"), lit(0))
-    val wWin = Window.partitionBy("doc_id").orderBy("pos")
     val counts = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("source"), posexplode(words))
-      .withColumn("nxt", lead("col", 1).over(wWin))
-      .filter(col("nxt").isNotNull)
-      .withColumn("bigram", concat_ws(" ", col("col"), col("nxt")))
+      .select(col("doc_id"), col("source"),
+        posexplode(graft.functions.MarkerExprs.word_bigrams(lower(col("text")))))
       .withColumn("ord", col("doc_id") * lit(1048576L) + col("pos"))
+      .withColumn("bigram", col("col"))
       .groupBy("source", "bigram")
       .agg(count(lit(1)).as("cnt"), min("ord").as("first_ord"))
     val w = Window.partitionBy("source").orderBy(col("cnt").desc, col("first_ord"))

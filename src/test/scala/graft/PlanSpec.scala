@@ -72,6 +72,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("ma_dli_bigrams forms bigrams in the scan stage, no per-doc word window") {
+    val p = plan("ma_dli_bigrams")
+    assert(p.contains("word_bigrams"), "bigrams must come from the native expression")
+    // the remaining windows (top-100 rank, p-normalization) run over
+    // the already-aggregated (source, bigram) counts — tiny. The
+    // per-DOC lead() window over every exploded corpus word is gone.
+    assert(!p.contains("lead("), "no per-doc lead() window over exploded words")
+  }
+
   test("ma_reef_cka selects its bounded sample without a full window sort") {
     val p = plan("ma_reef_cka")
     assert(p.contains("topk_by_score"),
