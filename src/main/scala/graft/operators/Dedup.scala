@@ -59,6 +59,33 @@ object Dedup {
       .orderBy("canonical_id")
   }
 
+  /** Exact dedup keyed by SHA-256 instead of the raw text: dd_exact
+    * shuffles the full document bytes to group identical texts — at
+    * 100 TB that is the dominant cost. Grouping by a 256-bit content
+    * hash shuffles 32 bytes per doc with the same grouping (collision
+    * probability is negligible at any feasible corpus size), which is
+    * the production shape for exact dedup. Same aggregate outputs as
+    * dd_exact plus the hash key.
+    */
+  val exactHash = Q(
+    "dd_exact_hash",
+    """SELECT sha256(text) AS content_sha,
+      |  CAST(min(doc_id) AS BIGINT) AS canonical_id,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(min(n_chars) AS BIGINT) AS n_chars
+      |FROM documents
+      |GROUP BY sha256(text)
+      |ORDER BY canonical_id""".stripMargin) { (spark, dir) =>
+    Tables.documents(spark, dir)
+      .groupBy(sha2(col("text"), 256).as("content_sha"))
+      .agg(
+        min("doc_id").as("canonical_id"),
+        count(lit(1)).as("n_docs"),
+        min("n_chars").as("n_chars"))
+      .select("content_sha", "canonical_id", "n_docs", "n_chars")
+      .orderBy("canonical_id")
+  }
+
   // ═══════════════ MinHash signatures ═══════════════
 
   /** doc_id + shingle array (recomputed where needed — the hashing is
@@ -274,5 +301,5 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  val all: Seq[Q] = Seq(exact, minhash, lshPairs, jaccard, simhash, simhashPairs)
+  val all: Seq[Q] = Seq(exact, exactHash, minhash, lshPairs, jaccard, simhash, simhashPairs)
 }

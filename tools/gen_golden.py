@@ -124,6 +124,19 @@ def main():
               ["model_a", "model_b", "js_divergence", "bigram_sim", "feature_cos", "similarity"],
               rows)
 
+    # ── reference benchmark: per-sample detection over its OWN texts ──
+    # (verifies the sample texts ported into BenchmarkEval.scala
+    # byte-for-byte: any divergence changes the scores)
+    from modelaudit.benchmark import BENCHMARK_SAMPLES
+    rows = []
+    for i, sample in enumerate(BENCHMARK_SAMPLES):
+        scores = _compute_style_scores(sample.text)
+        predicted = max(scores, key=lambda k: scores[k])
+        rows.append([i, sample.label, predicted, scores[predicted],
+                     predicted == sample.label])
+    write_csv("benchmark_detect",
+              ["sample_id", "label", "predicted_model", "confidence", "correct"], rows)
+
     # ── per-doc per-family style scores ──
     rows = []
     for doc_id, _, text in docs:
