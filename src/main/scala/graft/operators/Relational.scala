@@ -152,10 +152,17 @@ object Relational {
       .join(Tables.part(spark, dir), col("l_partkey") === col("p_partkey"))
       .groupBy("p_brand", "p_partkey")
       .agg(round(lit(1e-9) + sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
-    val w = Window.partitionBy("p_brand").orderBy(col("revenue").desc, col("p_partkey"))
-    byPart.withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= 3)
-      .select("p_brand", "p_partkey", "revenue", "rn")
+    // Top-3 via the bounded-heap aggregate, not a row_number window:
+    // brand cardinality is tiny, so the window would sort ALL parts
+    // inside a handful of fat partitions (single-reducer skew at
+    // scale); the aggregate carries 3 entries per partition and
+    // merges map-side. Ties on equal revenue prefer the smaller
+    // partkey — identical to ORDER BY revenue DESC, p_partkey.
+    byPart.groupBy("p_brand")
+      .agg(graft.functions.TopKAgg.topk_by_score(col("revenue"), col("p_partkey"), 3).as("tk"))
+      .select(col("p_brand"), explode(col("tk")).as("e"))
+      .select(col("p_brand"), col("e.id").as("p_partkey"),
+        col("e.score").as("revenue"), col("e.rank").as("rn"))
       .orderBy("p_brand", "rn")
   }
 

@@ -48,6 +48,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), "AQE must convert every dimension join to broadcast at this SF")
   }
 
+  test("q7 top-3-per-brand uses the bounded-heap aggregate, not a window sort") {
+    val p = plan("q7_window_topn")
+    assert(p.contains("topk_by_score"))
+    assert(!p.contains("row_number"),
+      "per-brand window would single-reducer-sort all parts at scale")
+  }
+
   test("ma_fingerprint is partial-aggregated (map-side combine)") {
     val p = plan("ma_fingerprint")
     assert(p.contains("partial_avg") || p.contains("partial_"),
