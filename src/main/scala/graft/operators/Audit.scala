@@ -321,6 +321,10 @@ object Audit {
     * response texts, far under 2²⁰ words).
     */
   private def dliBigramDf(spark: SparkSession, dir: String): DataFrame = {
+    // (source, bigram) counts with the first-occurrence ordinal;
+    // cached because the bounded top-100 selection reads it twice
+    // (select + join-back). Fixed-width + short strings — safe for
+    // the columnar cache.
     val counts = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"),
         posexplode(graft.functions.MarkerExprs.word_bigrams(lower(col("text")))))
@@ -328,11 +332,21 @@ object Audit {
       .withColumn("bigram", col("col"))
       .groupBy("source", "bigram")
       .agg(count(lit(1)).as("cnt"), min("ord").as("first_ord"))
-    val w = Window.partitionBy("source").orderBy(col("cnt").desc, col("first_ord"))
-    counts.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= 100)
+      .cache()
+    // Top-100 per source via the bounded-heap aggregate: a row_number
+    // window would sort a source's ENTIRE bigram vocabulary in one
+    // partition. score = cnt with id = first_ord reproduces the
+    // (cnt DESC, first occurrence ASC) order exactly — the heap
+    // prefers the smaller id on score ties, and first_ord is unique
+    // per bigram (one bigram starts at each word position).
+    val top = counts.groupBy("source")
+      .agg(graft.functions.TopKAgg.topk_by_score(
+        col("cnt").cast("double"), col("first_ord"), 100).as("tk"))
+      .select(col("source"), explode(col("tk")).as("t"))
+      .select(col("source"), col("t.id").as("first_ord"), col("t.rank").as("rank"))
+    counts.join(top, Seq("source", "first_ord"))
       .withColumn("p", col("cnt") / sum("cnt").over(Window.partitionBy("source")).cast("double"))
-      .drop("first_ord")
+      .select("source", "bigram", "cnt", "rank", "p")
       .cache()
   }
 

@@ -82,10 +82,13 @@ class PlanSpec extends AnyFunSuite {
   test("ma_dli_bigrams forms bigrams in the scan stage, no per-doc word window") {
     val p = plan("ma_dli_bigrams")
     assert(p.contains("word_bigrams"), "bigrams must come from the native expression")
-    // the remaining windows (top-100 rank, p-normalization) run over
-    // the already-aggregated (source, bigram) counts — tiny. The
-    // per-DOC lead() window over every exploded corpus word is gone.
+    // the only remaining window is p-normalization over ≤100 rows per
+    // source. The per-DOC lead() window over every exploded corpus
+    // word is gone, and so is the per-source row_number over the full
+    // bigram vocabulary (bounded-heap top-100 instead).
     assert(!p.contains("lead("), "no per-doc lead() window over exploded words")
+    assert(p.contains("topk_by_score"), "top-100 must be the bounded-heap aggregate")
+    assert(!p.contains("row_number"), "no full vocabulary sort per source")
   }
 
   test("ma_reef_cka selects its bounded sample without a full window sort") {
