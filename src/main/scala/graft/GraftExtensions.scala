@@ -1,7 +1,8 @@
 package graft
 
 import graft.functions.{MinHashSigExpr, PolyHashExpr, ShingleHashesExpr, TokenHashesExpr}
-import graft.functions.{DotProductExpr, TopKByScore}
+import graft.functions.{ContainsCountExpr, DotProductExpr, MarkerTotalExpr, TopKByScore, WordBigramsExpr}
+import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -39,5 +40,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("topk_by_score", "topk_by_score(score, id, k) - bounded top-k aggregate"),
       (es: Seq[Expression]) => TopKByScore(es(0), es(1),
         es(2).asInstanceOf[Literal].value.asInstanceOf[Int]).toAggregateExpression()))
+    e.injectFunction((FunctionIdentifier("word_bigrams"),
+      info("word_bigrams", "word_bigrams(str) - adjacent \\w+ word pairs"),
+      (es: Seq[Expression]) => WordBigramsExpr(es.head)))
+
+    // marker-list args arrive as string-literal varargs from SQL
+    def markerList(es: Seq[Expression]): Seq[String] =
+      es.map(_.asInstanceOf[Literal].value.asInstanceOf[UTF8String].toString)
+    e.injectFunction((FunctionIdentifier("marker_total"),
+      info("marker_total", "marker_total(str, m1, m2, ...) - total non-overlapping marker occurrences"),
+      (es: Seq[Expression]) => MarkerTotalExpr(es.head, markerList(es.tail))))
+    e.injectFunction((FunctionIdentifier("contains_count"),
+      info("contains_count", "contains_count(str, m1, m2, ...) - how many markers appear"),
+      (es: Seq[Expression]) => ContainsCountExpr(es.head, markerList(es.tail))))
   }
 }

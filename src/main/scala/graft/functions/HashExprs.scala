@@ -224,5 +224,6 @@ object HashExprs {
     reg.createOrReplaceTempFunction("shingle_hashes", es => ShingleHashesExpr(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("minhash_sig", es => MinHashSigExpr(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("poly_hash", es => PolyHashExpr(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("word_bigrams", es => WordBigramsExpr(es.head), "scala_udf")
   }
 }

@@ -29,6 +29,10 @@ class ExtensionsSpec extends AnyFunSuite {
     val r3 = spark.sql(
       "SELECT size(token_hashes('a b c')) AS n").collect()(0).getInt(0)
     assert(r3 == 3)
+
+    val r4 = spark.sql(
+      "SELECT word_bigrams('one two three') AS b").collect()(0).getSeq[String](0)
+    assert(r4.toList == List("one two", "two three"))
   }
 
   test("bounded top-k aggregate through the Column API") {
