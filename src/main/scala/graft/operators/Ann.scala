@@ -9,10 +9,10 @@ import org.apache.spark.sql.expressions.Window
   *  - brute-force cosine top-k (correctness baseline; query side is
   *    tiny and broadcast, corpus side is map-only score + per-query
   *    top-k — no global sort);
-  *  - random-hyperplane LSH buckets (the 100 TB path: candidates are
-  *    restricted to the query's bucket, turning O(|Q|·n) into
-  *    O(|Q|·bucket));
-  *  - embedding-cosine near-duplicate pairs via the same buckets.
+  *  - random-hyperplane banded LSH (the 100 TB path: candidates are
+  *    restricted to rows sharing ≥1 of the query's 4 8-bit band keys,
+  *    with oversized buckets dropped);
+  *  - embedding-cosine near-duplicate pairs via the same bands.
   *
   * Hyperplanes are deterministic small-integer vectors (derived from
   * a fixed affine formula) so the DuckDB oracle reproduces bucket ids

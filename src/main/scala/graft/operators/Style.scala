@@ -292,15 +292,7 @@ object Style {
     */
   val probeConsistency = Q(
     "ma_probe_consistency",
-    s"""WITH detected AS (
-       |  SELECT source, family,
-       |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS probe_idx
-       |  FROM (
-       |    SELECT doc_id, source, family, score,
-       |      row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, fidx) AS rn
-       |    FROM ($scoresSql)
-       |  ) WHERE rn = 1
-       |)
+    s"""WITH detected AS ($detectedSql)
        |SELECT a.source AS model_a, b.source AS model_b,
        |  CAST(count(*) AS BIGINT) AS n_probes,
        |  CAST(count(*) FILTER (WHERE a.family = b.family) AS BIGINT) AS n_consistent,
@@ -310,13 +302,7 @@ object Style {
        |JOIN detected b ON a.probe_idx = b.probe_idx AND a.source < b.source
        |GROUP BY a.source, b.source
        |ORDER BY model_a, model_b""".stripMargin) { (spark, dir) =>
-    val wBest = Window.partitionBy("doc_id").orderBy(col("score").desc, col("fidx"))
-    val wProbe = Window.partitionBy("source").orderBy("doc_id")
-    val detected = scoresDf(spark, dir)
-      .withColumn("rn", row_number().over(wBest))
-      .filter(col("rn") === 1)
-      .withColumn("probe_idx", row_number().over(wProbe))
-      .select("source", "family", "probe_idx")
+    val detected = detectedDf(spark, dir)
     val a = detected.select(col("source").as("model_a"), col("family").as("fa"), col("probe_idx"))
     val b = detected.select(col("source").as("model_b"), col("family").as("fb"), col("probe_idx"))
     a.join(b, Seq("probe_idx")).filter(col("model_a") < col("model_b"))
@@ -341,15 +327,7 @@ object Style {
   val probeConsistencyByCategory = Q(
     "ma_probe_consistency_by_category", {
       val catArr = probeCatalog.map { case (_, c) => sl(c) }.mkString("[", ", ", "]")
-      s"""WITH detected AS (
-         |  SELECT source, family,
-         |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS probe_idx
-         |  FROM (
-         |    SELECT doc_id, source, family, score,
-         |      row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, fidx) AS rn
-         |    FROM ($scoresSql)
-         |  ) WHERE rn = 1
-         |),
+      s"""WITH detected AS ($detectedSql),
          |catted AS (
          |  SELECT source, family, probe_idx,
          |    ($catArr)[((probe_idx - 1) % ${probeCatalog.size}) + 1] AS category
@@ -368,16 +346,10 @@ object Style {
          |)
          |ORDER BY model_a, model_b, category""".stripMargin
     }) { (spark, dir) =>
-    val wBest = Window.partitionBy("doc_id").orderBy(col("score").desc, col("fidx"))
-    val wProbe = Window.partitionBy("source").orderBy("doc_id")
     val cats = typedLit(probeCatalog.map(_._2))
-    val detected = scoresDf(spark, dir)
-      .withColumn("rn", row_number().over(wBest))
-      .filter(col("rn") === 1)
-      .withColumn("probe_idx", row_number().over(wProbe))
+    val detected = detectedDf(spark, dir)
       .withColumn("category",
         element_at(cats, ((col("probe_idx") - 1) % probeCatalog.size + 1).cast("int")))
-      .select("source", "family", "probe_idx", "category")
     val a = detected.select(col("source").as("model_a"), col("family").as("fa"),
       col("probe_idx"), col("category"))
     val b = detected.select(col("source").as("model_b"), col("family").as("fb"), col("probe_idx"))
