@@ -231,7 +231,10 @@ object Relational {
       |GROUP BY c_mktsegment
       |ORDER BY c_mktsegment""".stripMargin) { (spark, dir) =>
     val cust = Tables.customer(spark, dir)
-    val orderKeys = Tables.orders(spark, dir).select("o_custkey").distinct()
+    // no .distinct(): semi/anti joins are set-semantic on the probe
+    // side already, and deduplicating the build side first would add
+    // a full extra shuffle of orders
+    val orderKeys = Tables.orders(spark, dir).select("o_custkey")
     val withO = cust.join(orderKeys, col("c_custkey") === col("o_custkey"), "left_semi")
       .groupBy("c_mktsegment").agg(count(lit(1)).as("n_with_orders"))
     val withoutO = cust.join(orderKeys, col("c_custkey") === col("o_custkey"), "left_anti")
