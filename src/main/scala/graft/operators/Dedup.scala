@@ -219,6 +219,78 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  // ═══════════════ duplicate clusters → canonical doc ═══════════════
+
+  /** The end product of the dedup pipeline: resolve the VERIFIED
+    * near-duplicate pairs (LSH candidates that passed Jaccard) into
+    * connected components and assign each member its canonical doc
+    * (the component's smallest doc_id).
+    *
+    * Spark side: iterative min-label propagation over the pair graph —
+    * the standard distributed connected-components shape. Each
+    * iteration is one join + aggregate over the PAIR set (tiny
+    * relative to the corpus: only docs that appear in a verified
+    * duplicate pair participate), and the driver loop runs at most
+    * O(component diameter) rounds — duplicate clusters are shallow in
+    * practice. The DuckDB oracle computes the same fixpoint with a
+    * recursive CTE.
+    */
+  private def duplicatePairsDf(spark: SparkSession, dir: String): DataFrame =
+    jaccard.fn(spark, dir).filter(col("is_duplicate")).select("doc_a", "doc_b")
+
+  val clusters = Q(
+    "dd_clusters", {
+      val jq = jaccard.oracle.get.replace("ORDER BY doc_a, doc_b", "")
+      s"""WITH RECURSIVE jq AS ($jq),
+         |pairs AS (SELECT doc_a, doc_b FROM jq WHERE is_duplicate),
+         |edges AS (
+         |  SELECT doc_a AS u, doc_b AS v FROM pairs
+         |  UNION
+         |  SELECT doc_b AS u, doc_a AS v FROM pairs
+         |),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+         |)
+         |SELECT u AS doc_id, least(u, min(v)) AS canonical_id,
+         |  CAST(count(*) FILTER (WHERE v != u) + 1 AS BIGINT) AS cluster_size
+         |FROM (SELECT DISTINCT u, v FROM reach)
+         |GROUP BY u
+         |ORDER BY doc_id""".stripMargin
+    }) { (spark, dir) =>
+    val pairs = duplicatePairsDf(spark, dir).cache()
+    val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      .distinct().cache()
+    var labels = edges.select(col("u").as("doc")).distinct()
+      .withColumn("label", col("doc")).cache()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 50) {
+      val neighborMin = edges
+        .join(labels.select(col("doc").as("v"), col("label").as("vlabel")), Seq("v"))
+        .groupBy("u").agg(min("vlabel").as("nmin"))
+      val next = labels
+        .join(neighborMin.select(col("u").as("doc"), col("nmin")), Seq("doc"), "left")
+        .select(col("doc"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .cache()
+      changed = next.join(labels.select(col("doc"), col("label").as("old")), Seq("doc"))
+        .filter(col("label") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      rounds += 1
+    }
+    // cluster_size from the converged labels; reach-based oracle
+    // counts distinct reachable others + self — identical by
+    // definition of a connected component
+    val sizes = labels.groupBy("label").agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, Seq("label"))
+      .select(col("doc").as("doc_id"), col("label").as("canonical_id"), col("cluster_size"))
+      .orderBy("doc_id")
+  }
+
   // ═══════════════ SimHash ═══════════════
   // 31-bit SimHash over word hashes weighted by term frequency.
 
@@ -301,5 +373,5 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  val all: Seq[Q] = Seq(exact, exactHash, minhash, lshPairs, jaccard, simhash, simhashPairs)
+  val all: Seq[Q] = Seq(exact, exactHash, minhash, lshPairs, jaccard, clusters, simhash, simhashPairs)
 }
