@@ -212,6 +212,86 @@ object Ann {
       .orderBy("query_id", "rank")
   }
 
+  /** IVF parameters: 16 coarse cells, queries probe the 4 nearest. */
+  val NumCentroids = 16
+  val NProbe = 4
+
+  /** IVF-style ANN: a coarse quantizer partitions the corpus into
+    * inverted cells, and each query searches only its NProbe nearest
+    * cells. "Training" is deterministic — the NumCentroids smallest
+    * vec_ids act as centroids — so the DuckDB oracle reproduces the
+    * index exactly (a k-means refinement would change centroids, not
+    * the operator shape). The per-vector assignment (argmax cosine
+    * over 16 broadcast centroids, 16 rows per group) is the one-time
+    * index-build cost — in production it is precomputed at ingest
+    * like the LSH band keys; the query path touches only the probed
+    * cells.
+    */
+  val ivfTopk = Q(
+    "ann_ivf",
+    s"""WITH c AS ($corpusSql),
+       |cent AS (SELECT vec_id AS cid, e AS ce, nrm AS cn FROM c WHERE vec_id < $NumCentroids),
+       |scored AS (
+       |  SELECT c.vec_id, cid, list_dot_product(e, ce) / (nrm * cn) AS ccos
+       |  FROM c, cent
+       |),
+       |assigned AS (
+       |  SELECT vec_id, cid AS cell FROM (
+       |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+       |    FROM scored
+       |  ) WHERE rn = 1
+       |),
+       |qcells AS (
+       |  SELECT vec_id AS query_id, cid AS cell FROM (
+       |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+       |    FROM scored WHERE vec_id < $NumQueries
+       |  ) WHERE rn <= $NProbe
+       |),
+       |cand AS (
+       |  SELECT DISTINCT q.query_id, a.vec_id
+       |  FROM qcells q JOIN assigned a ON q.cell = a.cell AND a.vec_id != q.query_id
+       |)
+       |SELECT query_id, neighbor_id, cosine, rank FROM (
+       |  SELECT cand.query_id, cand.vec_id AS neighbor_id,
+       |    round(1e-9 + list_dot_product(cq.e, cc.e) / (cq.nrm * cc.nrm), 6) AS cosine,
+       |    CAST(row_number() OVER (PARTITION BY cand.query_id
+       |      ORDER BY list_dot_product(cq.e, cc.e) / (cq.nrm * cc.nrm) DESC, cand.vec_id) AS BIGINT) AS rank
+       |  FROM cand
+       |  JOIN c cq ON cq.vec_id = cand.query_id
+       |  JOIN c cc ON cc.vec_id = cand.vec_id
+       |) WHERE rank <= $TopK
+       |ORDER BY query_id, rank""".stripMargin) { (spark, dir) =>
+    val c = corpus(spark, dir)
+    val cent = c.filter(col("vec_id") < NumCentroids)
+      .select(col("vec_id").as("cid"), col("e").as("ce"), col("nrm").as("cn"))
+    val scored = c.crossJoin(broadcast(cent))
+      .withColumn("ccos", dotC(col("e"), col("ce")) / (col("nrm") * col("cn")))
+      .select("vec_id", "cid", "ccos")
+    val wAssign = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid"))
+    val assigned = scored.withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cid").as("cell"))
+    val qcells = scored.filter(col("vec_id") < NumQueries)
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") <= NProbe)
+      .select(col("vec_id").as("query_id"), col("cid").as("cell"))
+    val cand = broadcast(qcells).join(assigned, Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select("query_id", "vec_id").distinct()
+    val qvec = c.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qn"))
+    val res = cand
+      .join(broadcast(qvec), Seq("query_id"))
+      .join(c.select(col("vec_id"), col("e"), col("nrm")), Seq("vec_id"))
+      .withColumn("cos_raw", dotC(col("qe"), col("e")) / (col("qn") * col("nrm")))
+    val wTop = Window.partitionBy("query_id").orderBy(col("cos_raw").desc, col("vec_id"))
+    res.withColumn("rank", row_number().over(wTop).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(lit(1e-9) + col("cos_raw"), 6).as("cosine"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Embedding near-duplicate pairs (the dd_embed entry from SURVEY
     * §2): banded hyperplane LSH — candidates share ≥1 of the 4 8-bit
     * bands (strict superset of the old single-8-bit-bucket candidates,
@@ -263,5 +343,5 @@ object Ann {
       .orderBy("vec_a", "vec_b")
   }
 
-  val all: Seq[Q] = Seq(topk, topkAgg, topkPlan, lshTopk, embedDedup)
+  val all: Seq[Q] = Seq(topk, topkAgg, topkPlan, lshTopk, ivfTopk, embedDedup)
 }
