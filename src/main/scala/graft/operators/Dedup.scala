@@ -226,17 +226,67 @@ object Dedup {
     * connected components and assign each member its canonical doc
     * (the component's smallest doc_id).
     *
-    * Spark side: iterative min-label propagation over the pair graph —
-    * the standard distributed connected-components shape. Each
-    * iteration is one join + aggregate over the PAIR set (tiny
-    * relative to the corpus: only docs that appear in a verified
-    * duplicate pair participate), and the driver loop runs at most
-    * O(component diameter) rounds — duplicate clusters are shallow in
-    * practice. The DuckDB oracle computes the same fixpoint with a
-    * recursive CTE.
+    * Spark side: min-label propagation with pointer jumping (see
+    * [[connectedComponents]]) — O(log diameter) rounds, one action per
+    * round, bounded lineage. Each round joins over the PAIR set only
+    * (tiny relative to the corpus: only docs that appear in a verified
+    * duplicate pair participate). The DuckDB oracle computes the same
+    * fixpoint with a recursive CTE.
     */
   private def duplicatePairsDf(spark: SparkSession, dir: String): DataFrame =
     jaccard.fn(spark, dir).filter(col("is_duplicate")).select("doc_a", "doc_b")
+
+  /** Distributed connected components over a symmetric edge set
+    * (columns u, v): min-label propagation with pointer jumping.
+    *
+    * Each round takes the min over neighbour labels AND the label of
+    * the current label (label(label(u))), so the reach doubles per
+    * round and a chain of eccentricity n converges in O(log n) rounds
+    * — not the O(n) of plain one-hop propagation. Loop hygiene:
+    * exactly ONE action per round (the changed-count — `next` carries
+    * the old label so no second join is needed; it also materializes
+    * the round's lazy localCheckpoint), and the label lineage is
+    * truncated EVERY round — the pointer-jump self-join otherwise
+    * doubles the logical plan per round, which is exponential in both
+    * replay depth and plan-string size. If the cap is hit while labels
+    * are still changing the call FAILS LOUDLY instead of silently
+    * emitting partial components.
+    *
+    * Returns the (doc, label) frame — label = component minimum — and
+    * the number of rounds taken (asserted O(log n) in ClustersSpec).
+    */
+  private[graft] def connectedComponents(
+      edges: DataFrame, maxRounds: Int = 50): (DataFrame, Int) = {
+    var labels = edges.select(col("u").as("doc")).distinct()
+      .withColumn("label", col("doc")).cache()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0) {
+      if (rounds >= maxRounds)
+        throw new IllegalStateException(
+          s"connectedComponents: still $changed labels changing after $maxRounds rounds")
+      val neighborMin = edges
+        .join(labels.select(col("doc").as("v"), col("label").as("vlabel")), Seq("v"))
+        .groupBy("u").agg(min("vlabel").as("nmin"))
+      val stepped = labels
+        .join(neighborMin.select(col("u").as("doc"), col("nmin")), Seq("doc"), "left")
+        .select(col("doc"), col("label").as("old"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("l1"))
+        .cache()
+      // pointer jump: follow my new label to ITS new label
+      val jump = stepped.select(col("doc").as("jdoc"), col("l1").as("l2"))
+      val next = stepped.join(jump, col("l1") === col("jdoc"), "left")
+        .select(col("doc"), col("old"),
+          least(col("l1"), coalesce(col("l2"), col("l1"))).as("label"))
+        .localCheckpoint(false) // lazy: the count below materializes it
+      changed = next.filter(col("label") =!= col("old")).count()
+      stepped.unpersist()
+      labels.unpersist()
+      labels = next.select("doc", "label")
+      rounds += 1
+    }
+    (labels, rounds)
+  }
 
   val clusters = Q(
     "dd_clusters", {
@@ -263,25 +313,7 @@ object Dedup {
     val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
       .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
       .distinct().cache()
-    var labels = edges.select(col("u").as("doc")).distinct()
-      .withColumn("label", col("doc")).cache()
-    var changed = 1L
-    var rounds = 0
-    while (changed > 0 && rounds < 50) {
-      val neighborMin = edges
-        .join(labels.select(col("doc").as("v"), col("label").as("vlabel")), Seq("v"))
-        .groupBy("u").agg(min("vlabel").as("nmin"))
-      val next = labels
-        .join(neighborMin.select(col("u").as("doc"), col("nmin")), Seq("doc"), "left")
-        .select(col("doc"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-        .cache()
-      changed = next.join(labels.select(col("doc"), col("label").as("old")), Seq("doc"))
-        .filter(col("label") =!= col("old")).count()
-      labels.unpersist()
-      labels = next
-      rounds += 1
-    }
+    val (labels, _) = connectedComponents(edges)
     // cluster_size from the converged labels; reach-based oracle
     // counts distinct reachable others + self — identical by
     // definition of a connected component

@@ -135,13 +135,39 @@ object Style {
        |  FROM ($scoresSql)
        |) WHERE rn = 1""".stripMargin
 
+  /** Rows per doc_id bucket for the two-pass probe_idx rank. Each
+    * within-bucket window sorts at most this many rows, and the
+    * offsets frame carries n/B rows per source; B ≈ sqrt(corpus/source)
+    * balances the two levels at scale (256 is right for the test SFs).
+    */
+  private val probeBucketSize = 256L
+
   private[operators] def detectedDf(spark: SparkSession, dir: String): DataFrame = {
-    val wBest = Window.partitionBy("doc_id").orderBy(col("score").desc, col("fidx"))
-    val wProbe = Window.partitionBy("source").orderBy("doc_id")
-    scoresDf(spark, dir)
-      .withColumn("rn", row_number().over(wBest))
-      .filter(col("rn") === 1)
-      .withColumn("probe_idx", row_number().over(wProbe))
+    // argmax family per doc: hash aggregation (map-side partial) on
+    // the max of (score, -fidx, family) — same tie-break as
+    // `ORDER BY score DESC, fidx`, no per-doc shuffle+sort window.
+    val best = scoresDf(spark, dir)
+      .groupBy("doc_id", "source")
+      .agg(max(struct(col("score"), (-col("fidx")).as("nfidx"), col("family"))).as("m"))
+      .select(col("doc_id"), col("source"), col("m.family").as("family"))
+
+    // probe_idx = row_number over (PARTITION BY source ORDER BY doc_id)
+    // without funnelling a whole source through one task: two-pass rank.
+    // Pass 1 counts docs per (source, doc_id-bucket); a prefix sum over
+    // that small frame gives each bucket its starting offset. Pass 2
+    // ranks within (source, bucket) — bounded partitions — and adds the
+    // broadcast offset. Bucketing by doc_id range keeps the rank order
+    // identical to the single-window formulation.
+    val bucketed = best.withColumn("bkt", floor(col("doc_id") / probeBucketSize))
+    val counts = bucketed.groupBy("source", "bkt").agg(count(lit(1)).as("cnt"))
+    val wOff = Window.partitionBy("source").orderBy("bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts
+      .withColumn("off", coalesce(sum("cnt").over(wOff), lit(0L)))
+      .select("source", "bkt", "off")
+    val wInBucket = Window.partitionBy("source", "bkt").orderBy("doc_id")
+    bucketed.join(broadcast(offsets), Seq("source", "bkt"))
+      .withColumn("probe_idx", (col("off") + row_number().over(wInBucket)).cast("int"))
       .select("source", "family", "probe_idx")
   }
 
@@ -163,11 +189,12 @@ object Style {
        |  FROM ($scoresSql)
        |) WHERE rn = 1
        |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
-    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("fidx"))
+    // argmax via partial-aggregated struct-max (ties → lowest fidx),
+    // not a per-doc row_number window — map-side combine, no sort.
     scoresDf(spark, dir)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("doc_id"), col("family").as("predicted_model"), col("score").as("confidence"))
+      .groupBy("doc_id")
+      .agg(max(struct(col("score"), (-col("fidx")).as("nfidx"), col("family"))).as("m"))
+      .select(col("doc_id"), col("m.family").as("predicted_model"), col("m.score").as("confidence"))
       .orderBy("doc_id")
   }
 
@@ -275,11 +302,10 @@ object Style {
        |)
        |GROUP BY source, predicted_model
        |ORDER BY source, predicted_model""".stripMargin) { (spark, dir) =>
-    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("fidx"))
     scoresDf(spark, dir)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .groupBy(col("source"), col("family").as("predicted_model"))
+      .groupBy("doc_id", "source")
+      .agg(max(struct(col("score"), (-col("fidx")).as("nfidx"), col("family"))).as("m"))
+      .groupBy(col("source"), col("m.family").as("predicted_model"))
       .agg(count(lit(1)).as("n"))
       .orderBy("source", "predicted_model")
   }

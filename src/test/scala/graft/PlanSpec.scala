@@ -91,6 +91,21 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("row_number"), "no full vocabulary sort per source")
   }
 
+  test("ma_probe_consistency ranks probe_idx without a per-source single-partition window") {
+    val p = plan("ma_probe_consistency")
+    // The fat formulation was row_number() OVER (PARTITION BY source
+    // ORDER BY doc_id) — one task sorts a source's whole corpus. The
+    // two-pass rank's windows partition by (source, bkt) [bounded] or
+    // run over the tiny counts frame; neither orders doc_id under a
+    // source-only partition.
+    assert(!p.matches("(?s).*windowspecdefinition\\(source#\\d+, doc_id#.*"),
+      "probe_idx must not funnel a whole source through one window partition")
+    // argmax-per-doc must be the partial-aggregated struct-max, not a
+    // per-doc row_number window.
+    assert(p.contains("partial_max") || p.contains("partial_"),
+      "per-doc argmax must have a map-side partial phase")
+  }
+
   test("ma_reef_cka selects its bounded sample without a full window sort") {
     val p = plan("ma_reef_cka")
     assert(p.contains("topk_by_score"),
