@@ -218,19 +218,46 @@ object Ann {
 
   /** IVF-style ANN: a coarse quantizer partitions the corpus into
     * inverted cells, and each query searches only its NProbe nearest
-    * cells. "Training" is deterministic — the NumCentroids smallest
-    * vec_ids act as centroids — so the DuckDB oracle reproduces the
-    * index exactly (a k-means refinement would change centroids, not
-    * the operator shape). The per-vector assignment (argmax cosine
-    * over 16 broadcast centroids, 16 rows per group) is the one-time
-    * index-build cost — in production it is precomputed at ingest
-    * like the LSH band keys; the query path touches only the probed
-    * cells.
+    * cells. "Training" is deterministic so the DuckDB oracle can
+    * reproduce the index exactly: the NumCentroids smallest vec_ids
+    * seed the centroids, then ONE Lloyd iteration refines them (assign
+    * every vector to its nearest seed, take the per-cell coordinate
+    * mean). Refined coordinates are rounded to 6 dp (with the uniform
+    * 1e-9 nudge) on both engines — that pins them bit-exactly despite
+    * float-sum order differing between Spark partial aggregation and
+    * DuckDB, and across Spark runs.
+    *
+    * Plan shape: every argmax/top-n here is an aggregation, never a
+    * window — per-vector cell assignment is a partial-aggregated
+    * struct-max (map-side combine, no shuffle+sort of 16n rows), and
+    * probe-cell selection + final top-k use the bounded-heap
+    * topk_by_score aggregate. The assignment pass is the one-time
+    * index-build cost — in production it is precomputed at ingest like
+    * the LSH band keys; the query path touches only the probed cells.
     */
   val ivfTopk = Q(
     "ann_ivf",
     s"""WITH c AS ($corpusSql),
-       |cent AS (SELECT vec_id AS cid, e AS ce, nrm AS cn FROM c WHERE vec_id < $NumCentroids),
+       |cent0 AS (SELECT vec_id AS cid, e AS ce, nrm AS cn FROM c WHERE vec_id < $NumCentroids),
+       |scored0 AS (
+       |  SELECT c.vec_id, cid, list_dot_product(e, ce) / (nrm * cn) AS ccos
+       |  FROM c, cent0
+       |),
+       |assign0 AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+       |    FROM scored0
+       |  ) WHERE rn = 1
+       |),
+       |means AS (
+       |  SELECT cid, i, round(1e-9 + avg(e[i]), 6) AS m
+       |  FROM assign0 JOIN c USING (vec_id), (SELECT unnest(generate_series(1, $Dim)) AS i)
+       |  GROUP BY cid, i
+       |),
+       |cent AS (
+       |  SELECT cid, ce, sqrt(list_dot_product(ce, ce)) AS cn
+       |  FROM (SELECT cid, list(m ORDER BY i) AS ce FROM means GROUP BY cid)
+       |),
        |scored AS (
        |  SELECT c.vec_id, cid, list_dot_product(e, ce) / (nrm * cn) AS ccos
        |  FROM c, cent
@@ -262,19 +289,41 @@ object Ann {
        |) WHERE rank <= $TopK
        |ORDER BY query_id, rank""".stripMargin) { (spark, dir) =>
     val c = corpus(spark, dir)
-    val cent = c.filter(col("vec_id") < NumCentroids)
+
+    // argmax cell per vector: partial-aggregated struct-max with the
+    // same (ccos DESC, cid ASC) tie-break as a row_number rank
+    def argmaxCell(scored: DataFrame): DataFrame =
+      scored.groupBy("vec_id")
+        .agg(max(struct(col("ccos"), (-col("cid")).as("ncid"), col("cid").as("cid"))).as("m"))
+        .select(col("vec_id"), col("m.cid").as("cell"))
+
+    def scoreAgainst(cent: DataFrame): DataFrame =
+      c.crossJoin(broadcast(cent))
+        .withColumn("ccos", dotC(col("e"), col("ce")) / (col("nrm") * col("cn")))
+        .select("vec_id", "cid", "ccos")
+
+    // one deterministic Lloyd iteration over the vec_id-seeded centroids
+    val cent0 = c.filter(col("vec_id") < NumCentroids)
       .select(col("vec_id").as("cid"), col("e").as("ce"), col("nrm").as("cn"))
-    val scored = c.crossJoin(broadcast(cent))
-      .withColumn("ccos", dotC(col("e"), col("ce")) / (col("nrm") * col("cn")))
-      .select("vec_id", "cid", "ccos")
-    val wAssign = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid"))
-    val assigned = scored.withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("cid").as("cell"))
+    val assign0 = argmaxCell(scoreAgainst(cent0))
+    val cent = assign0
+      .join(c.select(col("vec_id"), col("e")), Seq("vec_id"))
+      .select(col("cell").as("cid"), posexplode(col("e")).as(Seq("i", "x")))
+      .groupBy("cid", "i")
+      .agg(round(lit(1e-9) + avg("x"), 6).as("m"))
+      .groupBy("cid")
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("m")))),
+        s => s.getField("m")).as("ce"))
+      .withColumn("cn", sqrt(dotC(col("ce"), col("ce"))))
+
+    val scored = scoreAgainst(cent)
+    val assigned = argmaxCell(scored)
+    // probe cells per query: bounded-heap top-NProbe, not a window
     val qcells = scored.filter(col("vec_id") < NumQueries)
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") <= NProbe)
-      .select(col("vec_id").as("query_id"), col("cid").as("cell"))
+      .groupBy(col("vec_id").as("query_id"))
+      .agg(graft.functions.TopKAgg.topk_by_score(col("ccos"), col("cid"), NProbe).as("tk"))
+      .select(col("query_id"), explode(col("tk")).as("t"))
+      .select(col("query_id"), col("t.id").as("cell"))
     val cand = broadcast(qcells).join(assigned, Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .select("query_id", "vec_id").distinct()
@@ -284,11 +333,11 @@ object Ann {
       .join(broadcast(qvec), Seq("query_id"))
       .join(c.select(col("vec_id"), col("e"), col("nrm")), Seq("vec_id"))
       .withColumn("cos_raw", dotC(col("qe"), col("e")) / (col("qn") * col("nrm")))
-    val wTop = Window.partitionBy("query_id").orderBy(col("cos_raw").desc, col("vec_id"))
-    res.withColumn("rank", row_number().over(wTop).cast("long"))
-      .filter(col("rank") <= TopK)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        round(lit(1e-9) + col("cos_raw"), 6).as("cosine"), col("rank"))
+    res.groupBy("query_id")
+      .agg(graft.functions.TopKAgg.topk_by_score(col("cos_raw"), col("vec_id"), TopK).as("tk"))
+      .select(col("query_id"), explode(col("tk")).as("t"))
+      .select(col("query_id"), col("t.id").as("neighbor_id"),
+        round(lit(1e-9) + col("t.score"), 6).as("cosine"), col("t.rank").as("rank"))
       .orderBy("query_id", "rank")
   }
 

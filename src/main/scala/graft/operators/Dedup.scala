@@ -29,14 +29,22 @@ object Dedup {
     * pairs are recovered by the other bands with overwhelming
     * probability at real duplication rates. Every caller mirrors the
     * cap in its DuckDB oracle SQL.
+    *
+    * Shape: a LEFT ANTI join against the OVERSIZED key set, not an
+    * inner join against the small one. The oversized set is tiny by
+    * this operator's own premise (degenerate buckets are the rare
+    * pathology), so AQE broadcasts it at runtime and the banded frame
+    * never re-shuffles for the cap check; the count aggregation that
+    * feeds it is partial-aggregated (a degenerate bucket costs a long
+    * counter per map task, never a collected list).
     */
   def dropOversizedBuckets(df: DataFrame, keyCols: Seq[String], cap: Int): DataFrame = {
     val keys = keyCols.map(col)
-    val small = df.groupBy(keys: _*)
+    val big = df.groupBy(keys: _*)
       .agg(count(lit(1)).as("bucket_n"))
-      .filter(col("bucket_n") <= cap)
+      .filter(col("bucket_n") > cap)
       .select(keys: _*)
-    df.join(small, keyCols)
+    df.join(big, keyCols, "left_anti")
   }
 
   // ═══════════════ exact dedup ═══════════════

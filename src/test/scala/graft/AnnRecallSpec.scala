@@ -7,7 +7,8 @@ import org.scalatest.funsuite.AnyFunSuite
   *
   * The two scale paths trade off differently on this corpus, whose
   * true top-10 neighbors are near-orthogonal (cosines ≈ 0.2-0.47):
-  *  - ann_ivf (nprobe 4 of 16 cells) recalls ~0.88 — cell probing
+  *  - ann_ivf (nprobe 4 of 16 cells, one Lloyd refinement over the
+  *    seed centroids) recalls ~0.90 (0.88 unrefined) — cell probing
   *    degrades gracefully when neighbors aren't tightly clustered;
   *  - ann_lsh recalls ~0.08 — sign-hyperplane collisions decay
   *    exponentially with angle, so banded LSH only surfaces
@@ -28,7 +29,7 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(truth.nonEmpty)
     val ivf = pairs("ann_ivf").intersect(truth).size.toDouble / truth.size
     val lsh = pairs("ann_lsh").intersect(truth).size.toDouble / truth.size
-    assert(ivf >= 0.7, s"IVF recall regressed: $ivf")
+    assert(ivf >= 0.8, s"IVF recall regressed: $ivf")
     assert(lsh > 0.0, s"LSH recall collapsed to zero: $lsh")
     assert(ivf > lsh, "on spread-out data IVF must beat sign-LSH recall")
   }

@@ -79,6 +79,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("dd_embed's bucket-cap check is a broadcast anti join in the final plan") {
+    val df = SparkEntry.queries("dd_embed")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // With no oversized bucket at this SF, AQE's empty-relation
+    // propagation removes the anti join entirely (the cap check costs
+    // nothing); if it survives, it must be broadcast. Either way the
+    // banded frame must never re-shuffle for the cap.
+    val antiLines = p.linesIterator.filter(_.contains("LeftAnti")).toSeq
+    assert(antiLines.forall(_.contains("BroadcastHashJoin")),
+      s"oversized-bucket anti join must broadcast, got: $antiLines")
+  }
+
   test("ma_dli_bigrams forms bigrams in the scan stage, no per-doc word window") {
     val p = plan("ma_dli_bigrams")
     assert(p.contains("word_bigrams"), "bigrams must come from the native expression")
@@ -104,6 +117,13 @@ class PlanSpec extends AnyFunSuite {
     // per-doc row_number window.
     assert(p.contains("partial_max") || p.contains("partial_"),
       "per-doc argmax must have a map-side partial phase")
+  }
+
+  test("ann_ivf assigns cells and ranks candidates without any window") {
+    val p = plan("ann_ivf")
+    assert(!p.contains("row_number"),
+      "cell assignment must be the struct-max aggregation, top-k the bounded heap")
+    assert(p.contains("topk_by_score"), "probe cells / final top-k must use the heap aggregate")
   }
 
   test("ma_reef_cka selects its bounded sample without a full window sort") {
