@@ -3,7 +3,7 @@ package graft
 import graft.functions.{MinHashSigExpr, PolyHashExpr, ShingleHashesExpr, TokenHashesExpr}
 import graft.functions.{ContainsCountExpr, DotProductExpr, MarkerTotalExpr, TopKByScore, WordBigramsExpr}
 import org.apache.spark.unsafe.types.UTF8String
-import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.{AnalysisException, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
@@ -20,6 +20,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "built-in")
 
   override def apply(e: SparkSessionExtensions): Unit = {
+    import GraftExtensions.{intArg, markerList}
     e.injectPlannerStrategy(_ => graft.plans.CosineTopKStrategy)
     e.injectFunction((FunctionIdentifier("poly_hash"),
       info("poly_hash", "poly_hash(str) - mod-p polynomial fold of a string"),
@@ -39,19 +40,51 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("topk_by_score"),
       info("topk_by_score", "topk_by_score(score, id, k) - bounded top-k aggregate"),
       (es: Seq[Expression]) => TopKByScore(es(0), es(1),
-        es(2).asInstanceOf[Literal].value.asInstanceOf[Int]).toAggregateExpression()))
+        intArg("topk_by_score", "k", es(2))).toAggregateExpression()))
     e.injectFunction((FunctionIdentifier("word_bigrams"),
       info("word_bigrams", "word_bigrams(str) - adjacent \\w+ word pairs"),
       (es: Seq[Expression]) => WordBigramsExpr(es.head)))
 
-    // marker-list args arrive as string-literal varargs from SQL
-    def markerList(es: Seq[Expression]): Seq[String] =
-      es.map(_.asInstanceOf[Literal].value.asInstanceOf[UTF8String].toString)
     e.injectFunction((FunctionIdentifier("marker_total"),
       info("marker_total", "marker_total(str, m1, m2, ...) - total non-overlapping marker occurrences"),
-      (es: Seq[Expression]) => MarkerTotalExpr(es.head, markerList(es.tail))))
+      (es: Seq[Expression]) => MarkerTotalExpr(es.head, markerList("marker_total")(es.tail))))
     e.injectFunction((FunctionIdentifier("contains_count"),
       info("contains_count", "contains_count(str, m1, m2, ...) - how many markers appear"),
-      (es: Seq[Expression]) => ContainsCountExpr(es.head, markerList(es.tail))))
+      (es: Seq[Expression]) => ContainsCountExpr(es.head, markerList("contains_count")(es.tail))))
+  }
+}
+
+/** Literal-argument extraction shared by the extensions path and the
+  * runtime registration hook (graft.functions.HashExprs.register):
+  * a non-literal in a literal-only slot raises an analysis-time
+  * usage error instead of a raw ClassCastException.
+  */
+object GraftExtensions {
+
+  private def userError(msg: String): AnalysisException =
+    new AnalysisException("USER_RAISED_EXCEPTION", Map("errorMessage" -> msg), None)
+
+  /** marker-list args arrive as string-literal varargs from SQL;
+    * foldable expressions (e.g. 'a' || 'b') are accepted and folded.
+    */
+  private[graft] def markerList(fn: String)(es: Seq[Expression]): Seq[String] = es.map {
+    case l: Literal if l.value.isInstanceOf[UTF8String] =>
+      l.value.asInstanceOf[UTF8String].toString
+    case f if f.foldable => f.eval(null) match {
+      case s: UTF8String => s.toString
+      case other => throw userError(s"$fn marker arguments must be string " +
+        s"literals, got ${f.sql} = $other")
+    }
+    case other => throw userError(
+      s"$fn marker arguments must be string literals, got: ${other.sql}")
+  }
+
+  private[graft] def intArg(fn: String, name: String, e: Expression): Int = e match {
+    case l: Literal if l.value.isInstanceOf[Int] => l.value.asInstanceOf[Int]
+    case f if f.foldable => f.eval(null) match {
+      case i: Int => i
+      case other => throw userError(s"$fn $name must be an integer literal, got $other")
+    }
+    case other => throw userError(s"$fn $name must be an integer literal, got: ${other.sql}")
   }
 }

@@ -225,5 +225,15 @@ object HashExprs {
     reg.createOrReplaceTempFunction("minhash_sig", es => MinHashSigExpr(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("poly_hash", es => PolyHashExpr(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("word_bigrams", es => WordBigramsExpr(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("marker_total",
+      es => MarkerTotalExpr(es.head, graft.GraftExtensions.markerList("marker_total")(es.tail)),
+      "scala_udf")
+    reg.createOrReplaceTempFunction("contains_count",
+      es => ContainsCountExpr(es.head, graft.GraftExtensions.markerList("contains_count")(es.tail)),
+      "scala_udf")
+    reg.createOrReplaceTempFunction("topk_by_score",
+      es => TopKByScore(es(0), es(1),
+        graft.GraftExtensions.intArg("topk_by_score", "k", es(2))).toAggregateExpression(),
+      "scala_udf")
   }
 }

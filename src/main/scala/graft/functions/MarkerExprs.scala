@@ -84,12 +84,21 @@ case class ContainsCountExpr(child: Expression, markers: Seq[String]) extends Un
 }
 
 object WordScan {
-  // same engine and same ASCII-word semantics as Spark's
-  // regexp_extract_all(text, '\w+') — Java regex without
-  // UNICODE_CHARACTER_CLASS
-  private val WordRe = java.util.regex.Pattern.compile("\\w+")
+  /** Unicode word class, matching the reference's Python
+    * `re.findall(r"\w+", ...)` on real text: letters (any script —
+    * CJK, Greek, accented Latin), Unicode digits, underscore. The
+    * explicit `[\p{L}\p{N}_]` class is used instead of `(?U)\w`
+    * because it means the same thing in Java regex AND DuckDB's RE2
+    * (where `(?U)` means "ungreedy", and bare `\w` is ASCII-only) —
+    * the oracle must tokenize identically. Known residual divergence
+    * from Python `\w`: characters that are alphanumeric only via
+    * Other_Alphabetic (e.g. Indic vowel signs) and a few exotic
+    * numerics; no practical corpus text hits it.
+    */
+  val WordClass = "[\\p{L}\\p{N}_]+"
+  private val WordRe = java.util.regex.Pattern.compile(WordClass)
 
-  /** Adjacent word pairs "w1 w2" of the \w+ tokens, in order. */
+  /** Adjacent word pairs "w1 w2" of the word tokens, in order. */
   def wordBigrams(text: String): Array[UTF8String] = {
     val words = scala.collection.mutable.ArrayBuffer.empty[String]
     val m = WordRe.matcher(text)

@@ -223,8 +223,13 @@ object Audit {
   // Reference: dli.py:60-113 (_extract_behavior_signature)
 
   /** Unrounded per-model DLI signature (Spark side). */
-  private def dliSigDf(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+  private def dliSigDf(spark: SparkSession, dir: String): DataFrame =
+    dliSigOf(Tables.documents(spark, dir)).cache()
+
+  /** Signature over any frame with (source, text) — reused by the
+    * multilingual golden spec on an inline corpus.
+    */
+  private[graft] def dliSigOf(docs: DataFrame): DataFrame = {
     val lt = lower(col("text"))
     val perDoc = docs.select(
       col("source"),
@@ -232,7 +237,7 @@ object Audit {
       // same empty-doc guard as docFeats: Python len("".split()) == 0
       when(length(trim(col("text"))) === 0, lit(0))
         .otherwise(size(split(trim(col("text")), "\\s+"))).cast("double").as("n_split_words"),
-      size(regexp_extract_all(lt, lit("\\w+"), lit(0))).as("n_re_words"),
+      size(regexp_extract_all(lt, lit(graft.functions.WordScan.WordClass), lit(0))).as("n_re_words"),
       col("text").rlike(mdHeaderRe).cast("int").as("has_md"),
       col("text").rlike(bulletRe).cast("int").as("has_list"),
       col("text").contains("```").cast("int").as("has_code"),
@@ -248,7 +253,9 @@ object Audit {
       sum("cert_cnt").as("cert_total"),
       sum("n_re_words").as("word_total"))
     val vocab = docs
-      .select(col("source"), explode(regexp_extract_all(lower(col("text")), lit("\\w+"), lit(0))).as("w"))
+      .select(col("source"),
+        explode(regexp_extract_all(lower(col("text")),
+          lit(graft.functions.WordScan.WordClass), lit(0))).as("w"))
       .groupBy("source")
       .agg(countDistinct("w").as("n_vocab"))
     base.join(vocab, Seq("source"))
@@ -260,7 +267,6 @@ object Audit {
         col("markdown_rate"), col("list_rate"), col("code_block_rate"),
         (col("hedge_total") / greatest(col("word_total"), lit(1)).cast("double")).as("hedging_rate"),
         (col("cert_total") / greatest(col("word_total"), lit(1)).cast("double")).as("certainty_rate"))
-      .cache()
   }
 
   private val dliSigSql: String = {
@@ -281,13 +287,13 @@ object Audit {
        |    avg(CAST((position('```' IN text) > 0) AS INT)) AS code_block_rate,
        |    CAST(sum($hedge) AS DOUBLE) AS hedge_total,
        |    CAST(sum($cert) AS DOUBLE) AS cert_total,
-       |    CAST(sum(len(regexp_extract_all(lt, '\\w+'))) AS BIGINT) AS word_total
+       |    CAST(sum(len(regexp_extract_all(lt, '${graft.functions.WordScan.WordClass}'))) AS BIGINT) AS word_total
        |  FROM (SELECT source, text, $lt AS lt FROM documents)
        |  GROUP BY source
        |) base
        |JOIN (
        |  SELECT source, count(DISTINCT w) AS n_vocab
-       |  FROM (SELECT source, unnest(regexp_extract_all(lower(text), '\\w+')) AS w FROM documents)
+       |  FROM (SELECT source, unnest(regexp_extract_all(lower(text), '${graft.functions.WordScan.WordClass}')) AS w FROM documents)
        |  GROUP BY source
        |) v ON base.source = v.source""".stripMargin
   }
@@ -320,12 +326,18 @@ object Audit {
     * doc order. Encoded as one ordinal doc_id·2²⁰ + pos (docs are
     * response texts, far under 2²⁰ words).
     */
-  private def dliBigramDf(spark: SparkSession, dir: String): DataFrame = {
+  private def dliBigramDf(spark: SparkSession, dir: String): DataFrame =
+    dliBigramsOf(Tables.documents(spark, dir))
+
+  /** Top-100 bigram distribution over any frame with
+    * (doc_id, source, text) — reused by the multilingual golden spec.
+    */
+  private[graft] def dliBigramsOf(docs: DataFrame): DataFrame = {
     // (source, bigram) counts with the first-occurrence ordinal;
     // cached because the bounded top-100 selection reads it twice
     // (select + join-back). Fixed-width + short strings — safe for
     // the columnar cache.
-    val counts = Tables.documents(spark, dir)
+    val counts = docs
       .select(col("doc_id"), col("source"),
         posexplode(graft.functions.MarkerExprs.word_bigrams(lower(col("text")))))
       .withColumn("ord", col("doc_id") * lit(1048576L) + col("pos"))
@@ -363,7 +375,7 @@ object Audit {
        |      SELECT doc_id, source, w[g] || ' ' || w[g + 1] AS bigram, g
        |      FROM (
        |        SELECT doc_id, source, w, unnest(generate_series(1, len(w) - 1)) AS g
-       |        FROM (SELECT doc_id, source, regexp_extract_all(lower(text), '\\w+') AS w FROM documents)
+       |        FROM (SELECT doc_id, source, regexp_extract_all(lower(text), '${graft.functions.WordScan.WordClass}') AS w FROM documents)
        |      )
        |    )
        |    GROUP BY source, bigram

@@ -1,5 +1,6 @@
 package graft.sources
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -45,9 +46,18 @@ object FingerprintStore {
     live.join(latest, Seq("model", "provider", "created_at_s"))
   }
 
+  /** Overwrite-writes below read lazily from `path`; writing the same
+    * location would delete the source mid-read and lose the store.
+    */
+  private def requireDistinct(path: String, outPath: String): Unit =
+    require(new Path(outPath) != new Path(path),
+      s"outPath must differ from path ($path): an in-place overwrite would " +
+        "delete the store while it is being read")
+
   /** Drop expired entries by rewriting live partitions (compaction). */
   def expire(spark: SparkSession, path: String, method: String,
       nowEpochS: Long, ttlS: Long, outPath: String): Long = {
+    requireDistinct(path, outPath)
     val live = get(spark, path, method, nowEpochS, ttlS)
     val n = live.count()
     live.write.mode(SaveMode.Overwrite).partitionBy("method").parquet(outPath)
@@ -76,11 +86,13 @@ object FingerprintStore {
     */
   def clear(spark: SparkSession, path: String, outPath: String,
       method: Option[String] = None): Long = {
+    requireDistinct(path, outPath)
     val all = spark.read.parquet(path)
     val total = all.count()
     method match {
       case Some(m) =>
-        val kept = all.filter(col("method") =!= m)
+        // null-safe: rows with a null method are KEPT, not dropped
+        val kept = all.filter(!(col("method") <=> m))
         val n = kept.count()
         kept.write.mode(SaveMode.Overwrite).partitionBy("method").parquet(outPath)
         total - n

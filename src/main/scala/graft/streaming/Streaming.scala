@@ -70,15 +70,18 @@ object Streaming {
     * row per content hash inside the watermark horizon.
     * dropDuplicatesWithinWatermark is the 100 TB-stream shape — state
     * is bounded by the watermark, where a plain dropDuplicates would
-    * accumulate every key ever seen. The key is the polynomial
-    * content hash (same hash as dd_exact's oracle family), so the
-    * streaming and batch dedup agree on what "identical" means.
+    * accumulate every key ever seen. The key is SHA-256 of the text —
+    * the same key as the batch dd_exact_hash, so streaming and batch
+    * agree on what "identical" means. (A short hash is NOT enough
+    * here: a ~30-bit polynomial key hits 50% birthday-collision odds
+    * at only ~37k distinct docs inside the watermark horizon and
+    * would silently drop distinct documents.)
     */
   def dedupExact(docs: DataFrame): DataFrame =
     docs
-      .withColumn("content_hash", graft.functions.HashExprs.poly_hash(col("text")))
+      .withColumn("content_sha", sha2(col("text"), 256))
       .withWatermark("ts", "10 minutes")
-      .dropDuplicatesWithinWatermark("content_hash")
+      .dropDuplicatesWithinWatermark("content_sha")
 
   /** Flush still-open sessions from a completed sessionize pass
     * (batch-mode convenience for tests and backfills).

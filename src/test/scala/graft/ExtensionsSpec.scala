@@ -35,6 +35,26 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r4.toList == List("one two", "two three"))
   }
 
+  test("non-literal marker/k arguments raise a usable analysis error") {
+    graft.functions.HashExprs.register(spark)
+    import spark.implicits._
+    Seq(("hello", "he")).toDF("t", "m").createOrReplaceTempView("mt")
+    // a COLUMN where a string literal is required
+    val e1 = intercept[Exception] {
+      spark.sql("SELECT contains_count(t, m) FROM mt").collect()
+    }
+    assert(e1.getMessage.contains("string literals"), s"got: ${e1.getMessage}")
+    // a foldable expression is accepted (constant-folded to a literal)
+    val ok = spark.sql("SELECT marker_total(t, 'l' || 'l') AS n FROM mt")
+      .collect()(0).getLong(0)
+    assert(ok == 1L)
+    // non-literal k for topk_by_score
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT topk_by_score(1.0, 1L, CAST(t AS INT)) FROM mt").collect()
+    }
+    assert(e2.getMessage.contains("integer literal"), s"got: ${e2.getMessage}")
+  }
+
   test("bounded top-k aggregate through the Column API") {
     import spark.implicits._
     val df = Seq((1, 0.5, 10L), (1, 0.9, 11L), (1, 0.7, 12L), (2, 0.1, 20L))

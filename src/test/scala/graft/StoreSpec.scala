@@ -76,6 +76,18 @@ class StoreSpec extends AnyFunSuite {
     val out2 = base + "/after-full-clear"
     assert(FingerprintStore.clear(spark, dir, out2, None) == 3L)
     assert(spark.read.parquet(out2).count() == 0)
+
+    // in-place clear/expire is refused (it would delete the source
+    // mid-read), including a path-equivalent spelling
+    intercept[IllegalArgumentException] {
+      FingerprintStore.clear(spark, dir, dir, Some("llmmap"))
+    }
+    intercept[IllegalArgumentException] {
+      FingerprintStore.clear(spark, dir, base + "/./fp", None)
+    }
+    intercept[IllegalArgumentException] {
+      FingerprintStore.expire(spark, dir, "llmmap", 2000L, 10L, dir)
+    }
   }
 
   test("end-to-end: persist ma_fingerprint output and read it back") {
