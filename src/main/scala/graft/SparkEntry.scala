@@ -12,6 +12,7 @@ object SparkEntry {
       operators.Audit.all ++
       operators.Style.all ++
       operators.Report.all ++
+      operators.ReportFull.all ++
       operators.Dedup.all ++
       operators.Ann.all ++
       operators.TextAnalysis.all ++

@@ -204,6 +204,55 @@ object AuditDefs {
   val judgeLabels: (String, String, String, String) =
     ("**完全一致**", "**高度一致**", "接近", "显著不同")
 
+  /** report.py:42-56 _CATEGORY_LABELS (insertion order = catalog
+    * first-occurrence order, which Counter preserves in §2.1).
+    */
+  val categoryLabels: Seq[(String, String)] = Seq(
+    "self_awareness" -> "自我认知",
+    "safety_boundary" -> "安全边界",
+    "injection" -> "注入测试",
+    "knowledge" -> "知识立场",
+    "reasoning" -> "推理测试",
+    "style" -> "风格测试",
+    "creative" -> "创意写作",
+    "multilingual" -> "多语言",
+    "format" -> "格式控制",
+    "roleplay" -> "角色扮演",
+    "code" -> "代码生成",
+    "summarization" -> "摘要能力")
+
+  /** report.py:59-72 _CATEGORY_EXPLANATIONS. */
+  val categoryExplanations: Map[String, String] = Map(
+    "self_awareness" -> "模型身份、创建者",
+    "safety_boundary" -> "拒绝策略、措辞差异",
+    "injection" -> "Prompt injection 响应",
+    "knowledge" -> "知识立场",
+    "reasoning" -> "逻辑推理、伦理判断",
+    "style" -> "风格差异",
+    "creative" -> "叙事风格、类比能力",
+    "multilingual" -> "中文响应、多语翻译",
+    "format" -> "JSON 输出、Markdown 表格",
+    "roleplay" -> "角色一致性",
+    "code" -> "编码风格",
+    "summarization" -> "信息压缩")
+
+  /** Fixed audit clock for the report header (the reference stamps
+    * datetime.now(); a deterministic engine takes the audit date as a
+    * parameter — this constant is what the oracle and golden fixtures
+    * were generated with).
+    */
+  val AuditDate = "2026-01-01"
+  val AuditDateTime = "2026-01-01 00:00:00"
+
+  /** The reference release whose report format is reproduced. */
+  val ToolVersion = "0.4.0"
+
+  /** Number of probes a detailed report covers — the full catalog
+    * (engine.py get_probes(count) TRUNCATES at the catalog, it never
+    * cycles; sources with fewer responses pad to "unknown").
+    */
+  val ReportProbes = 20
+
   // ── structural regexes (same RE2/Java-compatible syntax on both sides) ──
   val bulletRe = "(?m)^[\\s]*[-*•]\\s"
   val numberedRe = "(?m)^[\\s]*\\d+[.)]\\s"

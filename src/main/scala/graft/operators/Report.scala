@@ -41,28 +41,28 @@ object Report {
 
   // ═══════ shared CTE bodies (DuckDB) ═══════
 
-  private def fpBody: String =
+  private[operators] def fpBody: String =
     Audit.fingerprint.oracle.get.replace("ORDER BY source", "")
 
-  private def pairsSql: String = {
+  private[operators] def pairsSql: String = {
     val cols = fpNeeded.flatMap(k => Seq(s"a.$k AS a_$k", s"b.$k AS b_$k")).mkString(",\n    ")
     s"""SELECT a.source AS model_a, b.source AS model_b,
        |    $cols
        |  FROM fp a JOIN fp b ON a.source < b.source""".stripMargin
   }
 
-  private def fmtSql(fmt: String, e: String): String =
+  private[operators] def fmtSql(fmt: String, e: String): String =
     if (fmt == "%.0f%%") s"printf('%.0f%%', ($e) * ${dd("100")} + 1e-9)"
     else s"printf('$fmt', ($e) + 1e-9)"
 
-  private def fmtC(fmt: String, c: Column): Column =
+  private[operators] def fmtC(fmt: String, c: Column): Column =
     if (fmt == "%.0f%%") format_string("%.0f%%", c * lit(100d) + lit(1e-9))
     else format_string(fmt, c + lit(1e-9))
 
   /** Judgement CASE over the 6-dp-rounded |diff| (rounding first makes
     * the branch decision identical across engines).
     */
-  private def judgeSql(k: String, diffE: String): String = {
+  private[operators] def judgeSql(k: String, diffE: String): String = {
     val (t1, t2, t3) = judgeThresholds(k)
     s"""CASE WHEN $diffE < ${dd(t1.toString)} THEN '$j1'
        |      WHEN $diffE < ${dd(t2.toString)} THEN '$j2'
@@ -70,14 +70,14 @@ object Report {
        |      ELSE '$j4' END""".stripMargin
   }
 
-  private def judgeC(k: String, diff: Column): Column = {
+  private[operators] def judgeC(k: String, diff: Column): Column = {
     val (t1, t2, t3) = judgeThresholds(k)
     when(diff < t1, j1).when(diff < t2, j2).when(diff < t3, j3).otherwise(j4)
   }
 
   // ═══════ Spark shared frames ═══════
 
-  private def pairsDf(spark: SparkSession, dir: String): DataFrame = {
+  private[operators] def pairsDf(spark: SparkSession, dir: String): DataFrame = {
     val fp = Audit.fingerprint.fn(spark, dir)
     val a = fp.select(col("source").as("model_a") +: fpNeeded.map(k => col(k).as(s"a_$k")): _*)
     val b = fp.select(col("source").as("model_b") +: fpNeeded.map(k => col(k).as(s"b_$k")): _*)
