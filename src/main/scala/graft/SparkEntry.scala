@@ -14,6 +14,7 @@ object SparkEntry {
       operators.Report.all ++
       operators.ReportFull.all ++
       operators.Dedup.all ++
+      operators.ScaleJoins.all ++
       operators.Ann.all ++
       operators.TextAnalysis.all ++
       operators.Reef.all ++

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.{Q, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -20,13 +21,24 @@ object ScaleJoins {
 
   /** Write both sides bucketed by the join key into `db`-less managed
     * tables, so subsequent joins on that key are shuffle-free.
+    * Drops any previous incarnation first — including a stale
+    * warehouse DIRECTORY left by an earlier session (a fresh
+    * in-memory catalog doesn't know the table, so saveAsTable would
+    * refuse with LOCATION_ALREADY_EXISTS rather than overwrite).
     */
   def writeBucketed(
-      df: DataFrame, table: String, key: String, numBuckets: Int): Unit =
+      df: DataFrame, table: String, key: String, numBuckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode("overwrite")
       .bucketBy(numBuckets, key)
       .sortBy(key)
       .saveAsTable(table)
+  }
 
   /** Shuffle-free join of two tables previously written with
     * writeBucketed on the same key and bucket count.
@@ -48,4 +60,40 @@ object ScaleJoins {
       explode(sequence(lit(0), lit(salt - 1))))
     saltedFact.join(saltedDim, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** Registered query exercising the bucketed co-located join path
+    * end-to-end: revenue per order priority over lineitem⋈orders with
+    * BOTH sides first written bucketed by the order key (the one-time
+    * production layout, like the IVF index build), then joined
+    * shuffle-free — the only Exchange left in the plan is the final
+    * small aggregation on o_orderpriority, never on l_orderkey
+    * (asserted in PlanSpec). The merge hint pins the sort-merge path
+    * so the bucketed layout is what's exercised, not an AQE broadcast.
+    */
+  val bucketedRevenue = Q(
+    "q11_bucketed_revenue",
+    """SELECT o_orderpriority,
+      |  CAST(count(*) AS BIGINT) AS n_items,
+      |  round(1e-9 + sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin) { (spark, dir) =>
+    val nb = 8
+    writeBucketed(Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_extendedprice", "l_discount"),
+      "graft_li_bkt", "l_orderkey", nb)
+    writeBucketed(Tables.orders(spark, dir)
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority")),
+      "graft_ord_bkt", "l_orderkey", nb)
+    spark.table("graft_li_bkt").hint("merge")
+      .join(spark.table("graft_ord_bkt"), "l_orderkey")
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_items"),
+        round(lit(1e-9) + sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
+  val all: Seq[Q] = Seq(bucketedRevenue)
 }

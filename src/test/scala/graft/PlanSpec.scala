@@ -119,6 +119,15 @@ class PlanSpec extends AnyFunSuite {
       "per-doc argmax must have a map-side partial phase")
   }
 
+  test("q11 bucketed join never shuffles on the join key") {
+    val df = SparkEntry.queries("q11_bucketed_revenue")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p.contains("SortMergeJoin"), "merge hint must pin the sort-merge path")
+    assert(!p.matches("(?s).*Exchange hashpartitioning\\(l_orderkey.*"),
+      "bucketed layout must make the orderkey join shuffle-free")
+  }
+
   test("ann_ivf assigns cells and ranks candidates without any window") {
     val p = plan("ann_ivf")
     assert(!p.contains("row_number"),
