@@ -263,10 +263,23 @@ object Dedup {
     * Returns the (doc, label) frame — label = component minimum — and
     * the number of rounds taken (asserted O(log n) in ClustersSpec).
     */
+  /** Release the block-storage partitions behind a localCheckpoint'd
+    * frame. Dataset.unpersist only covers cache-manager entries; the
+    * checkpoint blocks belong to the RDD inside the LogicalRDD the
+    * checkpoint returned, and without an explicit release every
+    * superseded label snapshot stays resident — O(rounds) executor
+    * storage on a large graph.
+    */
+  private def releaseLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collect {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
+    }.foreach(_.unpersist(blocking = false))
+
   private[graft] def connectedComponents(
       edges: DataFrame, maxRounds: Int = 50): (DataFrame, Int) = {
     var labels = edges.select(col("u").as("doc")).distinct()
       .withColumn("label", col("doc")).cache()
+    var prevCheckpoint: DataFrame = null
     var changed = 1L
     var rounds = 0
     while (changed > 0) {
@@ -290,6 +303,11 @@ object Dedup {
       changed = next.filter(col("label") =!= col("old")).count()
       stepped.unpersist()
       labels.unpersist()
+      // this round's checkpoint is materialized (the count above ran on
+      // it), so the previous round's snapshot is now unreachable —
+      // release its blocks instead of retaining O(rounds) of them
+      if (prevCheckpoint != null) releaseLocalCheckpoint(prevCheckpoint)
+      prevCheckpoint = next
       labels = next.select("doc", "label")
       rounds += 1
     }

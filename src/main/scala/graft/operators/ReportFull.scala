@@ -150,7 +150,10 @@ object ReportFull {
     */
   private def probeRowsDf(spark: SparkSession, dir: String, pairKeys: DataFrame): DataFrame = {
     val det = Style.detectedDf(spark, dir).filter(col("probe_idx") <= ReportProbes)
-    pairKeys.crossJoin(broadcast(catalogDf(spark)))
+    // the oracle caps probe rows at idx <= ReportProbes; mirror that on
+    // the catalog side too so a catalog grown past ReportProbes can't
+    // silently add unknown-family rows here that the oracle lacks
+    pairKeys.crossJoin(broadcast(catalogDf(spark).filter(col("idx") <= ReportProbes)))
       .join(det.select(col("source").as("model_a"), col("probe_idx").as("idx"),
         col("family").as("tfam0")), Seq("model_a", "idx"), "left")
       .join(det.select(col("source").as("model_b"), col("probe_idx").as("idx"),

@@ -29,9 +29,21 @@ object ScaleJoins {
   def writeBucketed(
       df: DataFrame, table: String, key: String, numBuckets: Int): Unit = {
     val spark = df.sparkSession
+    require(!table.contains("."),
+      s"writeBucketed expects an unqualified default-database table name, got '$table'")
+    // resolve the ACTUAL location from the catalog when the table is
+    // known (a table created elsewhere may not live under
+    // <warehouse>/<table>); fall back to the default-database layout
+    // only for a stale directory the fresh catalog has never heard of.
+    val loc =
+      if (spark.catalog.tableExists(table))
+        new org.apache.hadoop.fs.Path(spark.sessionState.catalog
+          .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+          .location)
+      else
+        new org.apache.hadoop.fs.Path(
+          spark.conf.get("spark.sql.warehouse.dir"), table)
     spark.sql(s"DROP TABLE IF EXISTS $table")
-    val loc = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"), table)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode("overwrite")

@@ -146,10 +146,15 @@ object Style {
     // argmax family per doc: hash aggregation (map-side partial) on
     // the max of (score, -fidx, family) — same tie-break as
     // `ORDER BY score DESC, fidx`, no per-doc shuffle+sort window.
+    // Grouped by doc_id ALONE, mirroring the oracle's
+    // `PARTITION BY doc_id`: source rides in the max-struct payload,
+    // so a doc_id duplicated across sources can't yield two rows here
+    // where the oracle yields one.
     val best = scoresDf(spark, dir)
-      .groupBy("doc_id", "source")
-      .agg(max(struct(col("score"), (-col("fidx")).as("nfidx"), col("family"))).as("m"))
-      .select(col("doc_id"), col("source"), col("m.family").as("family"))
+      .groupBy("doc_id")
+      .agg(max(struct(col("score"), (-col("fidx")).as("nfidx"),
+        col("family"), col("source"))).as("m"))
+      .select(col("doc_id"), col("m.source").as("source"), col("m.family").as("family"))
 
     // probe_idx = row_number over (PARTITION BY source ORDER BY doc_id)
     // without funnelling a whole source through one task: two-pass rank.

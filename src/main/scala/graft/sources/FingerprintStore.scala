@@ -48,16 +48,26 @@ object FingerprintStore {
 
   /** Overwrite-writes below read lazily from `path`; writing the same
     * location would delete the source mid-read and lose the store.
+    * Paths are fully qualified against the filesystem before the
+    * comparison, so spelling variants of one directory ("file:/x" vs
+    * "/x", relative vs absolute) can't slip past the guard.
     */
-  private def requireDistinct(path: String, outPath: String): Unit =
-    require(new Path(outPath) != new Path(path),
+  private def requireDistinct(
+      spark: SparkSession, path: String, outPath: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    def qualified(p: String): Path = {
+      val hp = new Path(p)
+      hp.getFileSystem(conf).makeQualified(hp)
+    }
+    require(qualified(outPath) != qualified(path),
       s"outPath must differ from path ($path): an in-place overwrite would " +
         "delete the store while it is being read")
+  }
 
   /** Drop expired entries by rewriting live partitions (compaction). */
   def expire(spark: SparkSession, path: String, method: String,
       nowEpochS: Long, ttlS: Long, outPath: String): Long = {
-    requireDistinct(path, outPath)
+    requireDistinct(spark, path, outPath)
     val live = get(spark, path, method, nowEpochS, ttlS)
     val n = live.count()
     live.write.mode(SaveMode.Overwrite).partitionBy("method").parquet(outPath)
@@ -86,7 +96,7 @@ object FingerprintStore {
     */
   def clear(spark: SparkSession, path: String, outPath: String,
       method: Option[String] = None): Long = {
-    requireDistinct(path, outPath)
+    requireDistinct(spark, path, outPath)
     val all = spark.read.parquet(path)
     val total = all.count()
     method match {
