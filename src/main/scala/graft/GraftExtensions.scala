@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{MinHashSigExpr, PolyHashExpr, ShingleHashesExpr, TokenHashesExpr}
-import graft.functions.{ContainsCountExpr, DotProductExpr, MarkerTotalExpr, TopKByScore, WordBigramsExpr}
+import graft.functions.{ContainsCountExpr, DotProductExpr, MarkerTotalExpr, TopKByScore, WordBigramsExpr, WordCountExpr, WordTokensExpr}
 import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.sql.{AnalysisException, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -44,6 +44,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("word_bigrams"),
       info("word_bigrams", "word_bigrams(str) - adjacent \\w+ word pairs"),
       (es: Seq[Expression]) => WordBigramsExpr(es.head)))
+    e.injectFunction((FunctionIdentifier("word_tokens"),
+      info("word_tokens", "word_tokens(str) - Unicode [\\p{L}\\p{N}_]+ tokens"),
+      (es: Seq[Expression]) => WordTokensExpr(es.head)))
+    e.injectFunction((FunctionIdentifier("word_count"),
+      info("word_count", "word_count(str) - number of Unicode word tokens"),
+      (es: Seq[Expression]) => WordCountExpr(es.head)))
 
     e.injectFunction((FunctionIdentifier("marker_total"),
       info("marker_total", "marker_total(str, m1, m2, ...) - total non-overlapping marker occurrences"),

@@ -225,6 +225,8 @@ object HashExprs {
     reg.createOrReplaceTempFunction("minhash_sig", es => MinHashSigExpr(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("poly_hash", es => PolyHashExpr(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("word_bigrams", es => WordBigramsExpr(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("word_tokens", es => WordTokensExpr(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("word_count", es => WordCountExpr(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("marker_total",
       es => MarkerTotalExpr(es.head, graft.GraftExtensions.markerList("marker_total")(es.tail)),
       "scala_udf")

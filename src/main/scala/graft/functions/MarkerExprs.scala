@@ -96,13 +96,66 @@ object WordScan {
     * numerics; no practical corpus text hits it.
     */
   val WordClass = "[\\p{L}\\p{N}_]+"
-  private val WordRe = java.util.regex.Pattern.compile(WordClass)
+
+  /** [\p{L}\p{N}_] membership, spelled with the same Character.getType
+    * categories Java regex itself resolves \p{L} and \p{N} to — the
+    * manual scan below is token-identical to matching WordClass, minus
+    * the Pattern machinery. The ASCII fast path covers the bulk of
+    * real corpora; only non-ASCII pays the category lookup.
+    */
+  @inline private def isWordCp(cp: Int): Boolean =
+    if (cp < 128)
+      (cp >= 'a' && cp <= 'z') || (cp >= '0' && cp <= '9') ||
+      (cp >= 'A' && cp <= 'Z') || cp == '_'
+    else Character.isLetter(cp) || {
+      val t = Character.getType(cp)
+      t == Character.DECIMAL_DIGIT_NUMBER || t == Character.LETTER_NUMBER ||
+        t == Character.OTHER_NUMBER
+    }
+
+  /** Maximal runs of word codepoints — findall(WordClass), one pass. */
+  def wordTokens(text: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val n = text.length
+    var i = 0
+    while (i < n) {
+      val cp = text.codePointAt(i)
+      if (isWordCp(cp)) {
+        val start = i
+        i += Character.charCount(cp)
+        var run = true
+        while (run && i < n) {
+          val c2 = text.codePointAt(i)
+          if (isWordCp(c2)) i += Character.charCount(c2) else run = false
+        }
+        out += text.substring(start, i)
+      } else i += Character.charCount(cp)
+    }
+    out.toArray
+  }
+
+  /** Number of word tokens, without materializing them. */
+  def wordCount(text: String): Int = {
+    var count = 0
+    val n = text.length
+    var i = 0
+    var inWord = false
+    while (i < n) {
+      val cp = text.codePointAt(i)
+      if (isWordCp(cp)) {
+        if (!inWord) { count += 1; inWord = true }
+      } else inWord = false
+      i += Character.charCount(cp)
+    }
+    count
+  }
+
+  def wordTokensUtf8(text: String): Array[UTF8String] =
+    wordTokens(text).map(UTF8String.fromString)
 
   /** Adjacent word pairs "w1 w2" of the word tokens, in order. */
   def wordBigrams(text: String): Array[UTF8String] = {
-    val words = scala.collection.mutable.ArrayBuffer.empty[String]
-    val m = WordRe.matcher(text)
-    while (m.find()) words += m.group()
+    val words = wordTokens(text)
     if (words.length < 2) Array.empty
     else Array.tabulate(words.length - 1)(i =>
       UTF8String.fromString(words(i) + " " + words(i + 1)))
@@ -130,6 +183,41 @@ case class WordBigramsExpr(child: Expression) extends UnaryExpression {
   override def prettyName: String = "word_bigrams"
 }
 
+/** array<string> of the WordClass tokens — the scan-stage form of
+  * regexp_extract_all(text, WordClass), token-identical but without
+  * per-row Pattern matching (the dli vocab explode is a full-corpus
+  * tokenization; the regex version dominated its stage).
+  */
+case class WordTokensExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType,
+      containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      WordScan.wordTokensUtf8(input.asInstanceOf[UTF8String].toString)
+        .asInstanceOf[Array[Any]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"(Object[]) graft.functions.WordScan.wordTokensUtf8($c.toString()));")
+  override protected def withNewChildInternal(c: Expression): WordTokensExpr = copy(c)
+  override def prettyName: String = "word_tokens"
+}
+
+/** Int count of WordClass tokens — size(regexp_extract_all(...))
+  * without building the token array at all.
+  */
+case class WordCountExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Integer.valueOf(WordScan.wordCount(input.asInstanceOf[UTF8String].toString))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.WordScan.wordCount($c.toString());")
+  override protected def withNewChildInternal(c: Expression): WordCountExpr = copy(c)
+  override def prettyName: String = "word_count"
+}
+
 object MarkerExprs {
   def marker_total(c: Column, markers: Seq[String]): Column =
     Bridge.column(MarkerTotalExpr(Bridge.expression(c), markers))
@@ -137,4 +225,8 @@ object MarkerExprs {
     Bridge.column(ContainsCountExpr(Bridge.expression(c), markers))
   def word_bigrams(c: Column): Column =
     Bridge.column(WordBigramsExpr(Bridge.expression(c)))
+  def word_tokens(c: Column): Column =
+    Bridge.column(WordTokensExpr(Bridge.expression(c)))
+  def word_count(c: Column): Column =
+    Bridge.column(WordCountExpr(Bridge.expression(c)))
 }

@@ -237,7 +237,7 @@ object Audit {
       // same empty-doc guard as docFeats: Python len("".split()) == 0
       when(length(trim(col("text"))) === 0, lit(0))
         .otherwise(size(split(trim(col("text")), "\\s+"))).cast("double").as("n_split_words"),
-      size(regexp_extract_all(lt, lit(graft.functions.WordScan.WordClass), lit(0))).as("n_re_words"),
+      graft.functions.MarkerExprs.word_count(lt).as("n_re_words"),
       col("text").rlike(mdHeaderRe).cast("int").as("has_md"),
       col("text").rlike(bulletRe).cast("int").as("has_list"),
       col("text").contains("```").cast("int").as("has_code"),
@@ -254,8 +254,7 @@ object Audit {
       sum("n_re_words").as("word_total"))
     val vocab = docs
       .select(col("source"),
-        explode(regexp_extract_all(lower(col("text")),
-          lit(graft.functions.WordScan.WordClass), lit(0))).as("w"))
+        explode(graft.functions.MarkerExprs.word_tokens(lower(col("text")))).as("w"))
       .groupBy("source")
       .agg(countDistinct("w").as("n_vocab"))
     base.join(vocab, Seq("source"))

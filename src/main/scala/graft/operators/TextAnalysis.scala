@@ -143,5 +143,111 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(tokens, quality, langid, fingerprint)
+  // ═══════════════ curation pipeline ═══════════════
+
+  /** End-to-end corpus curation funnel — the composite shape a
+    * training-data pipeline actually runs: exact dedup (sha-256 keyed,
+    * min-doc_id canonical), then language filter (keep 'en'), then
+    * quality filter (keep >= 0.55), reported as per-source stage
+    * counts plus the kept-docs quality mean.
+    *
+    * Scale shape: the enrichment (quality, language, hash) is map-only;
+    * dedup shuffles (sha, doc_id) pairs — 40 bytes/doc, never the
+    * text — and the canonical join is sha-keyed; the funnel report is
+    * a map-side-combinable aggregation on source. No full-text
+    * shuffle anywhere, so the plan survives a 100 TB corpus.
+    */
+  val curate = Q(
+    "pipe_curate", {
+      val words = "string_split_regex(trim(lower(text)), '\\s+')"
+      val sw = stopwords.map(s => s"'$s'").mkString("(", ", ", ")")
+      val langHits = langStops.map { case (l, ws) =>
+        val set = ws.map(w => s"'$w'").mkString("(", ", ", ")")
+        s"len(list_filter($words, w -> w IN $set)) AS ${l}_hits"
+      }.mkString(",\n      ")
+      s"""WITH enriched AS (
+         |  SELECT doc_id, source, sha256(text) AS sha,
+         |    round(1e-9 + ${d("0.35")} * least(n_words / ${d("100")}, ${d("1")})
+         |      + ${d("0.25")} * (1 - n_stop / ${d("greatest(n_words, 1)")})
+         |      + ${d("0.2")} * greatest(1 - abs(length(regexp_replace(text, '\\s+', '', 'g'))
+         |          / ${d("greatest(n_words, 1)")} - 5) / 5, ${d("0")})
+         |      + ${d("0.2")} * (1 - least((length(text) - length(regexp_replace(text, '[^.,;:!?]', '', 'g')))
+         |          / ${d("greatest(length(text), 1)")} * 10, ${d("1")})) + 1e-9, 6) AS quality,
+         |    CASE WHEN cjk_chars >= 10 THEN 'zh'
+         |      WHEN en_hits >= fr_hits AND en_hits >= es_hits AND en_hits >= de_hits THEN 'en'
+         |      WHEN fr_hits >= es_hits AND fr_hits >= de_hits THEN 'fr'
+         |      WHEN es_hits >= de_hits THEN 'es'
+         |      ELSE 'de' END AS pred_lang
+         |  FROM (
+         |    SELECT doc_id, source, text,
+         |      len($words) AS n_words,
+         |      len(list_filter($words, w -> w IN $sw)) AS n_stop,
+         |      length(regexp_replace(text, '[^一-鿿]', '', 'g')) AS cjk_chars,
+         |      $langHits
+         |    FROM documents
+         |  )
+         |),
+         |canon AS (SELECT sha, min(doc_id) AS canonical_id FROM enriched GROUP BY sha)
+         |SELECT source,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(*) FILTER (WHERE doc_id != canonical_id) AS BIGINT) AS n_dup_dropped,
+         |  CAST(count(*) FILTER (WHERE doc_id = canonical_id AND pred_lang != 'en') AS BIGINT) AS n_lang_dropped,
+         |  CAST(count(*) FILTER (WHERE doc_id = canonical_id AND pred_lang = 'en'
+         |    AND quality < ${d("0.55")}) AS BIGINT) AS n_quality_dropped,
+         |  CAST(count(*) FILTER (WHERE doc_id = canonical_id AND pred_lang = 'en'
+         |    AND quality >= ${d("0.55")}) AS BIGINT) AS n_kept,
+         |  round(1e-9 + avg(quality) FILTER (WHERE doc_id = canonical_id AND pred_lang = 'en'
+         |    AND quality >= ${d("0.55")}) + 1e-9, 6) AS avg_quality_kept
+         |FROM enriched JOIN canon USING (sha)
+         |GROUP BY source
+         |ORDER BY source""".stripMargin
+    }) { (spark, dir) =>
+    val words = split(trim(lower(col("text"))), "\\s+")
+    val nWords = size(words)
+    val nStop = size(filter(words, w => stopwords.map(w === _).reduce(_ || _)))
+    val denom = greatest(nWords, lit(1)).cast("double")
+    val lenScore = least(nWords / lit(100).cast("double"), lit(1d))
+    val stopRatio = nStop / denom
+    val wlScore = greatest(
+      lit(1d) - abs(length(regexp_replace(col("text"), "\\s+", "")) / denom - 5) / 5, lit(0d))
+    val punctRatio = (length(col("text")) -
+      length(regexp_replace(col("text"), "[^.,;:!?]", ""))) /
+      greatest(length(col("text")), lit(1)).cast("double")
+    val quality = round(lit(1e-9) + lit(0.35) * lenScore + lit(0.25) * (lit(1d) - stopRatio)
+      + lit(0.2) * wlScore + lit(0.2) * (lit(1d) - least(punctRatio * 10, lit(1d))) + 1e-9, 6)
+    val hitCols = langStops.map { case (l, ws) =>
+      size(filter(words, w => ws.map(w === _).reduce(_ || _))).as(s"${l}_hits")
+    }
+    val cjk = length(regexp_replace(col("text"), s"[^一-鿿]", ""))
+    val predLang = when(col("cjk_chars") >= 10, "zh")
+      .when(col("en_hits") >= col("fr_hits") && col("en_hits") >= col("es_hits")
+        && col("en_hits") >= col("de_hits"), "en")
+      .when(col("fr_hits") >= col("es_hits") && col("fr_hits") >= col("de_hits"), "fr")
+      .when(col("es_hits") >= col("de_hits"), "es")
+      .otherwise("de")
+
+    val enriched = Tables.documents(spark, dir)
+      .select(Seq(col("doc_id"), col("source"), sha2(col("text"), 256).as("sha"),
+        quality.as("quality"), cjk.as("cjk_chars")) ++ hitCols: _*)
+      .withColumn("pred_lang", predLang)
+      .select("doc_id", "source", "sha", "quality", "pred_lang")
+    // canonical per content hash: 40-byte (sha, doc_id) shuffle, never
+    // the text; joined back sha-keyed (same partitioning, AQE reuses)
+    val canon = enriched.groupBy("sha").agg(min("doc_id").as("canonical_id"))
+    val isCanon = col("doc_id") === col("canonical_id")
+    val kept = isCanon && col("pred_lang") === "en" && col("quality") >= 0.55
+    enriched.join(canon, "sha")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count(when(!isCanon, 1)).as("n_dup_dropped"),
+        count(when(isCanon && col("pred_lang") =!= "en", 1)).as("n_lang_dropped"),
+        count(when(isCanon && col("pred_lang") === "en" && col("quality") < 0.55, 1))
+          .as("n_quality_dropped"),
+        count(when(kept, 1)).as("n_kept"),
+        round(lit(1e-9) + avg(when(kept, col("quality"))) + 1e-9, 6).as("avg_quality_kept"))
+      .orderBy("source")
+  }
+
+  val all: Seq[Q] = Seq(tokens, quality, langid, fingerprint, curate)
 }

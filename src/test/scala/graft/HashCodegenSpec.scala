@@ -61,4 +61,42 @@ class HashCodegenSpec extends AnyFunSuite {
       assert(plan.contains("*("), "hash projection must be whole-stage-codegen'd")
     } finally spark.conf.set("spark.sql.codegen.fallback", prev)
   }
+
+  test("word scan expressions match the [\\p{L}\\p{N}_]+ regex, incl. non-BMP text") {
+    // the manual codepoint scan replaced Pattern matching in the hot
+    // path; this pins it token-identical to the regex the oracle runs
+    val re = java.util.regex.Pattern.compile(graft.functions.WordScan.WordClass)
+    def reTokens(t: String): List[String] = {
+      val m = re.matcher(t)
+      val out = scala.collection.mutable.ListBuffer.empty[String]
+      while (m.find()) out += m.group()
+      out.toList
+    }
+    val samples = texts ++ Seq(
+      "模型审计 与 蒸馏检测 detects 蒸馏", // CJK
+      "café naïve Ωμέγα №Ⅻ ½·⅓", // accents, Greek, Nl/No numerics
+      "𝕏𝕐 math 𝕑alphanumerics", // supplementary plane
+      "under_score mixed_脚本_words 123abc",
+      "a,b;c.d-e f\tg\nh")
+    val prev = spark.conf.get("spark.sql.codegen.fallback", "true")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val rows = samples.toDF("t").repartition(1).select(
+        col("t"),
+        graft.functions.MarkerExprs.word_tokens(col("t")).as("wt"),
+        graft.functions.MarkerExprs.word_count(col("t")).as("wc"),
+        graft.functions.MarkerExprs.word_bigrams(col("t")).as("wb"))
+        .collect()
+      for (r <- rows) {
+        val t = r.getAs[String]("t")
+        val expected = reTokens(t)
+        assert(r.getAs[scala.collection.Seq[String]]("wt").toList == expected, s"word_tokens($t)")
+        assert(r.getAs[Int]("wc") == expected.length, s"word_count($t)")
+        val expectedBi =
+          if (expected.length < 2) Nil
+          else expected.sliding(2).map(_.mkString(" ")).toList
+        assert(r.getAs[scala.collection.Seq[String]]("wb").toList == expectedBi, s"word_bigrams($t)")
+      }
+    } finally spark.conf.set("spark.sql.codegen.fallback", prev)
+  }
 }
