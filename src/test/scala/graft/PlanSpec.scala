@@ -142,4 +142,30 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("row_number"),
       "no row_number window (it would shuffle+sort every embedding per label)")
   }
+
+  test("pipe_curate never shuffles document text") {
+    // the funnel's scale contract: enrichment is map-only, dedup and
+    // the canonical join move only (sha, doc_id)-sized rows. AQE off
+    // for the assertion: its query-stage wrappers hide the exchanges
+    // from a pre-execution traversal, and the claim is about the
+    // static plan shape.
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = SparkEntry.queries("pipe_curate")(spark, sf)
+      val exchanges = df.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.nonEmpty, "dedup and the funnel agg do shuffle - on narrow rows")
+      // the Tables.loadSpread round-robin spread of the unsplittable
+      // single-row-group TEST file is exempt: a real cluster scan has
+      // splits and no such exchange. Every keyed (hash/range) shuffle
+      // must be text-free.
+      for (e <- exchanges
+           if !e.outputPartitioning.isInstanceOf[
+             org.apache.spark.sql.catalyst.plans.physical.RoundRobinPartitioning])
+        assert(!e.output.exists(_.name == "text"),
+          s"a keyed shuffle carries the full document text: ${e.output.map(_.name)}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
 }
