@@ -157,22 +157,12 @@ object Style {
       .select(col("doc_id"), col("m.source").as("source"), col("m.family").as("family"))
 
     // probe_idx = row_number over (PARTITION BY source ORDER BY doc_id)
-    // without funnelling a whole source through one task: two-pass rank.
-    // Pass 1 counts docs per (source, doc_id-bucket); a prefix sum over
-    // that small frame gives each bucket its starting offset. Pass 2
-    // ranks within (source, bucket) — bounded partitions — and adds the
-    // broadcast offset. Bucketing by doc_id range keeps the rank order
-    // identical to the single-window formulation.
-    val bucketed = best.withColumn("bkt", floor(col("doc_id") / probeBucketSize))
-    val counts = bucketed.groupBy("source", "bkt").agg(count(lit(1)).as("cnt"))
-    val wOff = Window.partitionBy("source").orderBy("bkt")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = counts
-      .withColumn("off", coalesce(sum("cnt").over(wOff), lit(0L)))
-      .select("source", "bkt", "off")
-    val wInBucket = Window.partitionBy("source", "bkt").orderBy("doc_id")
-    bucketed.join(broadcast(offsets), Seq("source", "bkt"))
-      .withColumn("probe_idx", (col("off") + row_number().over(wInBucket)).cast("int"))
+    // without funnelling a whole source through one task: the rank is
+    // an exclusive prefix COUNT plus one, via the shared two-pass
+    // primitive (bounded in-bucket windows + broadcast bucket offsets;
+    // order-identical to the single-window formulation).
+    ScalePrim.exclusivePrefixSum(best, "source", "doc_id", lit(1L), probeBucketSize)
+      .withColumn("probe_idx", (col("prefix") + 1).cast("int"))
       .select("source", "family", "probe_idx")
   }
 

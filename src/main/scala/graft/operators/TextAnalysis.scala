@@ -249,5 +249,50 @@ object TextAnalysis {
       .orderBy("source")
   }
 
-  val all: Seq[Q] = Seq(tokens, quality, langid, fingerprint, curate)
+  // ═══════════════ training-shard packing ═══════════════
+
+  /** Docs per source packed into fixed token-budget training shards:
+    * shard_id = floor(exclusive-prefix-token-sum / budget) in doc_id
+    * order — the deterministic "cut the corpus into ~B-token files"
+    * step at the end of a curation pipeline. The prefix sum uses the
+    * ScalePrim two-pass shape, so no task ever sorts a whole source
+    * (the naive window formulation would — the exact probe_idx
+    * scale-killer the round-2 audit flagged).
+    */
+  private val shardBudget = 500L
+
+  val shard = Q(
+    "pipe_shard",
+    s"""SELECT source, CAST(floor(pre / ${d(shardBudget.toString)}) AS BIGINT) AS shard_id,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(tokens) AS BIGINT) AS tokens_total,
+       |  CAST(min(doc_id) AS BIGINT) AS first_doc,
+       |  CAST(max(doc_id) AS BIGINT) AS last_doc
+       |FROM (
+       |  SELECT doc_id, source, tokens,
+       |    coalesce(sum(tokens) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+       |  FROM (
+       |    SELECT doc_id, source,
+       |      len(string_split_regex(trim(text), '\\s+')) AS tokens
+       |    FROM documents
+       |  )
+       |)
+       |GROUP BY source, shard_id
+       |ORDER BY source, shard_id""".stripMargin) { (spark, dir) =>
+    val docsTok = Tables.documents(spark, dir).select(
+      col("doc_id"), col("source"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("tokens"))
+    ScalePrim.exclusivePrefixSum(docsTok, "source", "doc_id", col("tokens"))
+      .withColumn("shard_id", floor(col("prefix") / lit(shardBudget).cast("double")).cast("long"))
+      .groupBy("source", "shard_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("tokens").as("tokens_total"),
+        min("doc_id").as("first_doc"),
+        max("doc_id").as("last_doc"))
+      .orderBy("source", "shard_id")
+  }
+
+  val all: Seq[Q] = Seq(tokens, quality, langid, fingerprint, curate, shard)
 }
