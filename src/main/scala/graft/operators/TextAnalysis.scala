@@ -145,6 +145,44 @@ object TextAnalysis {
 
   // ═══════════════ curation pipeline ═══════════════
 
+  /** Rounded quality score of col("text") — the single definition
+    * shared by tx_quality, pipe_curate, and Streaming.curate, so the
+    * batch funnel and the streaming filter can never disagree on what
+    * "good" means.
+    */
+  private[graft] def qualityExpr: org.apache.spark.sql.Column = {
+    val words = split(trim(lower(col("text"))), "\\s+")
+    val nWords = size(words)
+    val nStop = size(filter(words, w => stopwords.map(w === _).reduce(_ || _)))
+    val denom = greatest(nWords, lit(1)).cast("double")
+    val lenScore = least(nWords / lit(100).cast("double"), lit(1d))
+    val stopRatio = nStop / denom
+    val wlScore = greatest(
+      lit(1d) - abs(length(regexp_replace(col("text"), "\\s+", "")) / denom - 5) / 5, lit(0d))
+    val punctRatio = (length(col("text")) -
+      length(regexp_replace(col("text"), "[^.,;:!?]", ""))) /
+      greatest(length(col("text")), lit(1)).cast("double")
+    round(lit(1e-9) + lit(0.35) * lenScore + lit(0.25) * (lit(1d) - stopRatio)
+      + lit(0.2) * wlScore + lit(0.2) * (lit(1d) - least(punctRatio * 10, lit(1d))) + 1e-9, 6)
+  }
+
+  /** Predicted language of col("text") — self-contained form of the
+    * tx_langid decision, shared with the streaming curation filter.
+    */
+  private[graft] def predLangExpr: org.apache.spark.sql.Column = {
+    val words = split(trim(lower(col("text"))), "\\s+")
+    def hits(ws: Seq[String]) = size(filter(words, w => ws.map(w === _).reduce(_ || _)))
+    val Seq(en, fr, es, de) = langStops.map { case (_, ws) => hits(ws) }
+    val cjk = length(regexp_replace(col("text"), "[^一-鿿]", ""))
+    when(cjk >= 10, "zh")
+      .when(en >= fr && en >= es && en >= de, "en")
+      .when(fr >= es && fr >= de, "fr")
+      .when(es >= de, "es")
+      .otherwise("de")
+  }
+
+  private[graft] val qualityFloor = 0.55
+
   /** End-to-end corpus curation funnel — the composite shape a
     * training-data pipeline actually runs: exact dedup (sha-256 keyed,
     * min-doc_id canonical), then language filter (keep 'en'), then
@@ -202,47 +240,21 @@ object TextAnalysis {
          |GROUP BY source
          |ORDER BY source""".stripMargin
     }) { (spark, dir) =>
-    val words = split(trim(lower(col("text"))), "\\s+")
-    val nWords = size(words)
-    val nStop = size(filter(words, w => stopwords.map(w === _).reduce(_ || _)))
-    val denom = greatest(nWords, lit(1)).cast("double")
-    val lenScore = least(nWords / lit(100).cast("double"), lit(1d))
-    val stopRatio = nStop / denom
-    val wlScore = greatest(
-      lit(1d) - abs(length(regexp_replace(col("text"), "\\s+", "")) / denom - 5) / 5, lit(0d))
-    val punctRatio = (length(col("text")) -
-      length(regexp_replace(col("text"), "[^.,;:!?]", ""))) /
-      greatest(length(col("text")), lit(1)).cast("double")
-    val quality = round(lit(1e-9) + lit(0.35) * lenScore + lit(0.25) * (lit(1d) - stopRatio)
-      + lit(0.2) * wlScore + lit(0.2) * (lit(1d) - least(punctRatio * 10, lit(1d))) + 1e-9, 6)
-    val hitCols = langStops.map { case (l, ws) =>
-      size(filter(words, w => ws.map(w === _).reduce(_ || _))).as(s"${l}_hits")
-    }
-    val cjk = length(regexp_replace(col("text"), s"[^一-鿿]", ""))
-    val predLang = when(col("cjk_chars") >= 10, "zh")
-      .when(col("en_hits") >= col("fr_hits") && col("en_hits") >= col("es_hits")
-        && col("en_hits") >= col("de_hits"), "en")
-      .when(col("fr_hits") >= col("es_hits") && col("fr_hits") >= col("de_hits"), "fr")
-      .when(col("es_hits") >= col("de_hits"), "es")
-      .otherwise("de")
-
     val enriched = Tables.documents(spark, dir)
-      .select(Seq(col("doc_id"), col("source"), sha2(col("text"), 256).as("sha"),
-        quality.as("quality"), cjk.as("cjk_chars")) ++ hitCols: _*)
-      .withColumn("pred_lang", predLang)
-      .select("doc_id", "source", "sha", "quality", "pred_lang")
+      .select(col("doc_id"), col("source"), sha2(col("text"), 256).as("sha"),
+        qualityExpr.as("quality"), predLangExpr.as("pred_lang"))
     // canonical per content hash: 40-byte (sha, doc_id) shuffle, never
     // the text; joined back sha-keyed (same partitioning, AQE reuses)
     val canon = enriched.groupBy("sha").agg(min("doc_id").as("canonical_id"))
     val isCanon = col("doc_id") === col("canonical_id")
-    val kept = isCanon && col("pred_lang") === "en" && col("quality") >= 0.55
+    val kept = isCanon && col("pred_lang") === "en" && col("quality") >= qualityFloor
     enriched.join(canon, "sha")
       .groupBy("source")
       .agg(
         count(lit(1)).as("n_docs"),
         count(when(!isCanon, 1)).as("n_dup_dropped"),
         count(when(isCanon && col("pred_lang") =!= "en", 1)).as("n_lang_dropped"),
-        count(when(isCanon && col("pred_lang") === "en" && col("quality") < 0.55, 1))
+        count(when(isCanon && col("pred_lang") === "en" && col("quality") < qualityFloor, 1))
           .as("n_quality_dropped"),
         count(when(kept, 1)).as("n_kept"),
         round(lit(1e-9) + avg(when(kept, col("quality"))) + 1e-9, 6).as("avg_quality_kept"))

@@ -83,6 +83,29 @@ object Streaming {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("content_sha")
 
+  /** Streaming corpus curation: the batch pipe_curate funnel applied
+    * to a live document stream — map-only enrichment with THE SAME
+    * quality/language expressions as the batch query (single shared
+    * definition in TextAnalysis, so stream and batch can never
+    * disagree on "good"), keep English docs at or above the quality
+    * floor, then first-wins exact dedup on the content hash within
+    * the watermark horizon (bounded state).
+    *
+    * Filter-before-dedup is safe here because identical text implies
+    * identical quality/language — a duplicate can never pass where
+    * its canonical failed — and it shrinks dedup state to only the
+    * docs worth keeping.
+    */
+  def curate(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("quality", graft.operators.TextAnalysis.qualityExpr)
+      .withColumn("pred_lang", graft.operators.TextAnalysis.predLangExpr)
+      .filter(col("pred_lang") === "en" &&
+        col("quality") >= graft.operators.TextAnalysis.qualityFloor)
+      .withColumn("content_sha", sha2(col("text"), 256))
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("content_sha")
+
   /** Flush still-open sessions from a completed sessionize pass
     * (batch-mode convenience for tests and backfills).
     */

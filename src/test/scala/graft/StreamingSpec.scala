@@ -83,6 +83,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(!out.map(_.getLong(0)).contains(3L), "the LATER duplicate is the dropped one")
   }
 
+  test("streaming curate applies the batch funnel filters plus dedup") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    def doc(id: Long, minute: Long, text: String) =
+      (id, new Timestamp((1000 + minute) * 60000L), text)
+    // a good English doc: long enough, few stopwords, mild punctuation
+    val good = ("linear algebra methods improve sparse retrieval quality. " * 8).trim
+    val lowQuality = "the the the of of to to and and in in is is it it."
+    val nonEnglish = "le chat et la porte sont dans le jardin avec un ami et le vent."
+    val q = Streaming.curate(mem.toDF().toDF("doc_id", "ts", "text"))
+      .writeStream.outputMode("append").format("memory").queryName("cur").start()
+    try {
+      mem.addData(doc(1, 0, good), doc(2, 1, lowQuality), doc(3, 2, nonEnglish))
+      q.processAllAvailable()
+      mem.addData(doc(4, 3, good)) // duplicate content of doc 1
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.sql("SELECT doc_id FROM cur").collect().map(_.getLong(0)).toSet
+    assert(out == Set(1L),
+      s"only the first good English doc survives (got $out): low-quality and " +
+        "non-English are filtered, the later duplicate is deduped")
+    // the stream's verdicts are the batch expressions' verdicts
+    val batch = Seq(good, lowQuality, nonEnglish).toDF("text")
+      .select(graft.operators.TextAnalysis.qualityExpr.as("q"),
+        graft.operators.TextAnalysis.predLangExpr.as("l"))
+      .collect()
+    assert(batch(0).getDouble(0) >= graft.operators.TextAnalysis.qualityFloor)
+    assert(batch(1).getDouble(0) < graft.operators.TextAnalysis.qualityFloor)
+    assert(batch(2).getString(1) != "en")
+  }
+
   test("REEF hidden-state extraction: per-partition batched forward, deterministic") {
     val docs = operators.Reef.extractHiddenStates(
       graft.Tables.documents(spark, sf).limit(40), layer = 2, dim = 16, batchSize = 8)
