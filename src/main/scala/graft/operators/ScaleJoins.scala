@@ -107,5 +107,34 @@ object ScaleJoins {
       .orderBy("o_orderpriority")
   }
 
-  val all: Seq[Q] = Seq(bucketedRevenue)
+  /** Registered query exercising the salted-skew-join path: events
+    * joined to a per-type dimension on event_type — a 5-value key, so
+    * an unsalted shuffle join lands each type's ~20% of the fact table
+    * on ONE reducer. saltedJoin spreads every type over 8 sub-keys
+    * (salt column in the join keys, asserted in ScaleJoinsSpec/
+    * PlanSpec). The join result is identical to the plain join, so the
+    * oracle is the direct aggregation; the salt values come from
+    * rand() but every (key, salt) pair matches, so the output is
+    * deterministic regardless.
+    */
+  val saltedSkew = Q(
+    "q12_salted_skew",
+    """SELECT upper(substr(event_type, 1, 3)) AS category,
+      |  CAST(count(*) AS BIGINT) AS n_events,
+      |  round(1e-9 + sum(value), 2) AS sum_value
+      |FROM events
+      |GROUP BY category
+      |ORDER BY category""".stripMargin) { (spark, dir) =>
+    val ev = Tables.events(spark, dir).select("event_type", "value")
+    val dim = ev.select("event_type").distinct()
+      .withColumn("category", upper(substring(col("event_type"), 1, 3)))
+    saltedJoin(ev, dim, "event_type", salt = 8)
+      .groupBy("category")
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(lit(1e-9) + sum("value"), 2).as("sum_value"))
+      .orderBy("category")
+  }
+
+  val all: Seq[Q] = Seq(bucketedRevenue, saltedSkew)
 }

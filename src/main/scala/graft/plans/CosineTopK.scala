@@ -82,6 +82,14 @@ case class CosineTopKExec(
       queries.executeCollect().map { r =>
         (r.getLong(0), r.getArray(1).toDoubleArray(), r.getDouble(2))
       }
+    // the query side is gathered to the driver and broadcast (the
+    // documented small-side contract, same as a broadcast hash join's
+    // build side). Fail loudly if someone points a corpus-sized
+    // relation at it instead of silently stressing driver memory.
+    require(qRows.length <= 100000,
+      s"CosineTopKExec query side has ${qRows.length} rows; it is " +
+        "broadcast to every task and must stay small (<= 100k). " +
+        "Swap the sides, or use the LSH/IVF operators for large query sets.")
     val bc = sparkContext.broadcast(qRows)
     val outputAttrs = output
 

@@ -143,6 +143,12 @@ class PlanSpec extends AnyFunSuite {
       "no row_number window (it would shuffle+sort every embedding per label)")
   }
 
+  test("q12 salted join keys include the salt column") {
+    val p = plan("q12_salted_skew")
+    assert(p.contains("__salt"),
+      "the skewed event_type join must run on (key, salt) sub-keys")
+  }
+
   test("pipe_curate never shuffles document text") {
     // the funnel's scale contract: enrichment is map-only, dedup and
     // the canonical join move only (sha, doc_id)-sized rows. AQE off
