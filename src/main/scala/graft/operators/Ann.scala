@@ -288,6 +288,17 @@ object Ann {
        |  JOIN c cc ON cc.vec_id = cand.vec_id
        |) WHERE rank <= $TopK
        |ORDER BY query_id, rank""".stripMargin) { (spark, dir) =>
+    ivfTopkWith(spark, dir, NProbe)
+  }
+
+  /** The IVF pipeline with `nprobe` as the quality knob: probing more
+    * cells grows the candidate set monotonically (strict superset per
+    * added cell), trading query cost for recall. The registered
+    * ann_ivf pins nprobe = NProbe for the oracle; AnnRecallSpec pins
+    * the measured recall-vs-nprobe curve so the knob's effect is a
+    * tested property, not an assertion.
+    */
+  private[graft] def ivfTopkWith(spark: SparkSession, dir: String, nprobe: Int): DataFrame = {
     val c = corpus(spark, dir)
 
     // argmax cell per vector: partial-aggregated struct-max with the
@@ -318,10 +329,10 @@ object Ann {
 
     val scored = scoreAgainst(cent)
     val assigned = argmaxCell(scored)
-    // probe cells per query: bounded-heap top-NProbe, not a window
+    // probe cells per query: bounded-heap top-nprobe, not a window
     val qcells = scored.filter(col("vec_id") < NumQueries)
       .groupBy(col("vec_id").as("query_id"))
-      .agg(graft.functions.TopKAgg.topk_by_score(col("ccos"), col("cid"), NProbe).as("tk"))
+      .agg(graft.functions.TopKAgg.topk_by_score(col("ccos"), col("cid"), nprobe).as("tk"))
       .select(col("query_id"), explode(col("tk")).as("t"))
       .select(col("query_id"), col("t.id").as("cell"))
     val cand = broadcast(qcells).join(assigned, Seq("cell"))

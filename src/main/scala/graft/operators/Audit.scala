@@ -29,7 +29,14 @@ object Audit {
   // Reference: llmmap.py:28-67 (_extract_response_features)
 
   /** Unrounded per-doc feature frame (Spark side). */
-  private def docFeats(spark: SparkSession, dir: String): DataFrame = {
+  private def docFeats(spark: SparkSession, dir: String): DataFrame =
+    docFeatsOf(Tables.documents(spark, dir))
+
+  /** The same feature extraction over ANY frame with (doc_id, source,
+    * text) — one definition shared by the batch corpus queries and
+    * Streaming.fingerprint, so batch and stream cannot drift.
+    */
+  private[graft] def docFeatsOf(docs: DataFrame): DataFrame = {
     val t = col("text")
     val lt = lower(col("text"))
     val words = split(trim(t), "\\s+")
@@ -48,7 +55,7 @@ object Audit {
       (graft.functions.MarkerExprs.marker_total(lt, ms) / tWords).as(s"style_$cat")
     }
 
-    Tables.documents(spark, dir).select(
+    docs.select(
       Seq(
         col("doc_id"),
         col("source"),
@@ -135,19 +142,32 @@ object Audit {
   // Reference: llmmap.py:70-101 (_compute_fingerprint_vector)
 
   /** Fingerprint vector column names in output order. */
-  private val fpCols: Seq[String] =
+  private[graft] val fpCols: Seq[String] =
     numericFeatures.map("avg_" + _) ++ boolFeatures.map("ratio_" + _) ++ styleCats
 
-  /** Unrounded per-model fingerprint (Spark side). */
-  private def fingerprintDf(spark: SparkSession, dir: String): DataFrame =
-    docFeats(spark, dir)
-      .groupBy("source")
+  /** The fingerprint aggregation over any per-doc feature frame — one
+    * definition shared by the batch ma_fingerprint and
+    * Streaming.fingerprint. Every component is an algebraic mean, so
+    * on a stream Spark's agg state carries (sum, count) per source and
+    * maintains the fingerprint incrementally.
+    */
+  private[graft] def fingerprintAgg(feats: DataFrame): DataFrame =
+    feats.groupBy("source")
       .agg(
         avg(numericFeatures.head).as("avg_" + numericFeatures.head),
         numericFeatures.tail.map(c => avg(c).as("avg_" + c)) ++
           boolFeatures.map(c => avg(col(c).cast("int")).as("ratio_" + c)) ++
           styleCats.map(c => avg(c).as(c)): _*)
-      .cache()
+
+  /** Streaming.fingerprint's entry: features + fingerprint agg over
+    * any (doc_id, source, text) frame, batch or stream.
+    */
+  private[graft] def fingerprintOf(docs: DataFrame): DataFrame =
+    fingerprintAgg(docFeatsOf(docs))
+
+  /** Unrounded per-model fingerprint (Spark side). */
+  private def fingerprintDf(spark: SparkSession, dir: String): DataFrame =
+    fingerprintAgg(docFeats(spark, dir)).cache()
 
   private val fingerprintSql: String = {
     val aggs =

@@ -52,14 +52,14 @@ object BenchmarkEval {
 
   /** The samples as a DuckDB VALUES relation. */
   private val samplesSql: String =
-    samples.map(s => s"(${s.sample_id}, ${sl(s.label)}, ${sl(s.text)})")
-      .mkString("(VALUES\n", ",\n", ") AS t(sample_id, label, text)")
+    samples.map(s => s"(${s.sample_id}, ${sl(s.label)}, ${sl(s.category)}, ${sl(s.text)})")
+      .mkString("(VALUES\n", ",\n", ") AS t(sample_id, label, category, text)")
 
-  private val sampleScoresSql = Style.scoresSqlOf(samplesSql, "sample_id, label")
+  private val sampleScoresSql = Style.scoresSqlOf(samplesSql, "sample_id, label, category")
 
   private def sampleScores(spark: org.apache.spark.sql.SparkSession) = {
     import spark.implicits._
-    Style.scoresOf(samples.toDF(), Seq("sample_id", "label"))
+    Style.scoresOf(samples.toDF(), Seq("sample_id", "label", "category"))
   }
 
   /** Per-sample detection result against the known label. */
@@ -114,6 +114,48 @@ object BenchmarkEval {
       .orderBy("label")
   }
 
+  /** Filtered accuracy over every (category, label) slice — the
+    * registered analog of the reference's
+    * get_benchmark_samples(category=, label=) parameters
+    * (benchmark.py:246-261) feeding evaluate_accuracy: a ROLLUP over
+    * (category, label) yields the per-slice, per-category and overall
+    * rows a user would get from each filter combination ('__all__' =
+    * no filter on that axis; label-only filters are ma_benchmark_eval).
+    */
+  val evalByCategory = Q(
+    "ma_benchmark_eval_by_category",
+    s"""SELECT coalesce(category, '__all__') AS category,
+       |  coalesce(label, '__all__') AS label,
+       |  CAST(count(*) AS BIGINT) AS n_total,
+       |  CAST(count(*) FILTER (WHERE correct) AS BIGINT) AS n_correct,
+       |  round(1e-9 + count(*) FILTER (WHERE correct) / CAST(count(*) AS DOUBLE) + 1e-9, 6) AS accuracy
+       |FROM (
+       |  SELECT category, label, family = label AS correct FROM (
+       |    SELECT sample_id, category, label, family,
+       |      row_number() OVER (PARTITION BY sample_id ORDER BY score DESC, fidx) AS rn
+       |    FROM ($sampleScoresSql)
+       |  ) WHERE rn = 1
+       |)
+       |GROUP BY ROLLUP (category, label)
+       |ORDER BY category, label""".stripMargin) { (spark, dir) =>
+    val w = Window.partitionBy("sample_id").orderBy(col("score").desc, col("fidx"))
+    sampleScores(spark)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .withColumn("correct", col("family") === col("label"))
+      .rollup("category", "label")
+      .agg(
+        count(lit(1)).as("n_total"),
+        count(when(col("correct"), 1)).as("n_correct"),
+        round(lit(1e-9) + count(when(col("correct"), 1)) / count(lit(1)).cast("double") + 1e-9, 6)
+          .as("accuracy"))
+      .select(
+        coalesce(col("category"), lit("__all__")).as("category"),
+        coalesce(col("label"), lit("__all__")).as("label"),
+        col("n_total"), col("n_correct"), col("accuracy"))
+      .orderBy("category", "label")
+  }
+
   /** Human-readable audit summary per model pair, replicating
     * engine._generate_summary (engine.py:339-361).
     */
@@ -145,5 +187,5 @@ object BenchmarkEval {
       .orderBy("model_a", "model_b")
   }
 
-  val all: Seq[Q] = Seq(detect, eval, summary)
+  val all: Seq[Q] = Seq(detect, eval, evalByCategory, summary)
 }

@@ -277,7 +277,19 @@ object Dedup {
 
   private[graft] def connectedComponents(
       edges: DataFrame, maxRounds: Int = 50): (DataFrame, Int) = {
+    // Size the loop's parallelism to the GRAPH, not the session: a
+    // 25-edge graph on 32 shuffle partitions pays 32 near-empty tasks
+    // per round for the join, the checkpoint AND the count — fixed
+    // overhead that dwarfs the work (the r4/r5 dd_clusters wall time).
+    // ~10k edges per partition, capped at the configured shuffle
+    // parallelism so a large graph keeps full width. coalesce() is
+    // narrow — no extra shuffle is introduced.
+    val spark = edges.sparkSession
+    val nEdges = edges.count()
+    val parts = math.max(1L, math.min(
+      spark.sessionState.conf.numShufflePartitions.toLong, nEdges / 10000L)).toInt
     var labels = edges.select(col("u").as("doc")).distinct()
+      .coalesce(parts)
       .withColumn("label", col("doc")).cache()
     var prevCheckpoint: DataFrame = null
     var changed = 1L
@@ -293,12 +305,14 @@ object Dedup {
         .join(neighborMin.select(col("u").as("doc"), col("nmin")), Seq("doc"), "left")
         .select(col("doc"), col("label").as("old"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("l1"))
+        .coalesce(parts)
         .cache()
       // pointer jump: follow my new label to ITS new label
       val jump = stepped.select(col("doc").as("jdoc"), col("l1").as("l2"))
       val next = stepped.join(jump, col("l1") === col("jdoc"), "left")
         .select(col("doc"), col("old"),
           least(col("l1"), coalesce(col("l2"), col("l1"))).as("label"))
+        .coalesce(parts) // pin the checkpoint width to the graph size
         .localCheckpoint(false) // lazy: the count below materializes it
       changed = next.filter(col("label") =!= col("old")).count()
       stepped.unpersist()

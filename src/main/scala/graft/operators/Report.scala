@@ -354,5 +354,72 @@ object Report {
       .orderBy("model_a", "model_b")
   }
 
-  val all: Seq[Q] = Seq(reportFeatures, report)
+  // ═══════════════ ma_report_json ═══════════════
+
+  /** The reference's `generate_report(format="json")` path
+    * (report.py:94-96): the audit result as a JSON document per pair —
+    * model_a/model_b, the two method comparisons (similarity,
+    * threshold, is_match), verdict, confidence and the summary string,
+    * i.e. the AuditResult top-level surface ma_audit already computes.
+    * The JSON text is assembled with explicit concatenation in BOTH
+    * engines (numbers via %.4f with the uniform 1e-9 nudge, newlines
+    * JSON-escaped), so the oracle compare is byte-deterministic —
+    * to_json/json.dumps float formatting never enters the picture.
+    */
+  val reportJson = Q(
+    "ma_report_json", {
+      val auditBody = Style.audit.oracle.get.replace("ORDER BY l.model_a, l.model_b", "")
+      s"""WITH audit AS ($auditBody)
+         |SELECT model_a, model_b, concat(
+         |  '{"model_a": "', model_a,
+         |  '", "model_b": "', model_b,
+         |  '", "comparisons": [{"method": "llmmap", "similarity": ',
+         |  printf('%.4f', llmmap_similarity + 1e-9),
+         |  ', "threshold": 0.85, "is_match": ',
+         |  CASE WHEN llmmap_similarity >= ${dd("0.85")} THEN 'true' ELSE 'false' END,
+         |  '}, {"method": "dli", "similarity": ',
+         |  printf('%.4f', dli_similarity + 1e-9),
+         |  ', "threshold": 0.8, "is_match": ',
+         |  CASE WHEN dli_similarity >= ${dd("0.8")} THEN 'true' ELSE 'false' END,
+         |  '}], "verdict": "', verdict,
+         |  '", "confidence": ', printf('%.4f', confidence + 1e-9),
+         |  ', "summary": "',
+         |  concat('审计对象: ', model_a, ' vs ', model_b, '\\n判定结果: ',
+         |    CASE verdict WHEN 'likely_derived' THEN '可能存在蒸馏关系'
+         |      WHEN 'independent' THEN '两个模型独立' ELSE '无法确定' END,
+         |    '\\n  [llmmap] 相似度: ', printf('%.4f', llmmap_similarity + 1e-9), ' (阈值: 0.85)',
+         |    '\\n  [dli] 相似度: ', printf('%.4f', dli_similarity + 1e-9), ' (阈值: 0.8)'),
+         |  '"}') AS report_json
+         |FROM audit
+         |ORDER BY model_a, model_b""".stripMargin
+    }) { (spark, dir) =>
+    def f4(c: Column): Column = format_string("%.4f", c + lit(1e-9))
+    val summary = concat(
+      lit("审计对象: "), col("model_a"), lit(" vs "), col("model_b"),
+      lit("\\n判定结果: "),
+      when(col("verdict") === "likely_derived", "可能存在蒸馏关系")
+        .when(col("verdict") === "independent", "两个模型独立")
+        .otherwise("无法确定"),
+      lit("\\n  [llmmap] 相似度: "), f4(col("llmmap_similarity")), lit(" (阈值: 0.85)"),
+      lit("\\n  [dli] 相似度: "), f4(col("dli_similarity")), lit(" (阈值: 0.8)"))
+    Style.audit.fn(spark, dir)
+      .select(col("model_a"), col("model_b"), concat(
+        lit("{\"model_a\": \""), col("model_a"),
+        lit("\", \"model_b\": \""), col("model_b"),
+        lit("\", \"comparisons\": [{\"method\": \"llmmap\", \"similarity\": "),
+        f4(col("llmmap_similarity")),
+        lit(", \"threshold\": 0.85, \"is_match\": "),
+        when(col("llmmap_similarity") >= 0.85, "true").otherwise("false"),
+        lit("}, {\"method\": \"dli\", \"similarity\": "),
+        f4(col("dli_similarity")),
+        lit(", \"threshold\": 0.8, \"is_match\": "),
+        when(col("dli_similarity") >= 0.8, "true").otherwise("false"),
+        lit("}], \"verdict\": \""), col("verdict"),
+        lit("\", \"confidence\": "), f4(col("confidence")),
+        lit(", \"summary\": \""), summary,
+        lit("\"}")).as("report_json"))
+      .orderBy("model_a", "model_b")
+  }
+
+  val all: Seq[Q] = Seq(reportFeatures, report, reportJson)
 }

@@ -25,14 +25,22 @@ object ScalePrim {
     *
     * `ord` must be numeric and unique within a group. `bucketSize`
     * trades in-bucket window width against offsets-frame size; pick
-    * ≈ sqrt(rows per group) so both passes stay balanced (the offsets
-    * frame carries rows/bucketSize entries — at corpus scales beyond
-    * broadcast reach, raise bucketSize or swap the broadcast join for
-    * a shuffle join on (part, bucket); the shape is unchanged).
+    * ≈ sqrt(rows per group) so both passes stay balanced.
+    *
+    * The offsets frame carries rows/bucketSize entries. Up to
+    * `maxBroadcastOffsetRows` it is broadcast (one map-side join, no
+    * shuffle of the big side); beyond that — a corpus so large even
+    * the per-bucket summary exceeds driver/executor broadcast reach —
+    * the join escalates to a shuffle join on (part, __bkt), which
+    * shuffles the big side once but never collects the offsets. The
+    * switch is decided by COUNTING the offsets frame (it is cached
+    * first, so the data scan behind it still runs exactly once); both
+    * paths are exercised in ScalePrimSpec.
     */
   def exclusivePrefixSum(
       df: DataFrame, part: String, ord: String, value: Column,
-      bucketSize: Long = 256L): DataFrame = {
+      bucketSize: Long = 256L,
+      maxBroadcastOffsetRows: Long = 4L << 20): DataFrame = {
     val bucketed = df
       .withColumn("__v", value.cast("long"))
       .withColumn("__bkt", floor(col(ord) / bucketSize))
@@ -42,9 +50,15 @@ object ScalePrim {
       .agg(sum("__v").as("__bsum"))
       .withColumn("__off", coalesce(sum("__bsum").over(wOff), lit(0L)))
       .select(col(part), col("__bkt"), col("__off"))
+      .cache()
+    val joined =
+      if (offsets.count() <= maxBroadcastOffsetRows)
+        bucketed.join(broadcast(offsets), Seq(part, "__bkt"))
+      else
+        bucketed.join(offsets, Seq(part, "__bkt"))
     val wIn = Window.partitionBy(col(part), col("__bkt")).orderBy(ord)
       .rowsBetween(Window.unboundedPreceding, -1)
-    bucketed.join(broadcast(offsets), Seq(part, "__bkt"))
+    joined
       .withColumn("prefix", col("__off") + coalesce(sum("__v").over(wIn), lit(0L)))
       .drop("__v", "__bkt", "__off")
   }

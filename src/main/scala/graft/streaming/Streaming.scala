@@ -106,6 +106,24 @@ object Streaming {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("content_sha")
 
+  /** Incrementally maintained per-model llmmap fingerprint over a
+    * document stream — the reference's batch-only fingerprint surface
+    * (llmmap.py:70-101) extended to the stream, the way curate
+    * extended the batch funnel. Every fingerprint component is an
+    * algebraic mean (numeric avgs, bool ratios, style-marker rates),
+    * so Spark's streaming aggregation state carries one (sum, count)
+    * pair per source × feature and the emitted table after ANY prefix
+    * of the stream equals the batch ma_fingerprint over the same
+    * prefix — cross-validated in StreamingSpec against a replayed
+    * corpus. Feature extraction and the aggregation are THE SAME
+    * definitions as the batch query (Audit.docFeatsOf /
+    * fingerprintAgg), so batch and stream cannot drift. Run with
+    * outputMode complete (or update for deltas); state is bounded by
+    * |sources| × |features|, independent of stream length.
+    */
+  def fingerprint(docs: DataFrame): DataFrame =
+    graft.operators.Audit.fingerprintOf(docs)
+
   /** Flush still-open sessions from a completed sessionize pass
     * (batch-mode convenience for tests and backfills).
     */

@@ -24,6 +24,24 @@ class AnnRecallSpec extends AnyFunSuite {
     SparkEntry.queries(q)(spark, sf).collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
 
+  test("IVF recall-vs-nprobe curve is monotone and saturates") {
+    val truth = pairs("ann_topk")
+    val curve = Seq(1, 2, 4, 8, 16).map { np =>
+      val got = operators.Ann.ivfTopkWith(spark, sf, np).collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+      np -> got.intersect(truth).size.toDouble / truth.size
+    }
+    info(s"recall vs nprobe: ${curve.map { case (n, r) => f"$n->$r%.3f" }.mkString(", ")}")
+    // probing more cells only ever ADDS candidates → recall is monotone
+    curve.sliding(2).foreach { case Seq((n1, r1), (n2, r2)) =>
+      assert(r2 >= r1, f"recall fell from $r1%.3f (nprobe=$n1) to $r2%.3f (nprobe=$n2)")
+    }
+    val byNp = curve.toMap
+    assert(byNp(16) == 1.0, "probing ALL 16 cells is exhaustive search — recall must be 1")
+    assert(byNp(8) >= 0.95, f"nprobe=8 recall regressed: ${byNp(8)}%.3f")
+    assert(byNp(4) >= 0.8, f"nprobe=4 (the registered setting) recall regressed: ${byNp(4)}%.3f")
+  }
+
   test("approximate ANN recall vs brute force is measured and bounded") {
     val truth = pairs("ann_topk")
     assert(truth.nonEmpty)

@@ -33,6 +33,27 @@ class ScaleJoinsSpec extends AnyFunSuite {
     }
   }
 
+  test("ensureBucketed builds once per (dir, key, buckets) and rebuilds on change") {
+    import spark.implicits._
+    var built = 0
+    def src = { built += 1; (1L to 100L).toDF("k").withColumn("v", col("k") * 2) }
+    try {
+      ScaleJoins.ensureBucketed(spark, src, "memo_b", "k", 4, "dirA")
+      assert(built == 1)
+      // memo hit: the by-name frame must not even be constructed
+      ScaleJoins.ensureBucketed(spark, src, "memo_b", "k", 4, "dirA")
+      assert(built == 1, "second identical call must be a no-op")
+      assert(spark.table("memo_b").count() == 100)
+      // any input change invalidates the layout
+      ScaleJoins.ensureBucketed(spark, src, "memo_b", "k", 4, "dirB")
+      assert(built == 2, "a different source dir must rebuild")
+      // a vanished table rebuilds even on a memo hit
+      spark.sql("DROP TABLE memo_b")
+      ScaleJoins.ensureBucketed(spark, src, "memo_b", "k", 4, "dirB")
+      assert(built == 3, "a dropped table must rebuild despite the memo")
+    } finally spark.sql("DROP TABLE IF EXISTS memo_b")
+  }
+
   test("salted join spreads a hot key and matches the plain join") {
     import spark.implicits._
     // skewed fact: one hot key with most of the rows

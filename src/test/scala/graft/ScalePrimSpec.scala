@@ -38,6 +38,30 @@ class ScalePrimSpec extends AnyFunSuite {
     assert(got.count() == rows.length)
   }
 
+  test("shuffle-join offsets fallback matches the broadcast path exactly") {
+    val rows = (0 until 200).map { i =>
+      (s"g${i % 3}", (i * 3 + (i % 7)).toLong, (i * 31 % 13).toLong)
+    }
+    val df = rows.toDF("part", "ord", "v").repartition(8)
+    val viaBroadcast = ScalePrim.exclusivePrefixSum(df, "part", "ord", col("v"), bucketSize = 4L)
+    // maxBroadcastOffsetRows = 0 forces the beyond-broadcast-reach path
+    val viaShuffle = ScalePrim.exclusivePrefixSum(
+      df, "part", "ord", col("v"), bucketSize = 4L, maxBroadcastOffsetRows = 0L)
+
+    // the escalated path must carry NO broadcast hint (AQE may still
+    // pick a broadcast join for tiny test data — the guarantee under
+    // test is that we stopped FORCING a driver-side collect)
+    assert(!viaShuffle.queryExecution.analyzed.toString.contains("ResolvedHint"),
+      "fallback path must not hint a broadcast of the offsets frame")
+    assert(viaBroadcast.queryExecution.analyzed.toString.contains("ResolvedHint"),
+      "default path should broadcast the small offsets frame")
+
+    val diff = viaShuffle.as("a").join(viaBroadcast.as("b"), Seq("part", "ord"))
+      .filter(col("a.prefix") =!= col("b.prefix"))
+    assert(diff.count() == 0, "shuffle fallback diverged from the broadcast path")
+    assert(viaShuffle.count() == rows.length)
+  }
+
   test("pipe_shard plans no per-source single-partition window") {
     val p = SparkEntry.queries("pipe_shard")(spark, sf)
       .queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)

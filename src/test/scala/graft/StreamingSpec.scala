@@ -115,6 +115,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch(2).getString(1) != "en")
   }
 
+  test("streaming fingerprint equals batch ma_fingerprint on a replayed corpus") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "source", "text")
+      .as[(Long, String, String)].collect()
+    val mem = MemoryStream[(Long, String, String)]
+    val q = Streaming.fingerprint(mem.toDF().toDF("doc_id", "source", "text"))
+      .writeStream.outputMode("complete").format("memory").queryName("fp").start()
+    try {
+      // replay in three micro-batches: the final table must reflect
+      // incremental state maintenance across batches, not one big agg
+      docs.grouped(math.max(1, docs.length / 3 + 1)).foreach { chunk =>
+        mem.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val got = spark.sql("SELECT * FROM fp").collect()
+      .map(r => r.getString(0) -> r).toMap
+    val want = SparkEntry.queries("ma_fingerprint")(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got.keySet == want.keySet)
+    // batch output is rounded to 6 dp; the streaming state merges
+    // float sums in a different order, so compare within 2e-6
+    for (src <- want.keySet; c <- graft.operators.Audit.fpCols) {
+      val g = got(src).getAs[Double](c)
+      val w = want(src).getAs[Double](c)
+      assert(math.abs(g - w) < 2e-6, s"$src.$c: stream=$g batch=$w")
+    }
+  }
+
   test("REEF hidden-state extraction: per-partition batched forward, deterministic") {
     val docs = operators.Reef.extractHiddenStates(
       graft.Tables.documents(spark, sf).limit(40), layer = 2, dim = 16, batchSize = 8)
