@@ -23,10 +23,15 @@ import org.apache.spark.sql.functions._
   *    n_chars stays consistent (1:1 mapping). Language-heuristic
   *    selectivities (langid stopwords) drift for perturbed copies —
   *    acceptable: sf1 measures runtime scaling, not output parity.
-  *  - embeddings.embedding: per-copy circular shift — a permutation,
-  *    hence orthogonal: all within-copy inner products (and so the
-  *    within-copy ANN/near-dup geometry) are preserved bit-exactly,
-  *    while a shifted vector is quasi-random relative to its origin.
+  *  - embeddings.embedding: per-copy circular shift PLUS a per-copy
+  *    ±1 diagonal sign pattern — both orthogonal, so all within-copy
+  *    inner products (and the within-copy ANN/near-dup geometry) are
+  *    preserved bit-exactly. The sign pattern is the load-bearing
+  *    half: this corpus has a dominant positive mean component, so a
+  *    bare shift leaves cross-copy cosine ≈ 0.75 (far above the 0.3
+  *    near-dup threshold — the first sf1 cut blew dd_embed's pair set
+  *    up 98×); flipping ~half the signs with a copy-relative random
+  *    pattern cancels the DC term and drives cross-copy cosine to ≈ 0.
   *  - region/nation: dimension tables, copied verbatim (they do not
   *    scale with sf in TPC-H either).
   *
@@ -119,13 +124,18 @@ object GenSf1 {
         .withColumn("text", translate(col("text"), from, to))
     })
     val dim = load("embeddings").select(size(col("embedding"))).head.getInt(0)
+    // deterministic ±1 sign for copy i, coordinate j (identity at i=0)
+    def sign(i: Int, j: Int): Float =
+      if (i == 0 || ((i * 2654435761L + j * 40503L) >>> 7) % 2 == 0) 1f else -1f
     gen("embeddings", 8)((df, i) => {
       val shift = i % dim
+      val signs = typedLit((0 until dim).map(j => sign(i, j)))
+      val flipped = zip_with(col("embedding"), signs, (x, s) => x * s)
       val rotated =
-        if (shift == 0) col("embedding")
+        if (shift == 0) flipped
         else concat(
-          slice(col("embedding"), shift + 1, dim - shift),
-          slice(col("embedding"), 1, shift))
+          slice(flipped, shift + 1, dim - shift),
+          slice(flipped, 1, shift))
       df.withColumn("vec_id", col("vec_id") + lit(i * V))
         .withColumn("embedding", rotated)
     })
