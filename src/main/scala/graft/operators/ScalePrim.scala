@@ -20,46 +20,77 @@ object ScalePrim {
     *
     * but no task ever sorts more than one `ord`-range bucket:
     * pass 1 aggregates per-(part, bucket) sums (map-side combinable)
-    * and prefix-sums that small frame; pass 2 joins the broadcast
-    * offsets back and finishes with a bounded in-bucket running sum.
+    * and prefix-sums that small frame; pass 2 joins the offsets back
+    * and finishes with a bounded in-bucket running sum.
     *
-    * `ord` must be numeric and unique within a group. `bucketSize`
-    * trades in-bucket window width against offsets-frame size; pick
-    * ≈ sqrt(rows per group) so both passes stay balanced.
+    * `ord` must be numeric and unique within a group; `bucketSize`
+    * (≥ 2) trades in-bucket window width against offsets-frame size;
+    * pick ≈ sqrt(rows per group) so both passes stay balanced.
     *
-    * The offsets frame carries rows/bucketSize entries. Up to
-    * `maxBroadcastOffsetRows` it is broadcast (one map-side join, no
-    * shuffle of the big side); beyond that — a corpus so large even
-    * the per-bucket summary exceeds driver/executor broadcast reach —
-    * the join escalates to a shuffle join on (part, __bkt), which
-    * shuffles the big side once but never collects the offsets. The
-    * switch is decided by COUNTING the offsets frame (it is cached
-    * first, so the data scan behind it still runs exactly once); both
-    * paths are exercised in ScalePrimSpec.
+    * Two escalations keep the shape scale-safe end to end, both
+    * switched by COUNTING the cached per-bucket summary (the data
+    * scan behind it still runs exactly once; both sides of each
+    * switch are exercised in ScalePrimSpec):
+    *
+    *  - offsets JOIN: up to `maxBroadcastOffsetRows` the offsets are
+    *    broadcast (map-side join, no shuffle of the big side); beyond
+    *    that the join runs as a shuffle join on (part, bucket), which
+    *    shuffles the big side once but never collects the offsets.
+    *  - offsets WINDOW: the per-group offsets prefix sum is itself a
+    *    window; past `maxWindowRows` summary rows the primitive
+    *    RECURSES on the bucket sums (buckets-of-buckets), so no task
+    *    at ANY level ever sorts more than a bounded range — the
+    *    per-group window cap holds even for a single group with
+    *    billions of rows. Recursion shrinks the frame ~bucketSize×
+    *    per level and stops when it no longer shrinks.
     */
   def exclusivePrefixSum(
       df: DataFrame, part: String, ord: String, value: Column,
       bucketSize: Long = 256L,
-      maxBroadcastOffsetRows: Long = 4L << 20): DataFrame = {
+      maxBroadcastOffsetRows: Long = 4L << 20,
+      maxWindowRows: Long = 4L << 20): DataFrame = {
+    require(bucketSize >= 2, s"bucketSize must be >= 2, got $bucketSize")
+    prefixSumAt(df, part, ord, value, bucketSize, maxBroadcastOffsetRows,
+      maxWindowRows, depth = 0, prevRows = Long.MaxValue)
+  }
+
+  private def prefixSumAt(
+      df: DataFrame, part: String, ord: String, value: Column,
+      bucketSize: Long, maxBroadcastOffsetRows: Long, maxWindowRows: Long,
+      depth: Int, prevRows: Long): DataFrame = {
+    // per-depth column names: the recursive call layers the same
+    // shape over its own bucket column without clobbering this one's
+    val v = s"__v$depth"; val bk = s"__bkt$depth"
+    val bsum = s"__bsum$depth"; val off = s"__off$depth"
     val bucketed = df
-      .withColumn("__v", value.cast("long"))
-      .withColumn("__bkt", floor(col(ord) / bucketSize))
-    val wOff = Window.partitionBy(part).orderBy("__bkt")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = bucketed.groupBy(col(part), col("__bkt"))
-      .agg(sum("__v").as("__bsum"))
-      .withColumn("__off", coalesce(sum("__bsum").over(wOff), lit(0L)))
-      .select(col(part), col("__bkt"), col("__off"))
+      .withColumn(v, value.cast("long"))
+      .withColumn(bk, floor(col(ord) / bucketSize))
+    val bsums = bucketed.groupBy(col(part), col(bk))
+      .agg(sum(v).as(bsum))
       .cache()
+    val nOff = bsums.count()
+    val offsets =
+      if (nOff > maxWindowRows && nOff < prevRows) {
+        // summary too big for a per-group window: recurse on the
+        // bucket sums; its `prefix` IS this level's exclusive offset
+        prefixSumAt(bsums, part, bk, col(bsum), bucketSize,
+          maxBroadcastOffsetRows, maxWindowRows, depth + 1, nOff)
+          .select(col(part), col(bk), col("prefix").as(off))
+      } else {
+        val wOff = Window.partitionBy(part).orderBy(bk)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        bsums.withColumn(off, coalesce(sum(bsum).over(wOff), lit(0L)))
+          .select(col(part), col(bk), col(off))
+      }
     val joined =
-      if (offsets.count() <= maxBroadcastOffsetRows)
-        bucketed.join(broadcast(offsets), Seq(part, "__bkt"))
+      if (nOff <= maxBroadcastOffsetRows)
+        bucketed.join(broadcast(offsets), Seq(part, bk))
       else
-        bucketed.join(offsets, Seq(part, "__bkt"))
-    val wIn = Window.partitionBy(col(part), col("__bkt")).orderBy(ord)
+        bucketed.join(offsets, Seq(part, bk))
+    val wIn = Window.partitionBy(col(part), col(bk)).orderBy(ord)
       .rowsBetween(Window.unboundedPreceding, -1)
     joined
-      .withColumn("prefix", col("__off") + coalesce(sum("__v").over(wIn), lit(0L)))
-      .drop("__v", "__bkt", "__off")
+      .withColumn("prefix", col(off) + coalesce(sum(v).over(wIn), lit(0L)))
+      .drop(v, bk, off)
   }
 }

@@ -62,6 +62,26 @@ class ScalePrimSpec extends AnyFunSuite {
     assert(viaShuffle.count() == rows.length)
   }
 
+  test("recursive offsets (buckets-of-buckets) match the naive window exactly") {
+    val rows = (0 until 500).map { i =>
+      (s"g${i % 2}", (i * 3 + (i % 7)).toLong, (i * 17 % 11).toLong)
+    }
+    val df = rows.toDF("part", "ord", "v").repartition(8)
+    // maxWindowRows = 0 forces recursion at EVERY level until the
+    // summary stops shrinking — the deepest exercise of the shape
+    val got = ScalePrim.exclusivePrefixSum(
+      df, "part", "ord", col("v"), bucketSize = 4L, maxWindowRows = 0L)
+      .select("part", "ord", "prefix")
+    val w = Window.partitionBy("part").orderBy("ord")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val want = df.withColumn("prefix", coalesce(sum("v").over(w), lit(0L)))
+      .select("part", "ord", "prefix")
+    val diff = got.as("a").join(want.as("b"), Seq("part", "ord"))
+      .filter(col("a.prefix") =!= col("b.prefix"))
+    assert(diff.count() == 0, "recursive two-pass prefix sum diverged from the naive window")
+    assert(got.count() == rows.length)
+  }
+
   test("pipe_shard plans no per-source single-partition window") {
     val p = SparkEntry.queries("pipe_shard")(spark, sf)
       .queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
