@@ -193,16 +193,29 @@ object Style {
       .orderBy("doc_id")
   }
 
+  /** The per-(source, family) mean-score aggregation — ONE definition
+    * shared by the batch ma_style_fingerprint and
+    * Streaming.styleFingerprint so they cannot drift. The mean is
+    * algebraic, so on a stream Spark maintains it incrementally with
+    * (sum, count) state per source × family.
+    */
+  private def styleFpAgg(scores: DataFrame): DataFrame =
+    scores.groupBy("source", "family")
+      .agg(round(lit(1e-9) + avg("score") + 1e-9, 4).as("avg_score"))
+
+  /** Streaming.styleFingerprint's entry: map-only scoring + the
+    * shared aggregation over any (source, text) frame.
+    */
+  private[graft] def styleFingerprintOf(docs: DataFrame): DataFrame =
+    styleFpAgg(scoresOf(docs, Seq("source")))
+
   val styleFingerprint = Q(
     "ma_style_fingerprint",
     s"""SELECT source, family, round(1e-9 + avg(score) + 1e-9, 4) AS avg_score
        |FROM ($scoresSql)
        |GROUP BY source, family
        |ORDER BY source, family""".stripMargin) { (spark, dir) =>
-    scoresDf(spark, dir)
-      .groupBy("source", "family")
-      .agg(round(lit(1e-9) + avg("score") + 1e-9, 4).as("avg_score"))
-      .orderBy("source", "family")
+    styleFpAgg(scoresDf(spark, dir)).orderBy("source", "family")
   }
 
   /** Identity verification: best-matching family per source vs the

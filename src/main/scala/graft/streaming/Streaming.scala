@@ -124,6 +124,18 @@ object Streaming {
   def fingerprint(docs: DataFrame): DataFrame =
     graft.operators.Audit.fingerprintOf(docs)
 
+  /** Incrementally maintained per-model STYLE fingerprint (mean
+    * per-family style score per source) over a document stream — the
+    * style-method companion to [[fingerprint]]. Scoring is map-only
+    * (the family signatures are compile-time constants) and the mean
+    * is algebraic, so state is |sources| × |families| (sum, count)
+    * pairs. Shares the scoring and aggregation definitions with the
+    * batch ma_style_fingerprint (Style.styleFingerprintOf);
+    * cross-validated in StreamingSpec on a replayed corpus.
+    */
+  def styleFingerprint(docs: DataFrame): DataFrame =
+    graft.operators.Style.styleFingerprintOf(docs)
+
   /** Flush still-open sessions from a completed sessionize pass
     * (batch-mode convenience for tests and backfills).
     */

@@ -149,6 +149,22 @@ class PlanSpec extends AnyFunSuite {
       "the skewed event_type join must run on (key, salt) sub-keys")
   }
 
+  test("ma_report_json assembles JSON without any shuffle beyond ma_audit's") {
+    // the JSON export is a pure projection over the audit result —
+    // string assembly must be free, never a new exchange
+    val audit = plan("ma_audit")
+    val json = plan("ma_report_json")
+    def exchanges(p: String) = "Exchange".r.findAllIn(p).size
+    assert(exchanges(json) == exchanges(audit),
+      s"JSON projection added shuffles: audit=${exchanges(audit)} json=${exchanges(json)}")
+  }
+
+  test("ma_benchmark_eval_by_category rolls up the (category, label) slices in one pass") {
+    val p = plan("ma_benchmark_eval_by_category")
+    assert(p.contains("Expand"),
+      "every filter combination must come from ONE rollup scan, not per-slice re-reads")
+  }
+
   test("pipe_curate never shuffles document text") {
     // the funnel's scale contract: enrichment is map-only, dedup and
     // the canonical join move only (sha, doc_id)-sized rows. AQE off

@@ -146,6 +146,31 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming style fingerprint equals batch ma_style_fingerprint on a replayed corpus") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val docs = graft.Tables.documents(spark, sf)
+      .select("source", "text").as[(String, String)].collect()
+    val mem = MemoryStream[(String, String)]
+    val q = Streaming.styleFingerprint(mem.toDF().toDF("source", "text"))
+      .writeStream.outputMode("complete").format("memory").queryName("sfp").start()
+    try {
+      docs.grouped(math.max(1, docs.length / 3 + 1)).foreach { chunk =>
+        mem.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val got = spark.sql("SELECT * FROM sfp").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val want = SparkEntry.queries("ma_style_fingerprint")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(got.keySet == want.keySet)
+    // batch rounds to 4 dp; stream state merges float sums in another
+    // order, so allow one ulp of the rounding grid either way
+    for ((k, w) <- want)
+      assert(math.abs(got(k) - w) < 2e-4, s"$k: stream=${got(k)} batch=$w")
+  }
+
   test("REEF hidden-state extraction: per-partition batched forward, deterministic") {
     val docs = operators.Reef.extractHiddenStates(
       graft.Tables.documents(spark, sf).limit(40), layer = 2, dim = 16, batchSize = 8)
