@@ -17,6 +17,7 @@ object SparkEntry {
       operators.ScaleJoins.all ++
       operators.Ann.all ++
       operators.TextAnalysis.all ++
+      operators.Pipeline.all ++
       operators.Reef.all ++
       operators.Multimodal.all ++
       operators.BenchmarkEval.all

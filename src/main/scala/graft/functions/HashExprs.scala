@@ -87,6 +87,20 @@ object PolyHashing {
     out
   }
 
+  /** Word-bigram hashes WITH multiplicity (repetition analysis wants
+    * counts, unlike the distinct 3-gram shingle set dedup wants).
+    */
+  def bigramHashes(wh: Array[Long]): Array[Long] = {
+    if (wh.length < 2) return Array.emptyLongArray
+    val out = new Array[Long](wh.length - 1)
+    var i = 0
+    while (i + 1 < wh.length) {
+      out(i) = (wh(i) * B + wh(i + 1)) % P
+      i += 1
+    }
+    out
+  }
+
   def minhashSig(shingles: Array[Long]): Array[Long] = {
     val out = new Array[Long](NumPerms)
     var j = 0
@@ -154,6 +168,24 @@ case class ShingleHashesExpr(child: Expression) extends UnaryExpression {
   override def prettyName: String = "shingle_hashes"
 }
 
+/** array<long> of word-bigram hashes (with multiplicity) over a
+  * token-hash array — the size-2 sliding combine of TokenHashesExpr
+  * output. Native for the same reason as the others: the HOF
+  * formulation (transform over a sequence + two element_at) pays
+  * interpreted-lambda cost per token in the corpus-scan stage.
+  */
+case class BigramHashesExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(
+      PolyHashing.bigramHashes(input.asInstanceOf[ArrayData].toLongArray()))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = new ${GenHelper.GAD}(${GenHelper.Poly}.bigramHashes($c.toLongArray()));")
+  override protected def withNewChildInternal(c: Expression): BigramHashesExpr = copy(c)
+  override def prettyName: String = "bigram_hashes"
+}
+
 /** array<long> of the k=24 MinHash values over a shingle array;
   * null for an empty shingle set (mirrors array_min's null).
   */
@@ -212,6 +244,7 @@ case class PolyHashExpr(child: Expression) extends UnaryExpression {
 object HashExprs {
   def token_hashes(c: Column): Column = Bridge.column(TokenHashesExpr(Bridge.expression(c)))
   def shingle_hashes(c: Column): Column = Bridge.column(ShingleHashesExpr(Bridge.expression(c)))
+  def bigram_hashes(c: Column): Column = Bridge.column(BigramHashesExpr(Bridge.expression(c)))
   def minhash_sig(c: Column): Column = Bridge.column(MinHashSigExpr(Bridge.expression(c)))
   def poly_hash(c: Column): Column = Bridge.column(PolyHashExpr(Bridge.expression(c)))
   def dot_product(a: Column, b: Column): Column =
@@ -222,6 +255,7 @@ object HashExprs {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("token_hashes", es => TokenHashesExpr(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("shingle_hashes", es => ShingleHashesExpr(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("bigram_hashes", es => BigramHashesExpr(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("minhash_sig", es => MinHashSigExpr(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("poly_hash", es => PolyHashExpr(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("word_bigrams", es => WordBigramsExpr(es.head), "scala_udf")

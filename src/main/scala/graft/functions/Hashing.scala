@@ -33,6 +33,9 @@ object Hashing {
   /** Distinct word-3-gram shingle hashes of a text column. */
   def shingleHashes(text: Column): Column = HashExprs.shingle_hashes(text)
 
+  /** Word-bigram hashes (with multiplicity) over a token-hash array. */
+  def bigramHashes(wh: Column): Column = HashExprs.bigram_hashes(wh)
+
   /** All k MinHash values as one array column. */
   def minhashSig(text: Column): Column =
     HashExprs.minhash_sig(HashExprs.shingle_hashes(text))
@@ -63,6 +66,11 @@ object Hashing {
   def shingleHashesSql(wh: String): String =
     s"list_distinct(list_transform(list_slice($wh, 1, greatest(len($wh) - 2, 0)), " +
       s"(x, i) -> (((x * $B + $wh[i + 1]) % $P) * $B + $wh[i + 2]) % $P))"
+
+  /** Bigram hashes with multiplicity; `wh` must be a bound column name. */
+  def bigramHashesSql(wh: String): String =
+    s"list_transform(list_slice($wh, 1, greatest(len($wh) - 1, 0)), " +
+      s"(x, i) -> (x * $B + $wh[i + 1]) % $P)"
 
   def minHashSql(shinglesE: String, j: Int): String =
     s"list_min(list_transform($shinglesE, s -> (${permA(j)} * s + ${permB(j)}) % $P))"

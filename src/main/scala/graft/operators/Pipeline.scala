@@ -1,0 +1,246 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.functions.{Hashing, TopKAgg}
+import org.apache.spark.sql.functions._
+
+/** Second block of training-data-pipeline operators: repetition
+  * quality signals, benchmark decontamination, deterministic
+  * stratified sampling, and domain-mixing weights. Together with
+  * pipe_curate / pipe_shard these cover the classic corpus-prep
+  * stages a large LLM training pipeline runs between raw ingest and
+  * shard writing.
+  */
+object Pipeline {
+
+  // ═══════════════ repetition signals ═══════════════
+
+  /** Flag thresholds: a doc whose single most frequent word carries
+    * >= 12% of its tokens, or whose most frequent word-bigram carries
+    * >= 6% of its bigrams, is excess-repetition suspect (the
+    * count-based form of the Gopher repetition filters).
+    */
+  private val topWordMax = 0.12
+  private val topBigramMax = 0.06
+
+  /** Per-doc repetition metrics: most-frequent-word share,
+    * most-frequent-bigram share, duplicate-word fraction.
+    *
+    * Scale shape: token/bigram hashes form in the scan stage (native
+    * codegen'd expressions), then two two-level aggregations keyed by
+    * (doc_id, hash). A doc's tokens are co-located after the scan, so
+    * the map-side combine collapses to one row per (doc, term) before
+    * any exchange — the shuffle carries the per-doc term histogram
+    * (16-byte keyed rows), never text, and doc_id keys distribute
+    * evenly at any corpus size. The per-doc nested-loop alternative
+    * (aggregate over array_distinct) is shuffle-free but pays
+    * interpreted-lambda cost quadratic in doc length — wrong trade in
+    * the hot scan stage.
+    */
+  val repetition = Q(
+    "tx_repetition", {
+      val whSql = Hashing.wordHashesSql("text")
+      val bhSql = Hashing.bigramHashesSql("wh")
+      s"""WITH wh AS (SELECT doc_id, $whSql AS wh FROM documents),
+         |w AS (SELECT doc_id, h, count(*) AS cnt
+         |  FROM (SELECT doc_id, unnest(wh) AS h FROM wh) GROUP BY doc_id, h),
+         |ws AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_words,
+         |  CAST(count(*) AS BIGINT) AS n_distinct, max(cnt) AS top_w
+         |  FROM w GROUP BY doc_id),
+         |bg AS (SELECT doc_id, unnest($bhSql) AS h FROM wh),
+         |b AS (SELECT doc_id, h, count(*) AS cnt FROM bg GROUP BY doc_id, h),
+         |bs AS (SELECT doc_id, max(cnt) AS top_b, sum(cnt) AS n_bigrams FROM b GROUP BY doc_id),
+         |j AS (SELECT ws.doc_id, n_words, n_distinct,
+         |  round(1e-9 + top_w / CAST(n_words AS DOUBLE) + 1e-9, 6) AS top_word_frac,
+         |  round(1e-9 + coalesce(top_b / CAST(n_bigrams AS DOUBLE), 0) + 1e-9, 6) AS top_bigram_frac,
+         |  round(1e-9 + 1 - n_distinct / CAST(n_words AS DOUBLE) + 1e-9, 6) AS dup_word_frac
+         |  FROM ws LEFT JOIN bs ON ws.doc_id = bs.doc_id)
+         |SELECT doc_id, n_words, n_distinct, top_word_frac, top_bigram_frac, dup_word_frac,
+         |  (top_word_frac >= $topWordMax OR top_bigram_frac >= $topBigramMax) AS repetitive
+         |FROM j
+         |ORDER BY doc_id""".stripMargin
+    }) { (spark, dir) =>
+    val docsWh = Tables.documents(spark, dir)
+      .select(col("doc_id"), Hashing.wordHashes(col("text")).as("wh"))
+    val words = docsWh.select(col("doc_id"), explode(col("wh")).as("h"))
+      .groupBy("doc_id", "h").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id").agg(
+        sum("cnt").as("n_words"),
+        count(lit(1)).as("n_distinct"),
+        max("cnt").as("top_w"))
+    val bigrams = docsWh
+      .select(col("doc_id"), explode(Hashing.bigramHashes(col("wh"))).as("h"))
+      .groupBy("doc_id", "h").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id").agg(max("cnt").as("top_b"), sum("cnt").as("n_bigrams"))
+    words.join(bigrams, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_words"),
+        col("n_distinct"),
+        round(lit(1e-9) + col("top_w") / col("n_words").cast("double") + 1e-9, 6)
+          .as("top_word_frac"),
+        round(lit(1e-9) +
+          coalesce(col("top_b") / col("n_bigrams").cast("double"), lit(0d)) + 1e-9, 6)
+          .as("top_bigram_frac"),
+        round(lit(1e-9) + lit(1d) - col("n_distinct") / col("n_words").cast("double") + 1e-9, 6)
+          .as("dup_word_frac"))
+      .withColumn("repetitive",
+        col("top_word_frac") >= topWordMax || col("top_bigram_frac") >= topBigramMax)
+      .orderBy("doc_id")
+  }
+
+  // ═══════════════ benchmark decontamination ═══════════════
+
+  /** Eval-set membership: every 10th doc (doc_id % 10 = 3) stands in
+    * for a held-out benchmark; the rest is the training corpus to be
+    * scanned for leaked eval content.
+    */
+  private val evalMod = 10
+  private val evalRes = 3
+  private val suspectFloor = 0.2
+  private val contaminatedFloor = 0.5
+
+  /** Benchmark-contamination scan: for each corpus doc, the largest
+    * fraction of its word-3-gram shingles that also appear in any
+    * single eval doc; docs over the suspect floor are reported with
+    * their best-matching eval doc, and >= 50% overlap is flagged
+    * contaminated — the n-gram-overlap decontamination step every
+    * serious training-data pipeline runs against its eval suites.
+    *
+    * Scale shape: both sides shingle in the scan stage. The eval side
+    * is small by nature (benchmarks are thousands of docs, the corpus
+    * is billions), so its exploded (hash, eval_id) index BROADCASTS —
+    * asserted in PlanSpec — and the corpus side never shuffles its
+    * text or shingles: the only exchange is the matched-pair
+    * aggregation, whose input is the (corpus_doc, eval_doc, hit)
+    * stream the broadcast join emits. The per-doc argmax is a
+    * struct-max (one partial-aggregated exchange), not a window.
+    */
+  val decontaminate = Q(
+    "pipe_decontaminate", {
+      val whSql = Hashing.wordHashesSql("text")
+      val shSql = Hashing.shingleHashesSql("wh")
+      s"""WITH wh AS (SELECT doc_id, source, $whSql AS wh FROM documents),
+         |sh AS (SELECT doc_id, source, $shSql AS shingles FROM wh),
+         |ev AS (SELECT doc_id AS eval_id, unnest(shingles) AS h FROM sh
+         |  WHERE doc_id % $evalMod = $evalRes),
+         |co AS (SELECT doc_id, source, len(shingles) AS ns, unnest(shingles) AS h FROM sh
+         |  WHERE doc_id % $evalMod != $evalRes),
+         |m AS (SELECT doc_id, source, ns, eval_id,
+         |    round(1e-9 + count(*) / CAST(ns AS DOUBLE) + 1e-9, 6) AS frac
+         |  FROM co JOIN ev USING (h) GROUP BY doc_id, source, ns, eval_id),
+         |b AS (SELECT doc_id, source, frac, eval_id,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY frac DESC, eval_id ASC) AS rn
+         |  FROM m)
+         |SELECT doc_id, source, CAST(eval_id AS BIGINT) AS best_eval_id,
+         |  frac AS overlap_frac, frac >= $contaminatedFloor AS contaminated
+         |FROM b WHERE rn = 1 AND frac >= $suspectFloor
+         |ORDER BY doc_id""".stripMargin
+    }) { (spark, dir) =>
+    val sh = Tables.documents(spark, dir).select(
+      col("doc_id"), col("source"), Hashing.shingleHashes(col("text")).as("shingles"))
+    val evalSide = sh.filter(col("doc_id") % evalMod === evalRes)
+      .select(col("doc_id").as("eval_id"), explode(col("shingles")).as("h"))
+    val corpus = sh.filter(col("doc_id") % evalMod =!= evalRes)
+      .select(col("doc_id"), col("source"), size(col("shingles")).as("ns"),
+        explode(col("shingles")).as("h"))
+    corpus.join(broadcast(evalSide), "h")
+      .groupBy("doc_id", "source", "ns", "eval_id").agg(count(lit(1)).as("matches"))
+      .withColumn("frac",
+        round(lit(1e-9) + col("matches") / col("ns").cast("double") + 1e-9, 6))
+      .groupBy("doc_id", "source")
+      .agg(max(struct(col("frac"), (-col("eval_id")).as("neg"))).as("best"))
+      .select(col("doc_id"), col("source"),
+        (-col("best.neg")).cast("long").as("best_eval_id"),
+        col("best.frac").as("overlap_frac"))
+      .filter(col("overlap_frac") >= suspectFloor)
+      .withColumn("contaminated", col("overlap_frac") >= contaminatedFloor)
+      .orderBy("doc_id")
+  }
+
+  // ═══════════════ deterministic stratified sampling ═══════════════
+
+  private val samplePerSource = 16
+
+  /** Reproducible stratified sample: the k docs with the smallest
+    * content fingerprint per source — a deterministic, engine-portable
+    * stand-in for uniform per-stratum sampling (the fingerprint is a
+    * content hash, so the selection is unbiased w.r.t. position and
+    * reproducible across runs and engines, unlike rand()-based
+    * sampling).
+    *
+    * Scale shape: the bounded-heap top-k aggregate carries k rows per
+    * source per partition and merges map-side — shuffle O(sources·k)
+    * — where the row_number window the oracle uses would sort every
+    * doc of a source in one task. Same plan class as q7/dli top-k.
+    */
+  val sample = Q(
+    "pipe_sample", {
+      val fpSql = Hashing.charFoldSql("text")
+      s"""SELECT source, rank, doc_id, fp FROM (
+         |  SELECT source, doc_id, fp,
+         |    CAST(row_number() OVER (PARTITION BY source ORDER BY fp, doc_id) AS BIGINT) AS rank
+         |  FROM (SELECT source, CAST(doc_id AS BIGINT) AS doc_id, $fpSql AS fp FROM documents)
+         |) WHERE rank <= $samplePerSource
+         |ORDER BY source, rank""".stripMargin
+    }) { (spark, dir) =>
+    Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id").cast("long").as("doc_id"),
+        Hashing.charFold(col("text")).as("fp"))
+      .groupBy("source")
+      // score = -fp: the heap keeps the highest scores and breaks
+      // ties toward the smaller id, reproducing ORDER BY fp, doc_id.
+      .agg(TopKAgg.topk_by_score(
+        (-col("fp")).cast("double"), col("doc_id"), samplePerSource).as("tk"))
+      .select(col("source"), explode(col("tk")).as("t"))
+      .select(col("source"), col("t.rank").as("rank"), col("t.id").as("doc_id"),
+        (-col("t.score")).cast("long").as("fp"))
+      .orderBy("source", "rank")
+  }
+
+  // ═══════════════ domain mixing weights ═══════════════
+
+  private val upsampleCap = 4.0
+
+  /** Domain-mixing plan: per-source token counts and the sampling
+    * weight that levels every source to the uniform share of the
+    * total token budget, capped at 4x upsampling — the "data mixture"
+    * computation behind weighted corpus sampling.
+    *
+    * Scale shape: one partial-aggregated exchange on source; the
+    * grand total is a 1-row frame broadcast back (same pattern as the
+    * ANN recall denominator) — nothing is collected to the driver.
+    */
+  val mix = Q(
+    "pipe_mix", {
+      val tokSql = "len(string_split_regex(trim(text), '\\s+'))"
+      val weightSql =
+        s"round(1e-9 + least($upsampleCap, (total / ns) / CAST(tokens AS DOUBLE)) + 1e-9, 6)"
+      s"""WITH tok AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum($tokSql) AS BIGINT) AS tokens
+         |  FROM documents GROUP BY source),
+         |tot AS (SELECT CAST(sum(tokens) AS DOUBLE) AS total, CAST(count(*) AS DOUBLE) AS ns
+         |  FROM tok)
+         |SELECT source, n_docs, tokens, $weightSql AS weight,
+         |  CAST(floor(CAST(tokens AS DOUBLE) * $weightSql + 1e-6) AS BIGINT) AS expected_tokens
+         |FROM tok, tot
+         |ORDER BY source""".stripMargin
+    }) { (spark, dir) =>
+    val tok = Tables.documents(spark, dir)
+      .select(col("source"), size(split(trim(col("text")), "\\s+")).cast("long").as("t"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("t").as("tokens"))
+    val tot = tok.agg(
+      sum("tokens").cast("double").as("total"), count(lit(1)).cast("double").as("ns"))
+    val weight = round(lit(1e-9) +
+      least(lit(upsampleCap), (col("total") / col("ns")) / col("tokens").cast("double")) +
+      1e-9, 6)
+    tok.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("tokens"), weight.as("weight"),
+        floor(col("tokens").cast("double") * weight + 1e-6).cast("long")
+          .as("expected_tokens"))
+      .orderBy("source")
+  }
+
+  val all: Seq[Q] = Seq(repetition, decontaminate, sample, mix)
+}

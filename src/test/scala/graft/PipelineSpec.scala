@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic checks for the second pipeline block (repetition,
+  * decontamination, sampling, mixing) beyond the DuckDB hash parity
+  * the driver runs: each operator's numbers are re-derived from the
+  * raw table with independent DataFrame logic.
+  */
+class PipelineSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("tx_repetition matches a direct per-doc recount for a sample of docs") {
+    val out = SparkEntry.queries("tx_repetition")(spark, sf)
+      .filter(col("doc_id") < 20).collect().map(r =>
+        r.getAs[Long]("doc_id") -> r).toMap
+    val raw = Tables.documents(spark, sf)
+      .filter(col("doc_id") < 20)
+      .select("doc_id", "text").collect()
+    assert(raw.nonEmpty)
+    for (r <- raw) {
+      val id = r.getAs[Long]("doc_id")
+      val words = r.getAs[String]("text").trim.toLowerCase.split("\\s+").toSeq
+      val bigrams = words.sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSeq
+      val o = out(id)
+      assert(o.getAs[Long]("n_words") == words.size)
+      assert(o.getAs[Long]("n_distinct") == words.distinct.size)
+      val twf = words.groupBy(identity).values.map(_.size).max.toDouble / words.size
+      assert(math.abs(o.getAs[Double]("top_word_frac") - twf) < 1e-5)
+      val tbf = if (bigrams.isEmpty) 0d
+        else bigrams.groupBy(identity).values.map(_.size).max.toDouble / bigrams.size
+      assert(math.abs(o.getAs[Double]("top_bigram_frac") - tbf) < 1e-5)
+    }
+  }
+
+  test("tx_repetition flags a meaningful, non-degenerate slice of the corpus") {
+    val flags = SparkEntry.queries("tx_repetition")(spark, sf)
+      .groupBy("repetitive").count().collect()
+      .map(r => r.getAs[Boolean]("repetitive") -> r.getAs[Long]("count")).toMap
+    assert(flags.getOrElse(true, 0L) > 0, "no doc flagged repetitive")
+    assert(flags.getOrElse(false, 0L) > 0, "every doc flagged repetitive")
+  }
+
+  test("pipe_decontaminate reports corpus docs against eval docs with verifiable overlap") {
+    val out = SparkEntry.queries("pipe_decontaminate")(spark, sf).collect()
+    assert(out.nonEmpty, "the planted near-dup structure must surface contamination")
+    for (r <- out) {
+      assert(r.getAs[Long]("doc_id") % 10 != 3, "eval docs must not be scanned as corpus")
+      assert(r.getAs[Long]("best_eval_id") % 10 == 3, "best match must be an eval doc")
+      val f = r.getAs[Double]("overlap_frac")
+      assert(f >= 0.2 && f <= 1.0 + 1e-9)
+      assert(r.getAs[Boolean]("contaminated") == (f >= 0.5))
+    }
+    // re-derive the top hit's overlap from raw shingle sets
+    val top = out.maxBy(_.getAs[Double]("overlap_frac"))
+    val sh = Tables.documents(spark, sf)
+      .filter(col("doc_id").isin(top.getAs[Long]("doc_id"), top.getAs[Long]("best_eval_id")))
+      .select(col("doc_id"), functions.Hashing.shingleHashes(col("text")).as("s"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getSeq[Long](1).toSet).toMap
+    val doc = sh(top.getAs[Long]("doc_id"))
+    val ev = sh(top.getAs[Long]("best_eval_id"))
+    val frac = doc.intersect(ev).size.toDouble / doc.size
+    assert(math.abs(top.getAs[Double]("overlap_frac") - frac) < 1e-5)
+  }
+
+  test("pipe_sample selects exactly k docs per source, ranked by ascending fingerprint") {
+    val out = SparkEntry.queries("pipe_sample")(spark, sf).collect()
+    val bySource = out.groupBy(_.getAs[String]("source"))
+    assert(bySource.size == 20)
+    for ((_, rows) <- bySource) {
+      assert(rows.length == 16)
+      assert(rows.map(_.getAs[Long]("rank")).sorted.toSeq == (1L to 16L))
+      val fps = rows.sortBy(_.getAs[Long]("rank")).map(_.getAs[Long]("fp")).toSeq
+      assert(fps == fps.sorted, "rank order must be ascending fingerprint order")
+    }
+    // rank 1 really is the per-source minimum over the whole table
+    val mins = Tables.documents(spark, sf)
+      .select(col("source"), functions.Hashing.charFold(col("text")).as("fp"))
+      .groupBy("source").agg(min("fp").as("m")).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("m")).toMap
+    for ((s, rows) <- bySource)
+      assert(rows.minBy(_.getAs[Long]("rank")).getAs[Long]("fp") == mins(s))
+  }
+
+  test("pipe_mix weights level sources to the uniform token share, capped") {
+    val out = SparkEntry.queries("pipe_mix")(spark, sf).collect()
+    assert(out.length == 20)
+    val total = out.map(_.getAs[Long]("tokens")).sum.toDouble
+    val target = total / out.length
+    for (r <- out) {
+      val w = r.getAs[Double]("weight")
+      val expect = math.min(4.0, target / r.getAs[Long]("tokens"))
+      assert(math.abs(w - expect) < 1e-5)
+      assert(r.getAs[Long]("expected_tokens") ==
+        math.floor(r.getAs[Long]("tokens") * w + 1e-6).toLong)
+    }
+  }
+}

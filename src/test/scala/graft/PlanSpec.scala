@@ -165,6 +165,40 @@ class PlanSpec extends AnyFunSuite {
       "every filter combination must come from ONE rollup scan, not per-slice re-reads")
   }
 
+  test("pipe_decontaminate broadcasts the eval index and uses no window") {
+    // The scale contract: eval sets are small, corpora are not — the
+    // exploded eval (hash, eval_id) index must broadcast so the corpus
+    // side never shuffles for the join, and the per-doc best-match is
+    // a struct-max aggregate, never a row_number over all matches.
+    val p = plan("pipe_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), "eval index must broadcast")
+    assert(!p.contains("SortMergeJoin"), "the contamination join must not shuffle the corpus")
+    assert(!p.contains("Window"), "per-doc argmax must be an aggregate, not a window")
+  }
+
+  test("pipe_sample uses the bounded heap, not a per-source window sort") {
+    val p = plan("pipe_sample")
+    assert(p.contains("topk_by_score"), "sampling must go through the bounded-heap aggregate")
+    assert(!p.contains("Window"), "a row_number window would sort every doc of a source in one task")
+  }
+
+  test("tx_repetition shuffles hashed-term histograms, never document text") {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = SparkEntry.queries("tx_repetition")(spark, sf)
+      val exchanges = df.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.nonEmpty)
+      for (e <- exchanges
+           if !e.outputPartitioning.isInstanceOf[
+             org.apache.spark.sql.catalyst.plans.physical.RoundRobinPartitioning])
+        assert(!e.output.exists(a => a.name == "text" || a.name == "wh"),
+          s"a keyed shuffle carries text or the full token array: ${e.output.map(_.name)}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("pipe_curate never shuffles document text") {
     // the funnel's scale contract: enrichment is map-only, dedup and
     // the canonical join move only (sha, doc_id)-sized rows. AQE off
