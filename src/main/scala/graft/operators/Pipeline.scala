@@ -97,8 +97,37 @@ object Pipeline {
     */
   private val evalMod = 10
   private val evalRes = 3
-  private val suspectFloor = 0.2
-  private val contaminatedFloor = 0.5
+  private[graft] val suspectFloor = 0.2
+  private[graft] val contaminatedFloor = 0.5
+
+  /** (doc_id, source, shingles) of any frame with (doc_id, source,
+    * text) — shared by the batch query and the streaming variant.
+    */
+  private[graft] def shingledDocs(docs: org.apache.spark.sql.DataFrame) =
+    docs.select(col("doc_id"), col("source"),
+      Hashing.shingleHashes(col("text")).as("shingles"))
+
+  /** The exploded (hash, eval_id) contamination index of an eval set. */
+  private[graft] def evalIndexOf(sh: org.apache.spark.sql.DataFrame) =
+    sh.select(col("doc_id").as("eval_id"), explode(col("shingles")).as("h"))
+
+  /** Per (corpus doc, eval doc) shingle-overlap fraction against a
+    * broadcast eval index — the single definition behind
+    * pipe_decontaminate and Streaming.decontaminate, so batch and
+    * stream cannot disagree on what "overlap" means. One streaming-
+    * legal aggregation: works unchanged on a stream-static join.
+    */
+  private[graft] def overlapPairs(
+      corpusSh: org.apache.spark.sql.DataFrame,
+      evalIdx: org.apache.spark.sql.DataFrame) =
+    corpusSh
+      .select(col("doc_id"), col("source"), size(col("shingles")).as("ns"),
+        explode(col("shingles")).as("h"))
+      .join(broadcast(evalIdx), "h")
+      .groupBy("doc_id", "source", "ns", "eval_id")
+      .agg(count(lit(1)).as("matches"))
+      .withColumn("frac",
+        round(lit(1e-9) + col("matches") / col("ns").cast("double") + 1e-9, 6))
 
   /** Benchmark-contamination scan: for each corpus doc, the largest
     * fraction of its word-3-gram shingles that also appear in any
@@ -137,17 +166,9 @@ object Pipeline {
          |FROM b WHERE rn = 1 AND frac >= $suspectFloor
          |ORDER BY doc_id""".stripMargin
     }) { (spark, dir) =>
-    val sh = Tables.documents(spark, dir).select(
-      col("doc_id"), col("source"), Hashing.shingleHashes(col("text")).as("shingles"))
-    val evalSide = sh.filter(col("doc_id") % evalMod === evalRes)
-      .select(col("doc_id").as("eval_id"), explode(col("shingles")).as("h"))
-    val corpus = sh.filter(col("doc_id") % evalMod =!= evalRes)
-      .select(col("doc_id"), col("source"), size(col("shingles")).as("ns"),
-        explode(col("shingles")).as("h"))
-    corpus.join(broadcast(evalSide), "h")
-      .groupBy("doc_id", "source", "ns", "eval_id").agg(count(lit(1)).as("matches"))
-      .withColumn("frac",
-        round(lit(1e-9) + col("matches") / col("ns").cast("double") + 1e-9, 6))
+    val sh = shingledDocs(Tables.documents(spark, dir))
+    val evalIdx = evalIndexOf(sh.filter(col("doc_id") % evalMod === evalRes))
+    overlapPairs(sh.filter(col("doc_id") % evalMod =!= evalRes), evalIdx)
       .groupBy("doc_id", "source")
       .agg(max(struct(col("frac"), (-col("eval_id")).as("neg"))).as("best"))
       .select(col("doc_id"), col("source"),

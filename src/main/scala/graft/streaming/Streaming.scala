@@ -136,6 +136,28 @@ object Streaming {
   def styleFingerprint(docs: DataFrame): DataFrame =
     graft.operators.Style.styleFingerprintOf(docs)
 
+  /** Streaming benchmark-contamination scan: each (doc_id, source,
+    * text) row of a live ingest stream is shingled and joined against
+    * a STATIC broadcast eval-set index (built once from the held-out
+    * benchmarks via Pipeline.shingledDocs/evalIndexOf), emitting the
+    * per (doc, eval) overlap fraction with the contaminated flag —
+    * decontamination at ingest time instead of as a batch sweep.
+    *
+    * The stream side is map-only (shingle + explode) into a
+    * stream-static broadcast join; the single streaming aggregation
+    * is the same overlapPairs definition the batch pipe_decontaminate
+    * uses, so stream and batch agree bit-for-bit on overlap (state:
+    * one count per observed (doc, eval) candidate pair — sparse, only
+    * pairs sharing a shingle). Run with outputMode update/complete.
+    * The per-doc best-match argmax stays a batch/reader concern: a
+    * second streaming agg level would need complete-mode rescans.
+    */
+  def decontaminate(docs: DataFrame, evalIdx: DataFrame): DataFrame =
+    graft.operators.Pipeline.overlapPairs(
+        graft.operators.Pipeline.shingledDocs(docs), evalIdx)
+      .withColumn("contaminated",
+        col("frac") >= graft.operators.Pipeline.contaminatedFloor)
+
   /** Flush still-open sessions from a completed sessionize pass
     * (batch-mode convenience for tests and backfills).
     */

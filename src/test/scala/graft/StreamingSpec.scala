@@ -171,6 +171,42 @@ class StreamingSpec extends AnyFunSuite {
       assert(math.abs(got(k) - w) < 2e-4, s"$k: stream=${got(k)} batch=$w")
   }
 
+  test("streaming decontaminate equals the batch overlap pairs on a replayed corpus") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    // static eval index from the same slice the batch query uses
+    val sh = operators.Pipeline.shingledDocs(
+      graft.Tables.documents(spark, sf).select("doc_id", "source", "text"))
+    val evalIdx = operators.Pipeline.evalIndexOf(sh.filter(col("doc_id") % 10 === 3))
+    val corpus = graft.Tables.documents(spark, sf)
+      .filter(col("doc_id") % 10 =!= 3)
+      .select("doc_id", "source", "text")
+      .as[(Long, String, String)].collect()
+    val mem = MemoryStream[(Long, String, String)]
+    val q = Streaming.decontaminate(
+        mem.toDF().toDF("doc_id", "source", "text"), evalIdx)
+      .writeStream.outputMode("complete").format("memory").queryName("decon").start()
+    try {
+      corpus.grouped(math.max(1, corpus.length / 3 + 1)).foreach { chunk =>
+        mem.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val got = spark.sql("SELECT doc_id, eval_id, frac, contaminated FROM decon").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getDouble(2), r.getBoolean(3))).toMap
+    val want = operators.Pipeline.overlapPairs(
+        sh.filter(col("doc_id") % 10 =!= 3), evalIdx)
+      .collect().map(r =>
+        (r.getAs[Long]("doc_id"), r.getAs[Long]("eval_id")) -> r.getAs[Double]("frac")).toMap
+    assert(got.keySet == want.keySet)
+    assert(want.nonEmpty, "the planted near-dup structure must produce candidate pairs")
+    for ((k, (f, c)) <- got) {
+      assert(f == want(k), s"$k: stream=$f batch=${want(k)}")
+      assert(c == (f >= operators.Pipeline.contaminatedFloor))
+    }
+  }
+
   test("REEF hidden-state extraction: per-partition batched forward, deterministic") {
     val docs = operators.Reef.extractHiddenStates(
       graft.Tables.documents(spark, sf).limit(40), layer = 2, dim = 16, batchSize = 8)
