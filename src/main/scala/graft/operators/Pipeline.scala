@@ -89,6 +89,56 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  // ═══════════════ unigram-LM perplexity filter ═══════════════
+
+  private val highPplBits = 5.0
+
+  /** CCNet-style perplexity filtering with a corpus-trained unigram
+    * LM: pass 1 counts every token (the "model"), pass 2 scores each
+    * doc by its mean token surprisal -log2 p(token) and flags docs
+    * whose bits/token exceed the threshold — the classic "drop docs
+    * an in-domain LM finds unusual" quality gate, with the LM itself
+    * computed distributed instead of imported.
+    *
+    * Scale shape: the vocabulary aggregation and the token→count join
+    * are both keyed by token hash — partial-aggregated, evenly
+    * distributed, and co-partitioned (one exchange feeds both sides
+    * of the join), with the grand total a 1-row broadcast. The vocab
+    * frame grows sub-linearly with the corpus (vocabulary growth),
+    * and is NOT broadcast by hint: a 100 TB corpus's vocabulary can
+    * exceed driver memory, so the join stays a shuffle join unless
+    * AQE proves it small at runtime.
+    */
+  val unigramPpl = Q(
+    "tx_unigram_ppl", {
+      val whSql = Hashing.wordHashesSql("text")
+      s"""WITH wh AS (SELECT doc_id, unnest($whSql) AS h FROM documents),
+         |v AS (SELECT h, CAST(count(*) AS BIGINT) AS cnt FROM wh GROUP BY h),
+         |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n FROM v),
+         |d AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |    round(1e-9 + avg(-log2(cnt / n)) + 1e-9, 6) AS bits
+         |  FROM wh JOIN v USING (h) CROSS JOIN tot GROUP BY doc_id)
+         |SELECT doc_id, n_tokens, bits,
+         |  round(1e-9 + pow(2, bits) + 1e-9, 4) AS ppl,
+         |  bits >= $highPplBits AS high_ppl
+         |FROM d
+         |ORDER BY doc_id""".stripMargin
+    }) { (spark, dir) =>
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(Hashing.wordHashes(col("text"))).as("h"))
+    val vocab = toks.groupBy("h").agg(count(lit(1)).as("cnt"))
+    val tot = vocab.agg(sum("cnt").cast("double").as("n"))
+    toks.join(vocab, "h").crossJoin(broadcast(tot))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        round(lit(1e-9) + avg(-log2(col("cnt") / col("n"))) + 1e-9, 6).as("bits"))
+      .select(col("doc_id"), col("n_tokens"), col("bits"),
+        round(lit(1e-9) + pow(lit(2d), col("bits")) + 1e-9, 4).as("ppl"),
+        (col("bits") >= highPplBits).as("high_ppl"))
+      .orderBy("doc_id")
+  }
+
   // ═══════════════ benchmark decontamination ═══════════════
 
   /** Eval-set membership: every 10th doc (doc_id % 10 = 3) stands in
@@ -263,5 +313,5 @@ object Pipeline {
       .orderBy("source")
   }
 
-  val all: Seq[Q] = Seq(repetition, decontaminate, sample, mix)
+  val all: Seq[Q] = Seq(repetition, unigramPpl, decontaminate, sample, mix)
 }

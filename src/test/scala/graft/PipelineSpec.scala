@@ -42,6 +42,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(flags.getOrElse(false, 0L) > 0, "every doc flagged repetitive")
   }
 
+  test("tx_unigram_ppl equals a driver-side unigram LM rescore") {
+    val texts = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text").trim.toLowerCase.split("\\s+").toSeq)
+    val vocab = texts.flatMap(_._2).groupBy(identity).map { case (w, o) => w -> o.size }
+    val n = vocab.values.sum.toDouble
+    val out = SparkEntry.queries("tx_unigram_ppl")(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out.size == texts.length)
+    for ((id, words) <- texts.take(25)) {
+      val bits = words.map(w => -math.log(vocab(w) / n) / math.log(2)).sum / words.size
+      val o = out(id)
+      assert(o.getAs[Long]("n_tokens") == words.size)
+      assert(math.abs(o.getAs[Double]("bits") - bits) < 1e-5, s"doc $id")
+      assert(o.getAs[Boolean]("high_ppl") == (o.getAs[Double]("bits") >= 5.0))
+    }
+    val flags = out.values.count(_.getAs[Boolean]("high_ppl"))
+    assert(flags > 0 && flags < out.size, "threshold must split the corpus")
+  }
+
   test("pipe_decontaminate reports corpus docs against eval docs with verifiable overlap") {
     val out = SparkEntry.queries("pipe_decontaminate")(spark, sf).collect()
     assert(out.nonEmpty, "the planted near-dup structure must surface contamination")
