@@ -176,6 +176,22 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), "per-doc argmax must be an aggregate, not a window")
   }
 
+  test("tx_unigram_ppl joins token counts without windows or a forced vocab broadcast") {
+    val p = plan("tx_unigram_ppl")
+    assert(!p.contains("Window"), "per-doc surprisal must aggregate, not window")
+    // the 1-row grand total broadcasts; the vocab join must NOT carry
+    // a broadcast hint (a 100 TB vocabulary can exceed the driver) —
+    // only AQE may convert it at runtime from proven sizes
+    val df = SparkEntry.queries("tx_unigram_ppl")(spark, sf)
+    val hinted = df.queryExecution.logical.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.UnresolvedHint => h
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+        if j.hint.leftHint.exists(_.strategy.isDefined) ||
+           j.hint.rightHint.exists(_.strategy.isDefined) => j
+    }
+    assert(hinted.size <= 1, "only the 1-row total may be hint-broadcast")
+  }
+
   test("pipe_sample uses the bounded heap, not a per-source window sort") {
     val p = plan("pipe_sample")
     assert(p.contains("topk_by_score"), "sampling must go through the bounded-heap aggregate")
