@@ -37,31 +37,12 @@ object Pipeline {
     * interpreted-lambda cost quadratic in doc length — wrong trade in
     * the hot scan stage.
     */
-  val repetition = Q(
-    "tx_repetition", {
-      val whSql = Hashing.wordHashesSql("text")
-      val bhSql = Hashing.bigramHashesSql("wh")
-      s"""WITH wh AS (SELECT doc_id, $whSql AS wh FROM documents),
-         |w AS (SELECT doc_id, h, count(*) AS cnt
-         |  FROM (SELECT doc_id, unnest(wh) AS h FROM wh) GROUP BY doc_id, h),
-         |ws AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_words,
-         |  CAST(count(*) AS BIGINT) AS n_distinct, max(cnt) AS top_w
-         |  FROM w GROUP BY doc_id),
-         |bg AS (SELECT doc_id, unnest($bhSql) AS h FROM wh),
-         |b AS (SELECT doc_id, h, count(*) AS cnt FROM bg GROUP BY doc_id, h),
-         |bs AS (SELECT doc_id, max(cnt) AS top_b, sum(cnt) AS n_bigrams FROM b GROUP BY doc_id),
-         |j AS (SELECT ws.doc_id, n_words, n_distinct,
-         |  round(1e-9 + top_w / CAST(n_words AS DOUBLE) + 1e-9, 6) AS top_word_frac,
-         |  round(1e-9 + coalesce(top_b / CAST(n_bigrams AS DOUBLE), 0) + 1e-9, 6) AS top_bigram_frac,
-         |  round(1e-9 + 1 - n_distinct / CAST(n_words AS DOUBLE) + 1e-9, 6) AS dup_word_frac
-         |  FROM ws LEFT JOIN bs ON ws.doc_id = bs.doc_id)
-         |SELECT doc_id, n_words, n_distinct, top_word_frac, top_bigram_frac, dup_word_frac,
-         |  (top_word_frac >= $topWordMax OR top_bigram_frac >= $topBigramMax) AS repetitive
-         |FROM j
-         |ORDER BY doc_id""".stripMargin
-    }) { (spark, dir) =>
-    val docsWh = Tables.documents(spark, dir)
-      .select(col("doc_id"), Hashing.wordHashes(col("text")).as("wh"))
+  /** Per-doc repetition metrics + flag of any frame with (doc_id,
+    * text) — the single definition behind tx_repetition and the
+    * pipe_e2e gate.
+    */
+  private[graft] def repetitionMetrics(docs: org.apache.spark.sql.DataFrame) = {
+    val docsWh = docs.select(col("doc_id"), Hashing.wordHashes(col("text")).as("wh"))
     val words = docsWh.select(col("doc_id"), explode(col("wh")).as("h"))
       .groupBy("doc_id", "h").agg(count(lit(1)).as("cnt"))
       .groupBy("doc_id").agg(
@@ -86,7 +67,32 @@ object Pipeline {
           .as("dup_word_frac"))
       .withColumn("repetitive",
         col("top_word_frac") >= topWordMax || col("top_bigram_frac") >= topBigramMax)
-      .orderBy("doc_id")
+  }
+
+  val repetition = Q(
+    "tx_repetition", {
+      val whSql = Hashing.wordHashesSql("text")
+      val bhSql = Hashing.bigramHashesSql("wh")
+      s"""WITH wh AS (SELECT doc_id, $whSql AS wh FROM documents),
+         |w AS (SELECT doc_id, h, count(*) AS cnt
+         |  FROM (SELECT doc_id, unnest(wh) AS h FROM wh) GROUP BY doc_id, h),
+         |ws AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_words,
+         |  CAST(count(*) AS BIGINT) AS n_distinct, max(cnt) AS top_w
+         |  FROM w GROUP BY doc_id),
+         |bg AS (SELECT doc_id, unnest($bhSql) AS h FROM wh),
+         |b AS (SELECT doc_id, h, count(*) AS cnt FROM bg GROUP BY doc_id, h),
+         |bs AS (SELECT doc_id, max(cnt) AS top_b, sum(cnt) AS n_bigrams FROM b GROUP BY doc_id),
+         |j AS (SELECT ws.doc_id, n_words, n_distinct,
+         |  round(1e-9 + top_w / CAST(n_words AS DOUBLE) + 1e-9, 6) AS top_word_frac,
+         |  round(1e-9 + coalesce(top_b / CAST(n_bigrams AS DOUBLE), 0) + 1e-9, 6) AS top_bigram_frac,
+         |  round(1e-9 + 1 - n_distinct / CAST(n_words AS DOUBLE) + 1e-9, 6) AS dup_word_frac
+         |  FROM ws LEFT JOIN bs ON ws.doc_id = bs.doc_id)
+         |SELECT doc_id, n_words, n_distinct, top_word_frac, top_bigram_frac, dup_word_frac,
+         |  (top_word_frac >= $topWordMax OR top_bigram_frac >= $topBigramMax) AS repetitive
+         |FROM j
+         |ORDER BY doc_id""".stripMargin
+    }) { (spark, dir) =>
+    repetitionMetrics(Tables.documents(spark, dir)).orderBy("doc_id")
   }
 
   // ═══════════════ unigram-LM perplexity filter ═══════════════
@@ -313,5 +319,120 @@ object Pipeline {
       .orderBy("source")
   }
 
-  val all: Seq[Q] = Seq(repetition, unigramPpl, decontaminate, sample, mix)
+  // ═══════════════ end-to-end corpus preparation ═══════════════
+
+  /** The whole corpus-prep pipeline as ONE composed query — exact
+    * dedup → language gate → quality gate → repetition gate →
+    * decontamination gate — reported as per-source funnel counts plus
+    * the kept token volume and its training-shard budget. pipe_curate
+    * is the three-stage core; this is the full six-stage funnel a
+    * production training-data pipeline runs before shard writing,
+    * with every gate THE SAME shared definition its standalone query
+    * uses (qualityExpr/predLangExpr, repetitionMetrics,
+    * overlapPairs), so the composite cannot drift from the parts.
+    *
+    * Scale shape: all gates join on doc_id or sha — 8-40 byte keys,
+    * never text (the enrichment projects sha/quality/lang/tokens in
+    * the scan stage). The repetition histograms are the costliest
+    * exchange (16-byte rows, evenly keyed); the contamination side is
+    * a broadcast eval index plus a sparse matched-pair aggregate; the
+    * flagged-doc frames are small and AQE broadcasts the gate joins.
+    */
+  val e2e = Q(
+    "pipe_e2e", {
+      val qf = TextAnalysis.qualityFloor
+      val whSql = Hashing.wordHashesSql("text")
+      val bhSql = Hashing.bigramHashesSql("wh")
+      val shSql = Hashing.shingleHashesSql("wh")
+      val kept = s"is_canon AND pred_lang = 'en' AND quality >= $qf" +
+        " AND NOT repetitive AND NOT contaminated"
+      val keptTok = s"coalesce(sum(tokens) FILTER (WHERE $kept), 0)"
+      s"""WITH corpus AS (SELECT * FROM documents WHERE doc_id % $evalMod != $evalRes),
+         |enriched AS (
+         |  ${TextAnalysis.enrichedSqlFrom("corpus")}
+         |),
+         |canon AS (SELECT sha, min(doc_id) AS canonical_id FROM enriched GROUP BY sha),
+         |wh AS (SELECT doc_id, $whSql AS wh FROM corpus),
+         |w AS (SELECT doc_id, h, count(*) AS cnt
+         |  FROM (SELECT doc_id, unnest(wh) AS h FROM wh) GROUP BY doc_id, h),
+         |ws AS (SELECT doc_id, sum(cnt) AS n_words, max(cnt) AS top_w FROM w GROUP BY doc_id),
+         |bg AS (SELECT doc_id, unnest($bhSql) AS h FROM wh),
+         |b AS (SELECT doc_id, h, count(*) AS cnt FROM bg GROUP BY doc_id, h),
+         |bs AS (SELECT doc_id, max(cnt) AS top_b, sum(cnt) AS n_bigrams FROM b GROUP BY doc_id),
+         |rep AS (SELECT ws.doc_id,
+         |    (round(1e-9 + top_w / CAST(n_words AS DOUBLE) + 1e-9, 6) >= $topWordMax
+         |     OR round(1e-9 + coalesce(top_b / CAST(n_bigrams AS DOUBLE), 0) + 1e-9, 6) >= $topBigramMax)
+         |    AS repetitive
+         |  FROM ws LEFT JOIN bs ON ws.doc_id = bs.doc_id),
+         |awh AS (SELECT doc_id, $whSql AS wh FROM documents WHERE doc_id % $evalMod = $evalRes),
+         |ash AS (SELECT doc_id, $shSql AS shingles FROM awh),
+         |ev AS (SELECT doc_id AS eval_id, unnest(shingles) AS h FROM ash),
+         |csh AS (SELECT doc_id, $shSql AS shingles FROM wh),
+         |co AS (SELECT doc_id, len(shingles) AS ns, unnest(shingles) AS h FROM csh),
+         |m AS (SELECT doc_id, eval_id,
+         |    round(1e-9 + count(*) / CAST(ns AS DOUBLE) + 1e-9, 6) AS frac
+         |  FROM co JOIN ev USING (h) GROUP BY doc_id, ns, eval_id),
+         |contam AS (SELECT DISTINCT doc_id FROM m WHERE frac >= $contaminatedFloor),
+         |joined AS (
+         |  SELECT e.source, e.tokens, e.quality, e.pred_lang,
+         |    (e.doc_id = c.canonical_id) AS is_canon,
+         |    r.repetitive,
+         |    (ct.doc_id IS NOT NULL) AS contaminated
+         |  FROM enriched e JOIN canon c USING (sha) JOIN rep r ON e.doc_id = r.doc_id
+         |  LEFT JOIN contam ct ON e.doc_id = ct.doc_id)
+         |SELECT source,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(*) FILTER (WHERE NOT is_canon) AS BIGINT) AS n_dup_dropped,
+         |  CAST(count(*) FILTER (WHERE is_canon AND pred_lang != 'en') AS BIGINT) AS n_lang_dropped,
+         |  CAST(count(*) FILTER (WHERE is_canon AND pred_lang = 'en' AND quality < $qf) AS BIGINT)
+         |    AS n_quality_dropped,
+         |  CAST(count(*) FILTER (WHERE is_canon AND pred_lang = 'en' AND quality >= $qf
+         |    AND repetitive) AS BIGINT) AS n_rep_dropped,
+         |  CAST(count(*) FILTER (WHERE is_canon AND pred_lang = 'en' AND quality >= $qf
+         |    AND NOT repetitive AND contaminated) AS BIGINT) AS n_contam_dropped,
+         |  CAST(count(*) FILTER (WHERE $kept) AS BIGINT) AS n_kept,
+         |  CAST($keptTok AS BIGINT) AS tokens_kept,
+         |  CAST(ceil($keptTok / CAST(${TextAnalysis.shardBudget} AS DOUBLE)) AS BIGINT) AS n_shards
+         |FROM joined GROUP BY source ORDER BY source""".stripMargin
+    }) { (spark, dir) =>
+    val all = Tables.documents(spark, dir)
+    val docs = all.filter(col("doc_id") % evalMod =!= evalRes)
+    val enriched = docs.select(
+      col("doc_id"), col("source"), sha2(col("text"), 256).as("sha"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("tokens"),
+      TextAnalysis.qualityExpr.as("quality"),
+      TextAnalysis.predLangExpr.as("pred_lang"))
+    val canon = enriched.groupBy("sha").agg(min("doc_id").as("canonical_id"))
+    val rep = repetitionMetrics(docs).select(col("doc_id"), col("repetitive"))
+    val evalIdx = evalIndexOf(shingledDocs(all).filter(col("doc_id") % evalMod === evalRes))
+    val contam = overlapPairs(shingledDocs(docs), evalIdx)
+      .filter(col("frac") >= contaminatedFloor)
+      .select(col("doc_id")).distinct()
+      .withColumn("contaminated", lit(true))
+    val isCanon = col("doc_id") === col("canonical_id")
+    val okLangQ = col("pred_lang") === "en" && col("quality") >= TextAnalysis.qualityFloor
+    val isContam = coalesce(col("contaminated"), lit(false))
+    val kept = isCanon && okLangQ && !col("repetitive") && !isContam
+    val keptTok = coalesce(sum(when(kept, col("tokens"))), lit(0L))
+    enriched.join(canon, "sha")
+      .join(rep, "doc_id")
+      .join(contam, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count(when(!isCanon, 1)).as("n_dup_dropped"),
+        count(when(isCanon && col("pred_lang") =!= "en", 1)).as("n_lang_dropped"),
+        count(when(isCanon && col("pred_lang") === "en"
+          && col("quality") < TextAnalysis.qualityFloor, 1)).as("n_quality_dropped"),
+        count(when(isCanon && okLangQ && col("repetitive"), 1)).as("n_rep_dropped"),
+        count(when(isCanon && okLangQ && !col("repetitive") && isContam, 1))
+          .as("n_contam_dropped"),
+        count(when(kept, 1)).as("n_kept"),
+        keptTok.as("tokens_kept"),
+        ceil(keptTok / lit(TextAnalysis.shardBudget).cast("double")).cast("long")
+          .as("n_shards"))
+      .orderBy("source")
+  }
+
+  val all: Seq[Q] = Seq(repetition, unigramPpl, decontaminate, sample, mix, e2e)
 }

@@ -195,35 +195,46 @@ object TextAnalysis {
     * a map-side-combinable aggregation on source. No full-text
     * shuffle anywhere, so the plan survives a 100 TB corpus.
     */
+  /** The enriched-docs CTE body shared by the pipe_curate oracle and
+    * the pipe_e2e oracle: per-doc (doc_id, source, sha, quality,
+    * pred_lang, tokens) computed from relation `rel` — the SQL twin
+    * of the map-only enrichment stage (qualityExpr/predLangExpr +
+    * whitespace token count).
+    */
+  private[graft] def enrichedSqlFrom(rel: String): String = {
+    val words = "string_split_regex(trim(lower(text)), '\\s+')"
+    val sw = stopwords.map(s => s"'$s'").mkString("(", ", ", ")")
+    val langHits = langStops.map { case (l, ws) =>
+      val set = ws.map(w => s"'$w'").mkString("(", ", ", ")")
+      s"len(list_filter($words, w -> w IN $set)) AS ${l}_hits"
+    }.mkString(",\n      ")
+    s"""SELECT doc_id, source, sha256(text) AS sha,
+       |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS tokens,
+       |    round(1e-9 + ${d("0.35")} * least(n_words / ${d("100")}, ${d("1")})
+       |      + ${d("0.25")} * (1 - n_stop / ${d("greatest(n_words, 1)")})
+       |      + ${d("0.2")} * greatest(1 - abs(length(regexp_replace(text, '\\s+', '', 'g'))
+       |          / ${d("greatest(n_words, 1)")} - 5) / 5, ${d("0")})
+       |      + ${d("0.2")} * (1 - least((length(text) - length(regexp_replace(text, '[^.,;:!?]', '', 'g')))
+       |          / ${d("greatest(length(text), 1)")} * 10, ${d("1")})) + 1e-9, 6) AS quality,
+       |    CASE WHEN cjk_chars >= 10 THEN 'zh'
+       |      WHEN en_hits >= fr_hits AND en_hits >= es_hits AND en_hits >= de_hits THEN 'en'
+       |      WHEN fr_hits >= es_hits AND fr_hits >= de_hits THEN 'fr'
+       |      WHEN es_hits >= de_hits THEN 'es'
+       |      ELSE 'de' END AS pred_lang
+       |  FROM (
+       |    SELECT doc_id, source, text,
+       |      len($words) AS n_words,
+       |      len(list_filter($words, w -> w IN $sw)) AS n_stop,
+       |      length(regexp_replace(text, '[^一-鿿]', '', 'g')) AS cjk_chars,
+       |      $langHits
+       |    FROM $rel
+       |  )""".stripMargin
+  }
+
   val curate = Q(
     "pipe_curate", {
-      val words = "string_split_regex(trim(lower(text)), '\\s+')"
-      val sw = stopwords.map(s => s"'$s'").mkString("(", ", ", ")")
-      val langHits = langStops.map { case (l, ws) =>
-        val set = ws.map(w => s"'$w'").mkString("(", ", ", ")")
-        s"len(list_filter($words, w -> w IN $set)) AS ${l}_hits"
-      }.mkString(",\n      ")
       s"""WITH enriched AS (
-         |  SELECT doc_id, source, sha256(text) AS sha,
-         |    round(1e-9 + ${d("0.35")} * least(n_words / ${d("100")}, ${d("1")})
-         |      + ${d("0.25")} * (1 - n_stop / ${d("greatest(n_words, 1)")})
-         |      + ${d("0.2")} * greatest(1 - abs(length(regexp_replace(text, '\\s+', '', 'g'))
-         |          / ${d("greatest(n_words, 1)")} - 5) / 5, ${d("0")})
-         |      + ${d("0.2")} * (1 - least((length(text) - length(regexp_replace(text, '[^.,;:!?]', '', 'g')))
-         |          / ${d("greatest(length(text), 1)")} * 10, ${d("1")})) + 1e-9, 6) AS quality,
-         |    CASE WHEN cjk_chars >= 10 THEN 'zh'
-         |      WHEN en_hits >= fr_hits AND en_hits >= es_hits AND en_hits >= de_hits THEN 'en'
-         |      WHEN fr_hits >= es_hits AND fr_hits >= de_hits THEN 'fr'
-         |      WHEN es_hits >= de_hits THEN 'es'
-         |      ELSE 'de' END AS pred_lang
-         |  FROM (
-         |    SELECT doc_id, source, text,
-         |      len($words) AS n_words,
-         |      len(list_filter($words, w -> w IN $sw)) AS n_stop,
-         |      length(regexp_replace(text, '[^一-鿿]', '', 'g')) AS cjk_chars,
-         |      $langHits
-         |    FROM documents
-         |  )
+         |  ${enrichedSqlFrom("documents")}
          |),
          |canon AS (SELECT sha, min(doc_id) AS canonical_id FROM enriched GROUP BY sha)
          |SELECT source,
@@ -271,7 +282,7 @@ object TextAnalysis {
     * (the naive window formulation would — the exact probe_idx
     * scale-killer the round-2 audit flagged).
     */
-  private val shardBudget = 500L
+  private[graft] val shardBudget = 500L
 
   val shard = Q(
     "pipe_shard",

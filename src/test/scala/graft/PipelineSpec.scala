@@ -102,6 +102,31 @@ class PipelineSpec extends AnyFunSuite {
       assert(rows.minBy(_.getAs[Long]("rank")).getAs[Long]("fp") == mins(s))
   }
 
+  test("pipe_e2e funnel counts are exhaustive and consistent with the standalone gates") {
+    val out = SparkEntry.queries("pipe_e2e")(spark, sf).collect()
+    assert(out.nonEmpty)
+    for (r <- out) {
+      // every corpus doc lands in exactly one funnel bucket
+      val stages = Seq("n_dup_dropped", "n_lang_dropped", "n_quality_dropped",
+        "n_rep_dropped", "n_contam_dropped", "n_kept").map(r.getAs[Long](_))
+      assert(stages.sum == r.getAs[Long]("n_docs"), s"${r.getAs[String]("source")}")
+      val shards = r.getAs[Long]("n_shards")
+      assert(shards == math.ceil(r.getAs[Long]("tokens_kept") / 500.0).toLong)
+    }
+    // the corpus-wide totals agree with the standalone gate queries on
+    // the same slice: repetition flags from tx_repetition, contaminated
+    // docs from pipe_decontaminate (both filtered to the e2e corpus)
+    val contamTotal = out.map(_.getAs[Long]("n_contam_dropped")).sum
+    val flagged = SparkEntry.queries("pipe_decontaminate")(spark, sf)
+      .filter(col("contaminated")).count()
+    assert(contamTotal <= flagged,
+      "e2e can only drop contaminated docs that the standalone scan also flags")
+    val repTotal = out.map(_.getAs[Long]("n_rep_dropped")).sum
+    val repFlagged = SparkEntry.queries("tx_repetition")(spark, sf)
+      .filter(col("repetitive") && col("doc_id") % 10 =!= 3).count()
+    assert(repTotal <= repFlagged)
+  }
+
   test("pipe_mix weights level sources to the uniform token share, capped") {
     val out = SparkEntry.queries("pipe_mix")(spark, sf).collect()
     assert(out.length == 20)
