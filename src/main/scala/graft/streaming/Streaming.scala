@@ -158,6 +158,37 @@ object Streaming {
       .withColumn("contaminated",
         col("frac") >= graft.operators.Pipeline.contaminatedFloor)
 
+  final case class DocTok(doc_id: Long, source: String, tokens: Long)
+
+  final case class ShardAssign(source: String, doc_id: Long, shard_id: Long)
+
+  /** Streaming training-shard packing: per-source running token
+    * count in flatMapGroupsWithState, assigning each arriving doc the
+    * shard floor(tokens-before-it / budget) — the batch pipe_shard
+    * rule applied at ingest. State is ONE long per source (the
+    * running total), independent of stream length; rows are packed in
+    * arrival order (sorted by doc_id inside each micro-batch), so a
+    * stream replayed in doc_id order reproduces the batch assignment
+    * exactly — cross-validated against pipe_shard in StreamingSpec.
+    */
+  def shard(docs: Dataset[DocTok]): Dataset[ShardAssign] = {
+    import docs.sparkSession.implicits._
+    val budget = graft.operators.TextAnalysis.shardBudget
+    docs.groupByKey(_.source)
+      .flatMapGroupsWithState[Long, ShardAssign](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (source: String, rows: Iterator[DocTok], state: GroupState[Long]) =>
+          var pre = state.getOption.getOrElse(0L)
+          val out = rows.toSeq.sortBy(_.doc_id).map { d =>
+            val sid = pre / budget
+            pre += d.tokens
+            ShardAssign(source, d.doc_id, sid)
+          }
+          state.update(pre)
+          out.iterator
+      }
+  }
+
   /** Flush still-open sessions from a completed sessionize pass
     * (batch-mode convenience for tests and backfills).
     */

@@ -207,6 +207,37 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming shard packing equals batch pipe_shard on an in-order replay") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import org.apache.spark.sql.functions.{col, count, max, min, size, split, sum, trim}
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("tokens"))
+      .as[Streaming.DocTok].collect().sortBy(_.doc_id)
+    val mem = MemoryStream[Streaming.DocTok]
+    val q = Streaming.shard(mem.toDS())
+      .writeStream.outputMode("append").format("memory").queryName("shards").start()
+    try {
+      docs.grouped(math.max(1, docs.length / 4 + 1)).foreach { chunk =>
+        mem.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val got = spark.sql("SELECT * FROM shards")
+      .groupBy("source", "shard_id")
+      .agg(count(col("doc_id")).as("n_docs"), min("doc_id").as("first_doc"),
+        max("doc_id").as("last_doc"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    val want = SparkEntry.queries("pipe_shard")(spark, sf).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("shard_id")) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("first_doc"), r.getAs[Long]("last_doc")))
+      .toMap
+    assert(got == want, "stream packing must reproduce the batch shard layout")
+  }
+
   test("REEF hidden-state extraction: per-partition batched forward, deterministic") {
     val docs = operators.Reef.extractHiddenStates(
       graft.Tables.documents(spark, sf).limit(40), layer = 2, dim = 16, batchSize = 8)
