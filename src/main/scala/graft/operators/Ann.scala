@@ -424,5 +424,45 @@ object Ann {
       .orderBy("vec_a", "vec_b")
   }
 
-  val all: Seq[Q] = Seq(topk, topkAgg, topkPlan, lshTopk, ivfTopk, embedDedup)
+  /** Semantic-dedup end product (the SemDeDup shape): the verified
+    * embedding near-dup pairs resolved into connected components,
+    * each vector assigned its component's canonical (minimum) vec_id
+    * — what a pipeline actually drops on. Reuses the SAME pointer-
+    * jumping connected-components loop as dd_clusters (O(log n)
+    * rounds over the pair set only; the corpus never joins in), with
+    * the same recursive-CTE oracle pattern.
+    */
+  val embedClusters = Q(
+    "dd_embed_clusters", {
+      val pq = embedDedup.oracle.get.replace("ORDER BY vec_a, vec_b", "")
+      s"""WITH RECURSIVE pq AS ($pq),
+         |edges AS (
+         |  SELECT vec_a AS u, vec_b AS v FROM pq
+         |  UNION
+         |  SELECT vec_b AS u, vec_a AS v FROM pq
+         |),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+         |)
+         |SELECT u AS vec_id, least(u, min(v)) AS canonical_id,
+         |  CAST(count(*) FILTER (WHERE v != u) + 1 AS BIGINT) AS cluster_size
+         |FROM (SELECT DISTINCT u, v FROM reach)
+         |GROUP BY u
+         |ORDER BY vec_id""".stripMargin
+    }) { (spark, dir) =>
+    val pairs = embedDedup.fn(spark, dir).select("vec_a", "vec_b").cache()
+    val edges = pairs.select(col("vec_a").as("u"), col("vec_b").as("v"))
+      .union(pairs.select(col("vec_b").as("u"), col("vec_a").as("v")))
+      .distinct().cache()
+    val (labels, _) = Dedup.connectedComponents(edges)
+    val sizes = labels.groupBy("label").agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, Seq("label"))
+      .select(col("doc").as("vec_id"), col("label").as("canonical_id"), col("cluster_size"))
+      .orderBy("vec_id")
+  }
+
+  val all: Seq[Q] =
+    Seq(topk, topkAgg, topkPlan, lshTopk, ivfTopk, embedDedup, embedClusters)
 }
