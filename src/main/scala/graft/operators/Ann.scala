@@ -404,7 +404,15 @@ object Ann {
        |  JOIN c cb ON cb.vec_id = cand.vec_b
        |) WHERE cosine >= CAST($NearDupThreshold AS DOUBLE)
        |ORDER BY vec_a, vec_b""".stripMargin) { (spark, dir) =>
-    val c = corpus(spark, dir)
+    embedPairsOf(corpus(spark, dir)).orderBy("vec_a", "vec_b")
+  }
+
+  /** The banded near-dup pair pipeline over any (vec_id, e, nrm)
+    * frame — factored out so DedupRecallSpec can measure recall on a
+    * controlled corpus with planted duplicates (the test tables carry
+    * no high-cosine pairs).
+    */
+  private[graft] def embedPairsOf(c: DataFrame): DataFrame = {
     val banded = c.select(col("vec_id"),
       explode(array((0 until EmbedBands).map { b =>
         struct(lit(b).as("band"), bandKeyCol(col("e"), b).as("key"))
@@ -421,7 +429,6 @@ object Ann {
       .select(col("vec_a"), col("vec_b"),
         round(lit(1e-9) + dotC(col("ea"), col("eb")) / (col("na") * col("nb")), 6).as("cosine"))
       .filter(col("cosine") >= NearDupThreshold)
-      .orderBy("vec_a", "vec_b")
   }
 
   /** Semantic-dedup end product (the SemDeDup shape): the verified

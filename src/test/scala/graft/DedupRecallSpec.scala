@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Measured recall of the banded MinHash-LSH dedup path against
+  * brute-force ground truth at sf0.001 — the dedup companion to
+  * AnnRecallSpec. The banding analysis says 4 bands × 6 rows catches
+  * Jaccard >= 0.5 pairs with probability 1-(1-J^6)^4 (>= 0.94 at
+  * J=0.8, ~1 at J=1); the planted near-dups are J ≈ 1, so the
+  * verified LSH output must contain EVERY true pair, and (because
+  * candidates are Jaccard-verified) nothing else.
+  */
+class DedupRecallSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def shingleSets: Map[Long, Set[Long]] =
+    Tables.documents(spark, sf)
+      .select(col("doc_id"), functions.Hashing.shingleHashes(col("text")).as("s"))
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getSeq[Long](1).toSet)
+      .toMap
+
+  test("LSH + Jaccard verification finds exactly the brute-force duplicate pairs") {
+    val sets = shingleSets
+    val ids = sets.keys.toSeq.sorted
+    // brute-force ground truth: every pair with Jaccard >= 0.5
+    val truth = (for {
+      i <- ids.iterator
+      j <- ids.iterator if i < j
+      si = sets(i) if si.nonEmpty
+      sj = sets(j) if sj.nonEmpty
+      inter = si.intersect(sj).size
+      if inter.toDouble / (si.size + sj.size - inter) >= 0.5
+    } yield (i, j)).toSet
+    assert(truth.nonEmpty, "the generator plants near-dup pairs")
+
+    val got = SparkEntry.queries("dd_jaccard")(spark, sf)
+      .filter(col("is_duplicate"))
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == truth,
+      s"missed: ${(truth -- got).take(5)}; spurious: ${(got -- truth).take(5)}")
+  }
+
+  test("embedding LSH finds every brute-force cosine near-dup pair") {
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0d; var na = 0d; var nb = 0d; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    val ids = vecs.keys.toSeq.sorted
+    def truthAt(floor: Double) = (for {
+      i <- ids.iterator; j <- ids.iterator if i < j
+      if cos(vecs(i), vecs(j)) >= floor + 1e-9
+    } yield (i, j)).toSet
+    val got = SparkEntry.queries("dd_embed")(spark, sf)
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // No false positives by construction: candidates are
+    // cosine-verified against the 0.3 report floor.
+    assert(got.subsetOf(truthAt(0.3)), s"spurious: ${(got -- truthAt(0.3)).take(5)}")
+    // Sign-LSH collision prob per band is (1 - θ/π)^8 — near 1 for
+    // θ ≈ 0 duplicates, DECAYING for borderline angles (cos 0.3 ≈
+    // 72°: band prob ~2%, union over 4 bands ~6%). The test tables
+    // carry no high-cosine pairs (max ≈ 0.48 at this SF), so here we
+    // assert the borderline behavior: small but non-trivial recall.
+    val borderline = truthAt(0.3)
+    val fullRecall = borderline.intersect(got).size.toDouble / borderline.size
+    assert(fullRecall > 0.02,
+      s"borderline recall $fullRecall should be small but non-trivial (${borderline.size} pairs)")
+  }
+
+  test("embedding LSH surfaces every planted exact duplicate on a controlled corpus") {
+    // the θ = 0 guarantee needs planted duplicates the test tables
+    // lack: identical vectors share every band key by construction,
+    // so recall on exact dups must be 1.0 — no probability involved.
+    val dim = 64
+    def vec(seed: Long): Seq[Double] =
+      Seq.tabulate(dim)(i => (((seed * 1103515245L + i * 12345L) % 1000L) - 500L).toDouble)
+    val base = (0L until 100L).map(s => (s, vec(s)))
+    val dups = (0L until 10L).map(s => (1000L + s, vec(s)))
+    import spark.implicits._
+    val c = (base ++ dups).toDF("vec_id", "e")
+      .withColumn("nrm", sqrt(functions.HashExprs.dot_product(col("e"), col("e"))))
+    val got = operators.Ann.embedPairsOf(c)
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (s <- 0L until 10L)
+      assert(got.contains((s, 1000L + s)), s"planted duplicate $s missed")
+  }
+}
