@@ -140,5 +140,50 @@ object Events {
       .orderBy("event_type")
   }
 
-  val all: Seq[Q] = Seq(windowAgg, sessionize, funnel, json)
+  /** Weekly cohort retention: users grouped by the epoch week of
+    * their first event; for each (cohort, week offset) the fraction
+    * of the cohort active that week. The classic cohort table every
+    * event warehouse serves.
+    *
+    * Scale shape: one (user, week) distinct — the only corpus-sized
+    * shuffle, on a high-cardinality composite key — then user-keyed
+    * partial aggs and joins; the final cohort table is
+    * O(weeks × offsets) rows. count(*) suffices for distinct actives
+    * because the (user, week) frame is already distinct and a user
+    * has exactly one cohort.
+    */
+  val retention = Q(
+    "ev_retention",
+    """WITH wk AS (
+      |  SELECT DISTINCT user_id, CAST(floor(epoch(ts) / 604800) AS BIGINT) AS week
+      |  FROM events
+      |),
+      |firsts AS (SELECT user_id, min(week) AS cohort FROM wk GROUP BY user_id),
+      |sizes AS (SELECT cohort, CAST(count(*) AS BIGINT) AS n_cohort FROM firsts GROUP BY cohort),
+      |ret AS (
+      |  SELECT cohort, week - cohort AS week_offset, CAST(count(*) AS BIGINT) AS n_active
+      |  FROM wk JOIN firsts USING (user_id)
+      |  GROUP BY cohort, week_offset
+      |)
+      |SELECT cohort, week_offset, n_active, n_cohort,
+      |  round(1e-9 + n_active / CAST(n_cohort AS DOUBLE) + 1e-9, 6) AS retention
+      |FROM ret JOIN sizes USING (cohort)
+      |ORDER BY cohort, week_offset""".stripMargin) { (spark, dir) =>
+    val wk = Tables.events(spark, dir)
+      .select(col("user_id"),
+        floor(col("ts").cast("double") / 604800).cast("long").as("week"))
+      .distinct()
+    val firsts = wk.groupBy("user_id").agg(min("week").as("cohort"))
+    val sizes = firsts.groupBy("cohort").agg(count(lit(1)).as("n_cohort"))
+    wk.join(firsts, "user_id")
+      .groupBy(col("cohort"), (col("week") - col("cohort")).as("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(sizes, "cohort")
+      .select(col("cohort"), col("week_offset"), col("n_active"), col("n_cohort"),
+        round(lit(1e-9) + col("n_active") / col("n_cohort").cast("double") + 1e-9, 6)
+          .as("retention"))
+      .orderBy("cohort", "week_offset")
+  }
+
+  val all: Seq[Q] = Seq(windowAgg, sessionize, funnel, json, retention)
 }
