@@ -470,6 +470,115 @@ object Ann {
       .orderBy("vec_id")
   }
 
+  // ═══════════════ product quantization (PQ / ADC) ═══════════════
+
+  /** PQ geometry: 64 dims split into 8 subspaces of 8 dims; each
+    * subspace gets a 16-codeword codebook seeded from the corpus (the
+    * subvectors of the NumCentroids smallest vec_ids — deterministic,
+    * like the IVF quantizer). A vector's code is 8 nibbles; queries
+    * rank by asymmetric distance computation (ADC): the query's exact
+    * per-subspace dot products against the codewords, summed along
+    * each candidate's code — 64-dim float math collapses to 8 table
+    * lookups per candidate, the memory-bandwidth trade PQ makes at
+    * billion-vector scale. Norms stay exact (8 bytes/vector, standard
+    * practice), so only the dot product is approximated.
+    */
+  val NumSubspaces = 8
+  val SubDim = 8
+  val NumCodewords = 16
+
+  /** PQ ADC top-k: approximate cosine ranking from the 8-nibble codes.
+    * Output is the same (query_id, neighbor_id, cosine, rank) shape as
+    * the other ANN variants but with the ADC-approximated cosine; its
+    * recall against brute force is measured in AnnRecallSpec.
+    */
+  val pqTopk = Q(
+    "ann_pq", {
+      val subs = (0 until NumSubspaces).map { m =>
+        s"SELECT vec_id, $m AS m, list_slice(e, ${m * SubDim + 1}, ${(m + 1) * SubDim}) AS sub FROM c"
+      }.mkString("\n  UNION ALL\n  ")
+      s"""WITH c AS ($corpusSql),
+         |sub AS (
+         |  $subs
+         |),
+         |code_book AS (
+         |  SELECT m, vec_id AS k, sub AS cw, list_dot_product(sub, sub) AS cw2
+         |  FROM sub WHERE vec_id < $NumCodewords
+         |),
+         |dists AS (
+         |  SELECT s.vec_id, s.m, b.k,
+         |    list_dot_product(s.sub, s.sub) - 2 * list_dot_product(s.sub, b.cw) + b.cw2 AS d2
+         |  FROM sub s JOIN code_book b ON s.m = b.m
+         |),
+         |codes AS (
+         |  SELECT vec_id, m, k FROM (
+         |    SELECT vec_id, m, k, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, k) AS rn
+         |    FROM dists
+         |  ) WHERE rn = 1
+         |),
+         |qtab AS (
+         |  SELECT s.vec_id AS query_id, s.m, b.k, list_dot_product(s.sub, b.cw) AS t
+         |  FROM sub s JOIN code_book b ON s.m = b.m
+         |  WHERE s.vec_id < $NumQueries
+         |),
+         |approx AS (
+         |  SELECT q.query_id, cd.vec_id, sum(q.t) AS adot
+         |  FROM codes cd JOIN qtab q ON q.m = cd.m AND q.k = cd.k
+         |  WHERE cd.vec_id != q.query_id
+         |  GROUP BY q.query_id, cd.vec_id
+         |)
+         |SELECT query_id, neighbor_id, cosine, rank FROM (
+         |  SELECT a.query_id, a.vec_id AS neighbor_id,
+         |    round(1e-9 + a.adot / (cq.nrm * cc.nrm), 6) AS cosine,
+         |    CAST(row_number() OVER (PARTITION BY a.query_id
+         |      ORDER BY a.adot / (cq.nrm * cc.nrm) DESC, a.vec_id) AS BIGINT) AS rank
+         |  FROM approx a
+         |  JOIN c cq ON cq.vec_id = a.query_id
+         |  JOIN c cc ON cc.vec_id = a.vec_id
+         |) WHERE rank <= $TopK
+         |ORDER BY query_id, rank""".stripMargin
+    }) { (spark, dir) =>
+    val c = corpus(spark, dir)
+    val sub = c.select(col("vec_id"), col("nrm"),
+      explode(array((0 until NumSubspaces).map { m =>
+        struct(lit(m).as("m"), slice(col("e"), m * SubDim + 1, SubDim).as("sub"))
+      }: _*)).as("s"))
+      .select(col("vec_id"), col("nrm"), col("s.m").as("m"), col("s.sub").as("sub"))
+    val codeBook = sub.filter(col("vec_id") < NumCodewords)
+      .select(col("m"), col("vec_id").as("k"), col("sub").as("cw"),
+        dotC(col("sub"), col("sub")).as("cw2"))
+    // encode: per (vector, subspace) the nearest codeword, min-d2
+    // tie-broken toward the smaller k via struct-max on (-d2, -k)
+    val codes = sub.join(broadcast(codeBook), Seq("m"))
+      .withColumn("d2",
+        dotC(col("sub"), col("sub")) - lit(2d) * dotC(col("sub"), col("cw")) + col("cw2"))
+      .groupBy("vec_id", "m")
+      .agg(max(struct((-col("d2")).as("nd"), (-col("k")).as("nk"))).as("best"))
+      .select(col("vec_id"), col("m"), (-col("best.nk")).cast("long").as("k"))
+    // ADC: the query's exact per-(subspace, codeword) dot products,
+    // summed along each candidate's code
+    val qtab = sub.filter(col("vec_id") < NumQueries)
+      .join(broadcast(codeBook), Seq("m"))
+      .select(col("vec_id").as("query_id"), col("m"), col("k"),
+        dotC(col("sub"), col("cw")).as("t"))
+    val approx = codes.join(broadcast(qtab), Seq("m", "k"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy("query_id", "vec_id")
+      .agg(sum("t").as("adot"))
+    val norms = c.select(col("vec_id"), col("nrm"))
+    approx
+      .join(broadcast(norms.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), col("nrm").as("qn"))), Seq("query_id"))
+      .join(norms, Seq("vec_id"))
+      .withColumn("acos_raw", col("adot") / (col("qn") * col("nrm")))
+      .groupBy("query_id")
+      .agg(graft.functions.TopKAgg.topk_by_score(col("acos_raw"), col("vec_id"), TopK).as("tk"))
+      .select(col("query_id"), explode(col("tk")).as("t"))
+      .select(col("query_id"), col("t.id").as("neighbor_id"),
+        round(lit(1e-9) + col("t.score"), 6).as("cosine"), col("t.rank").as("rank"))
+      .orderBy("query_id", "rank")
+  }
+
   val all: Seq[Q] =
-    Seq(topk, topkAgg, topkPlan, lshTopk, ivfTopk, embedDedup, embedClusters)
+    Seq(topk, topkAgg, topkPlan, lshTopk, ivfTopk, pqTopk, embedDedup, embedClusters)
 }

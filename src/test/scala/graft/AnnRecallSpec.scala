@@ -47,8 +47,18 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(truth.nonEmpty)
     val ivf = pairs("ann_ivf").intersect(truth).size.toDouble / truth.size
     val lsh = pairs("ann_lsh").intersect(truth).size.toDouble / truth.size
+    val pq = pairs("ann_pq").intersect(truth).size.toDouble / truth.size
+    info(f"recall: ivf=$ivf%.3f lsh=$lsh%.3f pq=$pq%.3f")
     assert(ivf >= 0.8, s"IVF recall regressed: $ivf")
     assert(lsh > 0.0, s"LSH recall collapsed to zero: $lsh")
     assert(ivf > lsh, "on spread-out data IVF must beat sign-LSH recall")
+    // PQ scans every candidate with an approximate metric (vs IVF's
+    // exact metric over a candidate subset), so on this corpus it
+    // sits between the two: measured 0.36 with 8 subspaces × 16
+    // codewords on near-orthogonal neighbors (quantization noise is
+    // large relative to the tiny cosine gaps between true and false
+    // neighbors). Floors are tripwires under the measured values.
+    assert(pq >= 0.2, s"PQ recall regressed: $pq")
+    assert(pq > lsh, "ADC over all candidates must beat banded LSH recall")
   }
 }
