@@ -139,5 +139,38 @@ object Multimodal {
       .orderBy("doc_id", "frame_idx")
   }
 
-  val all: Seq[Q] = Seq(meta, frames)
+  /** Downsample/resize step: 4:1 decimation of each payload's sample
+    * stream (keep every 4th sample) with the output rate derived from
+    * the REAL byte-parsed header — the resize/downsample stage of a
+    * media pipeline in the same column-expression shape. The sample
+    * stream is the text characters (as in mm_frames); decimation is a
+    * single regex pass (each run of up to 4 chars collapses to its
+    * first), and the decimated stream's polynomial fold is the
+    * feature. The oracle recomputes the rate arithmetically from
+    * doc_id — independent of the parser, like mm_meta.
+    */
+  val Decimation = 4
+  val resample = Q(
+    "mm_resample",
+    s"""SELECT doc_id,
+       |  CAST(length(text) AS BIGINT) AS n_samples_in,
+       |  CAST(length(regexp_replace(text, '(.).{0,3}', '\\1', 'g')) AS BIGINT) AS n_samples_out,
+       |  CAST(8000 * (1 + doc_id % 3) / $Decimation AS BIGINT) AS out_sample_rate,
+       |  ${graft.functions.Hashing.charFoldSql(s"regexp_replace(text, '(.).{0,3}', '\\1', 'g')")} AS feature
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    val p = col("payload")
+    val dec = regexp_replace(col("text"), "(.).{0,3}", "$1")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), wavPayload.as("payload"))
+      .select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_samples_in"),
+        length(dec).cast("long").as("n_samples_out"),
+        (rd32(p, 25) / Decimation).cast("long").as("out_sample_rate"),
+        graft.functions.Hashing.charFold(dec).as("feature"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(meta, frames, resample)
 }
