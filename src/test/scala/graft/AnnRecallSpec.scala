@@ -54,11 +54,35 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(ivf > lsh, "on spread-out data IVF must beat sign-LSH recall")
     // PQ scans every candidate with an approximate metric (vs IVF's
     // exact metric over a candidate subset), so on this corpus it
-    // sits between the two: measured 0.36 with 8 subspaces × 16
-    // codewords on near-orthogonal neighbors (quantization noise is
-    // large relative to the tiny cosine gaps between true and false
-    // neighbors). Floors are tripwires under the measured values.
-    assert(pq >= 0.2, s"PQ recall regressed: $pq")
+    // sits between the two. The r6 16-codeword untrained codebook
+    // measured 0.36; Lloyd iterations alone did NOT lift it (0.34 —
+    // near-orthogonal subvectors give k-means little to converge to),
+    // the codebook SIZE did: 256 codewords (classic 8-bit PQ) with 2
+    // Lloyd iterations measures 0.70. Floor is a tripwire under that.
+    assert(pq >= 0.55, s"PQ recall regressed: $pq")
     assert(pq > lsh, "ADC over all candidates must beat banded LSH recall")
+  }
+
+  test("IVFPQ recall matches IVF at equal probe budget across the curve") {
+    val truth = pairs("ann_topk")
+    val curve = Seq(1, 2, 4, 8, 16).map { np =>
+      val ivf = operators.Ann.ivfTopkWith(spark, sf, np).collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+      val ivfpq = operators.Ann.ivfpqTopkWith(spark, sf, np, operators.Ann.NRerank).collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+      val rIvf = ivf.intersect(truth).size.toDouble / truth.size
+      val rPq = ivfpq.intersect(truth).size.toDouble / truth.size
+      (np, rIvf, rPq)
+    }
+    info(s"ivf vs ivfpq recall: " +
+      curve.map { case (n, a, b) => f"$n->($a%.3f,$b%.3f)" }.mkString(", "))
+    // the exact re-rank of the ADC top-NRerank must not lose recall
+    // against plain IVF at the same probe budget — the production
+    // claim IVFPQ makes (ADC only prunes candidates the re-rank
+    // wouldn't have returned)
+    curve.foreach { case (np, rIvf, rPq) =>
+      assert(rPq >= rIvf,
+        f"IVFPQ recall $rPq%.3f fell below IVF $rIvf%.3f at nprobe=$np")
+    }
   }
 }
