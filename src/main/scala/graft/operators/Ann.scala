@@ -463,26 +463,34 @@ object Ann {
     * rounds over the pair set only; the corpus never joins in), with
     * the same recursive-CTE oracle pattern.
     */
+  /** The verified-pair → reachability CTE block (pq, edges, reach) of
+    * the dd_embed_clusters oracle — also composed into pipe_e2e_sem's
+    * oracle for the semantic-dedup funnel stage. Must follow a
+    * `WITH RECURSIVE`.
+    */
+  private[graft] val embedClusterCtesSql: String = {
+    val pq = embedDedup.oracle.get.replace("ORDER BY vec_a, vec_b", "")
+    s"""pq AS ($pq),
+       |edges AS (
+       |  SELECT vec_a AS u, vec_b AS v FROM pq
+       |  UNION
+       |  SELECT vec_b AS u, vec_a AS v FROM pq
+       |),
+       |reach(u, v) AS (
+       |  SELECT u, v FROM edges
+       |  UNION
+       |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+       |)""".stripMargin
+  }
+
   val embedClusters = Q(
-    "dd_embed_clusters", {
-      val pq = embedDedup.oracle.get.replace("ORDER BY vec_a, vec_b", "")
-      s"""WITH RECURSIVE pq AS ($pq),
-         |edges AS (
-         |  SELECT vec_a AS u, vec_b AS v FROM pq
-         |  UNION
-         |  SELECT vec_b AS u, vec_a AS v FROM pq
-         |),
-         |reach(u, v) AS (
-         |  SELECT u, v FROM edges
-         |  UNION
-         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
-         |)
-         |SELECT u AS vec_id, least(u, min(v)) AS canonical_id,
-         |  CAST(count(*) FILTER (WHERE v != u) + 1 AS BIGINT) AS cluster_size
-         |FROM (SELECT DISTINCT u, v FROM reach)
-         |GROUP BY u
-         |ORDER BY vec_id""".stripMargin
-    }) { (spark, dir) =>
+    "dd_embed_clusters",
+    s"""WITH RECURSIVE $embedClusterCtesSql
+       |SELECT u AS vec_id, least(u, min(v)) AS canonical_id,
+       |  CAST(count(*) FILTER (WHERE v != u) + 1 AS BIGINT) AS cluster_size
+       |FROM (SELECT DISTINCT u, v FROM reach)
+       |GROUP BY u
+       |ORDER BY vec_id""".stripMargin) { (spark, dir) =>
     val (labels, _) = Dedup.connectedComponents(embedEdges(spark, dir))
     val sizes = labels.groupBy("label").agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, Seq("label"))

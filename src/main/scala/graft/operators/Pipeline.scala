@@ -69,6 +69,42 @@ object Pipeline {
         col("top_word_frac") >= topWordMax || col("top_bigram_frac") >= topBigramMax)
   }
 
+  /** Largest element multiplicity in an array of longs: the longest
+    * run in the sorted array, one linear higher-order fold — no
+    * explode, no shuffle.
+    */
+  private def maxMultiplicity(a: org.apache.spark.sql.Column) = {
+    val z = struct(lit(0L).as("prev"), lit(0L).as("run"), lit(0L).as("best"))
+    aggregate(array_sort(a), z, (s, x) => {
+      val run = when(x === s.getField("prev"), s.getField("run") + lit(1L)).otherwise(lit(1L))
+      struct(x.as("prev"), run.as("run"), greatest(s.getField("best"), run).as("best"))
+    }).getField("best")
+  }
+
+  /** Per-ROW repetition flag of a text column — same thresholds and
+    * rounding as [[repetitionMetrics]] (PipelineSpec pins them equal
+    * doc-for-doc on the batch corpus), computed entirely map-side.
+    * This is the streaming-ingest twin: a live gate classifies each
+    * arriving doc alone, where the batch histogram shape
+    * (explode + two keyed aggregations) is the right trade for a
+    * full-corpus scan but a cross-row shuffle a per-doc stream gate
+    * neither needs nor wants. Docs with no words (empty text) yield
+    * null — the batch funnel drops them via its inner join, so both
+    * sides exclude them.
+    */
+  private[graft] def repetitiveExpr(text: org.apache.spark.sql.Column) = {
+    val wh = Hashing.wordHashes(text)
+    val bh = Hashing.bigramHashes(wh)
+    val topWordFrac = round(lit(1e-9) +
+      maxMultiplicity(wh).cast("double") / size(wh).cast("double") + 1e-9, 6)
+    // a doc with < 2 words has no bigrams: division by zero is null
+    // in Spark, coalesced to 0 exactly like the batch left-join miss
+    val topBigramFrac = round(lit(1e-9) +
+      coalesce(maxMultiplicity(bh).cast("double") / size(bh).cast("double"), lit(0d)) +
+      1e-9, 6)
+    topWordFrac >= topWordMax || topBigramFrac >= topBigramMax
+  }
+
   val repetition = Q(
     "tx_repetition", {
       val whSql = Hashing.wordHashesSql("text")
@@ -106,39 +142,48 @@ object Pipeline {
     * an in-domain LM finds unusual" quality gate, with the LM itself
     * computed distributed instead of imported.
     *
-    * Scale shape: the vocabulary aggregation and the token→count join
-    * are both keyed by token hash — partial-aggregated, evenly
-    * distributed, and co-partitioned (one exchange feeds both sides
-    * of the join), with the grand total a 1-row broadcast. The vocab
-    * frame grows sub-linearly with the corpus (vocabulary growth),
-    * and is NOT broadcast by hint: a 100 TB corpus's vocabulary can
-    * exceed driver memory, so the join stays a shuffle join unless
-    * AQE proves it small at runtime.
+    * Scale shape: raw token rows collapse to (doc_id, h) → count in
+    * the scan stage BEFORE anything is keyed by token alone — the
+    * histogram both the vocabulary aggregation and the vocab join
+    * consume. That bounds any single join key's probe rows by |docs|,
+    * not |tokens|: the Zipf head (the hottest word is a few percent
+    * of ALL corpus tokens) would otherwise put that percentage of the
+    * corpus in ONE task's join partition at 100 TB. Per-doc surprisal
+    * is then the count-weighted sum over the doc's distinct terms —
+    * identical value, Zipf-proof exchange (asserted in PlanSpec). The
+    * grand total is a 1-row broadcast; the vocab frame grows sub-
+    * linearly with the corpus (vocabulary growth) and is NOT
+    * broadcast by hint: a 100 TB corpus's vocabulary can exceed
+    * driver memory, so the join stays a shuffle join unless AQE
+    * proves it small at runtime.
     */
   val unigramPpl = Q(
     "tx_unigram_ppl", {
       val whSql = Hashing.wordHashesSql("text")
       s"""WITH wh AS (SELECT doc_id, unnest($whSql) AS h FROM documents),
-         |v AS (SELECT h, CAST(count(*) AS BIGINT) AS cnt FROM wh GROUP BY h),
+         |dc AS (SELECT doc_id, h, CAST(count(*) AS BIGINT) AS c FROM wh GROUP BY doc_id, h),
+         |v AS (SELECT h, CAST(sum(c) AS BIGINT) AS cnt FROM dc GROUP BY h),
          |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n FROM v),
-         |d AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-         |    round(1e-9 + avg(-log2(cnt / n)) + 1e-9, 6) AS bits
-         |  FROM wh JOIN v USING (h) CROSS JOIN tot GROUP BY doc_id)
+         |d AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         |    round(1e-9 + sum(c * -log2(cnt / n)) / sum(c) + 1e-9, 6) AS bits
+         |  FROM dc JOIN v USING (h) CROSS JOIN tot GROUP BY doc_id)
          |SELECT doc_id, n_tokens, bits,
          |  round(1e-9 + pow(2, bits) + 1e-9, 4) AS ppl,
          |  bits >= $highPplBits AS high_ppl
          |FROM d
          |ORDER BY doc_id""".stripMargin
     }) { (spark, dir) =>
-    val toks = Tables.documents(spark, dir)
+    val docCounts = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(Hashing.wordHashes(col("text"))).as("h"))
-    val vocab = toks.groupBy("h").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id", "h").agg(count(lit(1)).as("c"))
+    val vocab = docCounts.groupBy("h").agg(sum("c").as("cnt"))
     val tot = vocab.agg(sum("cnt").cast("double").as("n"))
-    toks.join(vocab, "h").crossJoin(broadcast(tot))
+    docCounts.join(vocab, "h").crossJoin(broadcast(tot))
       .groupBy("doc_id")
       .agg(
-        count(lit(1)).as("n_tokens"),
-        round(lit(1e-9) + avg(-log2(col("cnt") / col("n"))) + 1e-9, 6).as("bits"))
+        sum("c").as("n_tokens"),
+        round(lit(1e-9) +
+          sum(col("c") * -log2(col("cnt") / col("n"))) / sum("c") + 1e-9, 6).as("bits"))
       .select(col("doc_id"), col("n_tokens"), col("bits"),
         round(lit(1e-9) + pow(lit(2d), col("bits")) + 1e-9, 4).as("ppl"),
         (col("bits") >= highPplBits).as("high_ppl"))
@@ -338,16 +383,34 @@ object Pipeline {
     * a broadcast eval index plus a sparse matched-pair aggregate; the
     * flagged-doc frames are small and AQE broadcasts the gate joins.
     */
-  val e2e = Q(
-    "pipe_e2e", {
+  /** Builder behind pipe_e2e and pipe_e2e_sem: `sem = true` appends
+    * the SemDeDup stage — dd_embed_clusters' canonical assignment
+    * (vec_id ↔ doc_id, the embeddings table is row-aligned with
+    * documents) drops every kept doc whose embedding sits in a
+    * near-dup cluster under another member's canonical id. The
+    * cluster resolution is the SAME memoized pair chain + CC loop the
+    * standalone query uses (Ann.embedClusters), and the oracle
+    * composes the same recursive-CTE reachability block.
+    */
+  private def mkE2e(name: String, sem: Boolean) = Q(
+    name, {
       val qf = TextAnalysis.qualityFloor
       val whSql = Hashing.wordHashesSql("text")
       val bhSql = Hashing.bigramHashesSql("wh")
       val shSql = Hashing.shingleHashesSql("wh")
       val kept = s"is_canon AND pred_lang = 'en' AND quality >= $qf" +
-        " AND NOT repetitive AND NOT contaminated"
+        " AND NOT repetitive AND NOT contaminated" +
+        (if (sem) " AND NOT sem_dup" else "")
       val keptTok = s"coalesce(sum(tokens) FILTER (WHERE $kept), 0)"
-      s"""WITH corpus AS (SELECT * FROM documents WHERE doc_id % $evalMod != $evalRes),
+      val semCtes = if (sem) s"${Ann.embedClusterCtesSql},\n" else ""
+      val semdupCte = if (sem)
+        s"""semdup AS (
+           |  SELECT u AS vec_id FROM (SELECT DISTINCT u, v FROM reach)
+           |  GROUP BY u HAVING least(u, min(v)) != u
+           |),
+           |""".stripMargin
+      else ""
+      s"""WITH ${if (sem) "RECURSIVE " else ""}${semCtes}${semdupCte}corpus AS (SELECT * FROM documents WHERE doc_id % $evalMod != $evalRes),
          |enriched AS (
          |  ${TextAnalysis.enrichedSqlFrom("corpus")}
          |),
@@ -377,9 +440,11 @@ object Pipeline {
          |  SELECT e.source, e.tokens, e.quality, e.pred_lang,
          |    (e.doc_id = c.canonical_id) AS is_canon,
          |    r.repetitive,
-         |    (ct.doc_id IS NOT NULL) AS contaminated
+         |    (ct.doc_id IS NOT NULL) AS contaminated${if (sem)
+              ",\n         |    (sd.vec_id IS NOT NULL) AS sem_dup" else ""}
          |  FROM enriched e JOIN canon c USING (sha) JOIN rep r ON e.doc_id = r.doc_id
-         |  LEFT JOIN contam ct ON e.doc_id = ct.doc_id)
+         |  LEFT JOIN contam ct ON e.doc_id = ct.doc_id${if (sem)
+              "\n         |  LEFT JOIN semdup sd ON e.doc_id = sd.vec_id" else ""})
          |SELECT source,
          |  CAST(count(*) AS BIGINT) AS n_docs,
          |  CAST(count(*) FILTER (WHERE NOT is_canon) AS BIGINT) AS n_dup_dropped,
@@ -389,7 +454,9 @@ object Pipeline {
          |  CAST(count(*) FILTER (WHERE is_canon AND pred_lang = 'en' AND quality >= $qf
          |    AND repetitive) AS BIGINT) AS n_rep_dropped,
          |  CAST(count(*) FILTER (WHERE is_canon AND pred_lang = 'en' AND quality >= $qf
-         |    AND NOT repetitive AND contaminated) AS BIGINT) AS n_contam_dropped,
+         |    AND NOT repetitive AND contaminated) AS BIGINT) AS n_contam_dropped,${if (sem)
+              "\n         |  CAST(count(*) FILTER (WHERE is_canon AND pred_lang = 'en' AND quality >= " + qf +
+              "\n         |    AND NOT repetitive AND NOT contaminated AND sem_dup) AS BIGINT) AS n_sem_dropped," else ""}
          |  CAST(count(*) FILTER (WHERE $kept) AS BIGINT) AS n_kept,
          |  CAST($keptTok AS BIGINT) AS tokens_kept,
          |  CAST(ceil($keptTok / CAST(${TextAnalysis.shardBudget} AS DOUBLE)) AS BIGINT) AS n_shards
@@ -412,27 +479,48 @@ object Pipeline {
     val isCanon = col("doc_id") === col("canonical_id")
     val okLangQ = col("pred_lang") === "en" && col("quality") >= TextAnalysis.qualityFloor
     val isContam = coalesce(col("contaminated"), lit(false))
-    val kept = isCanon && okLangQ && !col("repetitive") && !isContam
+    val isSem = coalesce(col("sem_dup"), lit(false))
+    val kept = isCanon && okLangQ && !col("repetitive") && !isContam &&
+      (if (sem) !isSem else lit(true))
     val keptTok = coalesce(sum(when(kept, col("tokens"))), lit(0L))
-    enriched.join(canon, "sha")
+    val gated = enriched.join(canon, "sha")
       .join(rep, "doc_id")
       .join(contam, Seq("doc_id"), "left")
+    val withSem = if (sem)
+      gated.join(
+        Ann.embedClusters.fn(spark, dir)
+          .filter(col("canonical_id") =!= col("vec_id"))
+          .select(col("vec_id").as("doc_id"), lit(true).as("sem_dup")),
+        Seq("doc_id"), "left")
+    else gated
+    val semCount =
+      if (sem) Seq(count(when(isCanon && okLangQ && !col("repetitive") && !isContam && isSem, 1))
+        .as("n_sem_dropped"))
+      else Nil
+    withSem
       .groupBy("source")
       .agg(
         count(lit(1)).as("n_docs"),
-        count(when(!isCanon, 1)).as("n_dup_dropped"),
-        count(when(isCanon && col("pred_lang") =!= "en", 1)).as("n_lang_dropped"),
-        count(when(isCanon && col("pred_lang") === "en"
-          && col("quality") < TextAnalysis.qualityFloor, 1)).as("n_quality_dropped"),
-        count(when(isCanon && okLangQ && col("repetitive"), 1)).as("n_rep_dropped"),
-        count(when(isCanon && okLangQ && !col("repetitive") && isContam, 1))
-          .as("n_contam_dropped"),
-        count(when(kept, 1)).as("n_kept"),
-        keptTok.as("tokens_kept"),
-        ceil(keptTok / lit(TextAnalysis.shardBudget).cast("double")).cast("long")
-          .as("n_shards"))
+        Seq(
+          count(when(!isCanon, 1)).as("n_dup_dropped"),
+          count(when(isCanon && col("pred_lang") =!= "en", 1)).as("n_lang_dropped"),
+          count(when(isCanon && col("pred_lang") === "en"
+            && col("quality") < TextAnalysis.qualityFloor, 1)).as("n_quality_dropped"),
+          count(when(isCanon && okLangQ && col("repetitive"), 1)).as("n_rep_dropped"),
+          count(when(isCanon && okLangQ && !col("repetitive") && isContam, 1))
+            .as("n_contam_dropped")) ++ semCount ++ Seq(
+          count(when(kept, 1)).as("n_kept"),
+          keptTok.as("tokens_kept"),
+          ceil(keptTok / lit(TextAnalysis.shardBudget).cast("double")).cast("long")
+            .as("n_shards")): _*)
       .orderBy("source")
   }
 
-  val all: Seq[Q] = Seq(repetition, unigramPpl, decontaminate, sample, mix, e2e)
+  /** The whole corpus-prep funnel as one query (six stages). */
+  val e2e = mkE2e("pipe_e2e", sem = false)
+
+  /** The funnel plus the SemDeDup stage (seven stages). */
+  val e2eSem = mkE2e("pipe_e2e_sem", sem = true)
+
+  val all: Seq[Q] = Seq(repetition, unigramPpl, decontaminate, sample, mix, e2e, e2eSem)
 }

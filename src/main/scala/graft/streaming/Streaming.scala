@@ -158,6 +158,41 @@ object Streaming {
       .withColumn("contaminated",
         col("frac") >= graft.operators.Pipeline.contaminatedFloor)
 
+  /** Stage 1 of the stream-side corpus-prep funnel — the streaming
+    * twin of batch pipe_e2e's dedup + gate block: exact-dedup
+    * canonicalization FIRST (first-seen wins within the watermark;
+    * on an in-order replay the first-seen doc IS the batch canonical
+    * min doc_id — same contract as [[shard]]), then the map-only gate
+    * classification with THE SAME shared definitions as the batch
+    * funnel (TextAnalysis.qualityExpr / predLangExpr, the pipe_e2e
+    * token count, and Pipeline.repetitiveExpr — the per-row twin of
+    * the repetition histogram, spec-pinned equal). Dedup runs before
+    * the gates HERE (unlike [[curate]]) because the funnel ATTRIBUTES
+    * drops: a duplicate must count as dup-dropped even when it would
+    * also fail a gate, exactly as batch pipe_e2e's is_canon-first
+    * accounting does.
+    *
+    * Emits every canonical doc with its gate flags (append mode, one
+    * stateful operator). The full funnel chains storage-connected
+    * stages the way production streaming pipelines do:
+    * e2eClassify → [[decontaminate]] on the gate survivors →
+    * [[shard]] on the kept docs; StreamingSpec replays a corpus
+    * through all three and checks the reassembled funnel counts
+    * row-equal against batch pipe_e2e.
+    */
+  def e2eClassify(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("content_sha", sha2(col("text"), 256))
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("content_sha")
+      .select(
+        col("doc_id"), col("source"), col("text"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("tokens"),
+        (graft.operators.TextAnalysis.predLangExpr === "en").as("lang_ok"),
+        (graft.operators.TextAnalysis.qualityExpr >=
+          graft.operators.TextAnalysis.qualityFloor).as("quality_ok"),
+        graft.operators.Pipeline.repetitiveExpr(col("text")).as("repetitive"))
+
   final case class DocTok(doc_id: Long, source: String, tokens: Long)
 
   final case class ShardAssign(source: String, doc_id: Long, shard_id: Long)
@@ -165,26 +200,40 @@ object Streaming {
   /** Streaming training-shard packing: per-source running token
     * count in flatMapGroupsWithState, assigning each arriving doc the
     * shard floor(tokens-before-it / budget) — the batch pipe_shard
-    * rule applied at ingest. State is ONE long per source (the
-    * running total), independent of stream length; rows are packed in
-    * arrival order (sorted by doc_id inside each micro-batch), so a
-    * stream replayed in doc_id order reproduces the batch assignment
-    * exactly — cross-validated against pipe_shard in StreamingSpec.
+    * rule applied at ingest.
+    *
+    * CONTRACT — in-order replay: shard assignment is order-dependent
+    * by definition (a shard is a token-contiguous run), so this
+    * reproduces the batch pipe_shard layout only when micro-batches
+    * arrive in global doc_id order per source; rows are sorted by
+    * doc_id only WITHIN each micro-batch. The state therefore tracks
+    * the max doc_id already packed per source and FAILS LOUDLY if a
+    * later micro-batch regresses below it, rather than silently
+    * emitting a layout that diverges from batch. State is two longs
+    * per source (running token total + high-water doc_id),
+    * independent of stream length; the per-group sort buffers one
+    * micro-batch × source slice, bounded by trigger sizing, not by
+    * the stream. Cross-validated against pipe_shard in StreamingSpec.
     */
   def shard(docs: Dataset[DocTok]): Dataset[ShardAssign] = {
     import docs.sparkSession.implicits._
     val budget = graft.operators.TextAnalysis.shardBudget
     docs.groupByKey(_.source)
-      .flatMapGroupsWithState[Long, ShardAssign](
+      .flatMapGroupsWithState[(Long, Long), ShardAssign](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (source: String, rows: Iterator[DocTok], state: GroupState[Long]) =>
-          var pre = state.getOption.getOrElse(0L)
+        (source: String, rows: Iterator[DocTok], state: GroupState[(Long, Long)]) =>
+          var (pre, hiDoc) = state.getOption.getOrElse((0L, Long.MinValue))
           val out = rows.toSeq.sortBy(_.doc_id).map { d =>
+            if (d.doc_id <= hiDoc)
+              throw new IllegalStateException(
+                s"Streaming.shard: doc ${d.doc_id} of source $source arrived after " +
+                  s"doc $hiDoc was packed — in-order replay precondition violated")
+            hiDoc = d.doc_id
             val sid = pre / budget
             pre += d.tokens
             ShardAssign(source, d.doc_id, sid)
           }
-          state.update(pre)
+          state.update((pre, hiDoc))
           out.iterator
       }
   }

@@ -34,6 +34,23 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("per-row repetitiveExpr equals the histogram-shaped repetition flag doc-for-doc") {
+    // the streaming gate (one map-side fold per row) and the batch
+    // histogram (explode + keyed aggregation) must classify
+    // identically — same thresholds, same rounding
+    val batch = SparkEntry.queries("tx_repetition")(spark, sf)
+      .select("doc_id", "repetitive").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("repetitive")).toMap
+    val row = Tables.documents(spark, sf)
+      .select(col("doc_id"), operators.Pipeline.repetitiveExpr(col("text")).as("repetitive"))
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("repetitive")).toMap
+    assert(row.keySet == batch.keySet)
+    val diff = row.collect { case (id, v) if batch(id) != v => id }
+    assert(diff.isEmpty, s"per-row flag disagrees with histogram flag for docs: ${diff.take(5)}")
+    assert(batch.values.exists(identity), "fixture must contain repetitive docs")
+  }
+
   test("tx_repetition flags a meaningful, non-degenerate slice of the corpus") {
     val flags = SparkEntry.queries("tx_repetition")(spark, sf)
       .groupBy("repetitive").count().collect()

@@ -179,6 +179,16 @@ class PlanSpec extends AnyFunSuite {
   test("tx_unigram_ppl joins token counts without windows or a forced vocab broadcast") {
     val p = plan("tx_unigram_ppl")
     assert(!p.contains("Window"), "per-doc surprisal must aggregate, not window")
+    // Zipf de-skew: the vocab join must probe the (doc_id, h)
+    // HISTOGRAM, not raw token rows — every exchange keyed by the
+    // token hash alone must carry aggregated rows (functions include
+    // a count/sum), so no single hot word can exceed |docs| rows in
+    // one join partition. The raw-token shape had the explode feeding
+    // the join exchange directly.
+    val aggsByTokenAndDoc = "HashAggregate\\(keys=\\[doc_id[^\\]]*, h[^\\]]*\\]".r
+      .findAllIn(p).size
+    assert(aggsByTokenAndDoc >= 2,
+      "expected partial+final (doc_id, h) histogram aggregation before the vocab join")
     // the 1-row grand total broadcasts; the vocab join must NOT carry
     // a broadcast hint (a 100 TB vocabulary can exceed the driver) —
     // only AQE may convert it at runtime from proven sizes
