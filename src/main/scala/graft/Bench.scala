@@ -50,6 +50,9 @@ object Bench {
       },
       built("embed_edges", Seq("dd_embed_clusters")) {
         operators.Ann.embedEdges(spark, sfDir)
+      },
+      built("embed_cluster_labels", Seq("pipe_e2e_sem")) {
+        operators.Ann.embedClusterAssignment(spark, sfDir)
       }).flatten
     // deterministic name order: per-query numbers are comparable
     // run-to-run and round-to-round (Map iteration order shuffled the

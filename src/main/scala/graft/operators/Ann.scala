@@ -431,6 +431,22 @@ object Ann {
       Seq(edges)
     }.head
 
+  /** One-time semantic-cluster assignment build: the connected-
+    * component labels over the verified embedding near-dup pairs,
+    * persisted per (session, dir). pipe_e2e_sem consumes THIS (a
+    * funnel reuses the dedup index it already built); the standalone
+    * dd_embed_clusters query keeps running the resolution live —
+    * that is the operation it times.
+    */
+  private[graft] def embedClusterAssignment(spark: SparkSession, dir: String): DataFrame =
+    graft.SessionMemo.frames(spark, s"ann.embedClusterLabels:$dir") {
+      val (labels, _) = Dedup.connectedComponents(embedEdges(spark, dir))
+      val out = labels
+        .select(col("doc").as("vec_id"), col("label").as("canonical_id")).persist()
+      out.count()
+      Seq(out)
+    }.head
+
   /** The banded near-dup pair pipeline over any (vec_id, e, nrm)
     * frame — factored out so DedupRecallSpec can measure recall on a
     * controlled corpus with planted duplicates (the test tables carry

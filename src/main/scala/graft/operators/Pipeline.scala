@@ -488,7 +488,7 @@ object Pipeline {
       .join(contam, Seq("doc_id"), "left")
     val withSem = if (sem)
       gated.join(
-        Ann.embedClusters.fn(spark, dir)
+        Ann.embedClusterAssignment(spark, dir)
           .filter(col("canonical_id") =!= col("vec_id"))
           .select(col("vec_id").as("doc_id"), lit(true).as("sem_dup")),
         Seq("doc_id"), "left")
