@@ -551,6 +551,14 @@ object Ann {
   val NumCodewords = 256
   val NumLloydIters = 2
 
+  /** Codebook training sample: the Lloyd passes run on the TrainSample
+    * smallest vec_ids only (standard PQ practice — k-means on a fixed-
+    * size sample), so the training cost is corpus-size-INDEPENDENT and
+    * only the single encode pass scans the full corpus. Deterministic,
+    * mirrored in the oracle.
+    */
+  val TrainSample = 2048
+
   /** IVFPQ re-rank budget: exact re-rank of the ADC top-50. */
   val NRerank = 50
 
@@ -601,6 +609,7 @@ object Ann {
   private[graft] def pqIndex(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val fs = graft.SessionMemo.frames(spark, s"ann.pqIndex:$dir") {
       val sub = pqSubs(corpus(spark, dir)).persist()
+      val trainSub = sub.filter(col("vec_id") < TrainSample)
       val book0 = sub.filter(col("vec_id") < NumCodewords)
         .select(col("m"), col("vec_id").as("k"), col("sub").as("cw"),
           dotC(col("sub"), col("sub")).as("cw2"))
@@ -609,7 +618,7 @@ object Ann {
       // the next iteration's broadcast from replaying the whole chain
       var book = book0
       for (_ <- 0 until NumLloydIters) {
-        val next = lloydStep(sub, book).persist()
+        val next = lloydStep(trainSub, book).persist()
         next.count()
         if (book ne book0) book.unpersist(blocking = false)
         book = next
@@ -647,20 +656,21 @@ object Ann {
     // one block per Lloyd iteration: assign vs cb{it} → means → cb{it+1};
     // the argmin is a struct-min aggregation (same (d2, k) ordering as
     // Spark's struct-max on negations), not a window — 8×256 distance
-    // rows per vector would make a windowed rank the oracle bottleneck
-    def assignSql(book: String, out: String): String =
+    // rows per vector would make a windowed rank the oracle bottleneck.
+    // Training assigns the SAMPLE only (sub_t); encoding assigns all.
+    def assignSql(src: String, book: String, out: String): String =
       s"""$out AS (
          |  SELECT vec_id, m, (min(struct_pack(d := d2, k := k))).k AS k FROM (
          |    SELECT s.vec_id, s.m, b.k,
          |      round(1e-9 + b.cw2 - 2 * list_dot_product(s.sub, b.cw), 6) AS d2
-         |    FROM sub s JOIN $book b ON s.m = b.m
+         |    FROM $src s JOIN $book b ON s.m = b.m
          |  ) GROUP BY vec_id, m
          |)""".stripMargin
     val iterBlocks = (0 until NumLloydIters).map { it =>
-      s"""${assignSql(s"cb$it", s"pa$it")},
+      s"""${assignSql("sub_t", s"cb$it", s"pa$it")},
          |cwm${it + 1} AS (
          |  SELECT a.m, a.k, i, round(1e-9 + avg(s.sub[i]), 6) AS cm
-         |  FROM pa$it a JOIN sub s ON s.vec_id = a.vec_id AND s.m = a.m,
+         |  FROM pa$it a JOIN sub_t s ON s.vec_id = a.vec_id AND s.m = a.m,
          |    (SELECT unnest(generate_series(1, $SubDim)) AS i)
          |  GROUP BY a.m, a.k, i
          |),
@@ -673,12 +683,13 @@ object Ann {
     s"""sub AS (
        |  $subs
        |),
+       |sub_t AS (SELECT * FROM sub WHERE vec_id < $TrainSample),
        |cb0 AS (
        |  SELECT m, vec_id AS k, sub AS cw, list_dot_product(sub, sub) AS cw2
        |  FROM sub WHERE vec_id < $NumCodewords
        |),
        |${iterBlocks.mkString(",\n")},
-       |${assignSql(fin, "codes")},
+       |${assignSql("sub", fin, "codes")},
        |qtab AS (
        |  SELECT s.vec_id AS query_id, s.m, b.k,
        |    CAST(round(round(1e-9 + list_dot_product(s.sub, b.cw), 6) * 1e6) AS BIGINT) AS t6

@@ -135,6 +135,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("topk_by_score"), "probe cells / final top-k must use the heap aggregate")
   }
 
+  test("ann_ivfpq prunes, ADC-ranks and re-ranks without windows; ADC sum is integer") {
+    val p = plan("ann_ivfpq")
+    assert(!p.contains("row_number"),
+      "cell probe, ADC top-NRerank and the exact re-rank must all be heap/struct aggregates")
+    assert(p.contains("topk_by_score"), "ADC pruning and final top-k must use the heap aggregate")
+    // the ADC accumulation must be the 1e-6-scaled BIGINT sum (exact,
+    // order-independent), never a float partial aggregation
+    assert(p.contains("sum(t6"), "ADC must sum the scaled integer lookup table")
+  }
+
   test("ma_reef_cka selects its bounded sample without a full window sort") {
     val p = plan("ma_reef_cka")
     assert(p.contains("topk_by_score"),
