@@ -57,7 +57,7 @@ object Ann {
       when(dotC(e, planeCol(b * PlanesPerBand + j)) > 0d, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  private def corpus(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def corpus(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir).select(
       col("vec_id"),
       embDbl(col("embedding")).as("e"))
@@ -446,6 +446,27 @@ object Ann {
       out.count()
       Seq(out)
     }.head
+
+  /** The banded corpus INDEX of a (vec_id, e, nrm) frame: one row per
+    * (band, key) membership carrying the vector itself, oversized
+    * buckets dropped — what a production vector store precomputes at
+    * ingest, and the static side of the streaming near-dup scan
+    * (Streaming.embedDedup).
+    */
+  /** Band memberships of a (vec_id, e, nrm) frame, carrying the
+    * vector — the map-only stream-side half of the banded join
+    * (Streaming.embedDedup bands each arriving row with this).
+    */
+  private[graft] def bandKeysOf(v: DataFrame): DataFrame =
+    v.select(col("vec_id"), col("e"), col("nrm"),
+      explode(array((0 until EmbedBands).map { b =>
+        struct(lit(b).as("band"), bandKeyCol(col("e"), b).as("key"))
+      }: _*)).as("bk"))
+      .select(col("vec_id"), col("e"), col("nrm"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+
+  private[graft] def bandedIndexOf(c: DataFrame): DataFrame =
+    Dedup.dropOversizedBuckets(bandKeysOf(c), Seq("band", "key"), Dedup.BucketCap)
 
   /** The banded near-dup pair pipeline over any (vec_id, e, nrm)
     * frame — factored out so DedupRecallSpec can measure recall on a

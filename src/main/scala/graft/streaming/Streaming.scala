@@ -158,6 +158,38 @@ object Streaming {
       .withColumn("contaminated",
         col("frac") >= graft.operators.Pipeline.contaminatedFloor)
 
+  /** Streaming semantic near-dup scan at ingest: each arriving
+    * (vec_id, e, nrm) row is banded with THE SAME 4×8-bit hyperplane
+    * keys as batch dd_embed (Ann.bandKeysOf — map-only) and joined
+    * stream-static against the banded corpus index (built once via
+    * Ann.bandedIndexOf; oversized buckets already dropped there, so
+    * the cap guards the stream side too). Each candidate is cosine-
+    * verified with the exact rounding of the batch query, and only
+    * EARLIER corpus vectors match (index vec_id < arriving vec_id) —
+    * "flag the new arrival against what is already ingested", which
+    * makes an in-order corpus replay reproduce the batch dd_embed
+    * pair set exactly (cross-validated in StreamingSpec).
+    *
+    * Shape: map-only band + stream-static join + one aggregation to
+    * collapse multi-band hits of the same pair (state: one row per
+    * VERIFIED candidate pair — sparse by construction, same class as
+    * Streaming.decontaminate). Run with outputMode update/complete.
+    */
+  def embedDedup(vecs: DataFrame, bandedIndex: DataFrame): DataFrame =
+    graft.operators.Ann.bandKeysOf(vecs)
+      .join(bandedIndex
+        .select(col("band"), col("key"), col("vec_id").as("vec_a"),
+          col("e").as("ea"), col("nrm").as("na")),
+        Seq("band", "key"))
+      .filter(col("vec_a") < col("vec_id"))
+      .select(col("vec_a"), col("vec_id").as("vec_b"),
+        round(lit(1e-9) +
+          graft.functions.HashExprs.dot_product(col("ea"), col("e")) /
+            (col("na") * col("nrm")), 6).as("cosine"))
+      .filter(col("cosine") >= graft.operators.Ann.NearDupThreshold)
+      .groupBy("vec_a", "vec_b")
+      .agg(min("cosine").as("cosine"))
+
   /** Stage 1 of the stream-side corpus-prep funnel — the streaming
     * twin of batch pipe_e2e's dedup + gate block: exact-dedup
     * canonicalization FIRST (first-seen wins within the watermark;

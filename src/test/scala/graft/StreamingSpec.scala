@@ -207,6 +207,34 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming semantic near-dup scan equals batch dd_embed on an in-order replay") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val corpus = operators.Ann.corpus(spark, sf)
+    val index = operators.Ann.bandedIndexOf(corpus)
+    val rows = corpus.select("vec_id", "e", "nrm")
+      .as[(Long, Seq[Double], Double)].collect().sortBy(_._1)
+    val mem = MemoryStream[(Long, Seq[Double], Double)]
+    val q = Streaming.embedDedup(
+        mem.toDF().toDF("vec_id", "e", "nrm"), index)
+      .writeStream.outputMode("complete").format("memory").queryName("sem_pairs").start()
+    try {
+      rows.grouped(math.max(1, rows.length / 3 + 1)).foreach { chunk =>
+        mem.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val got = spark.sql("SELECT vec_a, vec_b, cosine FROM sem_pairs").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val want = SparkEntry.queries("dd_embed")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b")) ->
+        r.getAs[Double]("cosine")).toMap
+    assert(want.nonEmpty, "fixture must contain near-dup pairs")
+    assert(got == want,
+      s"stream pair set diverged: missing=${(want.keySet -- got.keySet).take(5)} " +
+        s"spurious=${(got.keySet -- want.keySet).take(5)}")
+  }
+
   test("staged streaming funnel reproduces batch pipe_e2e counts on a replayed corpus") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
