@@ -352,6 +352,26 @@ object Ann {
     (fs(0), fs(1))
   }
 
+  /** The IVF centroids packed into ONE row (cid, ce, cn structs) —
+    * the static side a streaming query-serving join broadcasts so an
+    * arriving query can rank all cells MAP-SIDE (no per-centroid
+    * explode before the candidate join). Built executor-side from the
+    * memoized index (collect_list in an aggregation, not a driver
+    * collect).
+    */
+  private[graft] def packedCentroids(spark: SparkSession, dir: String): DataFrame =
+    ivfIndex(spark, dir)._1
+      .agg(collect_list(struct(col("cid"), col("ce"), col("cn"))).as("cents"))
+
+  /** The inverted cells joined with their member vectors — (cell,
+    * vec_id, e, nrm), the static candidate side of streaming ANN
+    * serving. Each vector is in exactly one cell.
+    */
+  private[graft] def cellVectors(spark: SparkSession, dir: String): DataFrame =
+    ivfIndex(spark, dir)._2
+      .join(corpus(spark, dir), Seq("vec_id"))
+      .select(col("cell"), col("vec_id"), col("e"), col("nrm"))
+
   private[graft] def ivfTopkWith(spark: SparkSession, dir: String, nprobe: Int): DataFrame = {
     val c = corpus(spark, dir)
     val (cent, assigned) = ivfIndex(spark, dir)

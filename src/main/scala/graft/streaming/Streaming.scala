@@ -190,6 +190,46 @@ object Streaming {
       .groupBy("vec_a", "vec_b")
       .agg(min("cosine").as("cosine"))
 
+  /** Streaming ANN serving: each arriving query vector (vec_id, e,
+    * nrm) is answered from the memoized IVF index — the production
+    * "vector search endpoint" shape. Cell probing is MAP-SIDE: the
+    * packed centroid row (Ann.packedCentroids) broadcasts, each query
+    * ranks all cells with one array-sort HOF and keeps its nprobe
+    * best (same (score desc, cid asc) order as the batch probe), then
+    * a stream-static join against the inverted cells
+    * (Ann.cellVectors) yields candidates, scored exactly and reduced
+    * by the ONE legal streaming aggregation — the bounded-heap top-k.
+    * An arriving query's full candidate set forms inside its own
+    * micro-batch, so the emitted top-k equals batch ann_ivf for the
+    * same nprobe (cross-validated in StreamingSpec). Run with
+    * outputMode update/complete; state is one k-entry heap per query.
+    *
+    * Returns (query_id, tk) with tk = [(score, id, rank)…]; readers
+    * explode it (a post-aggregation generator is not streaming-legal
+    * in every output mode, and the packed row is the useful unit for
+    * a serving sink anyway).
+    */
+  def annTopK(queries: DataFrame, packedCentroids: DataFrame, cellVectors: DataFrame,
+      nprobe: Int, k: Int): DataFrame = {
+    import graft.functions.HashExprs.dot_product
+    val probed = queries.crossJoin(broadcast(packedCentroids))
+      .withColumn("scored", transform(col("cents"), c =>
+        struct(
+          (-(dot_product(col("e"), c.getField("ce")) /
+            (col("nrm") * c.getField("cn")))).as("nscore"),
+          c.getField("cid").as("cid"))))
+      .withColumn("pc", explode(slice(array_sort(col("scored")), 1, nprobe)))
+      .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qn"),
+        col("pc.cid").as("cell"))
+    probed
+      .join(cellVectors, Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos_raw",
+        dot_product(col("qe"), col("e")) / (col("qn") * col("nrm")))
+      .groupBy("query_id")
+      .agg(graft.functions.TopKAgg.topk_by_score(col("cos_raw"), col("vec_id"), k).as("tk"))
+  }
+
   /** Stage 1 of the stream-side corpus-prep funnel — the streaming
     * twin of batch pipe_e2e's dedup + gate block: exact-dedup
     * canonicalization FIRST (first-seen wins within the watermark;

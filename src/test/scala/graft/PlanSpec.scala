@@ -235,24 +235,25 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
-  test("pipe_e2e never shuffles document text and broadcasts the eval index") {
-    val prev = spark.conf.get("spark.sql.adaptive.enabled")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try {
-      val df = SparkEntry.queries("pipe_e2e")(spark, sf)
-      val plan = df.queryExecution.executedPlan
-      val exchanges = plan.collect {
-        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
-      }
-      assert(exchanges.nonEmpty)
-      for (e <- exchanges
-           if !e.outputPartitioning.isInstanceOf[
-             org.apache.spark.sql.catalyst.plans.physical.RoundRobinPartitioning])
-        assert(!e.output.exists(a => a.name == "text" || a.name == "wh" || a.name == "shingles"),
-          s"a keyed shuffle carries text or a token array: ${e.output.map(_.name)}")
-      assert(plan.toString.contains("BroadcastHashJoin"), "the eval index must broadcast")
-    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
-  }
+  for (q <- Seq("pipe_e2e", "pipe_e2e_sem"))
+    test(s"$q never shuffles document text and broadcasts the eval index") {
+      val prev = spark.conf.get("spark.sql.adaptive.enabled")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val df = SparkEntry.queries(q)(spark, sf)
+        val plan = df.queryExecution.executedPlan
+        val exchanges = plan.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+        }
+        assert(exchanges.nonEmpty)
+        for (e <- exchanges
+             if !e.outputPartitioning.isInstanceOf[
+               org.apache.spark.sql.catalyst.plans.physical.RoundRobinPartitioning])
+          assert(!e.output.exists(a => a.name == "text" || a.name == "wh" || a.name == "shingles"),
+            s"a keyed shuffle carries text or a token array: ${e.output.map(_.name)}")
+        assert(plan.toString.contains("BroadcastHashJoin"), "the eval index must broadcast")
+      } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+    }
 
   test("pipe_curate never shuffles document text") {
     // the funnel's scale contract: enrichment is map-only, dedup and

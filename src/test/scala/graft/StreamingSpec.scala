@@ -235,6 +235,39 @@ class StreamingSpec extends AnyFunSuite {
         s"spurious=${(got.keySet -- want.keySet).take(5)}")
   }
 
+  test("streaming ANN serving equals batch ann_ivf on replayed query vectors") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val corpus = operators.Ann.corpus(spark, sf)
+    val cents = operators.Ann.packedCentroids(spark, sf)
+    val cells = operators.Ann.cellVectors(spark, sf)
+    val queries = corpus.filter(col("vec_id") < operators.Ann.NumQueries)
+      .select("vec_id", "e", "nrm")
+      .as[(Long, Seq[Double], Double)].collect().sortBy(_._1)
+    val mem = MemoryStream[(Long, Seq[Double], Double)]
+    val q = Streaming.annTopK(
+        mem.toDF().toDF("vec_id", "e", "nrm"), cents, cells,
+        operators.Ann.NProbe, operators.Ann.TopK)
+      .writeStream.outputMode("complete").format("memory").queryName("ann_serve").start()
+    try {
+      queries.grouped(2).foreach { chunk =>
+        mem.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val got = spark.sql(
+      """SELECT query_id, t.id AS neighbor_id, round(1e-9 + t.score, 6) AS cosine, t.rank AS rank
+        |FROM (SELECT query_id, explode(tk) AS t FROM ann_serve)""".stripMargin)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(3)) -> (r.getLong(1), r.getDouble(2))).toMap
+    val want = SparkEntry.queries("ann_ivf")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank")) ->
+        (r.getAs[Long]("neighbor_id"), r.getAs[Double]("cosine"))).toMap
+    assert(want.nonEmpty)
+    assert(got == want, "streaming serve must reproduce batch ann_ivf rank-for-rank: " +
+      s"diff=${(want.toSet diff got.toSet).take(3)}")
+  }
+
   test("staged streaming funnel reproduces batch pipe_e2e counts on a replayed corpus") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
