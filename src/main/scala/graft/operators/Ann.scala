@@ -212,17 +212,43 @@ object Ann {
       .orderBy("query_id", "rank")
   }
 
-  /** IVF parameters: 16 coarse cells, queries probe the 4 nearest. */
-  val NumCentroids = 16
+  /** IVF parameters: the coarse-cell count GROWS with the corpus —
+    * nlist = max(16, round(√N)) — so per-cell membership stays ≈√N at
+    * any scale (the standard inverted-file sizing; 16 fixed cells
+    * would make every probe touch N/16 vectors at a billion-vector
+    * corpus). Queries probe the NProbe nearest cells; nprobe is the
+    * per-query quality knob (AnnRecallSpec pins its recall curve at
+    * two SFs). Coarse-quantizer TRAINING (the Lloyd refinement) runs
+    * on at most IvfTrainFactor·nlist vectors (≈64√N — the usual
+    * points-per-centroid budget), so training cost is O(nlist²·Factor)
+    * not O(N·nlist); only the single cell-assignment pass scans the
+    * full corpus, exactly like pqIndex's TrainSample split. Both the
+    * nlist formula and the train cap are computed FROM count(*) in the
+    * DuckDB oracle too, so the index is reproduced exactly at every
+    * scale factor.
+    */
+  val MinNumCentroids = 16
   val NProbe = 4
+  val IvfTrainFactor = 64
+
+  /** nlist = max(16, round(√N)). Exact .5 sqrt of an integer count is
+    * impossible, so Scala round and DuckDB round can never disagree.
+    */
+  private[graft] def nlistForCount(n: Long): Int =
+    math.max(MinNumCentroids, math.round(math.sqrt(n.toDouble)).toInt)
+
+  /** The nlist the built index uses for this corpus (for specs). */
+  private[graft] def nlistOf(spark: SparkSession, dir: String): Int =
+    nlistForCount(Tables.embeddings(spark, dir).count())
 
   /** IVF-style ANN: a coarse quantizer partitions the corpus into
     * inverted cells, and each query searches only its NProbe nearest
     * cells. "Training" is deterministic so the DuckDB oracle can
-    * reproduce the index exactly: the NumCentroids smallest vec_ids
-    * seed the centroids, then ONE Lloyd iteration refines them (assign
-    * every vector to its nearest seed, take the per-cell coordinate
-    * mean). Refined coordinates are rounded to 6 dp (with the uniform
+    * reproduce the index exactly: the nlist smallest vec_ids seed the
+    * centroids (nlist ≈ √N — see MinNumCentroids above), then ONE
+    * Lloyd iteration over the training sample refines them (assign
+    * each training vector to its nearest seed, take the per-cell
+    * coordinate mean). Refined coordinates are rounded to 6 dp (with the uniform
     * 1e-9 nudge) on both engines — that pins them bit-exactly despite
     * float-sum order differing between Spark partial aggregation and
     * DuckDB, and across Spark runs.
@@ -240,10 +266,16 @@ object Ann {
     * `c` with (vec_id, e, nrm).
     */
   private val ivfIndexCtesSql: String =
-    s"""cent0 AS (SELECT vec_id AS cid, e AS ce, nrm AS cn FROM c WHERE vec_id < $NumCentroids),
+    s"""params AS (
+       |  SELECT GREATEST($MinNumCentroids, CAST(round(sqrt(count(*))) AS BIGINT)) AS nlist,
+       |    LEAST(count(*), $IvfTrainFactor * GREATEST($MinNumCentroids, CAST(round(sqrt(count(*))) AS BIGINT))) AS tr
+       |  FROM c
+       |),
+       |ctrain AS (SELECT * FROM c WHERE vec_id < (SELECT tr FROM params)),
+       |cent0 AS (SELECT vec_id AS cid, e AS ce, nrm AS cn FROM c WHERE vec_id < (SELECT nlist FROM params)),
        |scored0 AS (
        |  SELECT c.vec_id, cid, list_dot_product(e, ce) / (nrm * cn) AS ccos
-       |  FROM c, cent0
+       |  FROM ctrain c, cent0
        |),
        |assign0 AS (
        |  SELECT vec_id, cid FROM (
@@ -253,7 +285,7 @@ object Ann {
        |),
        |means AS (
        |  SELECT cid, i, round(1e-9 + avg(e[i]), 6) AS m
-       |  FROM assign0 JOIN c USING (vec_id), (SELECT unnest(generate_series(1, $Dim)) AS i)
+       |  FROM assign0 JOIN ctrain USING (vec_id), (SELECT unnest(generate_series(1, $Dim)) AS i)
        |  GROUP BY cid, i
        |),
        |cent AS (
@@ -330,11 +362,17 @@ object Ann {
   private[graft] def ivfIndex(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val fs = graft.SessionMemo.frames(spark, s"ann.ivfIndex:$dir") {
       val c = corpus(spark, dir)
-      val cent0 = c.filter(col("vec_id") < NumCentroids)
+      // one count() sizes the index — part of the one-time build, and
+      // the same scalar the oracle derives from count(*)
+      val n = c.count()
+      val nlist = nlistForCount(n)
+      val trainCap = math.min(n, IvfTrainFactor.toLong * nlist)
+      val train = c.filter(col("vec_id") < trainCap)
+      val cent0 = c.filter(col("vec_id") < nlist)
         .select(col("vec_id").as("cid"), col("e").as("ce"), col("nrm").as("cn"))
-      val assign0 = argmaxCell(scoreAgainst(c, cent0))
+      val assign0 = argmaxCell(scoreAgainst(train, cent0))
       val cent = assign0
-        .join(c.select(col("vec_id"), col("e")), Seq("vec_id"))
+        .join(train.select(col("vec_id"), col("e")), Seq("vec_id"))
         .select(col("cell").as("cid"), posexplode(col("e")).as(Seq("i", "x")))
         .groupBy("cid", "i")
         .agg(round(lit(1e-9) + avg("x"), 6).as("m"))
@@ -372,20 +410,30 @@ object Ann {
       .join(corpus(spark, dir), Seq("vec_id"))
       .select(col("cell"), col("vec_id"), col("e"), col("nrm"))
 
-  private[graft] def ivfTopkWith(spark: SparkSession, dir: String, nprobe: Int): DataFrame = {
+  /** The IVF candidate set for a probe budget: per-query top-nprobe
+    * cells (bounded-heap, not a window; only the query vectors are
+    * scored against the centroids — the corpus-wide assignment is
+    * served from the built index) joined to their members. Shared by
+    * ann_ivf and ann_ivfpq, and measured directly by AnnRecallSpec
+    * (the IVFPQ == IVF equality only holds while the candidate count
+    * stays within the re-rank budget).
+    */
+  private[graft] def ivfCandidates(spark: SparkSession, dir: String, nprobe: Int): DataFrame = {
     val c = corpus(spark, dir)
     val (cent, assigned) = ivfIndex(spark, dir)
-    // probe cells per query: bounded-heap top-nprobe, not a window;
-    // only the query vectors are scored against the centroids here —
-    // the corpus-wide assignment is served from the built index
     val qcells = scoreAgainst(c.filter(col("vec_id") < NumQueries), cent)
       .groupBy(col("vec_id").as("query_id"))
       .agg(graft.functions.TopKAgg.topk_by_score(col("ccos"), col("cid"), nprobe).as("tk"))
       .select(col("query_id"), explode(col("tk")).as("t"))
       .select(col("query_id"), col("t.id").as("cell"))
-    val cand = broadcast(qcells).join(assigned, Seq("cell"))
+    broadcast(qcells).join(assigned, Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .select("query_id", "vec_id").distinct()
+  }
+
+  private[graft] def ivfTopkWith(spark: SparkSession, dir: String, nprobe: Int): DataFrame = {
+    val c = corpus(spark, dir)
+    val cand = ivfCandidates(spark, dir, nprobe)
     val qvec = c.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qn"))
     val res = cand
@@ -847,17 +895,9 @@ object Ann {
   private[graft] def ivfpqTopkWith(
       spark: SparkSession, dir: String, nprobe: Int, rerank: Int): DataFrame = {
     val c = corpus(spark, dir)
-    val (cent, assigned) = ivfIndex(spark, dir)
     val (book, codes) = pqIndex(spark, dir)
     // probe cells per query, served from the built index (same as ann_ivf)
-    val qcells = scoreAgainst(c.filter(col("vec_id") < NumQueries), cent)
-      .groupBy(col("vec_id").as("query_id"))
-      .agg(graft.functions.TopKAgg.topk_by_score(col("ccos"), col("cid"), nprobe).as("tk"))
-      .select(col("query_id"), explode(col("tk")).as("t"))
-      .select(col("query_id"), col("t.id").as("cell"))
-    val cand = broadcast(qcells).join(assigned, Seq("cell"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .select("query_id", "vec_id").distinct()
+    val cand = ivfCandidates(spark, dir, nprobe)
     // ADC over the pruned candidates only: 8 integer lookups each
     val qtab = pqQueryTab(c, book)
     val norms = c.select(col("vec_id"), col("nrm"))

@@ -3,13 +3,16 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Measured recall of the approximate ANN paths against the
-  * brute-force ground truth (ann_topk) at sf0.001.
+  * brute-force ground truth (ann_topk), pinned at TWO scale factors —
+  * sf0.001 (500 vectors, nlist 22) and sf0.1 (2 000 vectors, nlist
+  * 45) — so the √N coarse-quantizer sizing is a tested property, not
+  * a formula.
   *
-  * The two scale paths trade off differently on this corpus, whose
-  * true top-10 neighbors are near-orthogonal (cosines ≈ 0.2-0.47):
-  *  - ann_ivf (nprobe 4 of 16 cells, one Lloyd refinement over the
-  *    seed centroids) recalls ~0.90 (0.88 unrefined) — cell probing
-  *    degrades gracefully when neighbors aren't tightly clustered;
+  * The scale paths trade off differently on this corpus, whose true
+  * top-10 neighbors are near-orthogonal (cosines ≈ 0.2-0.47):
+  *  - ann_ivf (nprobe 4 of √N cells, one Lloyd refinement over the
+  *    seed centroids) recalls 0.86-0.92 — cell probing degrades
+  *    gracefully when neighbors aren't tightly clustered;
   *  - ann_lsh recalls ~0.08 — sign-hyperplane collisions decay
   *    exponentially with angle, so banded LSH only surfaces
   *    genuinely close vectors. That is the right behavior for its
@@ -20,26 +23,48 @@ import org.scalatest.funsuite.AnyFunSuite
 class AnnRecallSpec extends AnyFunSuite {
   import SparkTestSession._
 
-  private def pairs(q: String): Set[(Long, Long)] =
-    SparkEntry.queries(q)(spark, sf).collect()
+  private val sfBig = "/root/testdata/sf0.1"
+
+  private def pairs(q: String, dir: String = sf): Set[(Long, Long)] =
+    SparkEntry.queries(q)(spark, dir).collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
 
-  test("IVF recall-vs-nprobe curve is monotone and saturates") {
-    val truth = pairs("ann_topk")
-    val curve = Seq(1, 2, 4, 8, 16).map { np =>
-      val got = operators.Ann.ivfTopkWith(spark, sf, np).collect()
+  private def truthOf(dir: String): Set[(Long, Long)] =
+    operators.Ann.topk.fn(spark, dir).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+
+  private def ivfCurve(dir: String, nprobes: Seq[Int]): Seq[(Int, Double)] = {
+    val truth = truthOf(dir)
+    nprobes.map { np =>
+      val got = operators.Ann.ivfTopkWith(spark, dir, np).collect()
         .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
       np -> got.intersect(truth).size.toDouble / truth.size
     }
-    info(s"recall vs nprobe: ${curve.map { case (n, r) => f"$n->$r%.3f" }.mkString(", ")}")
+  }
+
+  private def checkCurve(dir: String, label: String): Unit = {
+    val nlist = operators.Ann.nlistOf(spark, dir)
+    val curve = ivfCurve(dir, Seq(1, 2, 4, 8, 16, nlist))
+    info(s"$label (nlist=$nlist) recall vs nprobe: " +
+      curve.map { case (n, r) => f"$n->$r%.3f" }.mkString(", "))
     // probing more cells only ever ADDS candidates → recall is monotone
     curve.sliding(2).foreach { case Seq((n1, r1), (n2, r2)) =>
       assert(r2 >= r1, f"recall fell from $r1%.3f (nprobe=$n1) to $r2%.3f (nprobe=$n2)")
     }
     val byNp = curve.toMap
-    assert(byNp(16) == 1.0, "probing ALL 16 cells is exhaustive search — recall must be 1")
-    assert(byNp(8) >= 0.95, f"nprobe=8 recall regressed: ${byNp(8)}%.3f")
+    assert(byNp(nlist) == 1.0, s"probing ALL $nlist cells is exhaustive search — recall must be 1")
+    assert(byNp(8) >= 0.85, f"nprobe=8 recall regressed: ${byNp(8)}%.3f")
     assert(byNp(4) >= 0.8, f"nprobe=4 (the registered setting) recall regressed: ${byNp(4)}%.3f")
+  }
+
+  test("IVF recall-vs-nprobe curve is monotone and saturates (sf0.001, nlist=√N)") {
+    assert(operators.Ann.nlistOf(spark, sf) == 22) // √500 rounded
+    checkCurve(sf, "sf0.001")
+  }
+
+  test("IVF recall-vs-nprobe curve re-pinned at sf0.1 (4× corpus, √N cells)") {
+    assert(operators.Ann.nlistOf(spark, sfBig) == 45) // √2000 rounded
+    checkCurve(sfBig, "sf0.1")
   }
 
   test("approximate ANN recall vs brute force is measured and bounded") {
@@ -63,26 +88,37 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(pq > lsh, "ADC over all candidates must beat banded LSH recall")
   }
 
-  test("IVFPQ recall matches IVF at equal probe budget across the curve") {
+  test("IVFPQ recall matches IVF while candidates fit the re-rank budget") {
     val truth = pairs("ann_topk")
     val curve = Seq(1, 2, 4, 8, 16).map { np =>
       val ivf = operators.Ann.ivfTopkWith(spark, sf, np).collect()
         .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
       val ivfpq = operators.Ann.ivfpqTopkWith(spark, sf, np, operators.Ann.NRerank).collect()
         .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+      val maxCand = operators.Ann.ivfCandidates(spark, sf, np)
+        .groupBy("query_id").count().collect().map(_.getAs[Long]("count")).max
       val rIvf = ivf.intersect(truth).size.toDouble / truth.size
       val rPq = ivfpq.intersect(truth).size.toDouble / truth.size
-      (np, rIvf, rPq)
+      (np, rIvf, rPq, maxCand)
     }
-    info(s"ivf vs ivfpq recall: " +
-      curve.map { case (n, a, b) => f"$n->($a%.3f,$b%.3f)" }.mkString(", "))
-    // the exact re-rank of the ADC top-NRerank must not lose recall
-    // against plain IVF at the same probe budget — the production
-    // claim IVFPQ makes (ADC only prunes candidates the re-rank
-    // wouldn't have returned)
-    curve.foreach { case (np, rIvf, rPq) =>
-      assert(rPq >= rIvf,
-        f"IVFPQ recall $rPq%.3f fell below IVF $rIvf%.3f at nprobe=$np")
+    info(s"ivf vs ivfpq recall (maxCand): " +
+      curve.map { case (n, a, b, c) => f"$n->($a%.3f,$b%.3f,$c)" }.mkString(", "))
+    curve.foreach { case (np, rIvf, rPq, maxCand) =>
+      if (maxCand <= operators.Ann.NRerank) {
+        // re-rank budget covers every probed candidate → the exact
+        // re-rank reproduces IVF exactly; this is a true invariant
+        assert(rPq >= rIvf,
+          f"IVFPQ recall $rPq%.3f fell below IVF $rIvf%.3f at nprobe=$np with all candidates re-ranked")
+      } else {
+        // above the budget, ADC pruning may legitimately drop a true
+        // neighbor the exact path keeps — bound the loss instead of
+        // asserting an equality that isn't an invariant
+        assert(rPq >= rIvf - 0.1,
+          f"IVFPQ recall $rPq%.3f lost more than 0.1 vs IVF $rIvf%.3f at nprobe=$np (maxCand=$maxCand)")
+      }
     }
+    // the registered setting must stay useful in absolute terms
+    val (_, _, rReg, _) = curve.find(_._1 == operators.Ann.NProbe).get
+    assert(rReg >= 0.75, f"IVFPQ recall at the registered nprobe regressed: $rReg%.3f")
   }
 }
