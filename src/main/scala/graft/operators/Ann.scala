@@ -79,7 +79,40 @@ object Ann {
 
   // ═══════════════ queries ═══════════════
 
-  /** Brute-force cosine top-10 for the first 5 vectors. */
+  /** Hard cap on the brute-force query count — see the ann_topk note. */
+  val MaxBruteForceQueries = 64
+
+  /** Brute-force cosine top-10 for the first `numQueries` vectors.
+    *
+    * VALIDATION BASELINE, not a production path: the row_number window
+    * ranks the ENTIRE corpus per query, and Spark executes each
+    * query's partition as ONE task — per-query work and memory are
+    * O(N), unbounded by any heap. Its job is to be obviously-correct
+    * ground truth that the scale paths (ann_topk_agg / ann_topk_plan's
+    * bounded heaps, and the IVF/PQ/LSH family) are cross-validated
+    * against in AnnRecallSpec. The require() below keeps it from being
+    * pointed at a production-sized query set by accident; raise
+    * MaxBruteForceQueries consciously if a larger validation sweep is
+    * ever needed.
+    */
+  private[graft] def bruteTopkWith(spark: SparkSession, dir: String, numQueries: Int): DataFrame = {
+    require(numQueries <= MaxBruteForceQueries,
+      s"ann_topk is a validation baseline (single-task full-corpus sort per query); " +
+        s"$numQueries queries exceeds MaxBruteForceQueries=$MaxBruteForceQueries — " +
+        s"use ann_topk_agg / ann_ivf for production query sets")
+    val c = corpus(spark, dir)
+    val q = c.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qn"))
+    val scored = broadcast(q).join(c, col("vec_id") =!= col("query_id"))
+      .withColumn("cos_raw", dotC(col("qe"), col("e")) / (col("qn") * col("nrm")))
+    val w = Window.partitionBy("query_id").orderBy(col("cos_raw").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(lit(1e-9) + col("cos_raw"), 6).as("cosine"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
   val topk = Q(
     "ann_topk",
     s"""WITH c AS ($corpusSql),
@@ -93,17 +126,7 @@ object Ann {
        |  WHERE c.vec_id != q.query_id
        |) WHERE rank <= $TopK
        |ORDER BY query_id, rank""".stripMargin) { (spark, dir) =>
-    val c = corpus(spark, dir)
-    val q = c.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qn"))
-    val scored = broadcast(q).join(c, col("vec_id") =!= col("query_id"))
-      .withColumn("cos_raw", dotC(col("qe"), col("e")) / (col("qn") * col("nrm")))
-    val w = Window.partitionBy("query_id").orderBy(col("cos_raw").desc, col("vec_id"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= TopK)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        round(lit(1e-9) + col("cos_raw"), 6).as("cosine"), col("rank"))
-      .orderBy("query_id", "rank")
+    bruteTopkWith(spark, dir, NumQueries)
   }
 
   /** Brute-force top-k via the custom bounded-heap aggregate

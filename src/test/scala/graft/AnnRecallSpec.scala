@@ -67,6 +67,16 @@ class AnnRecallSpec extends AnyFunSuite {
     checkCurve(sfBig, "sf0.1")
   }
 
+  test("ann_topk brute-force baseline refuses production-sized query sets") {
+    // the per-query full-corpus window is the documented validation
+    // baseline — the guard keeps it off production query sets
+    val ex = intercept[IllegalArgumentException] {
+      operators.Ann.bruteTopkWith(spark, sf, operators.Ann.MaxBruteForceQueries + 1)
+    }
+    assert(ex.getMessage.contains("validation baseline"))
+    assert(operators.Ann.NumQueries <= operators.Ann.MaxBruteForceQueries)
+  }
+
   test("approximate ANN recall vs brute force is measured and bounded") {
     val truth = pairs("ann_topk")
     assert(truth.nonEmpty)
