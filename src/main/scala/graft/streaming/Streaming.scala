@@ -251,11 +251,23 @@ object Streaming {
     * [[shard]] on the kept docs; StreamingSpec replays a corpus
     * through all three and checks the reassembled funnel counts
     * row-equal against batch pipe_e2e.
+    *
+    * CONTRACT — bounded dedup window: dropDuplicatesWithinWatermark
+    * keeps per-sha state only inside `dedupWatermark` of event time.
+    * A duplicate sha arriving AFTER its canonical's state expired is
+    * re-emitted as a new canonical and the funnel diverges from the
+    * batch accounting — the same class of precondition [[shard]]
+    * enforces on ordering. Size the watermark to cover the replay's
+    * event-time spread (the spec replays at one fixed timestamp, so
+    * any positive window is exact there); production callers choose
+    * the window consciously — it IS the state-vs-exactness trade a
+    * 100 TB stream has to make, and an unbounded window is just
+    * dropDuplicates with unbounded state.
     */
-  def e2eClassify(docs: DataFrame): DataFrame =
+  def e2eClassify(docs: DataFrame, dedupWatermark: String = "10 minutes"): DataFrame =
     docs
       .withColumn("content_sha", sha2(col("text"), 256))
-      .withWatermark("ts", "10 minutes")
+      .withWatermark("ts", dedupWatermark)
       .dropDuplicatesWithinWatermark("content_sha")
       .select(
         col("doc_id"), col("source"), col("text"),
@@ -264,6 +276,39 @@ object Streaming {
         (graft.operators.TextAnalysis.qualityExpr >=
           graft.operators.TextAnalysis.qualityFloor).as("quality_ok"),
         graft.operators.Pipeline.repetitiveExpr(col("text")).as("repetitive"))
+
+  /** Stage 1 of the SEMANTIC stream-side funnel — [[e2eClassify]]
+    * plus the SemDeDup gate, the streaming twin of batch
+    * pipe_e2e_sem's seventh stage: each canonical doc is left-joined
+    * STREAM-STATIC against the semantic cluster assignment (the SAME
+    * memoized CC labels batch pipe_e2e_sem consumes,
+    * Ann.embedClusterAssignment; embeddings are row-aligned with
+    * documents, vec_id == doc_id) and flagged sem_dup when its
+    * embedding sits in a near-dup cluster under another member's
+    * canonical id.
+    *
+    * CONTRACT — static snapshot: the assignment is an index built
+    * from the already-ingested corpus, exactly like
+    * [[decontaminate]]'s eval index and [[annTopK]]'s IVF cells; a
+    * near-dup pair discovered after the last index build does not
+    * drop. [[embedDedup]] is the live pair log a production pipeline
+    * periodically rebuilds the assignment from (pairs → connected
+    * components → canonical labels — the batch dd_embed_clusters
+    * step). On a replay of the indexed corpus the emitted flags equal
+    * the batch funnel's; StreamingSpec chains this through
+    * decontaminate + shard and checks the reassembled counts
+    * row-equal against batch pipe_e2e_sem.
+    */
+  def e2eClassifySem(docs: DataFrame, clusterAssignment: DataFrame,
+      dedupWatermark: String = "10 minutes"): DataFrame =
+    e2eClassify(docs, dedupWatermark)
+      .join(
+        clusterAssignment
+          .filter(col("canonical_id") =!= col("vec_id"))
+          .select(col("vec_id").as("doc_id"), lit(true).as("sem_flag")),
+        Seq("doc_id"), "left_outer")
+      .withColumn("sem_dup", coalesce(col("sem_flag"), lit(false)))
+      .drop("sem_flag")
 
   final case class DocTok(doc_id: Long, source: String, tokens: Long)
 

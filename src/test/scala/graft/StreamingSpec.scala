@@ -373,6 +373,122 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.values.exists(_(6) > 0), "fixture must keep some docs")
   }
 
+  test("staged streaming semantic funnel reproduces batch pipe_e2e_sem counts") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val budget = operators.TextAnalysis.shardBudget
+    val t0 = Timestamp.valueOf("2025-01-01 00:00:00")
+    val corpus = graft.Tables.documents(spark, sf)
+      .filter(col("doc_id") % 10 =!= 3)
+      .select("doc_id", "source", "text")
+      .as[(Long, String, String)].collect().sortBy(_._1)
+
+    // ── stage 1: canonicalize + gates + the stream-static SemDeDup
+    // flag against the memoized cluster assignment (the same index
+    // batch pipe_e2e_sem consumes)
+    val assignment = operators.Ann.embedClusterAssignment(spark, sf)
+    val mem1 = MemoryStream[(Long, String, String)]
+    val q1 = Streaming.e2eClassifySem(
+        mem1.toDF().toDF("doc_id", "source", "text").withColumn("ts", lit(t0)),
+        assignment)
+      .writeStream.outputMode("append").format("memory").queryName("sem_cls").start()
+    try {
+      corpus.grouped(math.max(1, corpus.length / 4 + 1)).foreach { chunk =>
+        mem1.addData(chunk.toIndexedSeq)
+        q1.processAllAvailable()
+      }
+    } finally q1.stop()
+    case class Cls(source: String, text: String, tokens: Long,
+        langOk: Boolean, qualityOk: Boolean, repetitive: Boolean, semDup: Boolean)
+    val cls = spark.sql("SELECT * FROM sem_cls").collect().map { r =>
+      r.getAs[Long]("doc_id") -> Cls(r.getAs[String]("source"), r.getAs[String]("text"),
+        r.getAs[Long]("tokens"), r.getAs[Boolean]("lang_ok"),
+        r.getAs[Boolean]("quality_ok"), r.getAs[Boolean]("repetitive"),
+        r.getAs[Boolean]("sem_dup"))
+    }.toMap
+    assert(cls.values.exists(_.semDup), "fixture must flag semantic near-dups")
+    // gate survivors continue to decontamination (batch gate order:
+    // the sem drop is accounted AFTER contamination)
+    val survivors = cls.filter { case (_, c) => c.langOk && c.qualityOk && !c.repetitive }
+
+    // ── stage 2: decontaminate the gate survivors (storage-connected)
+    val sh = operators.Pipeline.shingledDocs(
+      graft.Tables.documents(spark, sf).select("doc_id", "source", "text"))
+    val evalIdx = operators.Pipeline.evalIndexOf(sh.filter(col("doc_id") % 10 === 3))
+    val mem2 = MemoryStream[(Long, String, String)]
+    val q2 = Streaming.decontaminate(
+        mem2.toDF().toDF("doc_id", "source", "text"), evalIdx)
+      .writeStream.outputMode("complete").format("memory").queryName("sem_dec").start()
+    val survivorRows = survivors.toSeq.sortBy(_._1)
+      .map { case (id, c) => (id, c.source, c.text) }
+    try {
+      survivorRows.grouped(math.max(1, survivorRows.length / 3 + 1)).foreach { chunk =>
+        mem2.addData(chunk.toIndexedSeq)
+        q2.processAllAvailable()
+      }
+    } finally q2.stop()
+    val contaminated = spark.sql(
+      "SELECT DISTINCT doc_id FROM sem_dec WHERE contaminated").collect()
+      .map(_.getLong(0)).toSet
+    // the sem gate fires after contamination; kept excludes both
+    val kept = survivors.view
+      .filterKeys(!contaminated(_))
+      .filterNot { case (_, c) => c.semDup }.toMap
+
+    // ── stage 3: pack the kept docs into shards (in-order replay)
+    val mem3 = MemoryStream[Streaming.DocTok]
+    val q3 = Streaming.shard(mem3.toDS())
+      .writeStream.outputMode("append").format("memory").queryName("sem_shards").start()
+    val keptRows = kept.toSeq.sortBy(_._1)
+      .map { case (id, c) => Streaming.DocTok(id, c.source, c.tokens) }
+    try {
+      keptRows.grouped(math.max(1, keptRows.length / 3 + 1)).foreach { chunk =>
+        mem3.addData(chunk.toIndexedSeq)
+        q3.processAllAvailable()
+      }
+    } finally q3.stop()
+    val expectedShards = keptRows.groupBy(_.source).flatMap { case (s, ds) =>
+      var pre = 0L
+      ds.sortBy(_.doc_id).map { d => val sid = pre / budget; pre += d.tokens; (d.doc_id, sid) }
+    }
+    val gotShards = spark.sql("SELECT doc_id, shard_id FROM sem_shards").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(gotShards == expectedShards.toMap, "stream shard layout diverged from the batch rule")
+
+    // ── reassembled funnel counts must equal batch pipe_e2e_sem
+    val bySource = corpus.groupBy(_._2).map { case (s, rows) =>
+      val ids = rows.map(_._1).toSet
+      val canon = cls.filter { case (id, c) => ids(id) && c.source == s }
+      val surv = survivors.filter(_._2.source == s)
+      val keptS = kept.filter(_._2.source == s)
+      val tokensKept = keptS.values.map(_.tokens).sum
+      s -> Seq(
+        rows.size.toLong,
+        rows.size.toLong - canon.size,
+        canon.count(!_._2.langOk).toLong,
+        canon.count(c => c._2.langOk && !c._2.qualityOk).toLong,
+        canon.count(c => c._2.langOk && c._2.qualityOk && c._2.repetitive).toLong,
+        surv.count(c => contaminated(c._1)).toLong,
+        surv.count(c => !contaminated(c._1) && c._2.semDup).toLong,
+        keptS.size.toLong,
+        tokensKept,
+        (tokensKept + budget - 1) / budget)
+    }
+    val batch = SparkEntry.queries("pipe_e2e_sem")(spark, sf).collect().map { r =>
+      r.getAs[String]("source") -> Seq(
+        r.getAs[Long]("n_docs"), r.getAs[Long]("n_dup_dropped"),
+        r.getAs[Long]("n_lang_dropped"), r.getAs[Long]("n_quality_dropped"),
+        r.getAs[Long]("n_rep_dropped"), r.getAs[Long]("n_contam_dropped"),
+        r.getAs[Long]("n_sem_dropped"),
+        r.getAs[Long]("n_kept"), r.getAs[Long]("tokens_kept"), r.getAs[Long]("n_shards"))
+    }.toMap
+    assert(bySource.keySet == batch.keySet)
+    for ((s, want) <- batch)
+      assert(bySource(s) == want, s"semantic funnel counts diverged for source $s: " +
+        s"stream=${bySource(s)} batch=$want")
+    assert(batch.values.exists(_(7) > 0), "fixture must keep some docs")
+  }
+
   test("streaming shard packing equals batch pipe_shard on an in-order replay") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
