@@ -284,6 +284,13 @@ object TextAnalysis {
     */
   private[graft] val shardBudget = 500L
 
+  /** The funnel's whitespace token count of `text` — shared by
+    * pipe_shard, the e2e funnels and the shard writer so "tokens"
+    * can never drift between the planner and the files on disk.
+    */
+  private[graft] def tokenCountExpr: org.apache.spark.sql.Column =
+    size(split(trim(col("text")), "\\s+")).cast("long")
+
   val shard = Q(
     "pipe_shard",
     s"""SELECT source, CAST(floor(pre / ${d(shardBudget.toString)}) AS BIGINT) AS shard_id,
@@ -304,8 +311,7 @@ object TextAnalysis {
        |GROUP BY source, shard_id
        |ORDER BY source, shard_id""".stripMargin) { (spark, dir) =>
     val docsTok = Tables.documents(spark, dir).select(
-      col("doc_id"), col("source"),
-      size(split(trim(col("text")), "\\s+")).cast("long").as("tokens"))
+      col("doc_id"), col("source"), tokenCountExpr.as("tokens"))
     ScalePrim.exclusivePrefixSum(docsTok, "source", "doc_id", col("tokens"))
       .withColumn("shard_id", floor(col("prefix") / lit(shardBudget).cast("double")).cast("long"))
       .groupBy("source", "shard_id")
