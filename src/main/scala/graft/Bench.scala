@@ -78,8 +78,10 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"builds":$bs,"sf":"$sfDir"}"""
     println(json)
     // self-contained copy: stdout `tail` captures have truncated the
-    // JSON line in past rounds; the file always holds the whole object
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")
+    // JSON line in past rounds; the file always holds the whole object.
+    // Default target is gitignored — casual runs must not clobber the
+    // committed round artifact; round close copies it to BENCH_LAST.json
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_last.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (json + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] write $out: ${e.getMessage}") }
