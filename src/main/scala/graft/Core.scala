@@ -42,16 +42,22 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame      = load(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "region")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses to
-    * read natively. Read it as a nanos long and truncate to
-    * microseconds with integer division — the same floor DuckDB
-    * applies when it narrows ns→us, so oracle parity holds.
+  /** The driver's events.ts is parquet TIMESTAMP(NANOS), which Spark
+    * 4 refuses to read natively. Read it as a nanos long and truncate
+    * to microseconds with integer division — the same floor DuckDB
+    * applies when it narrows ns→us, so oracle parity holds. Derived
+    * datasets (GenFuzz, GenSf1 output) carry ts as a plain micros
+    * TIMESTAMP already — both physical forms load to the same column.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr(
-        "timestamp_micros(ts div 1000)"))
+    val raw = load(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.expr(
+          "timestamp_micros(ts div 1000)"))
+      case _ => raw
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = loadSpread(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = loadSpread(spark, dir, "embeddings")

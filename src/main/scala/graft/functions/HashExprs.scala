@@ -35,9 +35,14 @@ object PolyHashing {
     h
   }
 
-  /** Java-regex split(trim(lower(text)), "\\s+") semantics:
-    * leading empty token kept, trailing separators dropped,
-    * empty input yields one empty token.
+  /** split(trim(lower(text)), '\s+') with ALL empty fields kept —
+    * the semantics BOTH engines' reference forms share: DuckDB
+    * string_split_regex and Spark's split (whose default limit -1
+    * keeps trailing empties). A Java `String.split` (limit 0) drops
+    * trailing empties and silently diverged on trailing-tab/newline
+    * docs — the fuzz sweep's whitespace-tail class. Empty input
+    * yields one empty token; trim removes spaces only (matching SQL
+    * trim).
     */
   def tokenize(text: String): Array[String] = {
     def isWs(c: Char) = c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
@@ -49,7 +54,7 @@ object PolyHashing {
     if (t.isEmpty) return Array("")
     val out = Array.newBuilder[String]
     var i = 0
-    if (isWs(t.charAt(0))) out += "" // Java split keeps a leading empty token
+    if (isWs(t.charAt(0))) out += "" // regex split keeps a leading empty field
     while (i < t.length) {
       while (i < t.length && isWs(t.charAt(i))) i += 1
       if (i < t.length) {
@@ -58,6 +63,7 @@ object PolyHashing {
         out += t.substring(start, i)
       }
     }
+    if (isWs(t.charAt(t.length - 1))) out += "" // … and a trailing one
     out.result()
   }
 

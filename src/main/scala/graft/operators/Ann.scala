@@ -57,11 +57,18 @@ object Ann {
       when(dotC(e, planeCol(b * PlanesPerBand + j)) > 0d, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** Zero-norm vectors are EXCLUDED from the cosine corpus: a zero
+    * vector has no direction, its cosine is 0/0, and the two engines
+    * disagree on NaN comparisons (IEEE predicates in Spark vs NaN
+    * sorting above every value in DuckDB) — the fuzz sweep's
+    * zero-vector class would silently diverge. Mirrored in corpusSql.
+    */
   private[graft] def corpus(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir).select(
       col("vec_id"),
       embDbl(col("embedding")).as("e"))
       .withColumn("nrm", sqrt(dotC(col("e"), col("e"))))
+      .filter(col("nrm") > 0d)
 
   // ═══════ DuckDB side ═══════
 
@@ -74,8 +81,10 @@ object Ann {
     }.mkString("(", " + ", ")")
 
   private val corpusSql: String =
-    s"""SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm
-       |FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)""".stripMargin
+    s"""SELECT * FROM (
+       |  SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm
+       |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+       |) WHERE nrm > 0""".stripMargin
 
   // ═══════════════ queries ═══════════════
 
@@ -634,14 +643,15 @@ object Ann {
     * NumCodewords smallest vec_ids and refined by NumLloydIters
     * deterministic Lloyd iterations (assign every subvector to its
     * nearest codeword, take the per-cell coordinate mean), the same
-    * rounding discipline as the IVF centroids. A vector's code is 8
-    * bytes; queries rank by asymmetric distance computation (ADC):
-    * the query's exact per-subspace dot products against the
-    * codewords, summed along each candidate's code — 64-dim float
-    * math collapses to 8 table lookups per candidate, the memory-
-    * bandwidth trade PQ makes at billion-vector scale. Norms stay
-    * exact (8 bytes/vector, standard practice), so only the dot
-    * product is approximated.
+    * rounding discipline as the IVF centroids. Vectors are UNIT-
+    * NORMALIZED before encoding (cosine-metric PQ: on unit vectors
+    * inner product IS cosine), so the serve path needs no norm joins
+    * and the fixed-point ADC range is bounded by construction. A
+    * vector's code is 8 bytes; queries rank by asymmetric distance
+    * computation (ADC): the query's exact per-subspace dot products
+    * against the codewords, summed along each candidate's code —
+    * 64-dim float math collapses to 8 table lookups per candidate,
+    * the memory-bandwidth trade PQ makes at billion-vector scale.
     *
     * Codebook sizing is the measured lever on this corpus (near-
     * orthogonal neighbors, tiny cosine gaps): 16 codewords recall
@@ -674,12 +684,20 @@ object Ann {
   /** IVFPQ re-rank budget: exact re-rank of the ADC top-50. */
   val NRerank = 50
 
-  /** (vec_id, m, sub): the corpus split into PQ subvectors. */
+  /** (vec_id, m, sub): the corpus split into PQ subvectors — of the
+    * UNIT-NORMALIZED vector (cosine-metric PQ: normalize, then inner
+    * product IS cosine). Normalizing before encoding bounds every ADC
+    * table entry in [-1, 1], so the 1e-6 fixed-point integer sum can
+    * never overflow regardless of vector magnitudes (the fuzz sweep's
+    * 1e30-magnitude class overflowed the unnormalized ADC), and the
+    * serve path needs no norm joins at all.
+    */
   private def pqSubs(c: DataFrame): DataFrame =
-    c.select(col("vec_id"),
-      explode(array((0 until NumSubspaces).map { m =>
-        struct(lit(m).as("m"), slice(col("e"), m * SubDim + 1, SubDim).as("sub"))
-      }: _*)).as("s"))
+    c.select(col("vec_id"), transform(col("e"), x => x / col("nrm")).as("en"))
+      .select(col("vec_id"),
+        explode(array((0 until NumSubspaces).map { m =>
+          struct(lit(m).as("m"), slice(col("en"), m * SubDim + 1, SubDim).as("sub"))
+        }: _*)).as("s"))
       .select(col("vec_id"), col("s.m").as("m"), col("s.sub").as("sub"))
 
   /** Nearest codeword per (vector, subspace) against a broadcast
@@ -763,7 +781,7 @@ object Ann {
     */
   private val pqIndexCtesSql: String = {
     val subs = (0 until NumSubspaces).map { m =>
-      s"SELECT vec_id, $m AS m, list_slice(e, ${m * SubDim + 1}, ${(m + 1) * SubDim}) AS sub FROM c"
+      s"SELECT vec_id, $m AS m, list_slice(en, ${m * SubDim + 1}, ${(m + 1) * SubDim}) AS sub FROM subsrc"
     }.mkString("\n  UNION ALL\n  ")
     // one block per Lloyd iteration: assign vs cb{it} → means → cb{it+1};
     // the argmin is a struct-min aggregation (same (d2, k) ordering as
@@ -792,7 +810,8 @@ object Ann {
          |)""".stripMargin
     }
     val fin = s"cb$NumLloydIters"
-    s"""sub AS (
+    s"""subsrc AS (SELECT vec_id, list_transform(e, x -> x / nrm) AS en FROM c),
+       |sub AS (
        |  $subs
        |),
        |sub_t AS (SELECT * FROM sub WHERE vec_id < $TrainSample),
@@ -829,28 +848,24 @@ object Ann {
        |)
        |SELECT query_id, neighbor_id, cosine, rank FROM (
        |  SELECT a.query_id, a.vec_id AS neighbor_id,
-       |    round(1e-9 + (a.adot6 / 1e6) / (cq.nrm * cc.nrm), 6) AS cosine,
+       |    round(1e-9 + a.adot6 / 1e6, 6) AS cosine,
        |    CAST(row_number() OVER (PARTITION BY a.query_id
-       |      ORDER BY round(1e-9 + (a.adot6 / 1e6) / (cq.nrm * cc.nrm), 6) DESC, a.vec_id) AS BIGINT) AS rank
+       |      ORDER BY round(1e-9 + a.adot6 / 1e6, 6) DESC, a.vec_id) AS BIGINT) AS rank
        |  FROM approx a
-       |  JOIN c cq ON cq.vec_id = a.query_id
-       |  JOIN c cc ON cc.vec_id = a.vec_id
        |) WHERE rank <= $TopK
        |ORDER BY query_id, rank""".stripMargin) { (spark, dir) =>
     val c = corpus(spark, dir)
     val (book, codes) = pqIndex(spark, dir)
     val qtab = pqQueryTab(c, book)
-    // ADC: integer sum of the 8 table lookups along each code
+    // ADC: integer sum of the 8 table lookups along each code — on
+    // unit vectors the scaled sum IS the approximate cosine, no norm
+    // joins in the serve path
     val approx = codes.join(broadcast(qtab), Seq("m", "k"))
       .filter(col("vec_id") =!= col("query_id"))
       .groupBy("query_id", "vec_id")
       .agg(sum("t6").as("adot6"))
-    val norms = c.select(col("vec_id"), col("nrm"))
     approx
-      .join(broadcast(norms.filter(col("vec_id") < NumQueries)
-        .select(col("vec_id").as("query_id"), col("nrm").as("qn"))), Seq("query_id"))
-      .join(norms, Seq("vec_id"))
-      .withColumn("acos", round(lit(1e-9) + (col("adot6") / 1e6) / (col("qn") * col("nrm")), 6))
+      .withColumn("acos", round(lit(1e-9) + col("adot6") / 1e6, 6))
       .groupBy("query_id")
       .agg(graft.functions.TopKAgg.topk_by_score(col("acos"), col("vec_id"), TopK).as("tk"))
       .select(col("query_id"), explode(col("tk")).as("t"))
@@ -893,10 +908,8 @@ object Ann {
        |  SELECT query_id, vec_id FROM (
        |    SELECT a.query_id, a.vec_id,
        |      row_number() OVER (PARTITION BY a.query_id
-       |        ORDER BY round(1e-9 + (a.adot6 / 1e6) / (cq.nrm * cc.nrm), 6) DESC, a.vec_id) AS rn
+       |        ORDER BY round(1e-9 + a.adot6 / 1e6, 6) DESC, a.vec_id) AS rn
        |    FROM adc a
-       |    JOIN c cq ON cq.vec_id = a.query_id
-       |    JOIN c cc ON cc.vec_id = a.vec_id
        |  ) WHERE rn <= $NRerank
        |)
        |SELECT query_id, neighbor_id, cosine, rank FROM (
@@ -921,17 +934,14 @@ object Ann {
     val (book, codes) = pqIndex(spark, dir)
     // probe cells per query, served from the built index (same as ann_ivf)
     val cand = ivfCandidates(spark, dir, nprobe)
-    // ADC over the pruned candidates only: 8 integer lookups each
+    // ADC over the pruned candidates only: 8 integer lookups each; on
+    // unit vectors the scaled sum is the approximate cosine directly
     val qtab = pqQueryTab(c, book)
-    val norms = c.select(col("vec_id"), col("nrm"))
     val pre = cand.join(codes, Seq("vec_id"))
       .join(broadcast(qtab), Seq("query_id", "m", "k"))
       .groupBy("query_id", "vec_id")
       .agg(sum("t6").as("adot6"))
-      .join(broadcast(norms.filter(col("vec_id") < NumQueries)
-        .select(col("vec_id").as("query_id"), col("nrm").as("qn"))), Seq("query_id"))
-      .join(norms, Seq("vec_id"))
-      .withColumn("acos", round(lit(1e-9) + (col("adot6") / 1e6) / (col("qn") * col("nrm")), 6))
+      .withColumn("acos", round(lit(1e-9) + col("adot6") / 1e6, 6))
       .groupBy("query_id")
       .agg(graft.functions.TopKAgg.topk_by_score(col("acos"), col("vec_id"), rerank).as("tk"))
       .select(col("query_id"), explode(col("tk")).as("t"))
