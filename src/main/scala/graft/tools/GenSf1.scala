@@ -3,13 +3,14 @@ package graft.tools
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Build-time tool: derive an sf1 (10×) dataset from the driver's
-  * read-only sf0.1 tables, for the scale-proof bench run (VERDICT r5
-  * item 1). NOT part of the query library.
+/** Build-time tool: derive an sf1 (10×, default) or sf10 (100×,
+  * `copies`=100) dataset from the driver's read-only sf0.1 tables,
+  * for the scale-proof bench runs (VERDICT r5 item 1, r7 item 2).
+  * NOT part of the query library.
   *
-  * Design: 10 key-shifted copies of every scaled table (strides = the
+  * Design: N key-shifted copies of every scaled table (strides = the
   * base table's key range), so every join stays FK-consistent and the
-  * join/aggregate work grows 10×. Naively copying text/embeddings
+  * join/aggregate work grows N×. Naively copying text/embeddings
   * verbatim would create 9 exact twins per doc and blow the near-dup
   * pair space up QUADRATICALLY — a data artifact, not scale — so each
   * copy perturbs content while preserving within-copy structure:
@@ -39,13 +40,22 @@ import org.apache.spark.sql.functions._
   */
 object GenSf1 {
 
-  /** 10 distinct permutations of the 5 vowels; index 0 = identity. */
-  private val vowelPerms: Seq[String] =
-    "aeiou" +: Seq("eioua", "iouae", "ouaei", "uaeio", "aeiuo",
-      "eioau", "iouea", "ouaie", "uaeoi")
+  /** All 120 permutations of the 5 vowels in deterministic order;
+    * index 0 = identity. Any two distinct permutations differ in at
+    * least two positions, so cross-copy Latin text diverges for every
+    * copy pair up to 120 copies (the old hand-picked list had period
+    * 10 — at 100 copies, copies i and i+10 would share identical
+    * Latin text and create exact cross-copy duplicates, a data
+    * artifact that would blow the near-dup pair space up
+    * quadratically instead of linearly).
+    */
+  private val vowelPerms: Seq[String] = "aeiou".permutations.toSeq
 
-  /** 53 high-frequency CJK chars (prime length → 10 distinct
-    * rotations by 5·i).
+  /** 53 high-frequency CJK chars (53 prime and all chars distinct →
+    * 53 distinct fixed-point-free rotations; reversing doubles the
+    * family to 106 distinct 1:1 maps, enough for 100 copies — a
+    * rotation-only scheme has period 53, so at 100 copies a pure-CJK
+    * doc in copies i and i+53 would be byte-identical).
     */
   private val cjkChars =
     "的一是不了人我在有他这中大来上国个到说们为子和你地出道时年得就那要下以生会自着去之过家学对可她里后小么心多"
@@ -55,12 +65,29 @@ object GenSf1 {
     s.substring(r) + s.substring(0, r)
   }
 
+  /** 21 lowercase consonants; rotation + optional reversal gives 42
+    * distinct 1:1 maps (identity at i=0). Composed with the vowel
+    * permutation so a cross-copy text collision needs BOTH maps to
+    * agree on the text's character subset — vowel perms alone left 98
+    * of 499k texts colliding at 100 copies (texts using only vowels
+    * where two perms happen to agree).
+    */
+  private val consChars = "bcdfghjklmnpqrstvwxyz"
+
+  private def consSub(i: Int): String = {
+    val r = rot(consChars, i % consChars.length)
+    if ((i / consChars.length) % 2 == 1) r.reverse else r
+  }
+
   /** The full 1:1 substitution alphabet for copy `i`. */
   private def subst(i: Int): (String, String) = {
     val lower = vowelPerms(i % vowelPerms.size)
     val upper = lower.toUpperCase
-    val cjk = rot(cjkChars, (i * 5) % cjkChars.length)
-    ("aeiou" + "AEIOU" + cjkChars, lower + upper + cjk)
+    val cons = consSub(i)
+    val cjkRot = rot(cjkChars, (i * 5) % cjkChars.length)
+    val cjk = if ((i / cjkChars.length) % 2 == 1) cjkRot.reverse else cjkRot
+    ("aeiou" + "AEIOU" + consChars + consChars.toUpperCase + cjkChars,
+      lower + upper + cons + cons.toUpperCase + cjk)
   }
 
   def main(args: Array[String]): Unit = {
@@ -82,12 +109,15 @@ object GenSf1 {
 
     /** Union `copies` transformed copies and write as a multi-file
       * parquet directory (splittable — unlike the driver's
-      * single-row-group files, sf1 scans parallelize natively).
+      * single-row-group files, the generated scans parallelize
+      * natively). `files` is sized for the 10-copy sf1; scale it
+      * with the multiplier so per-file size stays constant.
       */
     def gen(name: String, files: Int)(copy: (DataFrame, Int) => DataFrame): Unit = {
+      val nf = math.max(files, files * copies / 10)
       val src = load(name)
       val all = (0 until copies).map(i => copy(src, i)).reduce(_ unionByName _)
-      all.repartition(files).write.mode("overwrite").parquet(s"$out/$name.parquet")
+      all.repartition(nf).write.mode("overwrite").parquet(s"$out/$name.parquet")
       println(s"$name: ${spark.read.parquet(s"$out/$name.parquet").count()} rows")
     }
 
