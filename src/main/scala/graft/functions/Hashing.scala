@@ -14,6 +14,33 @@ object Hashing {
   val P = 1000000007L
   val B = 31L
 
+  /** SimHash widening: the per-word hash is mod P (< 2^30), so a
+    * SimHash built from its bits alone is ~30 bits wide — at 500k
+    * docs the hash space saturates and unrelated short docs collide
+    * at Hamming ≤ 1 (birthday bound). The published SimHash standard
+    * (Manku, Jain & Das Sarma, WWW'07 — 64-bit fingerprints) avoids
+    * this; we widen to 60 bits by stacking a bijective Lehmer-style
+    * rehash of the same word hash into the high 30 bits:
+    *
+    *   whx = ((wh·B2 + C2) mod P) · 2^30 + wh
+    *
+    * Bijective because gcd(B2, P) = 1 (P prime), so distinct word
+    * hashes stay distinct and the high bits add ~30 fresh bits of
+    * entropy. Max value (P−1)·(2^30+1) ≈ 1.07e18 < 2^63 — no
+    * overflow on either engine.
+    */
+  val B2 = 48271L // MINSTD Lehmer multiplier
+  val C2 = 11L
+  val WideShift = 1073741824L // 2^30
+  val SimhashBits = 60
+
+  /** The widened 60-bit word hash, as a formula over a bound BIGINT
+    * column/name — textually identical on the Spark (expr) and
+    * DuckDB (SQL) sides so the two engines stay bit-lockstep.
+    */
+  def wideWordHash(wh: String): String =
+    s"(($wh * $B2 + $C2) % $P) * $WideShift + $wh"
+
   /** MinHash permutation constants (k=24): h_j(x) = (a_j·x + b_j) mod p. */
   val NumPerms = 24
   val permA: Seq[Long] = (1 to NumPerms).map(j => (j.toLong * 104729L + 12345L) % P)

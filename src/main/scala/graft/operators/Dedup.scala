@@ -377,18 +377,26 @@ object Dedup {
   }
 
   // ═══════════════ SimHash ═══════════════
-  // 31-bit SimHash over word hashes weighted by term frequency.
+  // 60-bit SimHash over widened word hashes weighted by term
+  // frequency. The word hash is mod P (< 2^30); wideWordHash
+  // stacks a bijective rehash into the high 30 bits so the SimHash
+  // space doesn't saturate at corpus scale (a 30-bit SimHash starts
+  // birthday-colliding unrelated docs at Hamming ≤ 1 around 500k
+  // docs — observed on the sf10 leg; Manku et al. WWW'07 use 64-bit
+  // fingerprints for exactly this reason).
 
   private val simhashBody: String =
     s"""SELECT doc_id,
        |  CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
        |FROM (
-       |  SELECT doc_id, b, sum(CASE WHEN ((wh >> b) & 1) = 1 THEN cnt ELSE -cnt END) AS s
+       |  SELECT doc_id, b, sum(CASE WHEN ((whx >> b) & 1) = 1 THEN cnt ELSE -cnt END) AS s
        |  FROM (
-       |    SELECT doc_id, wh, CAST(count(*) AS BIGINT) AS cnt
-       |    FROM (SELECT doc_id, unnest(${wordHashesSql("text")}) AS wh FROM documents)
-       |    GROUP BY doc_id, wh
-       |  ), (SELECT unnest(generate_series(0, 30)) AS b)
+       |    SELECT doc_id, ${wideWordHash("wh")} AS whx, cnt FROM (
+       |      SELECT doc_id, wh, CAST(count(*) AS BIGINT) AS cnt
+       |      FROM (SELECT doc_id, unnest(${wordHashesSql("text")}) AS wh FROM documents)
+       |      GROUP BY doc_id, wh
+       |    )
+       |  ), (SELECT unnest(generate_series(0, ${SimhashBits - 1})) AS b)
        |  GROUP BY doc_id, b
        |)
        |GROUP BY doc_id""".stripMargin
@@ -398,9 +406,10 @@ object Dedup {
       .select(col("doc_id"), explode(wordHashes(col("text"))).as("wh"))
       .groupBy("doc_id", "wh")
       .agg(count(lit(1)).as("cnt"))
-    val bits = spark.range(0, 31).select(col("id").cast("int").as("b"))
+      .withColumn("whx", expr(wideWordHash("wh")))
+    val bits = spark.range(0, SimhashBits).select(col("id").cast("int").as("b"))
     wordCounts.crossJoin(broadcast(bits))
-      .withColumn("bitset", expr("CASE WHEN ((wh >> b) & 1) = 1 THEN cnt ELSE -cnt END"))
+      .withColumn("bitset", expr("CASE WHEN ((whx >> b) & 1) = 1 THEN cnt ELSE -cnt END"))
       .groupBy("doc_id", "b")
       .agg(sum("bitset").as("s"))
       .withColumn("contrib", expr("CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END"))
