@@ -385,36 +385,51 @@ object Dedup {
   // docs — observed on the sf10 leg; Manku et al. WWW'07 use 64-bit
   // fingerprints for exactly this reason).
 
-  private val simhashBody: String =
-    s"""SELECT doc_id,
-       |  CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+  /** One sum column per bit, partial-aggregated map-side: the
+    * signature is 60 sign-sums per doc, so the natural plan is ONE
+    * groupBy(doc_id) with 60 codegen'd sum aggregates over the
+    * exploded word hashes — NOT a bits-table crossJoin, which
+    * multiplies the (doc, word) row count by 60 (3 billion rows at
+    * 500k docs; measured 60% of a 362 s entry) and pays a second
+    * shuffle. Summing ±1 per OCCURRENCE is identical to the classic
+    * frequency-weighted form (sum over distinct words of ±cnt):
+    * addition is associative — the per-(doc,word) pre-aggregation
+    * the crossJoin plan needed is subsumed by the partial aggregate.
+    */
+  private val simhashBody: String = {
+    val sums = (0 until SimhashBits)
+      .map(b => s"sum(CASE WHEN ((whx >> $b) & 1) = 1 THEN 1 ELSE -1 END) AS s$b")
+      .mkString(",\n       ")
+    val compose = (0 until SimhashBits)
+      .map(b => s"CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END")
+      .mkString(" + ")
+    s"""SELECT doc_id, CAST($compose AS BIGINT) AS simhash
        |FROM (
-       |  SELECT doc_id, b, sum(CASE WHEN ((whx >> b) & 1) = 1 THEN cnt ELSE -cnt END) AS s
+       |  SELECT doc_id,
+       |    $sums
        |  FROM (
-       |    SELECT doc_id, ${wideWordHash("wh")} AS whx, cnt FROM (
-       |      SELECT doc_id, wh, CAST(count(*) AS BIGINT) AS cnt
-       |      FROM (SELECT doc_id, unnest(${wordHashesSql("text")}) AS wh FROM documents)
-       |      GROUP BY doc_id, wh
-       |    )
-       |  ), (SELECT unnest(generate_series(0, ${SimhashBits - 1})) AS b)
-       |  GROUP BY doc_id, b
-       |)
-       |GROUP BY doc_id""".stripMargin
+       |    SELECT doc_id, ${wideWordHash("wh")} AS whx
+       |    FROM (SELECT doc_id, unnest(${wordHashesSql("text")}) AS wh FROM documents)
+       |  )
+       |  GROUP BY doc_id
+       |)""".stripMargin
+  }
 
   private def simhashDf(spark: SparkSession, dir: String): DataFrame = {
-    val wordCounts = Tables.documents(spark, dir)
+    val words = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(wordHashes(col("text"))).as("wh"))
-      .groupBy("doc_id", "wh")
-      .agg(count(lit(1)).as("cnt"))
       .withColumn("whx", expr(wideWordHash("wh")))
-    val bits = spark.range(0, SimhashBits).select(col("id").cast("int").as("b"))
-    wordCounts.crossJoin(broadcast(bits))
-      .withColumn("bitset", expr("CASE WHEN ((whx >> b) & 1) = 1 THEN cnt ELSE -cnt END"))
-      .groupBy("doc_id", "b")
-      .agg(sum("bitset").as("s"))
-      .withColumn("contrib", expr("CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END"))
-      .groupBy("doc_id")
-      .agg(sum("contrib").as("simhash"))
+    val sums = (0 until SimhashBits)
+      .map(b => sum(expr(s"CASE WHEN ((whx >> $b) & 1) = 1 THEN 1 ELSE -1 END")).as(s"s$b"))
+    val compose = (0 until SimhashBits)
+      .map(b => s"CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END")
+      .mkString(" + ")
+    words.groupBy("doc_id")
+      .agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"), expr(s"CAST($compose AS BIGINT)").as("simhash"))
+      // fixed-width (doc_id, simhash) — shared by dd_simhash and the
+      // pair query's two join sides via CacheManager plan dedup
+      .cache()
   }
 
   val simhash = Q(
@@ -424,19 +439,25 @@ object Dedup {
     simhashDf(spark, dir).orderBy("doc_id")
   }
 
-  /** SimHash near-dup pairs: candidates share the low-15-bit or
-    * high-16-bit chunk, verified by Hamming distance ≤ 1. Chunk
-    * buckets get the same BucketCap skew guard as the minhash bands —
-    * a degenerate chunk value (e.g. simhash 0 from boilerplate docs)
-    * must not go quadratic.
+  /** SimHash near-dup pairs: candidates share the low-30-bit or
+    * high-30-bit chunk, verified by Hamming distance ≤ 1. Any 2-chunk
+    * cover of all 60 bits is exact for Hamming ≤ 1 (the one differing
+    * bit lives in one chunk, so the other matches); the split must
+    * keep pace with the hash width — a 15-bit chunk key has only 32k
+    * buckets, so random chunk collisions grow as N²/2^15 (measured:
+    * 362 s at 500k docs, ~7.5M junk candidates), while 30-bit keys
+    * push the birthday term to N²/2^30, below the true-pair count.
+    * Chunk buckets additionally get the same BucketCap skew guard as
+    * the minhash bands — a degenerate chunk value (e.g. simhash 0
+    * from boilerplate docs) must not go quadratic.
     */
   val simhashPairs = Q(
     "dd_simhash_pairs",
     s"""WITH sh AS ($simhashBody),
        |chunked0 AS (
-       |  SELECT doc_id, simhash, 0 AS chunk, simhash & 32767 AS key FROM sh
+       |  SELECT doc_id, simhash, 0 AS chunk, simhash & 1073741823 AS key FROM sh
        |  UNION ALL
-       |  SELECT doc_id, simhash, 1 AS chunk, simhash >> 15 AS key FROM sh
+       |  SELECT doc_id, simhash, 1 AS chunk, simhash >> 30 AS key FROM sh
        |),
        |small AS (
        |  SELECT chunk, key FROM chunked0 GROUP BY chunk, key
@@ -453,8 +474,8 @@ object Dedup {
     val sh = simhashDf(spark, dir)
     val chunked0 = sh.select(col("doc_id"), col("simhash"),
       explode(array(
-        struct(lit(0).as("chunk"), col("simhash").bitwiseAND(lit(32767L)).as("key")),
-        struct(lit(1).as("chunk"), shiftright(col("simhash"), 15).as("key")))).as("c"))
+        struct(lit(0).as("chunk"), col("simhash").bitwiseAND(lit(1073741823L)).as("key")),
+        struct(lit(1).as("chunk"), shiftright(col("simhash"), 30).as("key")))).as("c"))
       .select(col("doc_id"), col("simhash"), col("c.chunk").as("chunk"), col("c.key").as("key"))
     val chunked = dropOversizedBuckets(chunked0, Seq("chunk", "key"), BucketCap)
     val a = chunked.select(col("chunk"), col("key"), col("doc_id").as("doc_a"), col("simhash").as("sha"))
