@@ -67,16 +67,24 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
       (name, (System.nanoTime() - t0) / 1e9, ok)
     }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val failed = results.collect { case (k, _, false) => s"\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val bs = builds.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"builds":$bs,"sf":"$sfDir"}"""
-    println(json)
+    // Two renderings of the same numbers: full nanosecond precision
+    // for the file artifact, and a millisecond-rounded line for
+    // stdout. The stdout line must survive a fixed-size tail capture
+    // (round 8's was cut at 2 000 chars, making the round's timings
+    // unparseable) — at ~80 queries, centisecond values keep the
+    // whole object under that with margin to grow.
+    def render(fmt: Double => String): String = {
+      val qs = results.map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      val bs = builds.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failed,"builds":$bs,"sf":"$sfDir"}"""
+    }
+    val json = render(_.toString)
+    println(render(v => f"$v%.2f"))
     // self-contained copy: stdout `tail` captures have truncated the
     // JSON line in past rounds; the file always holds the whole object.
     // Default target is gitignored — casual runs must not clobber the

@@ -42,12 +42,15 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame      = load(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "region")
-  /** The driver's events.ts is parquet TIMESTAMP(NANOS), which Spark
-    * 4 refuses to read natively. Read it as a nanos long and truncate
-    * to microseconds with integer division — the same floor DuckDB
-    * applies when it narrows ns→us, so oracle parity holds. Derived
-    * datasets (GenFuzz, GenSf1 output) carry ts as a plain micros
-    * TIMESTAMP already — both physical forms load to the same column.
+  /** events.ts has shipped in three physical forms across testdata
+    * generations: parquet TIMESTAMP(NANOS) (read as a nanos long via
+    * the legacy conf and truncated to micros — the same floor DuckDB
+    * applies when it narrows ns→us), naive micros TIMESTAMP_NTZ
+    * (pandas-written, isAdjustedToUTC=false), and UTC micros
+    * TIMESTAMP. Normalize all three to session-zone TIMESTAMP here —
+    * the session runs in UTC, so NTZ wall-clock values map to the
+    * identical instant DuckDB's epoch() sees — and keep every
+    * downstream query on one type.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -56,6 +59,10 @@ object Tables {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", org.apache.spark.sql.functions.expr(
           "timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts")
+            .cast(org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }
   }

@@ -206,14 +206,36 @@ object Relational {
   }
 
   /** Approximate distinct (HyperLogLog++) — the 100 TB path where exact
-    * distinct would shuffle every key. No DuckDB oracle (different sketch).
+    * distinct would shuffle every key. DuckDB's HLL is a different
+    * sketch, so the approx values themselves can't be oracle-hashed;
+    * instead the query emits the exact counts PLUS booleans asserting
+    * the sketch landed within 4×rsd (rsd=0.01 → 4%; ApproxErrorSpec
+    * pins the measured max at 0.86%). The oracle emits the same exact
+    * counts with the booleans hard-TRUE, so rows+schema+hash verify
+    * both the exact values and the sketch's error bound. At 100 TB
+    * only the approx aggregation would run — the exact columns here
+    * exist to make the sketch's accuracy machine-checkable.
     */
-  val q9approx = Q.rowsOnly("q9_approx") { (spark, dir) =>
+  val q9approx = Q(
+    "q9_approx",
+    """SELECT l_returnflag,
+      |  count(DISTINCT l_partkey) AS n_parts,
+      |  count(DISTINCT l_orderkey) AS n_orders,
+      |  TRUE AS parts_ok,
+      |  TRUE AS orders_ok
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin) { (spark, dir) =>
     Tables.lineitem(spark, dir)
       .groupBy("l_returnflag")
       .agg(
-        approx_count_distinct("l_partkey", 0.01).as("n_parts_approx"),
-        approx_count_distinct("l_orderkey", 0.01).as("n_orders_approx"))
+        countDistinct("l_partkey").as("n_parts"),
+        countDistinct("l_orderkey").as("n_orders"),
+        approx_count_distinct("l_partkey", 0.01).as("ap"),
+        approx_count_distinct("l_orderkey", 0.01).as("ao"))
+      .select(col("l_returnflag"), col("n_parts"), col("n_orders"),
+        (abs(col("ap") - col("n_parts")) <= col("n_parts") * 0.04).as("parts_ok"),
+        (abs(col("ao") - col("n_orders")) <= col("n_orders") * 0.04).as("orders_ok"))
       .orderBy("l_returnflag")
   }
 

@@ -12,25 +12,22 @@ import org.scalatest.funsuite.AnyFunSuite
 class StreamingSpec extends AnyFunSuite {
   import SparkTestSession._
 
-  private def eventsBatch = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sf/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-  }
+  // Tables.events normalizes whatever physical ts form the testdata
+  // generation shipped (nanos-long, NTZ micros, UTC micros) — the
+  // spec must not re-encode that knowledge.
+  private def eventsBatch = Tables.events(spark, sf)
 
   test("streaming window counts equal batch window counts") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("event_id", LongType), StructField("ts", TimestampType),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
-    // FileStreamSource needs a directory; stage the events file in /tmp
+    // FileStreamSource needs a directory; stage a NORMALIZED copy of
+    // the events table there so the stream schema is stable across
+    // testdata generations
     val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$sf/events.parquet"),
-      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    eventsBatch.write.mode("overwrite").parquet(dir)
     val stream = spark.readStream.schema(schema).parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     val q = Streaming.windowCounts(stream)
       .writeStream.outputMode("append").format("memory").queryName("wc").start()
     try q.processAllAvailable() finally q.stop()
