@@ -185,5 +185,95 @@ object Events {
       .orderBy("cohort", "week_offset")
   }
 
-  val all: Seq[Q] = Seq(windowAgg, sessionize, funnel, json, retention)
+  /** As-of join: each purchase matched to the latest strictly-earlier
+    * click of the same user (ties on ts broken by highest event_id).
+    * Spark has no ASOF JOIN operator; the scalable composition is a
+    * single-shuffle union-and-carry: tag both sides, sort per user by
+    * (ts, side, event_id) with purchases BEFORE same-instant clicks
+    * (so "strictly earlier" needs no extra filter), and carry the
+    * last-seen click forward with last(_, ignoreNulls) over the
+    * running frame. One hash shuffle on user_id, no join at all —
+    * versus the naive per-purchase range join this is the form that
+    * survives 100 TB (the per-user sort is the same work a merge-based
+    * ASOF join does, and AQE handles a skewed user).
+    */
+  val asof = Q(
+    "ev_asof",
+    """SELECT p.event_id, p.user_id, c.click_id,
+      |  epoch_us(p.ts) - c.click_us AS gap_us
+      |FROM events p
+      |LEFT JOIN LATERAL (
+      |  SELECT c.event_id AS click_id, epoch_us(c.ts) AS click_us
+      |  FROM events c
+      |  WHERE c.user_id = p.user_id AND c.event_type = 'click' AND c.ts < p.ts
+      |  ORDER BY c.ts DESC, c.event_id DESC LIMIT 1
+      |) c ON TRUE
+      |WHERE p.event_type = 'purchase'
+      |ORDER BY p.event_id""".stripMargin) { (spark, dir) =>
+    val ev = Tables.events(spark, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+    // purchases sort before clicks at the same instant → the running
+    // frame up to a purchase row contains exactly the clicks with
+    // ts strictly less
+    val side = when(col("event_type") === "purchase", lit(0)).otherwise(lit(1))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, side.asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev
+      .withColumn("c_id", when(col("event_type") === "click", col("event_id")))
+      .withColumn("c_us", when(col("event_type") === "click", unix_micros(col("ts"))))
+      .withColumn("click_id", last(col("c_id"), ignoreNulls = true).over(w))
+      .withColumn("click_us", last(col("c_us"), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("click_id"),
+        (unix_micros(col("ts")) - col("click_us")).as("gap_us"))
+      .orderBy("event_id")
+  }
+
+  /** Range (band) join: per purchase, how many OTHER same-user events
+    * fall within ±10 minutes. The scalable plan is the classic banded
+    * equi-join: both sides bucketed to the band width, the probe side
+    * exploded to its 3 candidate buckets, so the join is a plain hash
+    * join on (user_id, bucket) and each qualifying pair meets exactly
+    * once (on the build row's own bucket) — never a cross product.
+    * Candidate volume is bounded by per-user activity inside a 20-min
+    * span; a pathological hot user is AQE-skew-split territory, same
+    * as any hash join.
+    */
+  val rangeJoin = Q(
+    "ev_range_join",
+    """SELECT p.event_id, p.user_id,
+      |  (SELECT count(*) FROM events c
+      |   WHERE c.user_id = p.user_id AND c.event_id <> p.event_id
+      |     AND abs(epoch_us(c.ts) - epoch_us(p.ts)) <= 600000000) AS n_nearby
+      |FROM events p
+      |WHERE p.event_type = 'purchase'
+      |ORDER BY p.event_id""".stripMargin) { (spark, dir) =>
+    val bandUs = 600000000L // ±600 s in microseconds
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("p_us"))
+    val probe = purchases
+      .withColumn("b0", expr(s"p_us div $bandUs"))
+      .withColumn("bucket", explode(array(col("b0") - 1, col("b0"), col("b0") + 1)))
+      .drop("b0")
+    val build = ev.select(
+      col("event_id").as("c_id"), col("user_id"),
+      unix_micros(col("ts")).as("c_us"))
+      .withColumn("bucket", expr(s"c_us div $bandUs"))
+    val counts = probe
+      .join(build, Seq("user_id", "bucket"))
+      .filter(col("c_id") =!= col("event_id") &&
+        abs(col("c_us") - col("p_us")) <= bandUs)
+      .groupBy("event_id")
+      .agg(count(lit(1)).as("n"))
+    purchases.select("event_id", "user_id")
+      .join(counts, Seq("event_id"), "left")
+      .select(col("event_id"), col("user_id"),
+        coalesce(col("n"), lit(0L)).as("n_nearby"))
+      .orderBy("event_id")
+  }
+
+  val all: Seq[Q] = Seq(windowAgg, sessionize, funnel, json, retention, asof, rangeJoin)
 }

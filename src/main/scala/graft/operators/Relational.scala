@@ -269,5 +269,65 @@ object Relational {
       .orderBy("c_mktsegment")
   }
 
-  val all: Seq[Q] = Seq(q1, q3, q5, q6, q7, q8, q9, q9approx, q10)
+  /** Exact interpolated percentiles per group (median/p95 — DuckDB
+    * quantile_cont twin), plus a pinned bound on the sketch the 100 TB
+    * path would actually run: approx_percentile (Greenwald-Khanna at
+    * accuracy 10 000) must land within 1% of the exact median, and the
+    * oracle hash-checks that boolean. Exact percentile materializes
+    * each group's values (fine per-group here; at 100 TB only the
+    * sketch runs — it's a mergeable partial aggregate like any sum).
+    */
+  val q13 = Q(
+    "q13_percentiles",
+    """SELECT l_returnflag,
+      |  round(1e-9 + quantile_cont(l_extendedprice, 0.5), 2) AS median_price,
+      |  round(1e-9 + quantile_cont(l_extendedprice, 0.95), 2) AS p95_price,
+      |  round(1e-9 + quantile_cont(l_quantity, 0.5), 2) AS median_qty,
+      |  TRUE AS p50_ok
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin) { (spark, dir) =>
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        round(lit(1e-9) + percentile(col("l_extendedprice"), lit(0.5)), 2).as("median_price"),
+        round(lit(1e-9) + percentile(col("l_extendedprice"), lit(0.95)), 2).as("p95_price"),
+        round(lit(1e-9) + percentile(col("l_quantity"), lit(0.5)), 2).as("median_qty"),
+        percentile(col("l_extendedprice"), lit(0.5)).as("ex50"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("ap50"))
+      .select(col("l_returnflag"), col("median_price"), col("p95_price"), col("median_qty"),
+        (abs(col("ap50") - col("ex50")) <= abs(col("ex50")) * 0.01).as("p50_ok"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Pivot: revenue by order year spread into one column per year —
+    * the DataFrame pivot API with an EXPLICIT value list. Without it
+    * Spark first runs a distinct scan to discover pivot values and
+    * caps them at spark.sql.pivotMaxValues; with it the plan is a
+    * single pass of conditional aggregation, which is also exactly
+    * the oracle's formulation (sum FILTER per year).
+    */
+  val q14 = {
+    val years = 1995 to 2001
+    Q(
+      "q14_pivot",
+      s"""SELECT o_orderpriority,
+         |  ${years.map(y =>
+             s"round(1e-9 + coalesce(sum(o_totalprice) FILTER (WHERE year(o_orderdate) = $y), 0), 2) AS y$y")
+             .mkString(",\n  ")}
+         |FROM orders
+         |GROUP BY o_orderpriority
+         |ORDER BY o_orderpriority""".stripMargin) { (spark, dir) =>
+      Tables.orders(spark, dir)
+        .withColumn("yr", year(col("o_orderdate")))
+        .groupBy("o_orderpriority")
+        .pivot("yr", years.map(y => y: Any))
+        .agg(round(lit(1e-9) + coalesce(sum("o_totalprice"), lit(0d)), 2))
+        .select(col("o_orderpriority") +:
+          years.map(y => col(s"`$y`").as(s"y$y")): _*)
+        .orderBy("o_orderpriority")
+    }
+  }
+
+  val all: Seq[Q] = Seq(q1, q3, q5, q6, q7, q8, q9, q9approx, q10, q13, q14)
 }
