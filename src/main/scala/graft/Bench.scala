@@ -53,6 +53,9 @@ object Bench {
       },
       built("embed_cluster_labels", Seq("pipe_e2e_sem")) {
         operators.Ann.embedClusterAssignment(spark, sfDir)
+      },
+      built("eval_bloom", Seq("pipe_decon_bloom")) {
+        operators.Pipeline.evalBloom(spark, sfDir)
       }).flatten
     // deterministic name order: per-query numbers are comparable
     // run-to-run and round-to-round (Map iteration order shuffled the

@@ -280,6 +280,72 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** Serialized Bloom filter over the eval set's shingle hashes —
+    * a memoized one-time index build (SessionMemo, like the IVF/PQ
+    * indexes): sized from the measured distinct-shingle count at
+    * ~1% fpp, built once per (session, dir), stored as a 1-row
+    * persisted frame whose single binary cell the serving query
+    * reads. At 100 TB the eval suites stay benchmark-sized, so the
+    * filter is a few MB — broadcast-friendly as a plan literal.
+    */
+  private[graft] def evalBloom(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Array[Byte] = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftbridge.Bridge
+    val fs = graft.SessionMemo.frames(spark, s"pipeline.evalBloom:$dir") {
+      val sh = shingledDocs(Tables.documents(spark, dir))
+      val idx = evalIndexOf(sh.filter(col("doc_id") % evalMod === evalRes))
+      val n = math.max(1024L, idx.select("h").distinct().count())
+      // optimal bits for fpp=0.01: -n ln(p) / ln(2)^2 ≈ 9.585 n
+      val bits = math.max(64L, (n * 9.585).toLong)
+      val bloomCol = Bridge.column(new BloomFilterAggregate(
+        Bridge.expression(col("h")), Literal(n), Literal(bits))
+        .toAggregateExpression())
+      val one = idx.agg(bloomCol.as("bf")).persist()
+      one.count()
+      Seq(one)
+    }
+    fs.head.head.getAs[Array[Byte]](0)
+  }
+
+  /** Bloom-accelerated decontamination: IDENTICAL output to
+    * pipe_decontaminate (same oracle SQL), different plan. The eval
+    * set's shingle Bloom filter is inlined as a plan literal and the
+    * corpus is prefiltered map-side with exists(shingles,
+    * might_contain) — only docs sharing at least one (possibly
+    * false-positive) shingle reach the explode + join + aggregate.
+    * Bloom filters have no false negatives, so the exact verify
+    * phase sees every true overlap and the result set cannot change;
+    * false positives only cost wasted exact work (~1% fpp).
+    *
+    * This is THE 100 TB decontamination shape: the expensive
+    * explode-to-(hash, doc) stream shrinks from every corpus doc to
+    * the contaminated fraction (typically ≪1%), while the filter
+    * itself rides the task binary instead of a shuffle.
+    */
+  val deconBloom = Q(
+    "pipe_decon_bloom", decontaminate.oracle.get) { (spark, dir) =>
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.graftbridge.Bridge
+    import org.apache.spark.sql.types.BinaryType
+    val bloom = Literal.create(evalBloom(spark, dir), BinaryType)
+    val sh = shingledDocs(Tables.documents(spark, dir))
+    val evalIdx = evalIndexOf(sh.filter(col("doc_id") % evalMod === evalRes))
+    val corpus = sh.filter(col("doc_id") % evalMod =!= evalRes)
+      .filter(exists(col("shingles"), s =>
+        Bridge.column(BloomFilterMightContain(bloom, Bridge.expression(s)))))
+    overlapPairs(corpus, evalIdx)
+      .groupBy("doc_id", "source")
+      .agg(max(struct(col("frac"), (-col("eval_id")).as("neg"))).as("best"))
+      .select(col("doc_id"), col("source"),
+        (-col("best.neg")).cast("long").as("best_eval_id"),
+        col("best.frac").as("overlap_frac"))
+      .filter(col("overlap_frac") >= suspectFloor)
+      .withColumn("contaminated", col("overlap_frac") >= contaminatedFloor)
+      .orderBy("doc_id")
+  }
+
   // ═══════════════ deterministic stratified sampling ═══════════════
 
   private val samplePerSource = 16
@@ -522,5 +588,5 @@ object Pipeline {
   /** The funnel plus the SemDeDup stage (seven stages). */
   val e2eSem = mkE2e("pipe_e2e_sem", sem = true)
 
-  val all: Seq[Q] = Seq(repetition, unigramPpl, decontaminate, sample, mix, e2e, e2eSem)
+  val all: Seq[Q] = Seq(repetition, unigramPpl, decontaminate, deconBloom, sample, mix, e2e, e2eSem)
 }

@@ -22,6 +22,9 @@ object Streaming {
   final case class SessionOut(user_id: Long, session_id: Long, n_events: Long,
       start_s: Long, end_s: Long)
 
+  final case class AsofOut(event_id: Long, user_id: Long,
+      click_id: Option[Long], gap_us: Option[Long])
+
   /** Watermarked tumbling-window counts per event type.
     * Late data beyond 10 minutes is dropped by the watermark, which
     * bounds state — the property that matters at cluster scale.
@@ -352,6 +355,59 @@ object Streaming {
           }
           state.update((pre, hiDoc))
           out.iterator
+      }
+  }
+
+  /** Streaming as-of join: each arriving purchase answered with the
+    * latest strictly-earlier same-user click — the batch ev_asof rule
+    * applied at ingest. State is TWO longs per user (the best click's
+    * micros + event_id), independent of stream length; the per-group
+    * sort buffers one micro-batch × user slice.
+    *
+    * CONTRACT — in-order replay, same as [[shard]]: an as-of answer
+    * is order-dependent (a purchase must not see clicks that arrive
+    * after it), so parity with batch ev_asof holds only when
+    * micro-batches arrive in global (ts, side, event_id) order per
+    * user (purchases before same-instant clicks — the batch window's
+    * exact sort key, which is what makes "strictly earlier" hold
+    * without a separate filter). The state carries the high-water
+    * key and FAILS LOUDLY on regression rather than silently
+    * diverging from batch. Cross-validated against ev_asof in
+    * StreamingSpec.
+    */
+  def asof(events: Dataset[Event]): Dataset[AsofOut] = {
+    import events.sparkSession.implicits._
+    def micros(e: Event): Long =
+      e.ts.getTime * 1000L + (e.ts.getNanos % 1000000L) / 1000L
+    def sideOf(e: Event): Int = if (e.event_type == "purchase") 0 else 1
+    val keyOrd = Ordering.Tuple3[Long, Int, Long]
+    events
+      .filter(e => e.event_type == "click" || e.event_type == "purchase")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Long, Long, Int, Long), AsofOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[(Long, Long, Long, Int, Long)]) =>
+          // (clickUs, clickId, hiUs, hiSide, hiId); clickId Long.MinValue = none yet
+          var (cUs, cId, hiUs, hiSide, hiId) = state.getOption
+            .getOrElse((Long.MinValue, Long.MinValue, Long.MinValue, -1, Long.MinValue))
+          val sorted = rows.toSeq.sortBy(e => (micros(e), sideOf(e), e.event_id))
+          val out = Seq.newBuilder[AsofOut]
+          for (e <- sorted) {
+            val u = micros(e); val side = sideOf(e)
+            if (keyOrd.lteq((u, side, e.event_id), (hiUs, hiSide, hiId)))
+              throw new IllegalStateException(
+                s"Streaming.asof: event ${e.event_id} of user $userId arrived after " +
+                  s"key ($hiUs, $hiSide, $hiId) was processed — in-order replay " +
+                  "precondition violated")
+            hiUs = u; hiSide = side; hiId = e.event_id
+            if (side == 0)
+              out += AsofOut(e.event_id, userId,
+                if (cId == Long.MinValue) None else Some(cId),
+                if (cId == Long.MinValue) None else Some(u - cUs))
+            else { cUs = u; cId = e.event_id }
+          }
+          state.update((cUs, cId, hiUs, hiSide, hiId))
+          out.result().iterator
       }
   }
 

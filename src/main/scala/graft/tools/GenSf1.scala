@@ -143,8 +143,9 @@ object GenSf1 {
       .withColumn("l_orderkey", col("l_orderkey") + lit(i * O))
       .withColumn("l_partkey", col("l_partkey") + lit(i * P))
       .withColumn("l_suppkey", col("l_suppkey") + lit(i * S)))
-    // ts was read as nanos-long; written back as plain BIGINT, which
-    // Tables.events converts identically (timestamp_micros(ts div 1000))
+    // ts passes through in whatever physical form the base table has
+    // (nanos-long, TIMESTAMP_NTZ, or TIMESTAMP) — Tables.events
+    // normalizes every form at read time, so copies stay faithful
     gen("events", 16)((df, i) => df
       .withColumn("event_id", col("event_id") + lit(i * E))
       .withColumn("user_id", col("user_id") + lit(i * U)))

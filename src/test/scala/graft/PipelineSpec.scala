@@ -100,6 +100,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(math.abs(top.getAs[Double]("overlap_frac") - frac) < 1e-5)
   }
 
+  test("pipe_decon_bloom equals pipe_decontaminate and the bloom actually prunes") {
+    val exact = SparkEntry.queries("pipe_decontaminate")(spark, sf)
+    val bloom = SparkEntry.queries("pipe_decon_bloom")(spark, sf)
+    assert(bloom.exceptAll(exact).count() == 0)
+    assert(exact.exceptAll(bloom).count() == 0)
+    // the prefilter must pass a strict subset of the corpus: no false
+    // negatives is proven by the equality above; pruning power by the
+    // count dropping below the corpus size
+    val bytes = operators.Pipeline.evalBloom(spark, sf)
+    assert(bytes.length > 64, "bloom must be a real serialized filter")
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.graftbridge.Bridge
+    import org.apache.spark.sql.types.BinaryType
+    val lit = Literal.create(bytes, BinaryType)
+    val corpus = Tables.documents(spark, sf).filter(col("doc_id") % 10 =!= 3)
+      .select(col("doc_id"), functions.Hashing.shingleHashes(col("text")).as("s"))
+    val kept = corpus.filter(exists(col("s"), h =>
+      Bridge.column(BloomFilterMightContain(lit, Bridge.expression(h))))).count()
+    val total = corpus.count()
+    assert(kept < total, s"bloom prefilter must prune some docs ($kept of $total kept)")
+  }
+
   test("pipe_sample selects exactly k docs per source, ranked by ascending fingerprint") {
     val out = SparkEntry.queries("pipe_sample")(spark, sf).collect()
     val bySource = out.groupBy(_.getAs[String]("source"))

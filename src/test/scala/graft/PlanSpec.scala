@@ -280,4 +280,44 @@ class PlanSpec extends AnyFunSuite {
           s"a keyed shuffle carries the full document text: ${e.output.map(_.name)}")
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
+
+  test("ev_asof is join-free: one user-keyed shuffle feeds the carry window") {
+    val p = plan("ev_asof")
+    assert(!p.contains("Join"), "as-of must be the union-and-carry form, not a join")
+    assert(p.contains("hashpartitioning(user_id"),
+      "the carry window must run after one hash shuffle on user_id")
+  }
+
+  test("ev_range_join is a banded equi-join, never a cross product") {
+    val p = plan("ev_range_join")
+    assert(p.contains("bucket"), "range join must key on (user_id, bucket)")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "an unbanded range predicate degenerates to a nested-loop join")
+  }
+
+  test("pipe_decon_bloom probes the bloom map-side in a Filter, not after a join") {
+    val df = SparkEntry.queries("pipe_decon_bloom")(spark, sf)
+    // the probe must sit in a Filter whose subtree contains no join or
+    // exchange — i.e. it runs in the scan stage of the corpus side
+    val filters = df.queryExecution.optimizedPlan.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+        if f.condition.toString.contains("might_contain") => f
+    }
+    assert(filters.nonEmpty, "corpus must prefilter through the bloom literal")
+    filters.foreach { f =>
+      val bad = f.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }
+      assert(bad.isEmpty, "the bloom probe must run before any join, not after")
+    }
+  }
+
+  test("q14_pivot is one pass: no distinct-discovery scan before the agg") {
+    val df = SparkEntry.queries("q14_pivot")(spark, sf)
+    // explicit value list → a single aggregate over one scan of orders;
+    // value discovery would show up as a second scan/collect
+    val scans = df.queryExecution.executedPlan.toString
+      .split("\n").count(_.contains("FileScan parquet"))
+    assert(scans == 1, s"pivot must scan orders exactly once, saw $scans scans")
+  }
 }

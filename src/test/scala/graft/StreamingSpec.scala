@@ -538,6 +538,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(a == other)
   }
 
+  test("streaming asof reproduces batch ev_asof on an in-order replay") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    def us(t: java.sql.Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos % 1000000L) / 1000L
+    val all = eventsBatch
+      .select("event_id", "ts", "user_id", "event_type", "value").as[Event]
+      .collect()
+      .sortBy(e => (us(e.ts), if (e.event_type == "purchase") 0 else 1, e.event_id))
+    val mem = MemoryStream[Event]
+    val q = Streaming.asof(mem.toDS())
+      .writeStream.outputMode("append").format("memory").queryName("asof").start()
+    try {
+      // three micro-batches, cut at global ts order → per-user order holds
+      for (chunk <- all.grouped((all.length + 2) / 3)) {
+        mem.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val got = spark.sql("SELECT * FROM asof")
+    val want = operators.Events.asof.fn(spark, sf)
+    assert(got.count() == want.count() && got.count() > 0)
+    assert(got.exceptAll(want).count() == 0)
+    assert(want.exceptAll(got).count() == 0)
+  }
+
   test("batch sessionize matches the SQL sessionization operator") {
     import spark.implicits._
     val ev = eventsBatch.select("event_id", "ts", "user_id", "event_type", "value").as[Event]

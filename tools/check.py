@@ -46,7 +46,19 @@ def main():
             f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = n_skip = 0
+    # Queries that threw in graft.Verify never produce a parquet dir;
+    # without this they'd silently shrink coverage (round-8 lesson).
+    # Verify records them in errors.json — surface each as a FAIL row.
+    try:
+        errors = json.load(open(f"{out_dir}/errors.json"))
+    except Exception:
+        errors = {}
+    for name, err in sorted(errors.items()):
+        print(f"FAIL {name}: did not execute: {err[:200]}")
+        n_fail += 1
     for name, sql in sorted(oracle.items()):
+        if name in errors:
+            continue  # already reported as FAIL above
         try:
             got = canon(pd.read_parquet(f"{out_dir}/{name}"))
         except Exception as e:
