@@ -79,15 +79,20 @@ object Bench {
     // (round 8's was cut at 2 000 chars, making the round's timings
     // unparseable) — at ~80 queries, centisecond values keep the
     // whole object under that with margin to grow.
-    def render(fmt: Double => String): String = {
+    def render(fmt: Double => String, withBuilds: Boolean): String = {
       val qs = results.map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
-      val bs = builds.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
-        .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failed,"builds":$bs,"sf":"$sfDir"}"""
+      val bs =
+        if (withBuilds) builds.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+          .mkString(""","builds":{""", ",", "}")
+        else ""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failed$bs,"sf":"$sfDir"}"""
     }
-    val json = render(_.toString)
-    println(render(v => f"$v%.2f"))
+    val json = render(_.toString, withBuilds = true)
+    // stdout omits the one-time build timings (they live in the file
+    // artifact) — at 81 queries the builds object alone would push
+    // the line past the 2 000-char tail budget
+    println(render(v => f"$v%.2f", withBuilds = false))
     // self-contained copy: stdout `tail` captures have truncated the
     // JSON line in past rounds; the file always holds the whole object.
     // Default target is gitignored — casual runs must not clobber the

@@ -329,5 +329,62 @@ object Relational {
     }
   }
 
-  val all: Seq[Q] = Seq(q1, q3, q5, q6, q7, q8, q9, q9approx, q10, q13, q14)
+  /** Explicit GROUPING SETS (not a rollup prefix chain): the two
+    * single-dimension marginals plus the grand total, tagged with
+    * grouping() flags so consumers can tell a NULL group key from a
+    * super-aggregate row. One shuffle: Spark expands the sets with
+    * an Expand node feeding a single hash aggregate, so adding sets
+    * costs map-side row multiplication, not extra passes.
+    */
+  val q15 = Q(
+    "q15_grouping_sets",
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(grouping(l_returnflag) AS INT) AS g_rf,
+      |  CAST(grouping(l_linestatus) AS INT) AS g_ls,
+      |  round(1e-9 + sum(l_extendedprice), 2) AS revenue,
+      |  count(*) AS n
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+      |ORDER BY g_rf, g_ls, l_returnflag, l_linestatus""".stripMargin) { (spark, dir) =>
+    Tables.lineitem(spark, dir)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq.empty[org.apache.spark.sql.Column]),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping(col("l_returnflag")).cast("int").as("g_rf"),
+        grouping(col("l_linestatus")).cast("int").as("g_ls"),
+        round(lit(1e-9) + sum("l_extendedprice"), 2).as("revenue"),
+        count(lit(1)).as("n"))
+      .orderBy("g_rf", "g_ls", "l_returnflag", "l_linestatus")
+  }
+
+  /** Sliding window frames: per-customer running order total
+    * (unbounded preceding) and a 3-order moving average (2 preceding
+    * to current) over the order sequence. One hash shuffle on
+    * o_custkey, then both frames evaluate in a single per-partition
+    * sort — the planner collapses same-(partition, order) windows
+    * into one Window node.
+    */
+  val q16 = Q(
+    "q16_running",
+    """SELECT o_orderkey, o_custkey,
+      |  round(1e-9 + sum(o_totalprice) OVER (PARTITION BY o_custkey
+      |    ORDER BY o_orderdate, o_orderkey ROWS UNBOUNDED PRECEDING), 2) AS running_total,
+      |  round(1e-9 + avg(o_totalprice) OVER (PARTITION BY o_custkey
+      |    ORDER BY o_orderdate, o_orderkey ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2)
+      |    AS moving_avg3
+      |FROM orders
+      |ORDER BY o_custkey, o_orderkey""".stripMargin) { (spark, dir) =>
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        round(lit(1e-9) + sum("o_totalprice")
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
+          .as("running_total"),
+        round(lit(1e-9) + avg("o_totalprice")
+          .over(w.rowsBetween(-2, Window.currentRow)), 2).as("moving_avg3"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  val all: Seq[Q] = Seq(q1, q3, q5, q6, q7, q8, q9, q9approx, q10, q13, q14, q15, q16)
 }

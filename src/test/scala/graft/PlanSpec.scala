@@ -312,6 +312,21 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q15_grouping_sets is one Expand-fed aggregate: a single keyed shuffle") {
+    val p = plan("q15_grouping_sets")
+    assert(p.contains("Expand"), "grouping sets must expand map-side")
+    val keyedShuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(keyedShuffles == 1, s"expected 1 keyed shuffle, saw $keyedShuffles")
+  }
+
+  test("q16_running evaluates both frames in one Window node, one keyed shuffle") {
+    val p = plan("q16_running")
+    val windows = "\\bWindow\\b".r.findAllIn(p).size
+    assert(windows == 1, s"same-(partition, order) frames must share one Window, saw $windows")
+    val keyedShuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(keyedShuffles == 1, s"expected 1 keyed shuffle, saw $keyedShuffles")
+  }
+
   test("q14_pivot is one pass: no distinct-discovery scan before the agg") {
     val df = SparkEntry.queries("q14_pivot")(spark, sf)
     // explicit value list → a single aggregate over one scan of orders;
