@@ -26,18 +26,43 @@ object Ann {
   val NumQueries = 5
   val NearDupThreshold = 0.3
 
-  /** dd_embed banding: 32 hyperplanes in 4 bands of 8 bits. Band 0 is
-    * exactly the original 8-plane bucket, so the banded candidate set
-    * is a strict superset of the single-bucket one (better recall);
-    * 8-bit band keys (256 values each) keep per-band buckets shallow,
-    * and oversized buckets are dropped (Dedup.BucketCap) so no
-    * degenerate cell can go quadratic at scale.
+  /** dd_embed banding: 4 bands of 8-16 bits each — the band WIDTH
+    * grows with the corpus (like the IVF nlist = √N sizing, and
+    * computed from count(*) in the oracle the same way): p planes
+    * keep the EXPECTED bucket at N/2^p ≤ 8 members, so the chance
+    * that two unrelated vectors share a band key — the term that
+    * made candidate volume quadratic when a fixed 8-bit key space
+    * saturated at 100× (round-9 sf10 run: dd_embed 165 s) — halves
+    * with every corpus doubling instead of compounding. Bits 0-7 of
+    * every band key use the ORIGINAL plane indexes, so at small N
+    * (p = 8) the keys are bit-identical to the historical ones;
+    * bits 8-15 draw from fresh planes 32-63. Oversized buckets are
+    * still dropped (Dedup.BucketCap) as the skew backstop.
     */
-  val PlanesPerBand = 8
+  val PlanesPerBand = 8       // base width; also the small-N behavior
+  val MaxPlanesPerBand = 16
   val EmbedBands = 4
+
+  /** Doubling thresholds: band width = 8 + |{t : N > t}|, i.e. the
+    * smallest p in [8, 16] with 2^p · 8 ≥ N (integer comparisons
+    * only — a log2 boundary could round differently across engines).
+    */
+  private val BandWidthSteps: Seq[Long] =
+    (0 until (MaxPlanesPerBand - PlanesPerBand)).map(i => 2048L << i)
+
+  private[graft] def bandPlanesFor(n: Long): Int =
+    PlanesPerBand + BandWidthSteps.count(n > _)
 
   /** Plane k, dim i weight: ((k*67 + i*31) mod 13) - 6 ∈ [-6, 6]. */
   private def planeWeight(k: Int, i: Int): Int = ((k * 67 + i * 31) % 13) - 6
+
+  /** Bit j of band b reads plane: legacy indexes 0-31 for the first
+    * 8 bits (small-N keys stay bit-identical), fresh planes 32-63
+    * for the widened bits.
+    */
+  private def planeIndex(b: Int, j: Int): Int =
+    if (j < PlanesPerBand) b * PlanesPerBand + j
+    else EmbedBands * PlanesPerBand + b * PlanesPerBand + (j - PlanesPerBand)
 
   // ═══════ Spark side ═══════
 
@@ -49,12 +74,12 @@ object Ann {
   private def planeCol(k: Int): Column =
     typedLit((0 until Dim).map(i => planeWeight(k, i).toDouble))
 
-  /** Band `b`'s 8-bit key: sign pattern of planes [8b, 8b+8). Band 0
-    * is the original single 8-plane bucket.
+  /** Band `b`'s `planes`-bit key: sign pattern of its planes. At
+    * planes = 8 this is the historical key exactly.
     */
-  private def bandKeyCol(e: Column, b: Int): Column =
-    (0 until PlanesPerBand).map { j =>
-      when(dotC(e, planeCol(b * PlanesPerBand + j)) > 0d, lit(1L << j)).otherwise(lit(0L))
+  private def bandKeyCol(e: Column, b: Int, planes: Int): Column =
+    (0 until planes).map { j =>
+      when(dotC(e, planeCol(planeIndex(b, j))) > 0d, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
   /** Zero-norm vectors are EXCLUDED from the cosine corpus: a zero
@@ -75,10 +100,26 @@ object Ann {
   private def planeSql(k: Int): String =
     (0 until Dim).map(i => s"CAST(${planeWeight(k, i)} AS DOUBLE)").mkString("[", ", ", "]")
 
-  private def bandKeySql(b: Int): String =
-    (0 until PlanesPerBand).map { j =>
-      s"CASE WHEN list_dot_product(e, ${planeSql(b * PlanesPerBand + j)}) > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END"
+  /** The corpus-size-adaptive band width as SQL — a scalar subquery
+    * over the corpus CTE `c`, the same integer comparison chain as
+    * bandPlanesFor, so both engines derive the identical width from
+    * the identical count.
+    */
+  private val bandPlanesSubSql: String =
+    BandWidthSteps
+      .map(t => s"(CASE WHEN count(*) > $t THEN 1 ELSE 0 END)")
+      .mkString(s"(SELECT $PlanesPerBand + ", " + ", " FROM c)")
+
+  /** Band key SQL: the full 16-bit sign pattern masked down to the
+    * adaptive width ((1 << planes) - 1 keeps exactly bits [0, planes)
+    * — the same key bandKeyCol builds by summing only those bits).
+    */
+  private def bandKeySql(b: Int): String = {
+    val full = (0 until MaxPlanesPerBand).map { j =>
+      s"CASE WHEN list_dot_product(e, ${planeSql(planeIndex(b, j))}) > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END"
     }.mkString("(", " + ", ")")
+    s"($full & ((CAST(1 AS BIGINT) << $bandPlanesSubSql) - 1))"
+  }
 
   private val corpusSql: String =
     s"""SELECT * FROM (
@@ -217,9 +258,10 @@ object Ann {
        |) WHERE rank <= $TopK
        |ORDER BY query_id, rank""".stripMargin) { (spark, dir) =>
     val c = corpus(spark, dir)
+    val planes = bandPlanesFor(c.count())
     val banded = c.select(col("vec_id"),
       explode(array((0 until EmbedBands).map { b =>
-        struct(lit(b).as("band"), bandKeyCol(col("e"), b).as("key"))
+        struct(lit(b).as("band"), bandKeyCol(col("e"), b, planes).as("key"))
       }: _*)).as("bk"))
       .select(col("vec_id"), col("bk.band").as("band"), col("bk.key").as("key"))
     val capped = Dedup.dropOversizedBuckets(banded, Seq("band", "key"), Dedup.BucketCap)
@@ -557,16 +599,17 @@ object Ann {
     * vector — the map-only stream-side half of the banded join
     * (Streaming.embedDedup bands each arriving row with this).
     */
-  private[graft] def bandKeysOf(v: DataFrame): DataFrame =
+  private[graft] def bandKeysOf(v: DataFrame, planes: Int): DataFrame =
     v.select(col("vec_id"), col("e"), col("nrm"),
       explode(array((0 until EmbedBands).map { b =>
-        struct(lit(b).as("band"), bandKeyCol(col("e"), b).as("key"))
+        struct(lit(b).as("band"), bandKeyCol(col("e"), b, planes).as("key"))
       }: _*)).as("bk"))
       .select(col("vec_id"), col("e"), col("nrm"),
         col("bk.band").as("band"), col("bk.key").as("key"))
 
   private[graft] def bandedIndexOf(c: DataFrame): DataFrame =
-    Dedup.dropOversizedBuckets(bandKeysOf(c), Seq("band", "key"), Dedup.BucketCap)
+    Dedup.dropOversizedBuckets(bandKeysOf(c, bandPlanesFor(c.count())),
+      Seq("band", "key"), Dedup.BucketCap)
 
   /** The banded near-dup pair pipeline over any (vec_id, e, nrm)
     * frame — factored out so DedupRecallSpec can measure recall on a
@@ -574,9 +617,10 @@ object Ann {
     * no high-cosine pairs).
     */
   private[graft] def embedPairsOf(c: DataFrame): DataFrame = {
+    val planes = bandPlanesFor(c.count())
     val banded = c.select(col("vec_id"),
       explode(array((0 until EmbedBands).map { b =>
-        struct(lit(b).as("band"), bandKeyCol(col("e"), b).as("key"))
+        struct(lit(b).as("band"), bandKeyCol(col("e"), b, planes).as("key"))
       }: _*)).as("bk"))
       .select(col("vec_id"), col("bk.band").as("band"), col("bk.key").as("key"))
     val capped = Dedup.dropOversizedBuckets(banded, Seq("band", "key"), Dedup.BucketCap)

@@ -162,8 +162,10 @@ object Streaming {
         col("frac") >= graft.operators.Pipeline.contaminatedFloor)
 
   /** Streaming semantic near-dup scan at ingest: each arriving
-    * (vec_id, e, nrm) row is banded with THE SAME 4×8-bit hyperplane
-    * keys as batch dd_embed (Ann.bandKeysOf — map-only) and joined
+    * (vec_id, e, nrm) row is banded with THE SAME adaptive-width
+    * hyperplane keys as batch dd_embed (Ann.bandKeysOf — map-only;
+    * `planes` must be the width the static index was built with,
+    * i.e. Ann.bandPlanesFor(corpus count)) and joined
     * stream-static against the banded corpus index (built once via
     * Ann.bandedIndexOf; oversized buckets already dropped there, so
     * the cap guards the stream side too). Each candidate is cosine-
@@ -178,8 +180,8 @@ object Streaming {
     * VERIFIED candidate pair — sparse by construction, same class as
     * Streaming.decontaminate). Run with outputMode update/complete.
     */
-  def embedDedup(vecs: DataFrame, bandedIndex: DataFrame): DataFrame =
-    graft.operators.Ann.bandKeysOf(vecs)
+  def embedDedup(vecs: DataFrame, bandedIndex: DataFrame, planes: Int): DataFrame =
+    graft.operators.Ann.bandKeysOf(vecs, planes)
       .join(bandedIndex
         .select(col("band"), col("key"), col("vec_id").as("vec_a"),
           col("e").as("ea"), col("nrm").as("na")),

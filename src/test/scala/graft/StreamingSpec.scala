@@ -213,7 +213,8 @@ class StreamingSpec extends AnyFunSuite {
       .as[(Long, Seq[Double], Double)].collect().sortBy(_._1)
     val mem = MemoryStream[(Long, Seq[Double], Double)]
     val q = Streaming.embedDedup(
-        mem.toDF().toDF("vec_id", "e", "nrm"), index)
+        mem.toDF().toDF("vec_id", "e", "nrm"), index,
+        operators.Ann.bandPlanesFor(corpus.count()))
       .writeStream.outputMode("complete").format("memory").queryName("sem_pairs").start()
     try {
       rows.grouped(math.max(1, rows.length / 3 + 1)).foreach { chunk =>
