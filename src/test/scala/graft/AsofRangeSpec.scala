@@ -74,6 +74,32 @@ class AsofRangeSpec extends AnyFunSuite {
     }
   }
 
+  test("q15 grouping-set rows reconcile with independently computed group-bys") {
+    val rows = operators.Relational.q15.fn(spark, sf).collect()
+    val byRf = Tables.lineitem(spark, sf).groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = Tables.lineitem(spark, sf).count()
+    // marginal rows carry exactly one non-null key; the grand total none
+    val rfRows = rows.filter(r => r.getInt(r.fieldIndex("g_rf")) == 0)
+    assert(rfRows.nonEmpty && rfRows.forall(r => r.isNullAt(r.fieldIndex("l_linestatus"))))
+    rfRows.foreach(r =>
+      assert(r.getLong(r.fieldIndex("n")) == byRf(r.getString(0))))
+    val grand = rows.filter(r =>
+      r.getInt(r.fieldIndex("g_rf")) == 1 && r.getInt(r.fieldIndex("g_ls")) == 1)
+    assert(grand.length == 1 && grand.head.getLong(grand.head.fieldIndex("n")) == total)
+  }
+
+  test("q16 running total ends at the customer's full sum") {
+    val last = operators.Relational.q16.fn(spark, sf)
+      .groupBy("o_custkey").agg(max("running_total").as("final_total"))
+    val want = Tables.orders(spark, sf).groupBy("o_custkey")
+      .agg(round(lit(1e-9) + sum("o_totalprice"), 2).as("full_sum"))
+    val joined = last.join(want, "o_custkey")
+      .filter(abs(col("final_total") - col("full_sum")) > 0.011)
+    assert(joined.count() == 0, "running total must converge to the group sum")
+  }
+
   test("q14 pivot cells reconcile with the unpivoted yearly totals") {
     val pivoted = operators.Relational.q14.fn(spark, sf).collect()
     val flat = Tables.orders(spark, sf)
