@@ -73,7 +73,24 @@ object GenFuzz {
     val maxId = ev.agg(max("event_id")).head.getLong(0)
     val dupTs = ev.orderBy("event_id").limit(5)
       .withColumn("event_id", col("event_id") + lit(maxId + 1L))
-    write("events", ev.unionByName(dupTs))
+    // as-of / range-join torture users: every row of user 9001 shares
+    // ONE instant (purchase must see none of its same-instant clicks,
+    // ties among clicks break by highest event_id); 9002 has purchases
+    // but no clicks (all-null as-of matches); 9003 clicks only (no
+    // output rows); 9004 is a single purchase at the epoch boundary
+    val t0 = java.sql.Timestamp.valueOf("2024-06-01 12:00:00.000001")
+    val patEvents = Seq(
+      (maxId + 11L, t0, 9001L, "click", 1.0, """{"k": 1}"""),
+      (maxId + 12L, t0, 9001L, "click", 2.0, """{"k": 2}"""),
+      (maxId + 13L, t0, 9001L, "purchase", 3.0, """{"k": 3}"""),
+      (maxId + 14L, t0, 9001L, "purchase", 4.0, """{"k": 4}"""),
+      (maxId + 15L, new java.sql.Timestamp(t0.getTime + 1000L), 9001L, "purchase", 5.0, """{"k": 5}"""),
+      (maxId + 16L, t0, 9002L, "purchase", 6.0, """{"k": 6}"""),
+      (maxId + 17L, new java.sql.Timestamp(t0.getTime + 2000L), 9002L, "purchase", 7.0, """{"k": 7}"""),
+      (maxId + 18L, t0, 9003L, "click", 8.0, """{"k": 8}"""),
+      (maxId + 19L, new java.sql.Timestamp(0L), 9004L, "purchase", 9.0, """{"k": 9}"""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    write("events", ev.unionByName(dupTs).unionByName(patEvents))
 
     // ── documents: NumReal real docs + the pathological tail, dense
     // doc_id, source = src(doc_id % 20) like the real mapping
