@@ -1,5 +1,68 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Per-query shuffle/spill accounting, turning the engine's "no text
+  * in keyed shuffles" plan claims into MEASURED bytes in the bench
+  * artifact: a query whose shuffle writes grow with corpus TEXT size
+  * (instead of id/hash-row size) is visible immediately, at any SF.
+  *
+  * Attribution is EXACT, not time-windowed: the bench runs each query
+  * under its own job group, the listener maps stage → job → group
+  * (job-start events carry the group and the job's stage ids), and
+  * every stage's metrics land in its group's bucket no matter when
+  * the async listener bus delivers the event. (A first draft sliced
+  * one global counter by wall-clock windows; task-event backlogs
+  * delayed stage events past the window and credited one query's
+  * shuffle to the next.) Listener events arrive on one dispatch
+  * thread; the maps are concurrent only because the bench thread
+  * reads them at the end, after `drain()` — wait until the processed
+  * stage count stays stable for `quietMs`.
+  */
+object ShuffleAccounting {
+  final case class Agg(stages: Long, bytes: Long, records: Long, spillBytes: Long)
+}
+
+final class ShuffleAccounting extends org.apache.spark.scheduler.SparkListener {
+  import java.util.concurrent.atomic.AtomicLong
+  import scala.collection.concurrent.TrieMap
+  import ShuffleAccounting.Agg
+  private val jobGroup = TrieMap[Int, String]()
+  private val stageJob = TrieMap[Int, Int]()
+  private val byGroup = TrieMap[String, Agg]()
+  private val processed = new AtomicLong(0)
+  override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+    val g = Option(e.properties)
+      .flatMap(p => Option(p.getProperty("spark.jobGroup.id"))).getOrElse("")
+    jobGroup(e.jobId) = g
+    e.stageIds.foreach(sid => stageJob(sid) = e.jobId)
+  }
+  override def onStageCompleted(
+      e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+    val m = e.stageInfo.taskMetrics
+    if (m != null) {
+      val g = stageJob.get(e.stageInfo.stageId).flatMap(jobGroup.get).getOrElse("")
+      val prev = byGroup.getOrElse(g, Agg(0, 0, 0, 0))
+      byGroup(g) = Agg(prev.stages + 1,
+        prev.bytes + m.shuffleWriteMetrics.bytesWritten,
+        prev.records + m.shuffleWriteMetrics.recordsWritten,
+        prev.spillBytes + m.diskBytesSpilled + m.memoryBytesSpilled)
+      processed.incrementAndGet()
+    }
+  }
+  def group(g: String): Agg = byGroup.getOrElse(g, Agg(0, 0, 0, 0))
+  def drain(quietMs: Long = 250, maxMs: Long = 5000): Unit = {
+    val deadline = System.currentTimeMillis + maxMs
+    var last = processed.get
+    var lastChange = System.currentTimeMillis
+    while (System.currentTimeMillis < deadline &&
+      System.currentTimeMillis - lastChange < quietMs) {
+      Thread.sleep(20)
+      val cur = processed.get
+      if (cur != last) { last = cur; lastChange = System.currentTimeMillis }
+    }
+  }
+}
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -63,13 +126,46 @@ object Bench {
     // a query that throws still gets a time entry, but is ALSO listed
     // in "failed" — a silent catch would otherwise let a broken query
     // masquerade as a fast one in the scaling numbers
+    val acc = new ShuffleAccounting
+    spark.sparkContext.addSparkListener(acc)
+    val shuffleStats =
+      scala.collection.mutable.LinkedHashMap[String, ShuffleAccounting.Agg]()
+    // Timed action. "count" is the series-stable default every round
+    // has used — but Catalyst legally deletes work under it: unused
+    // projections are pruned (a fingerprint column nobody counts is
+    // never computed) and a final left join against an aggregate is
+    // ELIMINATED outright (caught by the shuffle accounting on
+    // dd_spans: 508 shuffle rows where the gram pipeline writes 24k).
+    // "checksum" instead folds EVERY output column of EVERY row into
+    // one xxhash64 aggregate — nothing upstream is prunable, at the
+    // cost of one hash per output row (trivial next to the query).
+    // Round-close records one checksum-mode run alongside the count
+    // series so both honesty and cross-round comparability survive.
+    val action = sys.env.getOrElse("SPARK_GRAFT_BENCH_ACTION", "count")
+    def drive(df: org.apache.spark.sql.DataFrame): Unit = action match {
+      case "checksum" =>
+        // .collect() the ONE result row — a .count() here lets the
+        // optimizer prune the checksum itself (a groupless aggregate
+        // is statically one row, so nothing references the fold).
+        // bit_xor, not sum: summing 64-bit hashes overflows under ANSI.
+        df.agg(org.apache.spark.sql.functions.bit_xor(
+          org.apache.spark.sql.functions.xxhash64(
+            df.columns.map(org.apache.spark.sql.functions.col): _*))).collect()
+        ()
+      case _ => df.count(); ()
+    }
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      spark.sparkContext.setJobGroup(name, name)
       val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true }
+      val ok = try { drive(fn(spark, sfDir)); true }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.sparkContext.clearJobGroup()
+      (name, dt, ok)
     }
+    acc.drain() // one global flush; attribution is by job group, not by time
+    results.foreach { case (name, _, _) => shuffleStats(name) = acc.group(name) }
     val failed = results.collect { case (k, _, false) => s"\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum
@@ -86,7 +182,16 @@ object Bench {
         if (withBuilds) builds.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
           .mkString(""","builds":{""", ",", "}")
         else ""
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failed$bs,"sf":"$sfDir"}"""
+      // measured shuffle/spill per query (file artifact only — the
+      // stdout line must stay under the driver's tail budget)
+      val sh =
+        if (withBuilds) shuffleStats.map { case (k, s) =>
+          "\"" + k + "\":{\"w_mb\":" + f"${s.bytes / 1048576.0}%.3f" +
+            ",\"rows\":" + s.records +
+            ",\"spill_mb\":" + f"${s.spillBytes / 1048576.0}%.3f" + "}"
+        }.mkString(""","shuffle":{""", ",", "}")
+        else ""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","action":"$action","queries":$qs,"failed":$failed$bs$sh,"sf":"$sfDir"}"""
     }
     val json = render(_.toString, withBuilds = true)
     // stdout omits the one-time build timings (they live in the file

@@ -488,5 +488,100 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  val all: Seq[Q] = Seq(exact, exactHash, minhash, lshPairs, jaccard, clusters, simhash, simhashPairs)
+  // ═══════════════ repeated-substring (span) dedup ═══════════════
+
+  /** Gram width in words: a span is "repeated" at the granularity of
+    * k consecutive words. Small relative to published token-level
+    * substring dedup (~50 BPE tokens) because the synthetic docs are
+    * themselves short; the machinery is width-agnostic.
+    */
+  val SpanK = 8
+
+  /** Minimum consecutive-repeated-gram run for the span_dup flag:
+    * run ≥ 4 ⇔ a duplicated substring of ≥ SpanK + 3 = 11 words.
+    */
+  val SpanRunMin = 4
+
+  /** dd_spans — exact repeated-SUBSTRING detection, the fourth dedup
+    * family from the training-data literature (exact-doc, MinHash,
+    * SimHash, semantic are the other four here): a doc can be unique
+    * as a whole yet carry long spans duplicated elsewhere in the
+    * corpus (boilerplate, licenses, quoted passages), and
+    * suffix-array-based span dedup removes them. The Spark-native
+    * shape replaces the suffix array with corpus-wide k-gram
+    * rolling-hash multiplicity:
+    *
+    *   1. per doc, positional k-word-gram polynomial hashes — a
+    *      map-only pass over the scan, |tokens| rows of
+    *      (doc_id, pos, g): ~20 bytes/row, never text;
+    *   2. corpus-wide count per gram hash (partial-aggregated
+    *      map-side; the count table stays DISTRIBUTED — at 100 TB it
+    *      is far beyond any broadcast), keep hashes seen ≥ 2 times;
+    *   3. join positions against the repeated-hash set on the same
+    *      key the count shuffled on (exchange reuse, no extra
+    *      shuffle), then per-doc gap-and-island over positions
+    *      (window bounded by DOC length, never corpus length) →
+    *      longest repeated run + repeated-position count.
+    *
+    * A doc's flag depends on every other doc via the shared count
+    * table only — no pairwise join exists anywhere, so the plan is
+    * linear in corpus size. Production note: the mod-p 30-bit hash
+    * is chosen so the DuckDB oracle reproduces values bit-exactly;
+    * at real corpus scale the same plan runs with a 128-bit gram
+    * hash (collision-free in expectation) by swapping the hash
+    * expression only.
+    */
+  val spans = Q(
+    "dd_spans",
+    s"""WITH w AS (SELECT doc_id, ${wordHashesSql("text")} AS wh FROM documents),
+       |g AS (
+       |  SELECT doc_id, i - 1 AS pos,
+       |    list_reduce(list_concat([CAST(0 AS BIGINT)], wh[i:i + ${SpanK - 1}]),
+       |                (a, b) -> (a * $B + b) % $P) AS gh
+       |  FROM (SELECT doc_id, wh, unnest(range(1, len(wh) - ${SpanK - 2})) AS i FROM w)),
+       |rep AS (SELECT gh FROM g GROUP BY gh HAVING count(*) >= 2),
+       |r AS (SELECT doc_id, pos,
+       |        pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+       |      FROM g JOIN rep USING (gh)),
+       |runs AS (SELECT doc_id, count(*) AS run FROM r GROUP BY doc_id, grp),
+       |agg AS (SELECT doc_id, CAST(sum(run) AS BIGINT) AS n_rep,
+       |               CAST(max(run) AS BIGINT) AS max_run
+       |        FROM runs GROUP BY doc_id)
+       |SELECT w.doc_id,
+       |  CAST(greatest(len(w.wh) - ${SpanK - 1}, 0) AS BIGINT) AS n_grams,
+       |  COALESCE(agg.n_rep, 0) AS n_rep,
+       |  COALESCE(agg.max_run, 0) AS max_run,
+       |  COALESCE(agg.max_run, 0) >= $SpanRunMin AS span_dup
+       |FROM w LEFT JOIN agg USING (doc_id)
+       |ORDER BY w.doc_id""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), wordHashes(col("text")).as("wh"))
+      .select(col("doc_id"),
+        greatest(size(col("wh")) - lit(SpanK - 1), lit(0)).cast("long").as("n_grams"),
+        expr(s"""CASE WHEN size(wh) >= $SpanK
+                 |  THEN transform(sequence(0, size(wh) - $SpanK),
+                 |         i -> aggregate(slice(wh, i + 1, $SpanK),
+                 |                CAST(0 AS BIGINT), (a, x) -> (a * $B + x) % $P))
+                 |  ELSE CAST(array() AS array<bigint>) END""".stripMargin).as("gs"))
+    val grams = docs.select(col("doc_id"), posexplode(col("gs")).as(Seq("pos", "g")))
+    val repeated = grams.groupBy("g").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2).select("g")
+    val runs = grams.join(repeated, Seq("g"))
+      .withColumn("grp",
+        col("pos") - row_number().over(Window.partitionBy("doc_id").orderBy("pos")))
+      .groupBy(col("doc_id"), col("grp")).agg(count(lit(1)).as("run"))
+      .groupBy("doc_id")
+      .agg(sum("run").as("n_rep"), max("run").as("max_run"))
+    docs.select("doc_id", "n_grams")
+      .join(runs, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_rep"), lit(0L)).as("n_rep"),
+        coalesce(col("max_run"), lit(0L)).as("max_run"),
+        (coalesce(col("max_run"), lit(0L)) >= SpanRunMin).as("span_dup"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(exact, exactHash, minhash, lshPairs, jaccard, clusters, simhash,
+    simhashPairs, spans)
 }
