@@ -531,6 +531,39 @@ object Dedup {
     * hash (collision-free in expectation) by swapping the hash
     * expression only.
     */
+  /** (doc_id, n_grams, gs): positional word-SpanK-gram polynomial
+    * hashes per doc — the map-only projection shared by batch
+    * dd_spans and the streaming twin (Streaming.spanFlag), so the two
+    * can never disagree on what a gram is.
+    */
+  private[graft] def spanGrams(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), wordHashes(col("text")).as("wh"))
+      .select(col("doc_id"),
+        greatest(size(col("wh")) - lit(SpanK - 1), lit(0)).cast("long").as("n_grams"),
+        expr(s"""CASE WHEN size(wh) >= $SpanK
+                 |  THEN transform(sequence(0, size(wh) - $SpanK),
+                 |         i -> aggregate(slice(wh, i + 1, $SpanK),
+                 |                CAST(0 AS BIGINT), (a, x) -> (a * $B + x) % $P))
+                 |  ELSE CAST(array() AS array<bigint>) END""".stripMargin).as("gs"))
+
+  /** One-time repeated-gram index build: the gram hashes whose
+    * corpus-wide multiplicity is ≥ 2 — the static side of the
+    * streaming repeated-substring scan, persisted per (session, dir)
+    * like the other serve-path indexes (SessionMemo). The standalone
+    * dd_spans query deliberately does NOT consume this: the count
+    * table is the operator's dominant cost and the registered entry
+    * times it live.
+    */
+  private[graft] def repeatedGramIndex(spark: SparkSession, dir: String): DataFrame =
+    graft.SessionMemo.frames(spark, s"dedup.spanGramIndex:$dir") {
+      val idx = spanGrams(Tables.documents(spark, dir))
+        .select(posexplode(col("gs")).as(Seq("pos", "g")))
+        .groupBy("g").agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= 2).select("g").persist()
+      idx.count()
+      Seq(idx)
+    }.head
+
   val spans = Q(
     "dd_spans",
     s"""WITH w AS (SELECT doc_id, ${wordHashesSql("text")} AS wh FROM documents),
@@ -555,15 +588,7 @@ object Dedup {
        |FROM w LEFT JOIN agg USING (doc_id)
        |ORDER BY w.doc_id""".stripMargin) { (spark, dir) =>
     import org.apache.spark.sql.expressions.Window
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), wordHashes(col("text")).as("wh"))
-      .select(col("doc_id"),
-        greatest(size(col("wh")) - lit(SpanK - 1), lit(0)).cast("long").as("n_grams"),
-        expr(s"""CASE WHEN size(wh) >= $SpanK
-                 |  THEN transform(sequence(0, size(wh) - $SpanK),
-                 |         i -> aggregate(slice(wh, i + 1, $SpanK),
-                 |                CAST(0 AS BIGINT), (a, x) -> (a * $B + x) % $P))
-                 |  ELSE CAST(array() AS array<bigint>) END""".stripMargin).as("gs"))
+    val docs = spanGrams(Tables.documents(spark, dir))
     val grams = docs.select(col("doc_id"), posexplode(col("gs")).as(Seq("pos", "g")))
     val repeated = grams.groupBy("g").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= 2).select("g")

@@ -413,6 +413,52 @@ object Streaming {
       }
   }
 
+  /** Streaming repeated-substring scan: each arriving doc is gram-
+    * exploded MAP-ONLY with the exact batch projection
+    * (Dedup.spanGrams), joined stream-static against the memoized
+    * repeated-gram index (Dedup.repeatedGramIndex — what a production
+    * pipeline rebuilds periodically from the ingested corpus), and
+    * re-assembled per doc by ONE streaming aggregation whose state is
+    * the doc's repeated POSITIONS — bounded by doc length, sparse
+    * because most grams never match.
+    *
+    * The run statistics are computed WITHOUT a window function (not
+    * streaming-legal): collect the matched positions, sort once, and
+    * fold the longest consecutive run with an aggregate HOF. Batch
+    * dd_spans computes the same numbers with gap-and-island over a
+    * window; the two implementations agreeing on a replayed corpus is
+    * cross-validated in StreamingSpec — a stronger check than shared
+    * code. Because the index carries GLOBAL counts, a doc's verdict
+    * is arrival-order-independent; replaying the indexed corpus
+    * reproduces batch dd_spans row-for-row. Run with outputMode
+    * update/complete.
+    */
+  def spanFlag(docs: DataFrame, repeatedGrams: DataFrame): DataFrame = {
+    val runMin = graft.operators.Dedup.SpanRunMin
+    val grams = graft.operators.Dedup.spanGrams(docs)
+      .select(col("doc_id"), col("n_grams"),
+        posexplode_outer(col("gs")).as(Seq("pos", "g")))
+    grams
+      .join(repeatedGrams.withColumn("rep", lit(true)), Seq("g"), "left_outer")
+      .groupBy("doc_id", "n_grams")
+      .agg(sort_array(collect_list(when(col("rep"), col("pos")))).as("ps"))
+      .withColumn("max_run",
+        expr("""aggregate(ps,
+                |  named_struct('prev', CAST(-2 AS INT),
+                |               'cur', CAST(0 AS BIGINT),
+                |               'best', CAST(0 AS BIGINT)),
+                |  (s, p) -> named_struct(
+                |    'prev', p,
+                |    'cur', IF(p = s.prev + 1, s.cur + 1, CAST(1 AS BIGINT)),
+                |    'best', greatest(s.best,
+                |      IF(p = s.prev + 1, s.cur + 1, CAST(1 AS BIGINT)))),
+                |  s -> s.best)""".stripMargin))
+      .select(col("doc_id"), col("n_grams"),
+        size(col("ps")).cast("long").as("n_rep"),
+        col("max_run"),
+        (col("max_run") >= runMin).as("span_dup"))
+  }
+
   /** Flush still-open sessions from a completed sessionize pass
     * (batch-mode convenience for tests and backfills).
     */

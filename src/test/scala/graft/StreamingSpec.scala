@@ -565,6 +565,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(want.exceptAll(got).count() == 0)
   }
 
+  test("streaming repeated-substring scan equals batch dd_spans on a replayed corpus") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val idx = operators.Dedup.repeatedGramIndex(spark, sf)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect().sortBy(_._1)
+    val mem = MemoryStream[(Long, String)]
+    val q = Streaming.spanFlag(mem.toDF().toDF("doc_id", "text"), idx)
+      .writeStream.outputMode("complete").format("memory").queryName("span_scan").start()
+    try {
+      docs.grouped(math.max(1, docs.length / 3 + 1)).foreach { chunk =>
+        mem.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val got = spark.sql("SELECT doc_id, n_grams, n_rep, max_run, span_dup FROM span_scan")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    val want = SparkEntry.queries("dd_spans")(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_grams"), r.getAs[Long]("n_rep"),
+          r.getAs[Long]("max_run"), r.getAs[Boolean]("span_dup")))).toMap
+    assert(want.values.exists(_._4), "fixture must contain a flagged doc")
+    assert(got == want,
+      s"stream span stats diverged; sample diff: " +
+        s"${(want.toSet -- got.toSet).take(3)} vs ${(got.toSet -- want.toSet).take(3)}")
+  }
+
   test("batch sessionize matches the SQL sessionization operator") {
     import spark.implicits._
     val ev = eventsBatch.select("event_id", "ts", "user_id", "event_type", "value").as[Event]
