@@ -107,6 +107,24 @@ object PolyHashing {
     out
   }
 
+  /** Word-bigram PACKS with multiplicity: wh(i)·P + wh(i+1). Unlike
+    * the modular bigram hash this is invertible (both halves are
+    * < P, so prev = pack div P and cur = pack mod P), which lets a
+    * language model join unigram statistics for either side of the
+    * pair back out of one exploded long column. Max value
+    * (P−1)·P + (P−1) ≈ 1e18 < 2^63 — no overflow on either engine.
+    */
+  def bigramPacks(wh: Array[Long]): Array[Long] = {
+    if (wh.length < 2) return Array.emptyLongArray
+    val out = new Array[Long](wh.length - 1)
+    var i = 0
+    while (i + 1 < wh.length) {
+      out(i) = wh(i) * P + wh(i + 1)
+      i += 1
+    }
+    out
+  }
+
   def minhashSig(shingles: Array[Long]): Array[Long] = {
     val out = new Array[Long](NumPerms)
     var j = 0
@@ -192,6 +210,22 @@ case class BigramHashesExpr(child: Expression) extends UnaryExpression {
   override def prettyName: String = "bigram_hashes"
 }
 
+/** array<long> of invertible word-bigram packs (prev·P + cur) over a
+  * token-hash array — the join-friendly sibling of BigramHashesExpr
+  * (see PolyHashing.bigramPacks for why packing beats hashing here).
+  */
+case class BigramPacksExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(
+      PolyHashing.bigramPacks(input.asInstanceOf[ArrayData].toLongArray()))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = new ${GenHelper.GAD}(${GenHelper.Poly}.bigramPacks($c.toLongArray()));")
+  override protected def withNewChildInternal(c: Expression): BigramPacksExpr = copy(c)
+  override def prettyName: String = "bigram_packs"
+}
+
 /** array<long> of the k=24 MinHash values over a shingle array;
   * null for an empty shingle set (mirrors array_min's null).
   */
@@ -251,6 +285,7 @@ object HashExprs {
   def token_hashes(c: Column): Column = Bridge.column(TokenHashesExpr(Bridge.expression(c)))
   def shingle_hashes(c: Column): Column = Bridge.column(ShingleHashesExpr(Bridge.expression(c)))
   def bigram_hashes(c: Column): Column = Bridge.column(BigramHashesExpr(Bridge.expression(c)))
+  def bigram_packs(c: Column): Column = Bridge.column(BigramPacksExpr(Bridge.expression(c)))
   def minhash_sig(c: Column): Column = Bridge.column(MinHashSigExpr(Bridge.expression(c)))
   def poly_hash(c: Column): Column = Bridge.column(PolyHashExpr(Bridge.expression(c)))
   def dot_product(a: Column, b: Column): Column =
@@ -262,6 +297,7 @@ object HashExprs {
     reg.createOrReplaceTempFunction("token_hashes", es => TokenHashesExpr(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("shingle_hashes", es => ShingleHashesExpr(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("bigram_hashes", es => BigramHashesExpr(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("bigram_packs", es => BigramPacksExpr(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("minhash_sig", es => MinHashSigExpr(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("poly_hash", es => PolyHashExpr(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("word_bigrams", es => WordBigramsExpr(es.head), "scala_udf")

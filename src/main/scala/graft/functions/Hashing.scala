@@ -63,6 +63,11 @@ object Hashing {
   /** Word-bigram hashes (with multiplicity) over a token-hash array. */
   def bigramHashes(wh: Column): Column = HashExprs.bigram_hashes(wh)
 
+  /** Invertible word-bigram packs (prev·P + cur) over a token-hash
+    * array — prev = pack div P, cur = pack mod P on both engines.
+    */
+  def bigramPacks(wh: Column): Column = HashExprs.bigram_packs(wh)
+
   /** All k MinHash values as one array column. */
   def minhashSig(text: Column): Column =
     HashExprs.minhash_sig(HashExprs.shingle_hashes(text))
@@ -98,6 +103,11 @@ object Hashing {
   def bigramHashesSql(wh: String): String =
     s"list_transform(list_slice($wh, 1, greatest(len($wh) - 1, 0)), " +
       s"(x, i) -> (x * $B + $wh[i + 1]) % $P)"
+
+  /** Bigram packs with multiplicity; `wh` must be a bound column name. */
+  def bigramPacksSql(wh: String): String =
+    s"list_transform(list_slice($wh, 1, greatest(len($wh) - 1, 0)), " +
+      s"(x, i) -> x * $P + $wh[i + 1])"
 
   def minHashSql(shinglesE: String, j: Int): String =
     s"list_min(list_transform($shinglesE, s -> (${permA(j)} * s + ${permB(j)}) % $P))"

@@ -190,6 +190,97 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  // ═══════════════ bigram-LM perplexity filter ═══════════════
+
+  /** Stupid-backoff discount (Brants et al., EMNLP'07) and the
+    * pseudo-count a fully unseen word scores with.
+    */
+  private val backoffAlpha = 0.4
+  private val unseenCount = 0.5
+  private val highPpl2Bits = 5.05
+  private val lmTrainMod = 2
+
+  /** Bigram-LM perplexity filter — the held-out extension of
+    * tx_unigram_ppl: a bigram language model with stupid backoff is
+    * trained on HALF the corpus (doc_id % 2 = 0) and scores every
+    * doc, so unseen bigrams genuinely occur and the backoff path is
+    * exercised (a self-trained LM has no OOV — the CCNet setup trains
+    * on trusted text and scores the crawl, which this split models).
+    * Score per bigram: S(cur|prev) = count(prev,cur)/count(prev) when
+    * the bigram was seen in training, else 0.4·count(cur)/N, with a
+    * 0.5 pseudo-count when even the word is unseen. Per-doc bits =
+    * count-weighted mean of -log2 S; docs over the threshold flag.
+    *
+    * Scale shape: same Zipf-proofing as tx_unigram_ppl, one level up
+    * — the scan stage emits invertible bigram PACKS (prev·P + cur, a
+    * native expression) that collapse to (doc_id, pack) → count
+    * before anything is keyed by pack or word alone, so every LM join
+    * key's probe side is bounded by |docs|, not |tokens|. Both
+    * unigram sides join the SAME vocab frame (prev = pack div P,
+    * cur = pack mod P — no second histogram pass), the grand total is
+    * a 1-row broadcast, and neither the bigram nor the unigram table
+    * is broadcast by hint: a 100 TB corpus's bigram table is far
+    * beyond driver memory, so those stay shuffle joins unless AQE
+    * proves them small at runtime.
+    */
+  val bigramPpl = Q(
+    "tx_bigram_ppl", {
+      val whSql = Hashing.wordHashesSql("text")
+      val bpSql = Hashing.bigramPacksSql("wh")
+      val P = Hashing.P
+      s"""WITH wh AS (SELECT doc_id, $whSql AS wh FROM documents),
+         |bpr AS (SELECT doc_id, unnest($bpSql) AS bp FROM wh),
+         |dc AS (SELECT doc_id, bp, CAST(count(*) AS BIGINT) AS c FROM bpr GROUP BY doc_id, bp),
+         |tdc AS (SELECT bp, CAST(sum(c) AS BIGINT) AS bcnt FROM dc
+         |  WHERE doc_id % $lmTrainMod = 0 GROUP BY bp),
+         |uh AS (SELECT doc_id, unnest(wh) AS h FROM wh WHERE doc_id % $lmTrainMod = 0),
+         |udc AS (SELECT doc_id, h, count(*) AS c FROM uh GROUP BY doc_id, h),
+         |u AS (SELECT h, CAST(sum(c) AS BIGINT) AS ucnt FROM udc GROUP BY h),
+         |tot AS (SELECT CAST(sum(ucnt) AS DOUBLE) AS n FROM u),
+         |sc AS (SELECT doc_id, bp, c, bp // $P AS ph, bp % $P AS ch FROM dc),
+         |j AS (SELECT doc_id, c,
+         |   CASE WHEN b.bcnt IS NOT NULL THEN CAST(b.bcnt AS DOUBLE) / CAST(up.ucnt AS DOUBLE)
+         |        ELSE $backoffAlpha * coalesce(uc.ucnt, $unseenCount) / n END AS s
+         |   FROM sc LEFT JOIN tdc b USING (bp)
+         |     LEFT JOIN u up ON sc.ph = up.h
+         |     LEFT JOIN u uc ON sc.ch = uc.h
+         |     CROSS JOIN tot),
+         |d AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+         |   round(1e-9 + sum(c * -log2(s)) / sum(c) + 1e-9, 6) AS bits FROM j GROUP BY doc_id)
+         |SELECT doc_id, n_bigrams, bits, bits >= $highPpl2Bits AS high_ppl2
+         |FROM d ORDER BY doc_id""".stripMargin
+    }) { (spark, dir) =>
+    val P = Hashing.P
+    val docCounts = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(Hashing.bigramPacks(Hashing.wordHashes(col("text")))).as("bp"))
+      .groupBy("doc_id", "bp").agg(count(lit(1)).as("c"))
+    val trainBigrams = docCounts.filter(col("doc_id") % lmTrainMod === 0)
+      .groupBy("bp").agg(sum("c").as("bcnt"))
+    val trainUnigrams = Tables.documents(spark, dir)
+      .filter(col("doc_id") % lmTrainMod === 0)
+      .select(col("doc_id"), explode(Hashing.wordHashes(col("text"))).as("h"))
+      .groupBy("doc_id", "h").agg(count(lit(1)).as("c"))
+      .groupBy("h").agg(sum("c").as("ucnt"))
+    val tot = trainUnigrams.agg(sum("ucnt").cast("double").as("n"))
+    val surprisal =
+      when(col("bcnt").isNotNull, col("bcnt").cast("double") / col("up_cnt").cast("double"))
+        .otherwise(lit(backoffAlpha) * coalesce(col("uc_cnt"), lit(unseenCount)) / col("n"))
+    docCounts
+      .withColumn("ph", expr(s"bp div ${P}L"))
+      .withColumn("ch", pmod(col("bp"), lit(P)))
+      .join(trainBigrams, Seq("bp"), "left")
+      .join(trainUnigrams.select(col("h").as("ph"), col("ucnt").as("up_cnt")), Seq("ph"), "left")
+      .join(trainUnigrams.select(col("h").as("ch"), col("ucnt").as("uc_cnt")), Seq("ch"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("s", surprisal)
+      .groupBy("doc_id")
+      .agg(
+        sum("c").as("n_bigrams"),
+        round(lit(1e-9) + sum(col("c") * -log2(col("s"))) / sum("c") + 1e-9, 6).as("bits"))
+      .withColumn("high_ppl2", col("bits") >= highPpl2Bits)
+      .orderBy("doc_id")
+  }
+
   // ═══════════════ benchmark decontamination ═══════════════
 
   /** Eval-set membership: every 10th doc (doc_id % 10 = 3) stands in
@@ -389,6 +480,26 @@ object Pipeline {
   // ═══════════════ domain mixing weights ═══════════════
 
   private val upsampleCap = 4.0
+  private val tokSqlFrag = "len(string_split_regex(trim(text), '\\s+'))"
+  private val weightSqlFrag =
+    s"round(1e-9 + least($upsampleCap, (total / ns) / CAST(tokens AS DOUBLE)) + 1e-9, 6)"
+
+  /** (source, n_docs, tokens, weight) — the shared mixing-weight
+    * frame behind pipe_mix and pipe_mix_apply.
+    */
+  private[graft] def mixWeights(docs: org.apache.spark.sql.DataFrame) = {
+    val tok = docs
+      .select(col("source"), size(split(trim(col("text")), "\\s+")).cast("long").as("t"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("t").as("tokens"))
+    val tot = tok.agg(
+      sum("tokens").cast("double").as("total"), count(lit(1)).cast("double").as("ns"))
+    val weight = round(lit(1e-9) +
+      least(lit(upsampleCap), (col("total") / col("ns")) / col("tokens").cast("double")) +
+      1e-9, 6)
+    tok.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("tokens"), weight.as("weight"))
+  }
 
   /** Domain-mixing plan: per-source token counts and the sampling
     * weight that levels every source to the uniform share of the
@@ -400,34 +511,78 @@ object Pipeline {
     * ANN recall denominator) — nothing is collected to the driver.
     */
   val mix = Q(
-    "pipe_mix", {
-      val tokSql = "len(string_split_regex(trim(text), '\\s+'))"
-      val weightSql =
-        s"round(1e-9 + least($upsampleCap, (total / ns) / CAST(tokens AS DOUBLE)) + 1e-9, 6)"
-      s"""WITH tok AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-         |    CAST(sum($tokSql) AS BIGINT) AS tokens
-         |  FROM documents GROUP BY source),
-         |tot AS (SELECT CAST(sum(tokens) AS DOUBLE) AS total, CAST(count(*) AS DOUBLE) AS ns
-         |  FROM tok)
-         |SELECT source, n_docs, tokens, $weightSql AS weight,
-         |  CAST(floor(CAST(tokens AS DOUBLE) * $weightSql + 1e-6) AS BIGINT) AS expected_tokens
-         |FROM tok, tot
-         |ORDER BY source""".stripMargin
-    }) { (spark, dir) =>
-    val tok = Tables.documents(spark, dir)
-      .select(col("source"), size(split(trim(col("text")), "\\s+")).cast("long").as("t"))
-      .groupBy("source")
-      .agg(count(lit(1)).as("n_docs"), sum("t").as("tokens"))
-    val tot = tok.agg(
-      sum("tokens").cast("double").as("total"), count(lit(1)).cast("double").as("ns"))
-    val weight = round(lit(1e-9) +
-      least(lit(upsampleCap), (col("total") / col("ns")) / col("tokens").cast("double")) +
-      1e-9, 6)
-    tok.crossJoin(broadcast(tot))
-      .select(col("source"), col("n_docs"), col("tokens"), weight.as("weight"),
-        floor(col("tokens").cast("double") * weight + 1e-6).cast("long")
+    "pipe_mix",
+    s"""WITH tok AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum($tokSqlFrag) AS BIGINT) AS tokens
+       |  FROM documents GROUP BY source),
+       |tot AS (SELECT CAST(sum(tokens) AS DOUBLE) AS total, CAST(count(*) AS DOUBLE) AS ns
+       |  FROM tok)
+       |SELECT source, n_docs, tokens, $weightSqlFrag AS weight,
+       |  CAST(floor(CAST(tokens AS DOUBLE) * $weightSqlFrag + 1e-6) AS BIGINT) AS expected_tokens
+       |FROM tok, tot
+       |ORDER BY source""".stripMargin) { (spark, dir) =>
+    mixWeights(Tables.documents(spark, dir))
+      .select(col("source"), col("n_docs"), col("tokens"), col("weight"),
+        floor(col("tokens").cast("double") * col("weight") + 1e-6).cast("long")
           .as("expected_tokens"))
       .orderBy("source")
+  }
+
+  // ═══════════════ applying the mix: per-doc copy counts ═══════════════
+
+  /** LCG modulus/multiplier for the per-doc deterministic uniform
+    * (Knuth's 2654435761 multiplicative hash over a prime modulus).
+    */
+  private val mixM = 1000003L
+  private val mixA = 2654435761L
+
+  /** pipe_mix's missing second half: APPLY the mixing weights. Each
+    * doc draws a deterministic uniform u = hash(doc_id)/M and gets
+    * n_copies = ⌊w⌋ + [u < frac(w)] — downsampled sources keep a
+    * w-fraction of docs, upsampled sources repeat every doc ⌊w⌋ times
+    * plus a frac(w) chance of one more, so a source's expected
+    * sampled tokens equal pipe_mix's expected_tokens (in expectation
+    * over the hash, exactly reproducible across engines and runs —
+    * the reason for a hash, not rand()).
+    *
+    * Scale shape: the weights frame is |sources| rows and broadcasts;
+    * copy assignment is map-only arithmetic on the scan — the only
+    * exchange in the whole query is pipe_mix's own per-source token
+    * aggregation (and the output sort). At 100 TB this is the same
+    * plan: one narrow agg, a 1-row + |sources|-row broadcast, then a
+    * pure map over the corpus.
+    */
+  val mixApply = Q(
+    "pipe_mix_apply",
+    s"""WITH tok AS (SELECT source, CAST(sum($tokSqlFrag) AS BIGINT) AS tokens
+       |  FROM documents GROUP BY source),
+       |tot AS (SELECT CAST(sum(tokens) AS DOUBLE) AS total, CAST(count(*) AS DOUBLE) AS ns
+       |  FROM tok),
+       |w AS (SELECT source, $weightSqlFrag AS weight FROM tok, tot),
+       |d AS (SELECT doc_id, source, CAST($tokSqlFrag AS BIGINT) AS n_tokens FROM documents),
+       |a AS (SELECT doc_id, d.source, n_tokens, weight,
+       |    CAST(((doc_id % $mixM) * $mixA) % $mixM AS DOUBLE) / $mixM.0 AS u
+       |  FROM d JOIN w ON d.source = w.source),
+       |cp AS (SELECT doc_id, source, n_tokens, weight,
+       |    CAST(floor(weight) AS BIGINT) +
+       |      (CASE WHEN u < weight - floor(weight) THEN 1 ELSE 0 END) AS n_copies
+       |  FROM a)
+       |SELECT doc_id, source, n_tokens, weight, n_copies, n_copies >= 1 AS kept
+       |FROM cp ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+    val w = mixWeights(Tables.documents(spark, dir)).select("source", "weight")
+    val u = pmod(pmod(col("doc_id").cast("long"), lit(mixM)) * mixA, lit(mixM))
+      .cast("double") / mixM.toDouble
+    docs.join(broadcast(w), "source")
+      .withColumn("u", u)
+      .withColumn("n_copies",
+        floor(col("weight")).cast("long") +
+          when(col("u") < col("weight") - floor(col("weight")), 1L).otherwise(0L))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("weight"),
+        col("n_copies"), (col("n_copies") >= 1).as("kept"))
+      .orderBy("doc_id")
   }
 
   // ═══════════════ end-to-end corpus preparation ═══════════════
@@ -588,5 +743,6 @@ object Pipeline {
   /** The funnel plus the SemDeDup stage (seven stages). */
   val e2eSem = mkE2e("pipe_e2e_sem", sem = true)
 
-  val all: Seq[Q] = Seq(repetition, unigramPpl, decontaminate, deconBloom, sample, mix, e2e, e2eSem)
+  val all: Seq[Q] = Seq(repetition, unigramPpl, bigramPpl, decontaminate, deconBloom, sample,
+    mix, mixApply, e2e, e2eSem)
 }

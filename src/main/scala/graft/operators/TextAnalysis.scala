@@ -323,5 +323,53 @@ object TextAnalysis {
       .orderBy("source", "shard_id")
   }
 
-  val all: Seq[Q] = Seq(tokens, quality, langid, fingerprint, curate, shard)
+  // ═══════════════ corpus-wide heavy hitters ═══════════════
+
+  private val topTermsK = 64
+
+  /** The corpus vocabulary head: the 64 most frequent token hashes
+    * with term frequency AND document frequency — the stopword /
+    * IDF-head discovery pass a corpus analysis runs before tuning
+    * quality heuristics (and the exact answer the q9_approx-style
+    * sketches approximate).
+    *
+    * Scale shape: tokens collapse to (doc_id, h) → count in the scan
+    * stage (the same Zipf-proof pre-aggregation as tx_unigram_ppl —
+    * df needs it anyway), the vocab aggregation is evenly keyed by
+    * hash, and the global top-64 rides the bounded-heap aggregate:
+    * every partition carries at most k entries and merges map-side,
+    * so the single-group final step sees partitions·k rows, not the
+    * vocabulary. The df join back is a broadcast of the 64 winners
+    * streamed map-side over the vocab frame — the vocabulary itself
+    * is never sorted, collected, or shuffled to one task.
+    */
+  val topterms = Q(
+    "tx_topterms", {
+      val whSql = Hashing.wordHashesSql("text")
+      s"""WITH wh AS (SELECT doc_id, unnest($whSql) AS h FROM documents),
+         |dc AS (SELECT doc_id, h, CAST(count(*) AS BIGINT) AS c FROM wh GROUP BY doc_id, h),
+         |v AS (SELECT h, CAST(sum(c) AS BIGINT) AS tf, CAST(count(*) AS BIGINT) AS df
+         |  FROM dc GROUP BY h),
+         |r AS (SELECT h, tf, df,
+         |    CAST(row_number() OVER (ORDER BY tf DESC, h) AS BIGINT) AS rank FROM v)
+         |SELECT rank, h, tf, df FROM r WHERE rank <= $topTermsK
+         |ORDER BY rank""".stripMargin
+    }) { (spark, dir) =>
+    val vocab = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(Hashing.wordHashes(col("text"))).as("h"))
+      .groupBy("doc_id", "h").agg(count(lit(1)).as("c"))
+      .groupBy("h").agg(sum("c").as("tf"), count(lit(1)).as("df"))
+    // score = tf; the heap keeps the highest tf and breaks ties
+    // toward the smaller hash, reproducing ORDER BY tf DESC, h.
+    val top = vocab
+      .agg(graft.functions.TopKAgg.topk_by_score(
+        col("tf").cast("double"), col("h"), topTermsK).as("tk"))
+      .select(explode(col("tk")).as("t"))
+      .select(col("t.rank").as("rank"), col("t.id").as("h"))
+    vocab.join(broadcast(top), "h")
+      .select(col("rank"), col("h"), col("tf"), col("df"))
+      .orderBy("rank")
+  }
+
+  val all: Seq[Q] = Seq(tokens, quality, langid, fingerprint, curate, shard, topterms)
 }

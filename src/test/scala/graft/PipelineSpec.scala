@@ -166,6 +166,90 @@ class PipelineSpec extends AnyFunSuite {
     assert(repTotal <= repFlagged)
   }
 
+  test("tx_bigram_ppl equals a driver-side stupid-backoff rescore and exercises backoff") {
+    import graft.functions.PolyHashing
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> PolyHashing.tokenHashes(r.getAs[String]("text")).toSeq)
+    val train = docs.filter(_._1 % 2 == 0)
+    val uni = train.flatMap(_._2).groupBy(identity).map { case (h, o) => h -> o.size.toLong }
+    val big = train.flatMap(_._2.sliding(2).filter(_.size == 2).map(p => (p(0), p(1))))
+      .groupBy(identity).map { case (p, o) => p -> o.size.toLong }
+    val n = uni.values.sum.toDouble
+    val out = SparkEntry.queries("tx_bigram_ppl")(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out.size == docs.count(_._2.size >= 2), "every doc with a bigram must be scored")
+    var backoffHits = 0
+    for ((id, wh) <- docs.take(40) if wh.size >= 2) {
+      val pairs = wh.sliding(2).filter(_.size == 2).map(p => (p(0), p(1))).toSeq
+      val bitsSum = pairs.map { case (p, c) =>
+        val s = big.get((p, c)) match {
+          case Some(bc) => bc.toDouble / uni(p)
+          case None => backoffHits += 1; 0.4 * uni.getOrElse(c, 0L).toDouble.max(0.5) / n
+        }
+        -math.log(s) / math.log(2)
+      }.sum
+      val o = out(id)
+      assert(o.getAs[Long]("n_bigrams") == pairs.size)
+      assert(math.abs(o.getAs[Double]("bits") - bitsSum / pairs.size) < 1e-5, s"doc $id")
+      assert(o.getAs[Boolean]("high_ppl2") == (o.getAs[Double]("bits") >= 5.05))
+    }
+    assert(backoffHits > 0,
+      "the held-out split must produce unseen bigrams or the backoff path is dead code")
+    val flags = out.values.count(_.getAs[Boolean]("high_ppl2"))
+    assert(flags > 0 && flags < out.size, "threshold must split the corpus")
+  }
+
+  test("pipe_mix_apply draws copy counts that realize the reported weights") {
+    val out = SparkEntry.queries("pipe_mix_apply")(spark, sf).collect()
+    val mix = SparkEntry.queries("pipe_mix")(spark, sf).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(out.length == nDocs, "every doc must receive a copy count")
+    for (r <- out) {
+      val w = r.getAs[Double]("weight")
+      assert(math.abs(w - mix(r.getAs[String]("source")).getAs[Double]("weight")) < 1e-12)
+      val c = r.getAs[Long]("n_copies")
+      val lo = math.floor(w).toLong
+      assert(c == lo || c == lo + 1, s"copies must be ⌊w⌋ or ⌊w⌋+1, got $c for w=$w")
+      assert(r.getAs[Boolean]("kept") == (c >= 1))
+      if (w >= 1.0) assert(c >= 1, "an upsampled source must keep every doc")
+    }
+    // the realized per-source copy mass must track the weight: the
+    // expected value of n_copies is exactly w, and the LCG uniform is
+    // equidistributed, so a 4-sigma binomial band is a safe pin
+    for ((src, rows) <- out.groupBy(_.getAs[String]("source"))) {
+      val w = rows.head.getAs[Double]("weight")
+      val frac = w - math.floor(w)
+      val mean = rows.map(_.getAs[Long]("n_copies")).sum.toDouble / rows.length
+      val tol = 4 * math.sqrt(frac * (1 - frac) / rows.length) + 1e-9
+      assert(math.abs(mean - w) <= tol, s"$src: mean copies $mean vs weight $w (tol $tol)")
+    }
+    // and the sampling must actually drop something somewhere
+    assert(out.exists(!_.getAs[Boolean]("kept")), "no doc was downsampled out")
+    assert(out.exists(_.getAs[Long]("n_copies") >= 2), "no doc was upsampled")
+  }
+
+  test("tx_topterms equals a window-ranked vocabulary recompute") {
+    import graft.functions.Hashing
+    val out = SparkEntry.queries("tx_topterms")(spark, sf).collect()
+    val vocab = Tables.documents(spark, sf)
+      .select(col("doc_id"), explode(Hashing.wordHashes(col("text"))).as("h"))
+      .groupBy("doc_id", "h").agg(count(lit(1)).as("c"))
+      .groupBy("h").agg(sum("c").as("tf"), count(lit(1)).as("df"))
+      .collect().map(r => r.getAs[Long]("h") -> r).toMap
+    val expected = vocab.values.toSeq
+      .sortBy(r => (-r.getAs[Long]("tf"), r.getAs[Long]("h")))
+      .take(64)
+    assert(out.length == math.min(64, vocab.size))
+    for ((r, i) <- out.sortBy(_.getAs[Long]("rank")).zipWithIndex) {
+      assert(r.getAs[Long]("rank") == i + 1)
+      assert(r.getAs[Long]("h") == expected(i).getAs[Long]("h"), s"rank ${i + 1}")
+      assert(r.getAs[Long]("tf") == expected(i).getAs[Long]("tf"))
+      assert(r.getAs[Long]("df") == expected(i).getAs[Long]("df"))
+      assert(r.getAs[Long]("df") <= r.getAs[Long]("tf"))
+    }
+  }
+
   test("pipe_mix weights level sources to the uniform token share, capped") {
     val out = SparkEntry.queries("pipe_mix")(spark, sf).collect()
     assert(out.length == 20)

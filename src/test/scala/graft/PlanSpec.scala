@@ -327,6 +327,44 @@ class PlanSpec extends AnyFunSuite {
     assert(keyedShuffles == 1, s"expected 1 keyed shuffle, saw $keyedShuffles")
   }
 
+  test("tx_bigram_ppl pre-aggregates (doc_id, pack) histograms before every LM join") {
+    val p = plan("tx_bigram_ppl")
+    assert(!p.contains("Window"), "per-doc surprisal must aggregate, not window")
+    // same Zipf de-skew contract as tx_unigram_ppl, one level up: the
+    // bigram/unigram joins must probe the (doc_id, bp) histogram, so
+    // no hot bigram or word key can exceed |docs| rows in a partition
+    val aggsByPackAndDoc = "HashAggregate\\(keys=\\[doc_id[^\\]]*, bp[^\\]]*\\]".r
+      .findAllIn(p).size
+    assert(aggsByPackAndDoc >= 2,
+      "expected partial+final (doc_id, bp) histogram aggregation before the LM joins")
+    // only the 1-row grand total may carry a broadcast hint — the LM
+    // tables grow with the corpus and must stay AQE-decided
+    val df = SparkEntry.queries("tx_bigram_ppl")(spark, sf)
+    val hinted = df.queryExecution.logical.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.UnresolvedHint => h
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+        if j.hint.leftHint.exists(_.strategy.isDefined) ||
+           j.hint.rightHint.exists(_.strategy.isDefined) => j
+    }
+    assert(hinted.size <= 1, "only the 1-row total may be hint-broadcast")
+  }
+
+  test("pipe_mix_apply is a map over the corpus after one broadcast weights frame") {
+    val p = plan("pipe_mix_apply")
+    assert(!p.contains("Window"))
+    assert(!p.contains("SortMergeJoin"),
+      "the |sources|-row weights frame must broadcast, never shuffle the corpus")
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("tx_topterms heads the vocabulary with the bounded heap, not a sort") {
+    val p = plan("tx_topterms")
+    assert(p.contains("topk_by_score"), "the global top-k must ride the bounded-heap aggregate")
+    assert(!p.contains("Window"), "a row_number window would sort the whole vocabulary in one task")
+    assert("HashAggregate\\(keys=\\[doc_id[^\\]]*, h[^\\]]*\\]".r.findAllIn(p).size >= 2,
+      "df needs the (doc_id, h) histogram — and it Zipf-proofs the vocab aggregation")
+  }
+
   test("q14_pivot is one pass: no distinct-discovery scan before the agg") {
     val df = SparkEntry.queries("q14_pivot")(spark, sf)
     // explicit value list → a single aggregate over one scan of orders;
