@@ -250,18 +250,45 @@ object Pipeline {
          |SELECT doc_id, n_bigrams, bits, bits >= $highPpl2Bits AS high_ppl2
          |FROM d ORDER BY doc_id""".stripMargin
     }) { (spark, dir) =>
-    val P = Hashing.P
     val docCounts = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(Hashing.bigramPacks(Hashing.wordHashes(col("text")))).as("bp"))
       .groupBy("doc_id", "bp").agg(count(lit(1)).as("c"))
-    val trainBigrams = docCounts.filter(col("doc_id") % lmTrainMod === 0)
+    val (trainBigrams, trainUnigrams, tot) = bigramLmOf(Tables.documents(spark, dir))
+    scoreBigramCounts(docCounts, trainBigrams, trainUnigrams, tot)
+      .orderBy("doc_id")
+  }
+
+  /** The trained stupid-backoff LM tables: (bigram counts, unigram
+    * counts, 1-row total) over the doc_id % 2 = 0 training half —
+    * shared by tx_bigram_ppl and the streaming scorer so the two
+    * cannot train on different corpora.
+    */
+  private[graft] def bigramLmOf(docs: org.apache.spark.sql.DataFrame) = {
+    val train = docs.filter(col("doc_id") % lmTrainMod === 0)
+    val trainBigrams = train
+      .select(col("doc_id"), explode(Hashing.bigramPacks(Hashing.wordHashes(col("text")))).as("bp"))
+      .groupBy("doc_id", "bp").agg(count(lit(1)).as("c"))
       .groupBy("bp").agg(sum("c").as("bcnt"))
-    val trainUnigrams = Tables.documents(spark, dir)
-      .filter(col("doc_id") % lmTrainMod === 0)
+    val trainUnigrams = train
       .select(col("doc_id"), explode(Hashing.wordHashes(col("text"))).as("h"))
       .groupBy("doc_id", "h").agg(count(lit(1)).as("c"))
       .groupBy("h").agg(sum("c").as("ucnt"))
     val tot = trainUnigrams.agg(sum("ucnt").cast("double").as("n"))
+    (trainBigrams, trainUnigrams, tot)
+  }
+
+  /** Scores (doc_id, bp, c) bigram rows against the LM tables — the
+    * single surprisal definition behind the batch query (which feeds
+    * the Zipf-proof (doc_id, bp) histogram) and Streaming.pplScore
+    * (which feeds raw c=1 rows: a stream gate sees one doc at a time,
+    * so there is no cross-doc skew for the histogram to flatten).
+    */
+  private[graft] def scoreBigramCounts(
+      docCounts: org.apache.spark.sql.DataFrame,
+      trainBigrams: org.apache.spark.sql.DataFrame,
+      trainUnigrams: org.apache.spark.sql.DataFrame,
+      tot: org.apache.spark.sql.DataFrame) = {
+    val P = Hashing.P
     val surprisal =
       when(col("bcnt").isNotNull, col("bcnt").cast("double") / col("up_cnt").cast("double"))
         .otherwise(lit(backoffAlpha) * coalesce(col("uc_cnt"), lit(unseenCount)) / col("n"))
@@ -278,7 +305,6 @@ object Pipeline {
         sum("c").as("n_bigrams"),
         round(lit(1e-9) + sum(col("c") * -log2(col("s"))) / sum("c") + 1e-9, 6).as("bits"))
       .withColumn("high_ppl2", col("bits") >= highPpl2Bits)
-      .orderBy("doc_id")
   }
 
   // ═══════════════ benchmark decontamination ═══════════════
@@ -569,20 +595,29 @@ object Pipeline {
        |  FROM a)
        |SELECT doc_id, source, n_tokens, weight, n_copies, n_copies >= 1 AS kept
        |FROM cp ORDER BY doc_id""".stripMargin) { (spark, dir) =>
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("source"),
-        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
-    val w = mixWeights(Tables.documents(spark, dir)).select("source", "weight")
+    applyMixTo(Tables.documents(spark, dir), mixWeights(Tables.documents(spark, dir)))
+      .orderBy("doc_id")
+  }
+
+  /** The copy-count assignment of pipe_mix_apply over any frame with
+    * (doc_id, source, text) — map-only against a broadcast weights
+    * frame, so it runs unchanged on a stream (Streaming.mixApply).
+    */
+  private[graft] def applyMixTo(
+      docs: org.apache.spark.sql.DataFrame,
+      weights: org.apache.spark.sql.DataFrame) = {
     val u = pmod(pmod(col("doc_id").cast("long"), lit(mixM)) * mixA, lit(mixM))
       .cast("double") / mixM.toDouble
-    docs.join(broadcast(w), "source")
+    docs
+      .select(col("doc_id"), col("source"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+      .join(broadcast(weights.select("source", "weight")), "source")
       .withColumn("u", u)
       .withColumn("n_copies",
         floor(col("weight")).cast("long") +
           when(col("u") < col("weight") - floor(col("weight")), 1L).otherwise(0L))
       .select(col("doc_id"), col("source"), col("n_tokens"), col("weight"),
         col("n_copies"), (col("n_copies") >= 1).as("kept"))
-      .orderBy("doc_id")
   }
 
   // ═══════════════ end-to-end corpus preparation ═══════════════

@@ -459,6 +459,45 @@ object Streaming {
         (col("max_run") >= runMin).as("span_dup"))
   }
 
+  /** Streaming mix application: each arriving (doc_id, source, text)
+    * doc is assigned its training-mix copy count from a STATIC
+    * broadcast weights frame (Pipeline.mixWeights over the planned
+    * corpus — mixing ratios are a planning artifact, frozen before
+    * ingest starts). Map-only: the LCG uniform and ⌊w⌋ + [u < frac]
+    * arithmetic are the exact batch pipe_mix_apply expressions, so an
+    * ingest-time replay reproduces the batch assignment row-for-row
+    * (cross-validated in StreamingSpec). No state at all — this gate
+    * composes with any downstream streaming stage.
+    */
+  def mixApply(docs: DataFrame, weights: DataFrame): DataFrame =
+    graft.operators.Pipeline.applyMixTo(docs, weights)
+
+  /** Streaming LM-perplexity gate: each arriving doc is scored
+    * against the MEMOIZED stupid-backoff bigram LM the batch trained
+    * (Pipeline.bigramLmOf — the "train on trusted text, score the
+    * crawl at ingest" CCNet deployment shape). The stream side is
+    * map-only (native bigram packs + explode) into stream-static
+    * joins against the LM tables, then ONE streaming aggregation
+    * re-assembles the per-doc mean surprisal (state: the doc's
+    * running (Σ surprisal, count) — two numbers per in-flight doc).
+    *
+    * The scoring is the SAME scoreBigramCounts definition as batch
+    * tx_bigram_ppl; the stream feeds raw c=1 rows where batch feeds
+    * the (doc_id, bp) histogram — identical weighted mean, different
+    * addition order, so bits agree to fp precision and the flag is
+    * identical (cross-validated in StreamingSpec). A stream gate
+    * processes one doc at a time, so the batch histogram's Zipf
+    * de-skew has nothing to flatten here.
+    */
+  def pplScore(docs: DataFrame, trainBigrams: DataFrame, trainUnigrams: DataFrame,
+      tot: DataFrame): DataFrame = {
+    val rows = docs.select(col("doc_id"),
+        explode(graft.functions.Hashing.bigramPacks(
+          graft.functions.Hashing.wordHashes(col("text")))).as("bp"))
+      .withColumn("c", lit(1L))
+    graft.operators.Pipeline.scoreBigramCounts(rows, trainBigrams, trainUnigrams, tot)
+  }
+
   /** Flush still-open sessions from a completed sessionize pass
     * (batch-mode convenience for tests and backfills).
     */

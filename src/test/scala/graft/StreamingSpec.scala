@@ -593,6 +593,61 @@ class StreamingSpec extends AnyFunSuite {
         s"${(want.toSet -- got.toSet).take(3)} vs ${(got.toSet -- want.toSet).take(3)}")
   }
 
+  test("streaming mix application reproduces batch pipe_mix_apply row-for-row") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val weights = operators.Pipeline.mixWeights(graft.Tables.documents(spark, sf))
+    val corpus = graft.Tables.documents(spark, sf)
+      .select("doc_id", "source", "text").as[(Long, String, String)].collect()
+    val mem = MemoryStream[(Long, String, String)]
+    val q = Streaming.mixApply(mem.toDF().toDF("doc_id", "source", "text"), weights)
+      .writeStream.outputMode("append").format("memory").queryName("mixap").start()
+    try {
+      corpus.grouped(math.max(1, corpus.length / 3 + 1)).foreach { chunk =>
+        mem.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    def toMap(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+      r.getAs[Long]("doc_id") -> ((r.getAs[String]("source"), r.getAs[Long]("n_tokens"),
+        r.getAs[Double]("weight"), r.getAs[Long]("n_copies"), r.getAs[Boolean]("kept")))).toMap
+    val got = toMap(spark.sql("SELECT * FROM mixap").collect())
+    val want = toMap(SparkEntry.queries("pipe_mix_apply")(spark, sf).collect())
+    assert(got == want, s"stream assignment diverged for docs: ${
+      (got.keySet | want.keySet).filter(k => got.get(k) != want.get(k)).take(5)}")
+  }
+
+  test("streaming LM-perplexity gate equals batch tx_bigram_ppl on a replayed corpus") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val (bg, un, tot) = operators.Pipeline.bigramLmOf(graft.Tables.documents(spark, sf))
+    val corpus = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val mem = MemoryStream[(Long, String)]
+    val q = Streaming.pplScore(mem.toDF().toDF("doc_id", "text"), bg, un, tot)
+      .writeStream.outputMode("complete").format("memory").queryName("pplgate").start()
+    try {
+      corpus.grouped(math.max(1, corpus.length / 3 + 1)).foreach { chunk =>
+        mem.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val got = spark.sql("SELECT doc_id, n_bigrams, bits, high_ppl2 FROM pplgate").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    val want = SparkEntry.queries("tx_bigram_ppl")(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> ((r.getAs[Long]("n_bigrams"),
+        r.getAs[Double]("bits"), r.getAs[Boolean]("high_ppl2")))).toMap
+    assert(got.keySet == want.keySet, "every doc with a bigram must be scored on both sides")
+    assert(want.nonEmpty)
+    for ((id, (nb, bits, flag)) <- got) {
+      assert(nb == want(id)._1, s"doc $id n_bigrams")
+      // raw c=1 rows vs the batch histogram sum in a different order:
+      // equal to fp precision, identical after the round-6
+      assert(math.abs(bits - want(id)._2) < 1e-9, s"doc $id bits")
+      assert(flag == want(id)._3, s"doc $id flag")
+    }
+  }
+
   test("batch sessionize matches the SQL sessionization operator") {
     import spark.implicits._
     val ev = eventsBatch.select("event_id", "ts", "user_id", "event_type", "value").as[Event]
