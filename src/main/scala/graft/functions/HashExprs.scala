@@ -156,6 +156,19 @@ object PolyHashing {
     while (i < n) { s += l.getDouble(i) * r.getDouble(i); i += 1 }
     s
   }
+
+  /** Integer dot product over two long arrays — exact, order-
+    * independent (the SQ8 scan's scoring primitive; the oracle's
+    * double list_dot_product is exact too at these magnitudes,
+    * integers < 2^53).
+    */
+  def longDotProduct(l: ArrayData, r: ArrayData): Long = {
+    val n = math.min(l.numElements(), r.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) { s += l.getLong(i) * r.getLong(i); i += 1 }
+    s
+  }
 }
 
 // Codegen note: every expression below emits a single call to a static
@@ -269,6 +282,21 @@ case class DotProductExpr(left: Expression, right: Expression)
   override def prettyName: String = "dot_product"
 }
 
+/** Exact integer dot product of two long arrays (SQ8 scan scoring). */
+case class LongDotProductExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(l: Any, r: Any): Any =
+    java.lang.Long.valueOf(
+      PolyHashing.longDotProduct(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = ${GenHelper.Poly}.longDotProduct($a, $b);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): LongDotProductExpr =
+    copy(l, r)
+  override def prettyName: String = "long_dot_product"
+}
+
 /** Whole-string polynomial fold (document fingerprint). */
 case class PolyHashExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -290,6 +318,8 @@ object HashExprs {
   def poly_hash(c: Column): Column = Bridge.column(PolyHashExpr(Bridge.expression(c)))
   def dot_product(a: Column, b: Column): Column =
     Bridge.column(DotProductExpr(Bridge.expression(a), Bridge.expression(b)))
+  def long_dot_product(a: Column, b: Column): Column =
+    Bridge.column(LongDotProductExpr(Bridge.expression(a), Bridge.expression(b)))
 
   /** SQL registration so the operators are usable from spark.sql too. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

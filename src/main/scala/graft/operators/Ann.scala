@@ -1005,6 +1005,122 @@ object Ann {
       .orderBy("query_id", "rank")
   }
 
+  // ═══════════════ scalar quantization (SQ8 flat) ═══════════════
+
+  /** SQ8 geometry: every dimension is linearly quantized to 8 bits
+    * between its corpus-wide min and max (the FAISS SQ8 trade: 4×
+    * compression at near-exact recall, vs PQ's 64× at recall 0.70 —
+    * the middle rung of the compression ladder). Vectors are unit-
+    * normalized before encoding like PQ, so the decoded inner product
+    * IS the approximate cosine and no norm joins reach the serve
+    * path.
+    */
+  val SqMaxCode = 255L
+  private val SqScale = 1e8
+
+  /** One-time SQ8 index build per (session, dir): the per-dimension
+    * (lo, step) ranges — as one broadcastable row of aligned arrays —
+    * plus every corpus vector's 64-byte code array (SessionMemo, same
+    * build/serve split as ivfIndex/pqIndex). The ranges are exact
+    * min/max picks (no float-sum order to pin); codes are
+    * round((x−lo)/step) with the same half-up rule on both engines.
+    */
+  private[graft] def sqIndex(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val fs = graft.SessionMemo.frames(spark, s"ann.sqIndex:$dir") {
+      val pos = corpus(spark, dir)
+        .select(col("vec_id"), posexplode(transform(col("e"), x => x / col("nrm")))
+          .as(Seq("i", "x")))
+      val rng = pos.groupBy("i").agg(
+        min("x").as("lo"),
+        greatest((max("x") - min("x")) / SqMaxCode.toDouble, lit(1e-12)).as("step"))
+        .persist()
+      val arrs = rng
+        .agg(sort_array(collect_list(struct(col("i"), col("lo"), col("step")))).as("s"))
+        .select(
+          transform(col("s"), s => s.getField("lo")).as("lo_arr"),
+          transform(col("s"), s => s.getField("step")).as("step_arr"))
+        .persist()
+      val codes = pos.join(broadcast(rng), Seq("i"))
+        .select(col("vec_id"), col("i"),
+          least(lit(SqMaxCode), greatest(lit(0L),
+            round((col("x") - col("lo")) / col("step")).cast("long"))).as("cd"))
+        .groupBy("vec_id")
+        .agg(transform(array_sort(collect_list(struct(col("i"), col("cd")))),
+          s => s.getField("cd")).as("code"))
+        .persist()
+      arrs.count()
+      codes.count()
+      rng.unpersist(blocking = false)
+      Seq(arrs, codes)
+    }
+    (fs(0), fs(1))
+  }
+
+  /** SQ8 flat top-k: every candidate is scored from its 8-bit codes.
+    * The serve-path arithmetic is INTEGER: each query pre-multiplies
+    * its (normalized) coordinates by the per-dimension step as
+    * 1e-8-scaled BIGINTs, so a candidate's score is one long-array
+    * dot product against its code (exact, order-independent — the
+    * same determinism discipline as PQ's ADC table), plus the
+    * rank-invariant per-query constant Σ qᵢ·loᵢ added back only for
+    * the reported cosine. Scale shape: the query table broadcasts
+    * (queries × 64 longs), the corpus side streams its code arrays
+    * map-only into the bounded-heap top-k — a flat scan by design
+    * (the IVF/IVFPQ variants are the pruned paths; SQ8-FLAT is what
+    * you run when recall must stay ≈1 and 4× memory is affordable).
+    */
+  val sq8Topk = Q(
+    "ann_sq8",
+    s"""WITH c AS ($corpusSql),
+       |ensrc AS (SELECT vec_id, list_transform(e, x -> x / nrm) AS en FROM c),
+       |pos AS (SELECT vec_id, generate_subscripts(en, 1) AS i, unnest(en) AS x FROM ensrc),
+       |rng AS (SELECT i, min(x) AS lo,
+       |    greatest((max(x) - min(x)) / $SqMaxCode.0, 1e-12) AS step
+       |  FROM pos GROUP BY i),
+       |codes AS (SELECT vec_id, i,
+       |    LEAST($SqMaxCode, GREATEST(0, CAST(round((x - lo) / step) AS BIGINT))) AS cd
+       |  FROM pos JOIN rng USING (i)),
+       |codearr AS (SELECT vec_id, list(cd ORDER BY i) AS code FROM codes GROUP BY vec_id),
+       |arrs AS (SELECT list(lo ORDER BY i) AS lo_arr, list(step ORDER BY i) AS step_arr
+       |  FROM rng),
+       |qw AS (SELECT q.vec_id AS query_id,
+       |    list_transform(list_zip(q.en, a.step_arr),
+       |      p -> CAST(round(p[1] * p[2] * $SqScale) AS BIGINT)) AS w8s,
+       |    list_dot_product(q.en, a.lo_arr) AS kq
+       |  FROM ensrc q, arrs a WHERE q.vec_id < $NumQueries),
+       |scored AS (SELECT query_id, vec_id,
+       |    round(1e-9 + kq +
+       |      CAST(list_dot_product(w8s, code) AS BIGINT) / $SqScale, 6) AS acos
+       |  FROM codearr, qw WHERE vec_id != query_id)
+       |SELECT query_id, neighbor_id, cosine, rank FROM (
+       |  SELECT query_id, vec_id AS neighbor_id, acos AS cosine,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY acos DESC, vec_id) AS BIGINT) AS rank
+       |  FROM scored) WHERE rank <= $TopK
+       |ORDER BY query_id, rank""".stripMargin) { (spark, dir) =>
+    import graft.functions.HashExprs.{dot_product, long_dot_product}
+    val (arrs, codes) = sqIndex(spark, dir)
+    val queries = corpus(spark, dir).filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"),
+        transform(col("e"), x => x / col("nrm")).as("en"))
+      .crossJoin(broadcast(arrs))
+      .select(col("query_id"),
+        zip_with(col("en"), col("step_arr"),
+          (x, s) => round(x * s * SqScale).cast("long")).as("w8s"),
+        dot_product(col("en"), col("lo_arr")).as("kq"))
+    codes.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("acos", round(lit(1e-9) + col("kq") +
+        long_dot_product(col("w8s"), col("code")) / SqScale, 6))
+      .groupBy("query_id")
+      .agg(graft.functions.TopKAgg.topk_by_score(col("acos"), col("vec_id"), TopK).as("tk"))
+      .select(col("query_id"), explode(col("tk")).as("t"))
+      .select(col("query_id"), col("t.id").as("neighbor_id"),
+        col("t.score").as("cosine"), col("t.rank").as("rank"))
+      .orderBy("query_id", "rank")
+  }
+
   val all: Seq[Q] =
-    Seq(topk, topkAgg, topkPlan, lshTopk, ivfTopk, pqTopk, ivfpqTopk, embedDedup, embedClusters)
+    Seq(topk, topkAgg, topkPlan, lshTopk, ivfTopk, pqTopk, ivfpqTopk, sq8Topk,
+      embedDedup, embedClusters)
 }

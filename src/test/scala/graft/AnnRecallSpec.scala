@@ -98,6 +98,22 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(pq > lsh, "ADC over all candidates must beat banded LSH recall")
   }
 
+  test("SQ8 recall sits at the top of the compression ladder, at both pinned SFs") {
+    // 8 bits PER DIMENSION (4× compression) vs PQ's 8 bits per
+    // 8-dim subspace (64×): the scalar quantizer's error per
+    // coordinate is ≤ step/2 ≈ range/510, so its approximate cosine
+    // ranking should recover nearly all true neighbors even on this
+    // near-orthogonal corpus — the ladder must order LSH < PQ < SQ8.
+    for (dir <- Seq(sf, sfBig)) {
+      val truth = truthOf(dir)
+      val sq = pairs("ann_sq8", dir).intersect(truth).size.toDouble / truth.size
+      val pq = pairs("ann_pq", dir).intersect(truth).size.toDouble / truth.size
+      info(f"$dir: sq8=$sq%.3f pq=$pq%.3f")
+      assert(sq >= 0.9, f"SQ8 recall regressed: $sq%.3f at $dir")
+      assert(sq >= pq, "finer quantization must not recall less than PQ")
+    }
+  }
+
   test("IVFPQ recall matches IVF while candidates fit the re-rank budget") {
     val truth = pairs("ann_topk")
     val curve = Seq(1, 2, 4, 8, 16).map { np =>

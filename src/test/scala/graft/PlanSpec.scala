@@ -145,6 +145,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("sum(t6"), "ADC must sum the scaled integer lookup table")
   }
 
+  test("ann_sq8 serves from integer code scans and the bounded heap, no window") {
+    val p = plan("ann_sq8")
+    assert(p.contains("long_dot_product"),
+      "candidate scoring must be the exact integer code dot, not float decode math")
+    assert(p.contains("topk_by_score"), "the per-query top-k must ride the bounded heap")
+    assert(!p.contains("Window"), "a row_number window would sort every candidate per query")
+  }
+
   test("ma_reef_cka selects its bounded sample without a full window sort") {
     val p = plan("ma_reef_cka")
     assert(p.contains("topk_by_score"),
