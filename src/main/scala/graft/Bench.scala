@@ -119,6 +119,12 @@ object Bench {
       },
       built("eval_bloom", Seq("pipe_decon_bloom")) {
         operators.Pipeline.evalBloom(spark, sfDir)
+      },
+      built("bm25_stats", Seq("ix_bm25")) {
+        operators.Search.bm25Stats(spark, sfDir)
+      },
+      built("km_centroids", Seq("km_topics", "km_profile")) {
+        operators.Cluster.centroids(spark, sfDir)
       }).flatten
     // deterministic name order: per-query numbers are comparable
     // run-to-run and round-to-round (Map iteration order shuffled the

@@ -16,7 +16,9 @@ object SparkEntry {
       operators.Dedup.all ++
       operators.ScaleJoins.all ++
       operators.Ann.all ++
+      operators.Cluster.all ++
       operators.TextAnalysis.all ++
+      operators.Search.all ++
       operators.Pipeline.all ++
       operators.Reef.all ++
       operators.Multimodal.all ++

@@ -66,7 +66,7 @@ object Ann {
 
   // ═══════ Spark side ═══════
 
-  private def dotC(a: Column, b: Column): Column =
+  private[graft] def dotC(a: Column, b: Column): Column =
     graft.functions.HashExprs.dot_product(a, b)
 
   private def embDbl(c: Column): Column = transform(c, x => x.cast("double"))
@@ -121,7 +121,7 @@ object Ann {
     s"($full & ((CAST(1 AS BIGINT) << $bandPlanesSubSql) - 1))"
   }
 
-  private val corpusSql: String =
+  private[graft] val corpusSql: String =
     s"""SELECT * FROM (
        |  SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm
        |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
@@ -413,12 +413,12 @@ object Ann {
     */
   // argmax cell per vector: partial-aggregated struct-max with the
   // same (ccos DESC, cid ASC) tie-break as a row_number rank
-  private def argmaxCell(scored: DataFrame): DataFrame =
+  private[graft] def argmaxCell(scored: DataFrame): DataFrame =
     scored.groupBy("vec_id")
       .agg(max(struct(col("ccos"), (-col("cid")).as("ncid"), col("cid").as("cid"))).as("m"))
       .select(col("vec_id"), col("m.cid").as("cell"))
 
-  private def scoreAgainst(vecs: DataFrame, cent: DataFrame): DataFrame =
+  private[graft] def scoreAgainst(vecs: DataFrame, cent: DataFrame): DataFrame =
     vecs.crossJoin(broadcast(cent))
       .withColumn("ccos", dotC(col("e"), col("ce")) / (col("nrm") * col("cn")))
       .select("vec_id", "cid", "ccos")

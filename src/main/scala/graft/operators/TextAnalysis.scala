@@ -371,5 +371,106 @@ object TextAnalysis {
       .orderBy("rank")
   }
 
-  val all: Seq[Q] = Seq(tokens, quality, langid, fingerprint, curate, shard, topterms)
+  // ═══════════════ PII scrub scan ═══════════════
+
+  /** PII detection patterns — a deliberately conservative regex subset
+    * (character classes, bounded repetition, `\b`) that Java regex and
+    * RE2 interpret identically, so the DuckDB oracle reproduces every
+    * match. Reference analog: the toolkit's style-marker scan
+    * (style.py:241-302) is the same shape — per-text pattern-hit
+    * counting — applied here to the redaction patterns a corpus-prep
+    * pipeline runs before training.
+    */
+  private[graft] val piiPatterns: Seq[(String, String)] = Seq(
+    "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "url"   -> "https?://[^\\s]+",
+    "phone" -> "\\b[0-9]{3}-[0-9]{4}\\b",
+    "ipv4"  -> "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b")
+
+  /** The synthetic corpus is a clean word bag, so — like the mm_*
+    * family synthesizing RIFF payloads — the scan runs on a PII
+    * channel injected deterministically from doc_id, identically in
+    * Spark and the oracle. Every pattern gets real matches at every
+    * SF (1/7 of docs carry an email, 1/11 a URL, 1/13 a phone, 1/17
+    * an IPv4), so a regex-semantics divergence between the engines
+    * cannot hide behind all-zero counts.
+    */
+  private[graft] def piiTextExpr(doc: org.apache.spark.sql.Column,
+      id: org.apache.spark.sql.Column): org.apache.spark.sql.Column = concat(
+    doc,
+    when(id % 7 === 0,
+      concat(lit(" contact user"), id.cast("string"), lit("@example.com now")))
+      .otherwise(""),
+    when(id % 11 === 0,
+      concat(lit(" see https://example.org/d/"), id.cast("string"), lit(" ok")))
+      .otherwise(""),
+    when(id % 13 === 0,
+      concat(lit(" call 555-"), (lit(1000) + id % 9000).cast("string"), lit(" now")))
+      .otherwise(""),
+    when(id % 17 === 0,
+      concat(lit(" host 10.0."), (id % 256).cast("string"), lit("."),
+        ((id * 7) % 256).cast("string"), lit(" up")))
+      .otherwise(""))
+
+  // single physical line: this snippet is interpolated into an outer
+  // stripMargin template, where a line-leading `||` would be eaten
+  private def piiTextSql: String = Seq(
+    "text",
+    "CASE WHEN doc_id % 7 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now' ELSE '' END",
+    "CASE WHEN doc_id % 11 = 0 THEN ' see https://example.org/d/' || CAST(doc_id AS VARCHAR) || ' ok' ELSE '' END",
+    "CASE WHEN doc_id % 13 = 0 THEN ' call 555-' || CAST(1000 + doc_id % 9000 AS VARCHAR) || ' now' ELSE '' END",
+    "CASE WHEN doc_id % 17 = 0 THEN ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST((doc_id * 7) % 256 AS VARCHAR) || ' up' ELSE '' END"
+  ).mkString(" || ")
+
+  /** Per-pattern match counts + redaction size over col `t` — shared
+    * by the batch query and Streaming.piiScan so stream and batch can
+    * never disagree on what counts as PII. Redaction is sequential in
+    * pattern order (email, url, phone, ipv4) in BOTH engines, so
+    * pii_chars is well-defined even if a later pattern could overlap
+    * an earlier match.
+    */
+  private[graft] def piiCols(t: org.apache.spark.sql.Column): Seq[org.apache.spark.sql.Column] = {
+    val matches = piiPatterns.map { case (_, re) =>
+      size(regexp_extract_all(t, lit(re), lit(0))).cast("long")
+    }
+    val counts = piiPatterns.zip(matches).map { case ((n, _), m) => m.as(s"n_$n") }
+    val redacted = piiPatterns.foldLeft(t) { case (c, (_, re)) => regexp_replace(c, re, "") }
+    counts ++ Seq(
+      (matches.reduce(_ + _) > 0).as("has_pii"),
+      (length(t) - length(redacted)).cast("long").as("pii_chars"))
+  }
+
+  /** PII scrub scan — the pre-training redaction pass every corpus
+    * pipeline runs: per-doc counts of email / URL / phone / IPv4
+    * matches, a has_pii keep/route flag, and the byte volume a
+    * redaction would remove. Pure map-only column expressions (one
+    * projection, no shuffle beyond the output sort) — linear
+    * scale-out at 100 TB like the rest of the tx_* family.
+    */
+  val pii = Q(
+    "tx_pii", {
+      val countsSql = piiPatterns.map { case (n, re) =>
+        s"CAST(len(regexp_extract_all(t2, '$re')) AS BIGINT) AS n_$n"
+      }.mkString(",\n  ")
+      val redactedSql = piiPatterns.foldLeft("t2") { case (c, (_, re)) =>
+        s"regexp_replace($c, '$re', '', 'g')"
+      }
+      val total = piiPatterns.map { case (n, _) => s"n_$n" }.mkString(" + ")
+      s"""SELECT doc_id, $countsSql,
+         |  ($total) > 0 AS has_pii,
+         |  CAST(length(t2) - length($redactedSql) AS BIGINT) AS pii_chars
+         |FROM (
+         |  SELECT doc_id,
+         |    $piiTextSql AS t2
+         |  FROM documents
+         |)
+         |ORDER BY doc_id""".stripMargin
+    }) { (spark, dir) =>
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), piiTextExpr(col("text"), col("doc_id")).as("t2"))
+      .select(col("doc_id") +: piiCols(col("t2")): _*)
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(tokens, quality, langid, fingerprint, curate, shard, topterms, pii)
 }

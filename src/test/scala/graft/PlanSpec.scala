@@ -373,6 +373,33 @@ class PlanSpec extends AnyFunSuite {
       "df needs the (doc_id, h) histogram — and it Zipf-proofs the vocab aggregation")
   }
 
+  test("tx_pii is one map-only projection: no joins, no keyed shuffle") {
+    val p = plan("tx_pii")
+    assert(!p.contains("Join"), "the scan must be a single projection over documents")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "only the output range sort may shuffle")
+  }
+
+  test("ix_bm25 broadcasts the 1-row stats and heap-selects top-k, no token shuffle") {
+    val p = plan("ix_bm25")
+    assert(p.contains("TakeOrderedAndProject"), "top-k must not be a global sort")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "the corpus-stats row must be broadcast, not shuffled")
+    assert(!p.contains("SortMergeJoin"))
+    assert(!p.contains("Explode"),
+      "fixed query terms must be counted map-side, never via a token explode")
+  }
+
+  test("km_topics assigns clusters by aggregation with broadcast centroids, no window") {
+    val p = plan("km_topics")
+    assert(!p.contains("row_number"),
+      "per-vector argmax must be the struct-max aggregation, not a window rank")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "each scoring pass must broadcast the k centroid rows")
+    assert(!p.contains("CartesianProduct"),
+      "a non-broadcast centroid cross join would shuffle the corpus k times")
+  }
+
   test("q14_pivot is one pass: no distinct-discovery scan before the agg") {
     val df = SparkEntry.queries("q14_pivot")(spark, sf)
     // explicit value list → a single aggregate over one scan of orders;
