@@ -102,6 +102,12 @@ object Bench {
       built("bucketed_layout", Seq("q11_bucketed_revenue")) {
         selected("q11_bucketed_revenue")(spark, sfDir)
       },
+      built("pruned_layout", Seq("q18_partition_prune")) {
+        operators.Layout.ensureLineitemByYear(spark, sfDir)
+      },
+      built("pagerank_edges", Seq("gr_pagerank")) {
+        operators.Graph.edgesWithDeg(spark, sfDir)
+      },
       built("ivf_index", Seq("ann_ivf", "ann_ivfpq")) {
         operators.Ann.ivfIndex(spark, sfDir)
       },

@@ -15,6 +15,8 @@ object SparkEntry {
       operators.ReportFull.all ++
       operators.Dedup.all ++
       operators.ScaleJoins.all ++
+      operators.Layout.all ++
+      operators.Graph.all ++
       operators.Ann.all ++
       operators.Cluster.all ++
       operators.TextAnalysis.all ++

@@ -386,5 +386,93 @@ object Relational {
       .orderBy("o_custkey", "o_orderkey")
   }
 
-  val all: Seq[Q] = Seq(q1, q3, q5, q6, q7, q8, q9, q9approx, q10, q13, q14, q15, q16)
+  /** Correlated-aggregate decorrelation (TPC-H Q17 shape): revenue
+    * from "small" orders — lineitems whose quantity is under half
+    * their part's average quantity — per brand. The correlated
+    * per-part AVG subquery decorrelates into one per-part aggregate
+    * (|parts| rows, partkey-keyed) joined back to lineitem on
+    * l_partkey: at test SF AQE broadcasts it, at 100 TB it's a plain
+    * keyed shuffle join — never a per-row subquery execution. The
+    * threshold compares against the 6-dp-rounded average so both
+    * engines filter on identical values.
+    */
+  val q17 = Q(
+    "q17_small_qty",
+    """SELECT p_brand,
+      |  CAST(count(*) AS BIGINT) AS n_small,
+      |  round(1e-9 + sum(l_extendedprice), 2) AS small_revenue
+      |FROM lineitem
+      |JOIN part ON p_partkey = l_partkey
+      |JOIN (SELECT l_partkey AS a_partkey,
+      |        round(1e-9 + avg(l_quantity), 6) AS avg_qty
+      |      FROM lineitem GROUP BY l_partkey) a
+      |  ON a_partkey = l_partkey
+      |WHERE l_quantity < 0.5 * avg_qty
+      |GROUP BY p_brand
+      |ORDER BY p_brand""".stripMargin) { (spark, dir) =>
+    val li = Tables.lineitem(spark, dir)
+    val partAvg = li.groupBy(col("l_partkey").as("a_partkey"))
+      .agg(round(lit(1e-9) + avg("l_quantity"), 6).as("avg_qty"))
+    li.select("l_partkey", "l_quantity", "l_extendedprice")
+      .join(partAvg, col("l_partkey") === col("a_partkey"))
+      .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
+      .join(Tables.part(spark, dir).select("p_partkey", "p_brand"),
+        col("p_partkey") === col("l_partkey"))
+      .groupBy("p_brand")
+      .agg(
+        count(lit(1)).as("n_small"),
+        round(lit(1e-9) + sum("l_extendedprice"), 2).as("small_revenue"))
+      .orderBy("p_brand")
+  }
+
+  /** Correlated-MIN decorrelation (TPC-H Q2 shape): for each small
+    * part, the supplier offering the lowest observed unit price in
+    * lineitem (ties broken by smallest suppkey), with the supplier's
+    * nation. The correlated min-cost subquery becomes: per
+    * (part, supplier) cost aggregate → per-part argmin via ONE
+    * struct-min aggregation (min(struct(cost, suppkey)) — the
+    * engine's standard no-window argmax discipline) → dimension joins
+    * (supplier/nation: broadcast-sized or CBO's call). Costs are
+    * 4-dp-rounded before the argmin so tie-breaks agree across
+    * engines.
+    */
+  val q2 = Q(
+    "q2_mincost",
+    """WITH cost AS (
+      |  SELECT l_partkey, l_suppkey,
+      |    round(1e-9 + avg(l_extendedprice / l_quantity), 4) AS cost
+      |  FROM lineitem GROUP BY l_partkey, l_suppkey
+      |),
+      |best AS (
+      |  SELECT l_partkey, min(cost) AS min_cost FROM cost GROUP BY l_partkey
+      |),
+      |pick AS (
+      |  SELECT c.l_partkey, b.min_cost, min(c.l_suppkey) AS best_supp
+      |  FROM cost c JOIN best b ON c.l_partkey = b.l_partkey AND c.cost = b.min_cost
+      |  GROUP BY c.l_partkey, b.min_cost
+      |)
+      |SELECT p_partkey, p_brand, s_name, n_name, min_cost
+      |FROM pick
+      |JOIN part ON p_partkey = l_partkey
+      |JOIN supplier ON s_suppkey = best_supp
+      |JOIN nation ON n_nationkey = s_nationkey
+      |WHERE p_size <= 5
+      |ORDER BY p_partkey""".stripMargin) { (spark, dir) =>
+    val cost = Tables.lineitem(spark, dir)
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(round(lit(1e-9) + avg(col("l_extendedprice") / col("l_quantity")), 4).as("cost"))
+    val pick = cost
+      .groupBy("l_partkey")
+      .agg(min(struct(col("cost"), col("l_suppkey"))).as("b"))
+      .select(col("l_partkey"), col("b.cost").as("min_cost"), col("b.l_suppkey").as("best_supp"))
+    pick
+      .join(Tables.part(spark, dir).filter(col("p_size") <= 5),
+        col("p_partkey") === col("l_partkey"))
+      .join(Tables.supplier(spark, dir), col("s_suppkey") === col("best_supp"))
+      .join(broadcast(Tables.nation(spark, dir)), col("n_nationkey") === col("s_nationkey"))
+      .select("p_partkey", "p_brand", "s_name", "n_name", "min_cost")
+      .orderBy("p_partkey")
+  }
+
+  val all: Seq[Q] = Seq(q1, q3, q5, q6, q7, q8, q9, q9approx, q10, q13, q14, q15, q16, q17, q2)
 }

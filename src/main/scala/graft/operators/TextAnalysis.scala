@@ -472,5 +472,63 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(tokens, quality, langid, fingerprint, curate, shard, topterms, pii)
+  /** Shannon-entropy gibberish/boilerplate gate: per-doc character
+    * entropy, whitespace-token entropy, type-token ratio, and the two
+    * curation flags a mix designer filters on (low_entropy = repeated
+    * filler, templated = low lexical diversity). The SQL formulation
+    * explodes text into a corpus-sized (doc_id, char) shuffle — the
+    * oracle does exactly that; the engine instead computes all four
+    * stats in ONE native map-side expression (TextEntropyExpr, one
+    * tight-loop pass per doc inside WholeStageCodegen), so the only
+    * shuffle is the output sort. Flags compare the ROUNDED values, so
+    * both engines decide on identical 4/6-dp inputs.
+    */
+  val entropy = Q(
+    "tx_entropy",
+    """WITH chars AS (
+      |  SELECT doc_id, unnest(string_split_regex(text, '')) AS ch, length(text) AS n
+      |  FROM documents
+      |),
+      |chist AS (SELECT doc_id, ch, count(*) AS c, any_value(n) AS n FROM chars GROUP BY doc_id, ch),
+      |ce AS (SELECT doc_id,
+      |    round(1e-9 - sum((c / CAST(n AS DOUBLE)) * log2(c / CAST(n AS DOUBLE))), 4) AS char_entropy
+      |  FROM chist GROUP BY doc_id),
+      |words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      |wf AS (SELECT doc_id, w, count(*) AS c FROM words WHERE w <> '' GROUP BY doc_id, w),
+      |tot AS (SELECT doc_id, sum(c) AS n, count(*) AS types FROM wf GROUP BY doc_id),
+      |we AS (SELECT wf.doc_id,
+      |    round(1e-9 - sum((c / CAST(n AS DOUBLE)) * log2(c / CAST(n AS DOUBLE))), 4) AS word_entropy,
+      |    CAST(any_value(types) AS BIGINT) AS n_types,
+      |    CAST(any_value(n) AS BIGINT) AS n_tokens,
+      |    round(1e-9 + any_value(types) / CAST(any_value(n) AS DOUBLE), 6) AS ttr
+      |  FROM wf JOIN tot ON wf.doc_id = tot.doc_id GROUP BY wf.doc_id)
+      |SELECT d.doc_id,
+      |  coalesce(ce.char_entropy, 0) AS char_entropy,
+      |  coalesce(we.word_entropy, 0) AS word_entropy,
+      |  coalesce(we.n_types, 0) AS n_types,
+      |  coalesce(we.n_tokens, 0) AS n_tokens,
+      |  coalesce(we.ttr, 0) AS ttr,
+      |  coalesce(we.word_entropy, 0) < 4.0 AS low_entropy,
+      |  coalesce(we.ttr, 0) < 0.4 AS templated
+      |FROM documents d
+      |LEFT JOIN ce ON d.doc_id = ce.doc_id
+      |LEFT JOIN we ON d.doc_id = we.doc_id
+      |ORDER BY d.doc_id""".stripMargin) { (spark, dir) =>
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), graft.functions.EntropyExprs.text_entropy(col("text")).as("st"))
+      .select(
+        col("doc_id"),
+        round(lit(1e-9) + col("st.char_entropy"), 4).as("char_entropy"),
+        round(lit(1e-9) + col("st.word_entropy"), 4).as("word_entropy"),
+        col("st.n_types").as("n_types"),
+        col("st.n_tokens").as("n_tokens"),
+        round(lit(1e-9) + col("st.n_types") / greatest(col("st.n_tokens"), lit(1L)).cast("double"), 6)
+          .as("ttr"))
+      .withColumn("low_entropy", col("word_entropy") < 4.0)
+      .withColumn("templated", col("ttr") < 0.4)
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(tokens, quality, langid, fingerprint, curate, shard, topterms, pii,
+    entropy)
 }

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** PageRank invariants that pin the implementation independently of
+  * the DuckDB oracle replay (which checks exact values).
+  */
+class GraphSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("pagerank covers every node, all ranks positive, mass conserved") {
+    val e2 = operators.Graph.edgesWithDeg(spark, sf)
+    val nNodes = e2.select("src").distinct().count()
+    val rows = SparkEntry.queries("gr_pagerank")(spark, sf).collect()
+    assert(rows.length == nNodes, s"expected $nNodes ranked nodes, got ${rows.length}")
+    assert(rows.forall(_.getAs[Double]("rank") > 0.0))
+    // damped update conserves total mass up to the teleport term:
+    // summing r' = 0.15 + 0.85·Σ r/deg over all nodes gives
+    // 0.15·N + 0.85·(total mass), whose fixed point is exactly N
+    val total = rows.map(_.getAs[Double]("rank")).sum
+    assert(math.abs(total - nNodes) < nNodes * 1e-6,
+      s"rank mass $total drifted from node count $nNodes")
+  }
+
+  test("on a regular symmetric graph every rank is exactly 1") {
+    import spark.implicits._
+    // 4-cycle: every node has degree 2 → uniform ranks are the fixed
+    // point and iteration never leaves it
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L))
+    val e0 = edges.toDF("src", "dst")
+    val sym = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+    val deg = sym.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val e2 = sym.join(deg, "src")
+    var ranks = deg.select(col("src").as("node"), lit(1.0).as("rank"))
+    for (_ <- 1 to 10) {
+      ranks = e2.join(ranks.withColumnRenamed("node", "src"), "src")
+        .groupBy("dst")
+        .agg((lit(0.15) + lit(0.85) * sum(col("rank") / col("outdeg"))).as("rank"))
+        .select(col("dst").as("node"), col("rank"))
+    }
+    val out = ranks.collect().map(r => (r.getAs[Long]("node"), r.getAs[Double]("rank")))
+    assert(out.length == 4)
+    out.foreach { case (_, r) => assert(math.abs(r - 1.0) < 1e-12) }
+  }
+}
