@@ -1,0 +1,99 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** Re-aggregation patterns — the two ways a 100 TB warehouse avoids
+  * rescanning the corpus when serving a rollup:
+  *
+  *  - mergeable sketches: per-shard HLL sketches built once, unioned
+  *    into any coarser grouping without touching rows again
+  *    (q19_sketch_union exercises Spark's DataSketches HLL agg +
+  *    union + estimate end-to-end);
+  *  - incremental view maintenance: an existing aggregate plus a
+  *    delta-slice aggregate merged algebraically — sum/count are
+  *    mergeable, avg re-derives from them — instead of a full
+  *    recompute (mv_incremental).
+  */
+object Maintain {
+
+  /** Per-source distinct-document sketches + the cross-source union.
+    * The estimates themselves are engine-specific (DataSketches HLL
+    * here), so — exactly like q9_approx — the query emits the EXACT
+    * counts plus booleans pinning each estimate within 5% (HLL at
+    * lgK=14 measures ~0.8% rsd; 5% is a loose tripwire), and the
+    * oracle hash-checks counts and booleans. The scale shape is the
+    * point: per-source sketches are partial aggregates (map-side
+    * combined, constant size); the ALL row re-aggregates the 20
+    * sketch rows, never the corpus.
+    */
+  val sketchUnion = Q(
+    "q19_sketch_union",
+    """SELECT source, n_exact, TRUE AS est_ok FROM (
+      |  SELECT source, CAST(count(DISTINCT sha256(text)) AS BIGINT) AS n_exact
+      |  FROM documents GROUP BY source
+      |  UNION ALL
+      |  SELECT 'ALL' AS source, CAST(count(DISTINCT sha256(text)) AS BIGINT) AS n_exact
+      |  FROM documents
+      |)
+      |ORDER BY source""".stripMargin) { (spark, dir) =>
+    // the exact pin counts distinct CONTENT HASHES (the dd_exact_hash
+    // discipline) so the distinct shuffle carries 32-byte keys, never
+    // text; the sketch itself is a map-side partial aggregate
+    val docs = Tables.documents(spark, dir)
+      .select(col("source"), col("text"), sha2(col("text"), 256).as("sha"))
+    val perSource = docs.groupBy("source")
+      .agg(
+        hll_sketch_agg(col("text"), lit(14)).as("sk"),
+        countDistinct(col("sha")).as("n_exact"))
+    val allRow = perSource
+      .agg(hll_union_agg(col("sk"), allowDifferentLgConfigK = lit(false)).as("sk"))
+      .crossJoin(docs.agg(countDistinct(col("sha")).as("n_exact")))
+      .select(lit("ALL").as("source"), col("sk"), col("n_exact"))
+    perSource.select(col("source"), col("sk"), col("n_exact"))
+      .unionByName(allRow)
+      .select(col("source"), col("n_exact"),
+        (abs(hll_sketch_estimate(col("sk")) - col("n_exact")) <=
+          col("n_exact").cast("double") * 0.05).as("est_ok"))
+      .orderBy("source")
+  }
+
+  /** Incremental aggregate maintenance: the per-priority revenue
+    * rollup over orders, maintained as base slice (orderdate < 1999,
+    * "the materialized view") merged with the delta slice (≥ 1999,
+    * "yesterday's partition"). Merge is one |groups|-row union +
+    * re-aggregate — sums and counts add, the average re-derives from
+    * the merged sums — and must equal the full-table recompute, which
+    * is exactly what the oracle runs. At production volume the base
+    * agg is a stored table and only the delta scan runs per refresh.
+    */
+  val incremental = Q(
+    "mv_incremental",
+    """SELECT o_orderpriority,
+      |  CAST(count(*) AS BIGINT) AS n_orders,
+      |  round(1e-9 + sum(o_totalprice), 2) AS revenue,
+      |  round(1e-9 + sum(o_totalprice) / count(*), 4) AS avg_price
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin) { (spark, dir) =>
+    val orders = Tables.orders(spark, dir)
+    def slice(pred: org.apache.spark.sql.Column) =
+      orders.filter(pred)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"), sum("o_totalprice").as("revenue"))
+    val cutoff = lit("1999-01-01").cast("timestamp")
+    val base = slice(col("o_orderdate") < cutoff)
+    val delta = slice(col("o_orderdate") >= cutoff)
+    base.unionByName(delta)
+      .groupBy("o_orderpriority")
+      .agg(sum("n_orders").as("n_orders"), sum("revenue").as("rev"))
+      .select(
+        col("o_orderpriority"),
+        col("n_orders"),
+        round(lit(1e-9) + col("rev"), 2).as("revenue"),
+        round(lit(1e-9) + col("rev") / col("n_orders").cast("double"), 4).as("avg_price"))
+      .orderBy("o_orderpriority")
+  }
+
+  val all: Seq[Q] = Seq(sketchUnion, incremental)
+}

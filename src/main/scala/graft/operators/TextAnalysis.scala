@@ -514,20 +514,29 @@ object TextAnalysis {
       |LEFT JOIN ce ON d.doc_id = ce.doc_id
       |LEFT JOIN we ON d.doc_id = we.doc_id
       |ORDER BY d.doc_id""".stripMargin) { (spark, dir) =>
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), graft.functions.EntropyExprs.text_entropy(col("text")).as("st"))
-      .select(
-        col("doc_id"),
-        round(lit(1e-9) + col("st.char_entropy"), 4).as("char_entropy"),
-        round(lit(1e-9) + col("st.word_entropy"), 4).as("word_entropy"),
-        col("st.n_types").as("n_types"),
-        col("st.n_tokens").as("n_tokens"),
-        round(lit(1e-9) + col("st.n_types") / greatest(col("st.n_tokens"), lit(1L)).cast("double"), 6)
-          .as("ttr"))
-      .withColumn("low_entropy", col("word_entropy") < 4.0)
-      .withColumn("templated", col("ttr") < 0.4)
+    entropyEnrich(Tables.documents(spark, dir).select("doc_id", "text"))
+      .drop("text")
       .orderBy("doc_id")
   }
+
+  /** The tx_entropy projection as a reusable map-only enrichment —
+    * ONE shared definition, so the streaming gate
+    * (Streaming.entropyGate) and the batch query can never disagree
+    * on a verdict. Adds the stat + flag columns to any frame with a
+    * `text` column.
+    */
+  def entropyEnrich(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    df
+      .withColumn("st", graft.functions.EntropyExprs.text_entropy(col("text")))
+      .withColumn("char_entropy", round(lit(1e-9) + col("st.char_entropy"), 4))
+      .withColumn("word_entropy", round(lit(1e-9) + col("st.word_entropy"), 4))
+      .withColumn("n_types", col("st.n_types"))
+      .withColumn("n_tokens", col("st.n_tokens"))
+      .withColumn("ttr", round(lit(1e-9) +
+        col("st.n_types") / greatest(col("st.n_tokens"), lit(1L)).cast("double"), 6))
+      .withColumn("low_entropy", col("word_entropy") < 4.0)
+      .withColumn("templated", col("ttr") < 0.4)
+      .drop("st")
 
   val all: Seq[Q] = Seq(tokens, quality, langid, fingerprint, curate, shard, topterms, pii,
     entropy)

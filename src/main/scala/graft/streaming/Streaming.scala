@@ -472,6 +472,17 @@ object Streaming {
   def mixApply(docs: DataFrame, weights: DataFrame): DataFrame =
     graft.operators.Pipeline.applyMixTo(docs, weights)
 
+  /** Streaming entropy gate: each arriving doc gets the tx_entropy
+    * stats + low_entropy/templated flags at ingest. Pure map-only —
+    * the shared TextAnalysis.entropyEnrich projection (one native
+    * expression pass per doc, no state, no shuffle), so an ingest
+    * replay reproduces the batch tx_entropy verdicts row-for-row
+    * (cross-validated in StreamingSpec) and the gate composes with
+    * any downstream streaming stage.
+    */
+  def entropyGate(docs: DataFrame): DataFrame =
+    graft.operators.TextAnalysis.entropyEnrich(docs)
+
   /** Streaming LM-perplexity gate: each arriving doc is scored
     * against the MEMOIZED stupid-backoff bigram LM the batch trained
     * (Pipeline.bigramLmOf — the "train on trusted text, score the

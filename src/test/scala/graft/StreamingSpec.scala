@@ -617,6 +617,31 @@ class StreamingSpec extends AnyFunSuite {
       (got.keySet | want.keySet).filter(k => got.get(k) != want.get(k)).take(5)}")
   }
 
+  test("streaming entropy gate equals batch tx_entropy on a replayed corpus") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val corpus = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val mem = MemoryStream[(Long, String)]
+    val q = Streaming.entropyGate(mem.toDF().toDF("doc_id", "text"))
+      .writeStream.outputMode("append").format("memory").queryName("entgate").start()
+    try {
+      corpus.grouped(math.max(1, corpus.length / 3 + 1)).foreach { chunk =>
+        mem.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    def toMap(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+      r.getAs[Long]("doc_id") -> ((r.getAs[Double]("char_entropy"),
+        r.getAs[Double]("word_entropy"), r.getAs[Long]("n_types"),
+        r.getAs[Long]("n_tokens"), r.getAs[Double]("ttr"),
+        r.getAs[Boolean]("low_entropy"), r.getAs[Boolean]("templated")))).toMap
+    val got = toMap(spark.sql("SELECT * FROM entgate").collect())
+    val want = toMap(SparkEntry.queries("tx_entropy")(spark, sf).collect())
+    assert(got == want, s"stream entropy verdicts diverged for docs: ${
+      (got.keySet | want.keySet).filter(k => got.get(k) != want.get(k)).take(5)}")
+  }
+
   test("streaming LM-perplexity gate equals batch tx_bigram_ppl on a replayed corpus") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
