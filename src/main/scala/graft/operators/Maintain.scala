@@ -37,14 +37,16 @@ object Maintain {
       |  FROM documents
       |)
       |ORDER BY source""".stripMargin) { (spark, dir) =>
-    // the exact pin counts distinct CONTENT HASHES (the dd_exact_hash
-    // discipline) so the distinct shuffle carries 32-byte keys, never
-    // text; the sketch itself is a map-side partial aggregate
+    // BOTH the exact pin and the sketch key on the CONTENT HASH (the
+    // dd_exact_hash discipline): the distinct shuffle carries 32-byte
+    // keys, never text, and the sketch counts the empty-string doc
+    // too (DataSketches skips "" updates — the fuzz sweep caught an
+    // estimate short by exactly the empty doc when sketching raw text)
     val docs = Tables.documents(spark, dir)
-      .select(col("source"), col("text"), sha2(col("text"), 256).as("sha"))
+      .select(col("source"), sha2(col("text"), 256).as("sha"))
     val perSource = docs.groupBy("source")
       .agg(
-        hll_sketch_agg(col("text"), lit(14)).as("sk"),
+        hll_sketch_agg(col("sha"), lit(14)).as("sk"),
         countDistinct(col("sha")).as("n_exact"))
     val allRow = perSource
       .agg(hll_union_agg(col("sk"), allowDifferentLgConfigK = lit(false)).as("sk"))
