@@ -131,6 +131,9 @@ object Bench {
       },
       built("km_centroids", Seq("km_topics", "km_profile")) {
         operators.Cluster.centroids(spark, sfDir)
+      },
+      built("hll_sketches", Seq("q19_sketch_union")) {
+        operators.Maintain.sketchFrames(spark, sfDir)
       }).flatten
     // deterministic name order: per-query numbers are comparable
     // run-to-run and round-to-round (Map iteration order shuffled the

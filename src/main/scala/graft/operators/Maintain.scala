@@ -27,6 +27,37 @@ object Maintain {
     * combined, constant size); the ALL row re-aggregates the 20
     * sketch rows, never the corpus.
     */
+  /** One-time sketch-table build: per-source (HLL sketch, exact
+    * distinct) rows, persisted via SessionMemo — the stored rollup a
+    * warehouse maintains per shard/partition. BOTH the sketch and the
+    * exact pin key on the CONTENT HASH (the dd_exact_hash
+    * discipline): the distinct shuffle carries 32-byte keys, never
+    * text, and the sketch counts the empty-string doc too
+    * (DataSketches skips "" updates — the fuzz sweep caught an
+    * estimate short by exactly the empty doc when sketching raw
+    * text). The exact count rides along ONLY as the oracle's pin; a
+    * production build stores just the constant-size sketches.
+    */
+  def sketchFrames(spark: org.apache.spark.sql.SparkSession, dir: String): Seq[org.apache.spark.sql.DataFrame] =
+    graft.SessionMemo.frames(spark, s"maintain.hllSketches:$dir") {
+      val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val docs = Tables.documents(spark, dir)
+        .select(col("source"), sha2(col("text"), 256).as("sha"))
+      val perSource = docs
+        .groupBy("source")
+        .agg(
+          hll_sketch_agg(col("sha"), lit(14)).as("sk"),
+          countDistinct(col("sha")).as("n_exact"))
+        .persist(lvl)
+      // the global exact pin is its own build output: duplicates CROSS
+      // sources here, so it cannot be derived from the per-source rows
+      // — production stores only the sketches and the union IS the
+      // cross-source answer; the exact count exists to grade it
+      val globalExact = docs.agg(countDistinct(col("sha")).as("n_exact")).persist(lvl)
+      perSource.count(); globalExact.count() // materialize: queries time the SERVE path
+      Seq(perSource, globalExact)
+    }
+
   val sketchUnion = Q(
     "q19_sketch_union",
     """SELECT source, n_exact, TRUE AS est_ok FROM (
@@ -37,20 +68,13 @@ object Maintain {
       |  FROM documents
       |)
       |ORDER BY source""".stripMargin) { (spark, dir) =>
-    // BOTH the exact pin and the sketch key on the CONTENT HASH (the
-    // dd_exact_hash discipline): the distinct shuffle carries 32-byte
-    // keys, never text, and the sketch counts the empty-string doc
-    // too (DataSketches skips "" updates — the fuzz sweep caught an
-    // estimate short by exactly the empty doc when sketching raw text)
-    val docs = Tables.documents(spark, dir)
-      .select(col("source"), sha2(col("text"), 256).as("sha"))
-    val perSource = docs.groupBy("source")
-      .agg(
-        hll_sketch_agg(col("sha"), lit(14)).as("sk"),
-        countDistinct(col("sha")).as("n_exact"))
+    val Seq(perSource, globalExact) = sketchFrames(spark, dir)
+    // serve path: per-source rows read straight from the stored
+    // sketch table; the ALL row unions the |sources| sketch rows —
+    // the corpus is NOT rescanned by this query at all
     val allRow = perSource
       .agg(hll_union_agg(col("sk"), allowDifferentLgConfigK = lit(false)).as("sk"))
-      .crossJoin(docs.agg(countDistinct(col("sha")).as("n_exact")))
+      .crossJoin(globalExact)
       .select(lit("ALL").as("source"), col("sk"), col("n_exact"))
     perSource.select(col("source"), col("sk"), col("n_exact"))
       .unionByName(allRow)
