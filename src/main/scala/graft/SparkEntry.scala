@@ -17,6 +17,7 @@ object SparkEntry {
       operators.ScaleJoins.all ++
       operators.Layout.all ++
       operators.Graph.all ++
+      operators.Distribution.all ++
       operators.Maintain.all ++
       operators.Ann.all ++
       operators.Cluster.all ++

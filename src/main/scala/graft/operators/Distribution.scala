@@ -1,0 +1,172 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distribution analytics — set algebra, equi-width histograms, and
+  * distribution-drift scoring (PSI). These are the corpus-monitoring
+  * primitives a training-data pipeline runs per ingest batch: which
+  * cohorts appear/disappear between slices (set ops), what the length
+  * profile looks like (histogram), and whether any source's
+  * distribution has drifted from the corpus baseline (PSI — the
+  * standard data-drift tripwire; reference analog: the per-model
+  * feature-distribution comparisons in llmmap.py:104-146, which
+  * compare point aggregates where PSI compares whole histograms).
+  *
+  * Scale shapes: q20 is two shuffle-distincts on a fixed-width key
+  * (INTERSECT/EXCEPT compile to hash aggregates/joins on o_custkey);
+  * q21/ma_drift_psi scan the corpus ONCE into a ≤ sources×10-row
+  * binned aggregate and every later join is over those tiny frames
+  * (the global histogram derives from the per-source one by
+  * re-aggregation — the mv_incremental merge algebra, so a 100 TB
+  * deployment maintains the (source, bin) table incrementally and
+  * PSI reads no raw rows at all).
+  */
+object Distribution {
+
+  /** Customer-cohort set algebra across two order years. The four
+    * classic set operators in one result: INTERSECT / both-way EXCEPT
+    * / UNION over the distinct 1996 and 1997 purchaser sets — each a
+    * hash-distinct on a fixed-width key, the textbook churn/overlap
+    * report (customers retained, lost, gained, total active).
+    */
+  val setOps = Q(
+    "q20_setops",
+    """WITH a AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996),
+      |     b AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1997)
+      |SELECT 'both' AS set_op, CAST(count(*) AS BIGINT) AS n_customers
+      |  FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
+      |UNION ALL
+      |SELECT 'either' AS set_op, CAST(count(*) AS BIGINT) AS n_customers
+      |  FROM (SELECT * FROM a UNION SELECT * FROM b)
+      |UNION ALL
+      |SELECT 'only_1996' AS set_op, CAST(count(*) AS BIGINT) AS n_customers
+      |  FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
+      |UNION ALL
+      |SELECT 'only_1997' AS set_op, CAST(count(*) AS BIGINT) AS n_customers
+      |  FROM (SELECT * FROM b EXCEPT SELECT * FROM a)
+      |ORDER BY set_op""".stripMargin) { (spark, dir) =>
+    val orders = Tables.orders(spark, dir)
+    def custs(y: Int): DataFrame = orders
+      .filter(year(col("o_orderdate")) === y)
+      .select(col("o_custkey"))
+      .distinct()
+    val a = custs(1996)
+    val b = custs(1997)
+    def labelled(lbl: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_customers"))
+        .select(lit(lbl).as("set_op"), col("n_customers"))
+    labelled("both", a.intersect(b))
+      .unionByName(labelled("either", a.union(b).distinct()))
+      .unionByName(labelled("only_1996", a.except(b)))
+      .unionByName(labelled("only_1997", b.except(a)))
+      .orderBy("set_op")
+  }
+
+  /** Histogram bin width (chars) and cap. Integer arithmetic only —
+    * `n_chars div 64` reads identically in Spark and DuckDB (`//`),
+    * so bin boundaries are bit-exact cross-engine at any length.
+    */
+  private val BinWidth = 64L
+  private val MaxBin = 9L
+
+  /** Per-source binned length counts — the ONE corpus scan shared by
+    * q21_histogram and ma_drift_psi (both downstream shapes are
+    * re-aggregations of this ≤ sources×10-row frame).
+    */
+  private def sourceBins(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"),
+        least(expr(s"n_chars div $BinWidth"), lit(MaxBin)).as("bin"),
+        col("n_chars"))
+      .groupBy("source", "bin")
+      .agg(count(lit(1)).as("n"), sum("n_chars").as("chars"))
+
+  /** Equi-width corpus length histogram: 10 fixed 64-char bins (the
+    * last open-ended), count + corpus share + mean length per bin.
+    * The corpus collapses to ≤ 10 rows in one partial-aggregated
+    * pass; the share denominator is a 1-row broadcast derived from
+    * the same aggregate, not a second scan.
+    */
+  val histogram = Q(
+    "q21_histogram",
+    """WITH b AS (
+      |  SELECT least(n_chars // 64, 9) AS bin,
+      |         CAST(count(*) AS BIGINT) AS n_docs,
+      |         sum(n_chars) AS chars
+      |  FROM documents GROUP BY 1),
+      |t AS (SELECT sum(n_docs) AS n_total FROM b)
+      |SELECT bin, bin * 64 AS lo_chars, n_docs,
+      |  round(1e-9 + n_docs / CAST(t.n_total AS DOUBLE), 6) AS share,
+      |  round(1e-9 + chars / CAST(n_docs AS DOUBLE), 2) AS avg_chars
+      |FROM b CROSS JOIN t
+      |ORDER BY bin""".stripMargin) { (spark, dir) =>
+    val bins = sourceBins(spark, dir)
+      .groupBy("bin")
+      .agg(sum("n").as("n_docs"), sum("chars").as("chars"))
+    val total = bins.agg(sum("n_docs").as("n_total"))
+    bins.crossJoin(broadcast(total))
+      .select(
+        col("bin"),
+        (col("bin") * BinWidth).as("lo_chars"),
+        col("n_docs"),
+        round(lit(1e-9) + col("n_docs") / col("n_total").cast("double"), 6).as("share"),
+        round(lit(1e-9) + col("chars") / col("n_docs").cast("double"), 2).as("avg_chars"))
+      .orderBy("bin")
+  }
+
+  /** Per-source distribution drift vs the corpus baseline —
+    * Population Stability Index over the 10-bin length histogram:
+    * PSI = Σ_bins (p_src − p_all)·ln((p_src+ε)/(p_all+ε)), ε=1e-6
+    * guarding empty bins. PSI ≥ 0.1 is the conventional "drifted"
+    * tripwire. Everything after the single binned corpus scan runs
+    * on ≤ sources×10-row aggregate frames (the baseline derives from
+    * the per-source counts by re-aggregation; the dense source×bin
+    * grid is a broadcast cross join of two tiny aggregates), and the
+    * flag compares the ROUNDED score so both engines decide
+    * identically.
+    */
+  val driftPsi = Q(
+    "ma_drift_psi",
+    """WITH sb AS (
+      |  SELECT source, least(n_chars // 64, 9) AS bin,
+      |         CAST(count(*) AS BIGINT) AS n
+      |  FROM documents GROUP BY 1, 2),
+      |tot AS (SELECT source, sum(n) AS n_src FROM sb GROUP BY source),
+      |gb AS (SELECT bin, sum(n) AS n_all FROM sb GROUP BY bin),
+      |g AS (SELECT sum(n) AS n_corpus FROM sb),
+      |p AS (
+      |  SELECT grid.source,
+      |    COALESCE(sb.n, 0) / CAST(grid.n_src AS DOUBLE) AS ps,
+      |    grid.n_all / (SELECT CAST(n_corpus AS DOUBLE) FROM g) AS pa
+      |  FROM (SELECT t.source, t.n_src, b.bin, b.n_all FROM tot t CROSS JOIN gb b) grid
+      |  LEFT JOIN sb ON sb.source = grid.source AND sb.bin = grid.bin),
+      |psi AS (
+      |  SELECT source,
+      |    round(1e-9 + sum((ps - pa) * ln((ps + 1e-6) / (pa + 1e-6))), 6) AS psi
+      |  FROM p GROUP BY source)
+      |SELECT source, psi, psi > 0.1 AS drifted
+      |FROM psi ORDER BY source""".stripMargin) { (spark, dir) =>
+    val sb = sourceBins(spark, dir).select("source", "bin", "n")
+    val tot = sb.groupBy("source").agg(sum("n").as("n_src"))
+    val gb = sb.groupBy("bin").agg(sum("n").as("n_all"))
+    val g = gb.agg(sum("n_all").as("n_corpus"))
+    val grid = tot.crossJoin(broadcast(gb))
+    val p = grid
+      .join(sb, Seq("source", "bin"), "left")
+      .crossJoin(broadcast(g))
+      .select(
+        col("source"),
+        (coalesce(col("n"), lit(0L)) / col("n_src").cast("double")).as("ps"),
+        (col("n_all") / col("n_corpus").cast("double")).as("pa"))
+    p.groupBy("source")
+      .agg(round(lit(1e-9) +
+        sum((col("ps") - col("pa")) *
+          log((col("ps") + 1e-6) / (col("pa") + 1e-6))), 6).as("psi"))
+      .select(col("source"), col("psi"), (col("psi") > 0.1).as("drifted"))
+      .orderBy("source")
+  }
+
+  val all: Seq[Q] = Seq(setOps, histogram, driftPsi)
+}

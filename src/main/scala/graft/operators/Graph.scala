@@ -89,5 +89,86 @@ object Graph {
       .orderBy("node")
   }
 
-  val all: Seq[Q] = Seq(pagerank)
+  /** Triangle census over the part co-order graph (parts are nodes;
+    * an edge joins two parts that appear in the same order with
+    * quantity ≥ 40 — the thresholded "bought together in bulk"
+    * graph). Triangles/clustering coefficient are the second classic
+    * graph statistic after rank: community density of the link graph.
+    *
+    * The algorithm is the degree-ordered node-iterator (Cohen/Suri
+    * MapReduce triangle counting): orient every undirected edge from
+    * its lower to its higher endpoint under the total order
+    * (degree, id), form wedges only at each edge's LOW-order apex,
+    * and close them against the oriented edge list. Orientation
+    * bounds every apex's out-degree by O(√m) on real graphs, so the
+    * wedge set — the only super-linear intermediate — stays ~m^1.5
+    * instead of Σdeg² (a hub with degree d would otherwise mint d²
+    * wedges). All comparisons are (deg, id) tuple comparisons —
+    * struct ordering in Spark, row-value comparison in DuckDB — so
+    * the orientation is bit-identical cross-engine. Output is one
+    * summary row: nodes, edges, wedge count Σd(d−1)/2 (exact integer
+    * — d(d−1) is even), triangles, and the global clustering
+    * coefficient 3·triangles/wedges (rounded 6 dp).
+    */
+  val triangles = Q(
+    "gr_triangles",
+    """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+      |            FROM lineitem WHERE l_quantity >= 40),
+      |e0 AS (SELECT DISTINCT a.p AS u, b.p AS v
+      |       FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+      |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS d
+      |        FROM (SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0)
+      |        GROUP BY node),
+      |oe AS (SELECT
+      |    CASE WHEN (du.d, e0.u) < (dv.d, e0.v) THEN e0.u ELSE e0.v END AS s,
+      |    CASE WHEN (du.d, e0.u) < (dv.d, e0.v) THEN e0.v ELSE e0.u END AS t,
+      |    CASE WHEN (du.d, e0.u) < (dv.d, e0.v) THEN dv.d ELSE du.d END AS td
+      |  FROM e0 JOIN deg du ON du.node = e0.u JOIN deg dv ON dv.node = e0.v),
+      |w AS (SELECT x.s, x.t AS a1, y.t AS a2
+      |      FROM oe x JOIN oe y ON x.s = y.s AND (x.td, x.t) < (y.td, y.t)),
+      |tri AS (SELECT CAST(count(*) AS BIGINT) AS n
+      |        FROM w JOIN oe c ON c.s = w.a1 AND c.t = w.a2)
+      |SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+      |       (SELECT CAST(count(*) AS BIGINT) FROM e0) AS n_edges,
+      |       (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) FROM deg) AS n_wedges,
+      |       (SELECT n FROM tri) AS n_triangles,
+      |       round(1e-9 + 3.0 * (SELECT n FROM tri) /
+      |             (SELECT CAST(sum(d * (d - 1) // 2) AS DOUBLE) FROM deg), 6) AS gcc""".stripMargin) { (spark, dir) =>
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_quantity") >= 40)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    val e0 = li.as("a").join(li.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("u"), col("b.p").as("v"))
+      .distinct()
+    val deg = e0.select(col("u").as("node"))
+      .union(e0.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+    val ed = e0
+      .join(deg.select(col("node").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("d").as("dv")), "v")
+    val lower = struct(col("du"), col("u")) < struct(col("dv"), col("v"))
+    val oe = ed.select(
+      when(lower, col("u")).otherwise(col("v")).as("s"),
+      when(lower, col("v")).otherwise(col("u")).as("t"),
+      when(lower, col("dv")).otherwise(col("du")).as("td"))
+    val oe2 = oe.select(col("s").as("s2"), col("t").as("t2"), col("td").as("td2"))
+    val w = oe.join(oe2,
+        col("s") === col("s2") &&
+          struct(col("td"), col("t")) < struct(col("td2"), col("t2")))
+      .select(col("t").as("a1"), col("t2").as("a2"))
+    val tri = w.join(oe.select(col("s").as("a1"), col("t").as("a2")), Seq("a1", "a2"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val nodes = deg.agg(count(lit(1)).as("n_nodes"),
+      sum(expr("d * (d - 1) div 2")).as("n_wedges"))
+    val edges = e0.agg(count(lit(1)).as("n_edges"))
+    nodes.crossJoin(edges).crossJoin(tri)
+      .select(
+        col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"),
+        round(lit(1e-9) + lit(3.0) * col("n_triangles") /
+          col("n_wedges").cast("double"), 6).as("gcc"))
+  }
+
+  val all: Seq[Q] = Seq(pagerank, triangles)
 }

@@ -503,6 +503,58 @@ object Pipeline {
       .orderBy("source", "rank")
   }
 
+  /** Weighted sampling without replacement — Efraimidis–Spirakis A-ES
+    * priority sampling, the standard one-pass distributed algorithm:
+    * each doc draws priority u^(1/w) (u uniform, w = its token count,
+    * floor 1), and the k highest priorities per source win — giving
+    * inclusion probability ∝ w (token-weighted, so long docs are
+    * favored the way a token-budget mix wants). Everything is
+    * deterministic and engine-portable: u comes from a Knuth
+    * multiplicative hash of doc_id over a fixed prime grid (exact
+    * BIGINT arithmetic in both engines), priorities are compared as
+    * ln(u)/w — monotone in u^(1/w) — ROUNDED to 9 dp with a doc_id
+    * tie-break, so both engines rank the identical key. Scale shape:
+    * identical to pipe_sample — the bounded-heap aggregate ships k
+    * rows per source per partition, shuffle O(sources·k); the
+    * row_number window exists only in the oracle.
+    */
+  val weightedSample = Q(
+    "pipe_weighted_sample",
+    s"""SELECT source, rank, doc_id, w, key FROM (
+       |  SELECT source, doc_id, w, key,
+       |    CAST(row_number() OVER (PARTITION BY source ORDER BY key DESC, doc_id) AS BIGINT) AS rank
+       |  FROM (
+       |    SELECT source, CAST(doc_id AS BIGINT) AS doc_id, w,
+       |      round(ln(((doc_id * 2654435761) % 1000003 + 1) / 1000004.0) / w, 9) AS key
+       |    FROM (
+       |      SELECT source, doc_id,
+       |        CAST(greatest(len(string_split_regex(trim(text), '\\s+')), 1) AS BIGINT) AS w
+       |      FROM documents)
+       |  )
+       |) WHERE rank <= $samplePerSource
+       |ORDER BY source, rank""".stripMargin) { (spark, dir) =>
+    val docs = Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id").cast("long").as("doc_id"),
+        greatest(size(split(trim(col("text")), "\\s+")).cast("long"), lit(1L)).as("w"))
+    val key = round(
+      log(((col("doc_id") * 2654435761L) % 1000003L + 1L) / lit(1000004.0)) /
+        col("w").cast("double"), 9)
+    docs
+      .select(col("source"), col("doc_id"), col("w"), key.as("key"))
+      .groupBy("source")
+      .agg(graft.functions.TopKAgg.topk_by_score(
+        col("key"), col("doc_id"), samplePerSource).as("tk"))
+      .select(col("source"), explode(col("tk")).as("t"))
+      .select(col("source"), col("t.rank").as("rank"), col("t.id").as("doc_id"),
+        col("t.score").as("key"))
+      // w rides back via a second corpus scan into a broadcast join
+      // against the ≤ sources·k winners (the decontamination shape:
+      // corpus map-only, only winner rows reach the exchange)
+      .join(docs.select(col("doc_id"), col("w")), Seq("doc_id"))
+      .select(col("source"), col("rank"), col("doc_id"), col("w"), col("key"))
+      .orderBy("source", "rank")
+  }
+
   // ═══════════════ domain mixing weights ═══════════════
 
   private val upsampleCap = 4.0
@@ -779,5 +831,6 @@ object Pipeline {
   val e2eSem = mkE2e("pipe_e2e_sem", sem = true)
 
   val all: Seq[Q] = Seq(repetition, unigramPpl, bigramPpl, decontaminate, deconBloom, sample,
+    weightedSample,
     mix, mixApply, e2e, e2eSem)
 }

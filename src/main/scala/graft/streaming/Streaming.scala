@@ -509,6 +509,36 @@ object Streaming {
     graft.operators.Pipeline.scoreBigramCounts(rows, trainBigrams, trainUnigrams, tot)
   }
 
+  /** Stream-STREAM interval join — the one join class where BOTH
+    * sides arrive live (every other streaming join in this library is
+    * stream-static). Each purchase pairs with every same-user click
+    * within ±`band` of its event time. Both inputs carry event-time
+    * watermarks and the join condition bounds the time skew between
+    * them, so Spark derives a state watermark PER SIDE: a buffered
+    * click older than (purchase watermark − band) can never match a
+    * future purchase and is evicted, and vice versa — state is
+    * bounded by arrival rate × 2·band, never by stream history. Inner
+    * join, so matches emit eagerly (no watermark wait on output).
+    * This is ev_range_join's shape when neither side is at rest;
+    * cross-validated pair-for-pair against the identical batch join
+    * in StreamingSpec (withWatermark is a no-op in batch, so the SAME
+    * function body is the batch twin).
+    */
+  def intervalJoin(purchases: DataFrame, clicks: DataFrame,
+      band: String = "10 minutes", delay: String = "10 minutes"): DataFrame = {
+    val p = purchases.select(col("event_id").as("p_id"),
+        col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", delay)
+    val c = clicks.select(col("event_id").as("c_id"),
+        col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", delay)
+    p.join(c, expr(
+        s"p_user = c_user AND " +
+          s"c_ts >= p_ts - INTERVAL $band AND c_ts <= p_ts + INTERVAL $band"))
+      .select(col("p_id"), col("p_user").as("user_id"), col("c_id"),
+        (unix_micros(col("c_ts")) - unix_micros(col("p_ts"))).as("gap_us"))
+  }
+
   /** Flush still-open sessions from a completed sessionize pass
     * (batch-mode convenience for tests and backfills).
     */

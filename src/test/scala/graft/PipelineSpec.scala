@@ -263,4 +263,32 @@ class PipelineSpec extends AnyFunSuite {
         math.floor(r.getAs[Long]("tokens") * w + 1e-6).toLong)
     }
   }
+
+  test("pipe_weighted_sample matches a brute-force A-ES recompute and favors long docs") {
+    val out = SparkEntry.queries("pipe_weighted_sample")(spark, sf).collect()
+    // brute force: recompute every doc's priority key and rank per source
+    val docs = Tables.documents(spark, sf)
+      .select(col("source"), col("doc_id").cast("long").as("doc_id"),
+        greatest(size(split(trim(col("text")), "\\s+")).cast("long"), lit(1L)).as("w"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    def key(id: Long, w: Long): Double = {
+      val u = ((id * 2654435761L) % 1000003L + 1L) / 1000004.0
+      BigDecimal(math.log(u) / w).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val want = docs.groupBy(_._1).view.mapValues { ds =>
+      ds.map { case (_, id, w) => (id, w, key(id, w)) }
+        .sortBy { case (id, _, k) => (-k, id) }.take(16)
+    }.toMap
+    val bySource = out.groupBy(_.getAs[String]("source"))
+    assert(bySource.keySet == want.keySet)
+    for ((src, rows) <- bySource) {
+      val got = rows.sortBy(_.getAs[Long]("rank"))
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("w"), r.getAs[Double]("key")))
+      assert(got.toSeq == want(src).toSeq, s"selection mismatch for $src")
+    }
+    // inclusion ∝ token count: winners must be longer than average
+    val avgAll = docs.map(_._3.toDouble).sum / docs.length
+    val avgSel = out.map(_.getAs[Long]("w").toDouble).sum / out.length
+    assert(avgSel > avgAll, s"selected mean w $avgSel not above corpus mean $avgAll")
+  }
 }

@@ -673,6 +673,30 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("stream-stream interval join equals the batch join pair-for-pair") {
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val dir = java.nio.file.Files.createTempDirectory("graft-ssj").toString
+    eventsBatch.write.mode("overwrite").parquet(dir)
+    def side(tpe: String) = spark.readStream.schema(schema).parquet(dir)
+      .filter(col("event_type") === tpe)
+    val q = Streaming.intervalJoin(side("purchase"), side("click"))
+      .writeStream.outputMode("append").format("memory").queryName("ssj").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.sql("SELECT p_id, user_id, c_id, gap_us FROM ssj")
+    // withWatermark is a no-op in batch, so the SAME function is the twin
+    val want = Streaming.intervalJoin(
+      eventsBatch.filter(col("event_type") === "purchase"),
+      eventsBatch.filter(col("event_type") === "click"))
+    assert(got.count() == want.count())
+    assert(got.count() > 0, "expected at least one in-band purchase/click pair")
+    assert(got.join(want, Seq("p_id", "user_id", "c_id", "gap_us"), "left_anti").count() == 0)
+    // and the pair gaps really are within the ±10-minute band
+    assert(got.filter(abs(col("gap_us")) > 600L * 1000000L).count() == 0)
+  }
+
   test("batch sessionize matches the SQL sessionization operator") {
     import spark.implicits._
     val ev = eventsBatch.select("event_id", "ts", "user_id", "event_type", "value").as[Event]
