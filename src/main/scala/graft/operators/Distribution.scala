@@ -71,17 +71,47 @@ object Distribution {
   private val BinWidth = 64L
   private val MaxBin = 9L
 
+  /** The shared bin assignment — also used by Streaming.lengthBins so
+    * the incrementally-maintained streaming bin table and the batch
+    * one agree by construction.
+    */
+  private[graft] def binCol: org.apache.spark.sql.Column =
+    least(expr(s"n_chars div $BinWidth"), lit(MaxBin))
+
   /** Per-source binned length counts — the ONE corpus scan shared by
     * q21_histogram and ma_drift_psi (both downstream shapes are
     * re-aggregations of this ≤ sources×10-row frame).
     */
   private def sourceBins(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .select(col("source"),
-        least(expr(s"n_chars div $BinWidth"), lit(MaxBin)).as("bin"),
-        col("n_chars"))
+      .select(col("source"), binCol.as("bin"), col("n_chars"))
       .groupBy("source", "bin")
       .agg(count(lit(1)).as("n"), sum("n_chars").as("chars"))
+
+  /** PSI over an already-binned (source, bin, n) table — shared by
+    * ma_drift_psi and the streaming twin (which maintains the bin
+    * table incrementally and computes PSI from it without ever
+    * re-reading raw docs).
+    */
+  private[graft] def psiFromBins(sb: DataFrame): DataFrame = {
+    val tot = sb.groupBy("source").agg(sum("n").as("n_src"))
+    val gb = sb.groupBy("bin").agg(sum("n").as("n_all"))
+    val g = gb.agg(sum("n_all").as("n_corpus"))
+    val grid = tot.crossJoin(broadcast(gb))
+    val p = grid
+      .join(sb, Seq("source", "bin"), "left")
+      .crossJoin(broadcast(g))
+      .select(
+        col("source"),
+        (coalesce(col("n"), lit(0L)) / col("n_src").cast("double")).as("ps"),
+        (col("n_all") / col("n_corpus").cast("double")).as("pa"))
+    p.groupBy("source")
+      .agg(round(lit(1e-9) +
+        sum((col("ps") - col("pa")) *
+          log((col("ps") + 1e-6) / (col("pa") + 1e-6))), 6).as("psi"))
+      .select(col("source"), col("psi"), (col("psi") > 0.1).as("drifted"))
+      .orderBy("source")
+  }
 
   /** Equi-width corpus length histogram: 10 fixed 64-char bins (the
     * last open-ended), count + corpus share + mean length per bin.
@@ -148,24 +178,7 @@ object Distribution {
       |  FROM p GROUP BY source)
       |SELECT source, psi, psi > 0.1 AS drifted
       |FROM psi ORDER BY source""".stripMargin) { (spark, dir) =>
-    val sb = sourceBins(spark, dir).select("source", "bin", "n")
-    val tot = sb.groupBy("source").agg(sum("n").as("n_src"))
-    val gb = sb.groupBy("bin").agg(sum("n").as("n_all"))
-    val g = gb.agg(sum("n_all").as("n_corpus"))
-    val grid = tot.crossJoin(broadcast(gb))
-    val p = grid
-      .join(sb, Seq("source", "bin"), "left")
-      .crossJoin(broadcast(g))
-      .select(
-        col("source"),
-        (coalesce(col("n"), lit(0L)) / col("n_src").cast("double")).as("ps"),
-        (col("n_all") / col("n_corpus").cast("double")).as("pa"))
-    p.groupBy("source")
-      .agg(round(lit(1e-9) +
-        sum((col("ps") - col("pa")) *
-          log((col("ps") + 1e-6) / (col("pa") + 1e-6))), 6).as("psi"))
-      .select(col("source"), col("psi"), (col("psi") > 0.1).as("drifted"))
-      .orderBy("source")
+    psiFromBins(sourceBins(spark, dir).select("source", "bin", "n"))
   }
 
   val all: Seq[Q] = Seq(setOps, histogram, driftPsi)

@@ -539,7 +539,7 @@ object Pipeline {
     val key = round(
       log(((col("doc_id") * 2654435761L) % 1000003L + 1L) / lit(1000004.0)) /
         col("w").cast("double"), 9)
-    docs
+    val winners = docs
       .select(col("source"), col("doc_id"), col("w"), key.as("key"))
       .groupBy("source")
       .agg(graft.functions.TopKAgg.topk_by_score(
@@ -547,9 +547,11 @@ object Pipeline {
       .select(col("source"), explode(col("tk")).as("t"))
       .select(col("source"), col("t.rank").as("rank"), col("t.id").as("doc_id"),
         col("t.score").as("key"))
-      // w rides back via a second corpus scan into a broadcast join
-      // against the ≤ sources·k winners (the decontamination shape:
-      // corpus map-only, only winner rows reach the exchange)
+    // w rides back via a second corpus scan with the ≤ sources·k
+    // winners as the EXPLICIT broadcast build side (provably bounded;
+    // without the hint AQE is free to broadcast the corpus side at
+    // small SF — exactly backwards at 100 TB). Corpus stays map-only.
+    broadcast(winners)
       .join(docs.select(col("doc_id"), col("w")), Seq("doc_id"))
       .select(col("source"), col("rank"), col("doc_id"), col("w"), col("key"))
       .orderBy("source", "rank")

@@ -539,6 +539,23 @@ object Streaming {
         (unix_micros(col("c_ts")) - unix_micros(col("p_ts"))).as("gap_us"))
   }
 
+  /** Incrementally-maintained length-bin table — the streaming half
+    * of ma_drift_psi's scale story. The stream maintains ONE
+    * aggregation keyed (source, bin) using the exact batch bin
+    * expression (Distribution.binCol), state = sources×10 longs; PSI
+    * is then Distribution.psiFromBins over this table, reading no raw
+    * docs — exactly how a 100 TB deployment serves drift: the bin
+    * counts update at ingest, the PSI query touches only the tiny
+    * maintained aggregate. Cross-validated in StreamingSpec: replay
+    * the corpus, run the shared PSI definition over the streamed bin
+    * table, compare row-for-row with batch ma_drift_psi.
+    */
+  def lengthBins(docs: DataFrame): DataFrame =
+    docs
+      .select(col("source"), graft.operators.Distribution.binCol.as("bin"))
+      .groupBy("source", "bin")
+      .agg(count(lit(1)).as("n"))
+
   /** Flush still-open sessions from a completed sessionize pass
     * (batch-mode convenience for tests and backfills).
     */

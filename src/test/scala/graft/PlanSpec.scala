@@ -408,4 +408,55 @@ class PlanSpec extends AnyFunSuite {
       .split("\n").count(_.contains("FileScan parquet"))
     assert(scans == 1, s"pivot must scan orders exactly once, saw $scans scans")
   }
+
+  private def finalPlan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.collect()
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+  }
+
+  test("q20_setops compiles to semi/anti joins with exchange reuse, no cross product") {
+    val p = finalPlan("q20_setops")
+    assert(p.contains("LeftSemi"), "INTERSECT must become a semi join")
+    assert(p.contains("LeftAnti"), "EXCEPT must become an anti join")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("ReusedExchange"),
+      "the four set ops share two distinct-cohort exchanges — reuse, not re-scan")
+  }
+
+  test("q21_histogram scans the corpus once; the share total reuses the binned exchange") {
+    val p = finalPlan("q21_histogram")
+    assert(p.split("\n").count(_.contains("FileScan parquet")) == 1,
+      "histogram + total must share one corpus scan")
+    assert(p.contains("ReusedExchange"))
+    assert(!p.contains("Window"), "no window: the total is a 1-row broadcast")
+  }
+
+  test("ma_drift_psi runs on tiny aggregate frames: broadcast joins, no window, no SMJ") {
+    val p = finalPlan("ma_drift_psi")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"),
+      "every PSI join input is ≤ sources×10 rows — must broadcast")
+    assert(!p.contains("Window"))
+  }
+
+  test("gr_triangles orients edges by (deg, id) tuples and reuses the edge exchange") {
+    val p = finalPlan("gr_triangles")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("struct(du"),
+      "orientation must be the cross-engine (deg, id) struct comparison")
+    assert(p.contains("ReusedExchange"),
+      "edge/degree pipelines feed five consumers — reuse, not recompute")
+    assert(!p.contains("Window"))
+  }
+
+  test("pipe_weighted_sample heap-selects per source and broadcasts the winners back") {
+    val p = finalPlan("pipe_weighted_sample")
+    assert(p.contains("topk_by_score"))
+    assert(!p.contains("row_number"),
+      "the per-source window sort exists only in the oracle")
+    // the w join-back must build on the ≤ sources·k winner side — the
+    // corpus side broadcast would ship every doc at 100 TB
+    assert(p.contains("BroadcastHashJoin"))
+  }
 }

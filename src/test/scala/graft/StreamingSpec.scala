@@ -697,6 +697,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.filter(abs(col("gap_us")) > 600L * 1000000L).count() == 0)
   }
 
+  test("streamed bin table + shared PSI definition reproduce batch ma_drift_psi") {
+    val docsBatch = Tables.documents(spark, sf)
+    val schema = docsBatch.schema
+    val dir = java.nio.file.Files.createTempDirectory("graft-psi-stream").toString
+    docsBatch.write.mode("overwrite").parquet(dir)
+    val q = Streaming.lengthBins(spark.readStream.schema(schema).parquet(dir))
+      .writeStream.outputMode("complete").format("memory").queryName("lenbins").start()
+    try q.processAllAvailable() finally q.stop()
+    // psiFromBins self-joins its input three ways; the memory-sink
+    // View can't be deduplicated by the analyzer, so freeze the tiny
+    // maintained table into a plain local frame first (exactly what a
+    // production serve path does: read the stored aggregate)
+    val sink = spark.table("lenbins")
+    val bins = spark.createDataFrame(
+      java.util.Arrays.asList(sink.collect(): _*), sink.schema)
+    val got = operators.Distribution.psiFromBins(bins).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Double]("psi"), r.getAs[Boolean]("drifted")))).toMap
+    val want = SparkEntry.queries("ma_drift_psi")(spark, sf).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Double]("psi"), r.getAs[Boolean]("drifted")))).toMap
+    assert(got == want)
+    assert(want.nonEmpty)
+  }
+
   test("batch sessionize matches the SQL sessionization operator") {
     import spark.implicits._
     val ev = eventsBatch.select("event_id", "ts", "user_id", "event_type", "value").as[Event]
