@@ -557,6 +557,44 @@ object Pipeline {
       .orderBy("source", "rank")
   }
 
+  /** Deterministic train/val/test split — the holdout assignment
+    * every corpus needs before training: split on the CONTENT
+    * fingerprint (not doc_id, not rand()), so (a) the assignment is
+    * reproducible across runs, engines, and re-ingests, and (b) exact
+    * duplicates land in the SAME split by construction — the classic
+    * leak where a train doc's twin sits in test cannot happen even
+    * before dedup runs. 90/5/5 via fingerprint mod 100; pure map over
+    * the corpus + one narrow (source, split) aggregation. The output
+    * is the audit table (per source × split: docs, share) — the
+    * per-doc assignment is the same expression inlined wherever the
+    * writer needs it.
+    */
+  val holdoutSplit = Q(
+    "pipe_split", {
+      val fpSql = Hashing.charFoldSql("text")
+      s"""SELECT source, split, n_docs,
+         |  round(1e-9 + n_docs / CAST(sum(n_docs) OVER (PARTITION BY source) AS DOUBLE), 6) AS share
+         |FROM (
+         |  SELECT source,
+         |    CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split,
+         |    CAST(count(*) AS BIGINT) AS n_docs
+         |  FROM (SELECT source, ((($fpSql) % 100) + 100) % 100 AS b FROM documents)
+         |  GROUP BY 1, 2)
+         |ORDER BY source, split""".stripMargin
+    }) { (spark, dir) =>
+    val b = ((Hashing.charFold(col("text")) % 100) + 100) % 100
+    val assigned = Tables.documents(spark, dir)
+      .select(col("source"),
+        when(b < 90, "train").when(b < 95, "val").otherwise("test").as("split"))
+      .groupBy("source", "split")
+      .agg(count(lit(1)).as("n_docs"))
+    val tot = assigned.groupBy("source").agg(sum("n_docs").as("n_src"))
+    assigned.join(broadcast(tot), "source")
+      .select(col("source"), col("split"), col("n_docs"),
+        round(lit(1e-9) + col("n_docs") / col("n_src").cast("double"), 6).as("share"))
+      .orderBy("source", "split")
+  }
+
   // ═══════════════ domain mixing weights ═══════════════
 
   private val upsampleCap = 4.0
@@ -833,6 +871,6 @@ object Pipeline {
   val e2eSem = mkE2e("pipe_e2e_sem", sem = true)
 
   val all: Seq[Q] = Seq(repetition, unigramPpl, bigramPpl, decontaminate, deconBloom, sample,
-    weightedSample,
+    weightedSample, holdoutSplit,
     mix, mixApply, e2e, e2eSem)
 }

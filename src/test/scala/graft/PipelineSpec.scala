@@ -291,4 +291,34 @@ class PipelineSpec extends AnyFunSuite {
     val avgSel = out.map(_.getAs[Long]("w").toDouble).sum / out.length
     assert(avgSel > avgAll, s"selected mean w $avgSel not above corpus mean $avgAll")
   }
+
+  test("pipe_split: shares near 90/5/5, content-keyed so duplicates co-locate") {
+    val rows = SparkEntry.queries("pipe_split")(spark, sf).collect()
+    val bySplit = rows.groupBy(_.getAs[String]("split"))
+      .view.mapValues(_.map(_.getAs[Long]("n_docs")).sum).toMap
+    val total = bySplit.values.sum
+    val trainShare = bySplit.getOrElse("train", 0L).toDouble / total
+    assert(trainShare > 0.8 && trainShare < 0.97, s"train share $trainShare far from 0.9")
+    assert(bySplit.keySet.subsetOf(Set("train", "val", "test")))
+    // duplicates co-locate: every doc pair with identical TEXT must
+    // get the identical split (content fingerprint, not id/rand) —
+    // planted twins with DIFFERENT doc_ids across sources
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val base = Tables.documents(spark, sf).select("text").limit(50)
+      .collect().map(_.getString(0))
+    val planted = base.zipWithIndex.flatMap { case (t, i) =>
+      Seq((i.toLong, t, "en", "srcA", t.length.toLong),
+        (1000L + i, t, "en", "srcB", t.length.toLong))
+    }.toSeq.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val b = ((graft.functions.Hashing.charFold(col("text")) % 100) + 100) % 100
+    val assigned = planted
+      .select(sha2(col("text"), 256).as("sha"),
+        when(b < 90, "train").when(b < 95, "val").otherwise("test").as("split"))
+    val dupGroups = assigned.groupBy("sha")
+      .agg(countDistinct("split").as("k"), count(lit(1)).as("n"))
+    assert(dupGroups.filter(col("n") > 1).count() > 0, "twins must be planted")
+    assert(dupGroups.filter(col("k") > 1).count() == 0,
+      "a duplicated text was assigned to two different splits")
+  }
 }
