@@ -102,7 +102,7 @@ object Bench {
       built("bucketed_layout", Seq("q11_bucketed_revenue")) {
         selected("q11_bucketed_revenue")(spark, sfDir)
       },
-      built("pruned_layout", Seq("q18_partition_prune")) {
+      built("pruned_layout", Seq("q18_partition_prune", "q22_dpp")) {
         operators.Layout.ensureLineitemByYear(spark, sfDir)
       },
       built("pagerank_edges", Seq("gr_pagerank")) {

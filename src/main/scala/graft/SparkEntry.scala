@@ -18,6 +18,7 @@ object SparkEntry {
       operators.Layout.all ++
       operators.Graph.all ++
       operators.Distribution.all ++
+      operators.Cdc.all ++
       operators.Maintain.all ++
       operators.Ann.all ++
       operators.Cluster.all ++

@@ -1,0 +1,166 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Change-data-capture / snapshot operators — the ingest-maintenance
+  * primitives a continuously-refreshed corpus needs: newest-wins key
+  * compaction (cdc_latest), snapshot-to-snapshot diff (cdc_diff), and
+  * delta-vs-index incremental dedup (dd_incremental, registered here
+  * next to its batch siblings in Dedup). Reference analog: the
+  * toolkit's cache layer persists newest-wins fingerprint entries and
+  * refreshes them per run (cache.py:1-108); these operators are that
+  * maintenance story at corpus scale.
+  *
+  * Scale shapes: every operator here shuffles fixed-width keys or
+  * 32-byte content hashes — never text. cdc_latest is one hash
+  * aggregation (max-struct, no window); cdc_diff joins the two
+  * snapshots' (doc_id, sha) INDEX projections — at 100 TB the sha
+  * index is a stored table (mv_incremental discipline) and the diff
+  * never rereads either snapshot's text; dd_incremental joins the
+  * delta against the stored corpus sha index, so ingesting N new docs
+  * costs O(N) + one index probe regardless of corpus size.
+  */
+object Cdc {
+
+  /** Newest-wins compaction: the current value per (user_id,
+    * event_type) key — the classic CDC "latest snapshot" serve (and
+    * the batch twin of Streaming.latest). One hash aggregation via
+    * max(struct(ts_us, event_id, value)): ties on ts break to the
+    * highest event_id, and because event_id is unique the value field
+    * never participates in the ordering. No window, no sort — the
+    * no-window argmax discipline (q2_mincost).
+    */
+  val latest = Q(
+    "cdc_latest",
+    """WITH m AS (
+      |  SELECT user_id, event_type, max(epoch_us(ts)) AS last_us
+      |  FROM events GROUP BY user_id, event_type),
+      |t AS (
+      |  SELECT e.user_id, e.event_type, m.last_us,
+      |    max(e.event_id) AS last_event_id
+      |  FROM events e
+      |  JOIN m ON e.user_id = m.user_id AND e.event_type = m.event_type
+      |    AND epoch_us(e.ts) = m.last_us
+      |  GROUP BY e.user_id, e.event_type, m.last_us)
+      |SELECT t.user_id, t.event_type, t.last_us, t.last_event_id,
+      |  round(1e-9 + e.value, 4) AS last_value
+      |FROM t JOIN events e ON e.event_id = t.last_event_id
+      |ORDER BY t.user_id, t.event_type""".stripMargin) { (spark, dir) =>
+    Tables.events(spark, dir)
+      .groupBy("user_id", "event_type")
+      .agg(max(struct(
+        unix_micros(col("ts")).as("last_us"),
+        col("event_id").as("last_event_id"),
+        col("value").as("v"))).as("b"))
+      .select(col("user_id"), col("event_type"),
+        col("b.last_us"), col("b.last_event_id"),
+        round(lit(1e-9) + col("b.v"), 4).as("last_value"))
+      .orderBy("user_id", "event_type")
+  }
+
+  /** The two deterministic snapshot fixtures cdc_diff compares,
+    * derived from `documents` so both engines construct the identical
+    * pair: the OLD snapshot lacks docs with doc_id % 17 = 3 (later
+    * additions), the NEW snapshot lacks docs with doc_id % 19 = 7
+    * (deletions) and carries an edited text for doc_id % 23 = 5
+    * (updates). Projected straight to the (doc_id, source, sha)
+    * INDEX shape — the diff never carries text.
+    */
+  private def snapshots(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val docs = Tables.documents(spark, dir)
+    val old = docs.filter(col("doc_id") % 17 =!= 3)
+      .select(col("doc_id"), col("source"), sha2(col("text"), 256).as("sha"))
+    val neu = docs.filter(col("doc_id") % 19 =!= 7)
+      .select(col("doc_id"), col("source"),
+        sha2(when(col("doc_id") % 23 === 5, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")), 256).as("sha"))
+    (old, neu)
+  }
+
+  /** Snapshot diff: per (source, status) row counts between two corpus
+    * snapshots — added / removed / changed / unchanged, decided by a
+    * full-outer join of the two sha indexes on doc_id. The audit
+    * table every versioned-corpus refresh publishes.
+    */
+  val diff = Q(
+    "cdc_diff",
+    """WITH old AS (
+      |  SELECT doc_id, source, sha256(text) AS sha
+      |  FROM documents WHERE doc_id % 17 <> 3),
+      |neu AS (
+      |  SELECT doc_id, source,
+      |    sha256(CASE WHEN doc_id % 23 = 5 THEN text || ' v2' ELSE text END) AS sha
+      |  FROM documents WHERE doc_id % 19 <> 7),
+      |d AS (
+      |  SELECT COALESCE(o.source, n.source) AS source,
+      |    CASE WHEN o.doc_id IS NULL THEN 'added'
+      |         WHEN n.doc_id IS NULL THEN 'removed'
+      |         WHEN o.sha <> n.sha THEN 'changed'
+      |         ELSE 'unchanged' END AS status
+      |  FROM old o FULL OUTER JOIN neu n ON o.doc_id = n.doc_id)
+      |SELECT source, status, CAST(count(*) AS BIGINT) AS n_docs
+      |FROM d GROUP BY source, status
+      |ORDER BY source, status""".stripMargin) { (spark, dir) =>
+    val (old, neu) = snapshots(spark, dir)
+    val o = old.toDF("o_id", "o_source", "o_sha")
+    val n = neu.toDF("n_id", "n_source", "n_sha")
+    o.join(n, col("o_id") === col("n_id"), "full_outer")
+      .select(
+        coalesce(col("o_source"), col("n_source")).as("source"),
+        when(col("o_id").isNull, "added")
+          .when(col("n_id").isNull, "removed")
+          .when(col("o_sha") =!= col("n_sha"), "changed")
+          .otherwise("unchanged").as("status"))
+      .groupBy("source", "status")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("source", "status")
+  }
+
+  /** Incremental dedup: a DELTA batch (the 20% of docs with
+    * doc_id % 10 ≥ 8 playing "today's ingest") deduplicated against
+    * the standing corpus sha INDEX (the other 80%) without rescanning
+    * corpus text. Verdicts: dup_corpus (content already ingested),
+    * dup_delta (first-wins loser within the batch — the smallest
+    * doc_id copy is the keeper), new. This is exact dedup
+    * (dd_exact_hash) restated for continuous ingest: per batch the
+    * cost is O(|delta|) plus one 32-byte-key probe of the index —
+    * corpus size never re-enters, the same base+delta algebra as
+    * mv_incremental.
+    */
+  val incremental = Q(
+    "dd_incremental",
+    """WITH idx AS (
+      |  SELECT DISTINCT sha256(text) AS sha FROM documents WHERE doc_id % 10 < 8),
+      |delta AS (
+      |  SELECT doc_id, source, sha256(text) AS sha
+      |  FROM documents WHERE doc_id % 10 >= 8),
+      |first AS (
+      |  SELECT sha, min(doc_id) AS keeper FROM delta GROUP BY sha)
+      |SELECT d.doc_id, d.source,
+      |  CASE WHEN i.sha IS NOT NULL THEN 'dup_corpus'
+      |       WHEN d.doc_id <> f.keeper THEN 'dup_delta'
+      |       ELSE 'new' END AS verdict
+      |FROM delta d
+      |JOIN first f ON d.sha = f.sha
+      |LEFT JOIN idx i ON d.sha = i.sha
+      |ORDER BY d.doc_id""".stripMargin) { (spark, dir) =>
+    val docs = Tables.documents(spark, dir)
+    val idx = docs.filter(col("doc_id") % 10 < 8)
+      .select(sha2(col("text"), 256).as("i_sha")).distinct()
+    val delta = docs.filter(col("doc_id") % 10 >= 8)
+      .select(col("doc_id"), col("source"), sha2(col("text"), 256).as("sha"))
+    val first = delta.groupBy("sha").agg(min("doc_id").as("keeper"))
+    delta
+      .join(first, "sha")
+      .join(idx, col("sha") === col("i_sha"), "left")
+      .select(col("doc_id"), col("source"),
+        when(col("i_sha").isNotNull, "dup_corpus")
+          .when(col("doc_id") =!= col("keeper"), "dup_delta")
+          .otherwise("new").as("verdict"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(latest, diff, incremental)
+}

@@ -181,5 +181,65 @@ object Distribution {
     psiFromBins(sourceBins(spark, dir).select("source", "bin", "n"))
   }
 
-  val all: Seq[Q] = Seq(setOps, histogram, driftPsi)
+  /** Per-source robust outlier gate: median / MAD (median absolute
+    * deviation) of document length, and the count of docs beyond the
+    * modified-z 3.5 tripwire — the robust-statistics companion to
+    * ma_drift_psi (PSI sees distribution shift; MAD flags individual
+    * anomalies, and unlike mean/stddev is itself immune to the
+    * outliers it hunts). The threshold compares against
+    * round(3.5/0.6745 · MAD, 4) and the medians interpolate over
+    * integer lengths, so both engines flag identical rows.
+    *
+    * Scale: exact grouped medians materialize each group's values —
+    * the q13_percentiles trade, fine per source; at 100 TB the sketch
+    * (percentile_approx, a mergeable partial aggregate) replaces both
+    * median passes and q13 pins its 1% error. Three corpus passes
+    * (median → MAD → flag count) over ONE 12-byte projection; the
+    * ≤|sources|-row median/MAD frames broadcast back each time.
+    */
+  val outliers = Q(
+    "tx_outliers",
+    """WITH med AS (
+      |  SELECT source, quantile_cont(n_chars, 0.5) AS med
+      |  FROM documents GROUP BY source),
+      |mad AS (
+      |  SELECT d.source, any_value(m.med) AS med,
+      |    round(1e-9 + 5.18903632 * quantile_cont(abs(d.n_chars - m.med), 0.5), 4) AS thresh
+      |  FROM documents d JOIN med m ON d.source = m.source
+      |  GROUP BY d.source)
+      |SELECT d.source,
+      |  round(1e-9 + any_value(t.med), 2) AS median_chars,
+      |  any_value(t.thresh) AS mad_thresh,
+      |  CAST(count(*) FILTER (WHERE abs(d.n_chars - t.med) > t.thresh) AS BIGINT) AS n_outliers,
+      |  round(1e-9 + count(*) FILTER (WHERE abs(d.n_chars - t.med) > t.thresh)
+      |    / CAST(count(*) AS DOUBLE), 6) AS outlier_share
+      |FROM documents d JOIN mad t ON d.source = t.source
+      |GROUP BY d.source
+      |ORDER BY d.source""".stripMargin) { (spark, dir) =>
+    val lens = Tables.documents(spark, dir).select("source", "n_chars")
+    val med = lens.groupBy("source")
+      .agg(percentile(col("n_chars"), lit(0.5)).as("med"))
+    // 3.5 / 0.6745 (modified z-score cutoff over the MAD-to-sigma
+    // consistency constant), folded to one literal so both engines
+    // round the same product
+    val mad = lens.join(broadcast(med), "source")
+      .groupBy("source")
+      .agg(
+        first("med").as("med"),
+        round(lit(1e-9) +
+          lit(5.18903632) * percentile(abs(col("n_chars") - col("med")), lit(0.5)), 4)
+          .as("thresh"))
+    lens.join(broadcast(mad), "source")
+      .groupBy("source")
+      .agg(
+        round(lit(1e-9) + first("med"), 2).as("median_chars"),
+        first("thresh").as("mad_thresh"),
+        count(when(abs(col("n_chars") - col("med")) > col("thresh"), 1)).as("n_outliers"),
+        round(lit(1e-9) +
+          count(when(abs(col("n_chars") - col("med")) > col("thresh"), 1)) /
+            count(lit(1)).cast("double"), 6).as("outlier_share"))
+      .orderBy("source")
+  }
+
+  val all: Seq[Q] = Seq(setOps, histogram, driftPsi, outliers)
 }

@@ -97,5 +97,47 @@ object Layout {
       .orderBy("l_returnflag")
   }
 
-  val all: Seq[Q] = Seq(partitionPrune)
+  /** Dynamic partition pruning — the RUNTIME sibling of q18's static
+    * prune: the year-partitioned fact is semi-joined to orders
+    * filtered by a date range, and the planner inserts a dynamic
+    * pruning subquery on `ship_year` (no static partition predicate
+    * exists anywhere in the query). At execution the filtered dim
+    * side's distinct years are computed first and only the matching
+    * fact directories are scanned — at 100 TB this is how a
+    * "join-to-the-date-dim" query avoids reading the whole fact even
+    * though the fact itself carries no filter. LayoutSpec asserts the
+    * scan's partition filters contain the dynamic pruning expression.
+    *
+    * The oracle states the identical semantics over the flat tables:
+    * lineitem rows whose ship year appears among the filtered orders'
+    * years.
+    */
+  val dppJoin = Q(
+    "q22_dpp",
+    """SELECT year(l_shipdate) AS ship_year,
+      |  CAST(count(*) AS BIGINT) AS n_items,
+      |  round(1e-9 + sum(l_quantity), 2) AS sum_qty,
+      |  round(1e-9 + sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM lineitem
+      |WHERE year(l_shipdate) IN (
+      |  SELECT DISTINCT year(o_orderdate) FROM orders
+      |  WHERE o_orderdate BETWEEN DATE '1996-01-01' AND DATE '1997-12-31')
+      |GROUP BY 1
+      |ORDER BY ship_year""".stripMargin) { (spark, dir) =>
+    ensureLineitemByYear(spark, dir)
+    val dimYears = Tables.orders(spark, dir)
+      .filter(col("o_orderdate").between("1996-01-01", "1997-12-31"))
+      .select(year(col("o_orderdate")).as("yr"))
+    spark.table("graft_li_byyear")
+      .join(dimYears, col("ship_year") === col("yr"), "left_semi")
+      .groupBy("ship_year")
+      .agg(
+        count(lit(1)).as("n_items"),
+        round(lit(1e-9) + sum("l_quantity"), 2).as("sum_qty"),
+        round(lit(1e-9) + sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+      .orderBy("ship_year")
+  }
+
+  val all: Seq[Q] = Seq(partitionPrune, dppJoin)
 }

@@ -556,6 +556,63 @@ object Streaming {
       .groupBy("source", "bin")
       .agg(count(lit(1)).as("n"))
 
+  final case class LatestOut(user_id: Long, event_type: String,
+      last_us: Long, last_event_id: Long, last_value: Double)
+
+  /** Newest-wins key compaction at ingest — the streaming twin of
+    * batch cdc_latest: one (ts_us, event_id, value) triple of state
+    * per live (user, event_type) key, updated by max-comparison as
+    * events arrive. Unlike Streaming.asof/shard there is NO in-order
+    * replay contract: max over (ts_us, event_id) is commutative and
+    * associative, so ANY arrival order converges to the same final
+    * state — late or shuffled data cannot diverge it from batch
+    * (spec replays out of order on purpose). Emits the key's current
+    * best each time it improves (update semantics); the latest
+    * emission per key IS the compacted snapshot.
+    */
+  def latest(events: Dataset[Event]): Dataset[LatestOut] = {
+    import events.sparkSession.implicits._
+    def micros(e: Event): Long =
+      e.ts.getTime * 1000L + (e.ts.getNanos % 1000000L) / 1000L
+    events
+      .groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState[(Long, Long, Double), LatestOut](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: (Long, String), rows: Iterator[Event], state: GroupState[(Long, Long, Double)]) =>
+          var (bUs, bId, bV) = state.getOption.getOrElse((Long.MinValue, Long.MinValue, 0d))
+          var improved = false
+          for (e <- rows) {
+            val u = micros(e)
+            if (u > bUs || (u == bUs && e.event_id > bId)) {
+              bUs = u; bId = e.event_id; bV = e.value; improved = true
+            }
+          }
+          if (improved) {
+            state.update((bUs, bId, bV))
+            Iterator.single(LatestOut(key._1, key._2, bUs, bId,
+              BigDecimal(1e-9 + bV)
+                .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+          } else Iterator.empty
+      }
+  }
+
+  /** Incrementally-maintained distinct-user sketches — the streaming
+    * half of q19_sketch_union's scale story: ONE streaming aggregation
+    * per event_type whose state is a constant-size DataSketches HLL
+    * buffer (lgK=14, the q9_approx/q19 configuration), updated
+    * map-side per micro-batch. The corpus is never re-scanned; any
+    * coarser rollup unions the per-type sketch rows downstream,
+    * exactly like batch. Estimates from a full replay equal the batch
+    * sketch estimates bit-for-bit (same sketch, same update stream —
+    * cross-validated in StreamingSpec).
+    */
+  def sketchCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy("event_type")
+      .agg(hll_sketch_agg(col("user_id"), lit(14)).as("sk"))
+      .select(col("event_type"),
+        hll_sketch_estimate(col("sk")).as("n_users_approx"))
+
   /** Flush still-open sessions from a completed sessionize pass
     * (batch-mode convenience for tests and backfills).
     */

@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic pins for the CDC/snapshot family (oracle hash parity runs
+  * via Verify + check.py; these assert the invariants the oracle
+  * can't see — window-twin equivalence, verdict partition identities,
+  * robust-gate behavior on planted anomalies).
+  */
+class CdcSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("cdc_latest equals the window-based newest-wins twin") {
+    val out = SparkEntry.queries("cdc_latest")(spark, sf).collect()
+    // brute-force twin: row_number over (ts desc, event_id desc)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val twin = Tables.events(spark, sf)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("last_us"),
+        col("event_id").as("last_event_id"),
+        round(lit(1e-9) + col("value"), 4).as("last_value"))
+      .orderBy("user_id", "event_type")
+      .collect()
+    assert(out.toSeq == twin.toSeq)
+  }
+
+  test("cdc_latest emits exactly one row per live (user, event_type) key") {
+    val df = SparkEntry.queries("cdc_latest")(spark, sf)
+    val keys = df.select("user_id", "event_type").distinct().count()
+    assert(df.count() == keys)
+    val liveKeys = Tables.events(spark, sf)
+      .select("user_id", "event_type").distinct().count()
+    assert(keys == liveKeys)
+  }
+
+  test("cdc_diff statuses reconstruct both snapshot cardinalities") {
+    val docs = Tables.documents(spark, sf)
+    val byStatus = SparkEntry.queries("cdc_diff")(spark, sf).collect()
+      .groupBy(_.getAs[String]("status"))
+      .view.mapValues(_.map(_.getAs[Long]("n_docs")).sum).toMap
+    val nOld = docs.filter(col("doc_id") % 17 =!= 3).count()
+    val nNew = docs.filter(col("doc_id") % 19 =!= 7).count()
+    // old = removed + changed + unchanged; new = added + changed + unchanged
+    def g(s: String): Long = byStatus.getOrElse(s, 0L)
+    assert(g("removed") + g("changed") + g("unchanged") == nOld)
+    assert(g("added") + g("changed") + g("unchanged") == nNew)
+    assert(Seq("added", "removed", "changed").forall(g(_) > 0),
+      s"fixture must exercise every status: $byStatus")
+  }
+
+  test("dd_incremental verdicts partition the delta; corpus dups dominate") {
+    val docs = Tables.documents(spark, sf)
+    val rows = SparkEntry.queries("dd_incremental")(spark, sf).collect()
+    assert(rows.length == docs.filter(col("doc_id") % 10 >= 8).count())
+    // content present in the corpus index ⇒ EVERY delta copy is
+    // dup_corpus (the index wins over intra-delta first-wins)
+    import spark.implicits._
+    val verdicts = rows.map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("verdict")))
+      .toSeq.toDF("doc_id", "verdict")
+    val withSha = docs.filter(col("doc_id") % 10 >= 8)
+      .select(col("doc_id"), sha2(col("text"), 256).as("sha"))
+      .join(verdicts, "doc_id")
+    val idxSha = docs.filter(col("doc_id") % 10 < 8)
+      .select(sha2(col("text"), 256).as("sha")).distinct()
+    val inIdx = withSha.join(idxSha, "sha")
+    assert(inIdx.filter(col("verdict") =!= "dup_corpus").count() == 0)
+    val outIdx = withSha.join(idxSha, Seq("sha"), "left_anti")
+    // outside the index: exactly one 'new' per sha, rest dup_delta
+    val perSha = outIdx.groupBy("sha")
+      .agg(sum(when(col("verdict") === "new", 1).otherwise(0)).as("n_new"),
+        count(lit(1)).as("n"))
+    assert(perSha.filter(col("n_new") =!= 1).count() == 0)
+  }
+
+  test("tx_outliers: MAD gate flags a planted anomaly but not the bulk") {
+    // planted corpus: 200 docs of ~typical length, 1 monster
+    import spark.implicits._
+    val lens = (1 to 200).map(i => ("srcX", 100L + (i % 21))) :+ (("srcX", 100000L))
+    val df = lens.toDF("source", "n_chars")
+    val med = df.groupBy("source").agg(percentile(col("n_chars"), lit(0.5)).as("med"))
+    val mad = df.join(med, "source").groupBy("source")
+      .agg(first("med").as("med"),
+        round(lit(1e-9) + lit(5.18903632) *
+          percentile(abs(col("n_chars") - col("med")), lit(0.5)), 4).as("thresh"))
+    val flagged = df.join(mad, "source")
+      .filter(abs(col("n_chars") - col("med")) > col("thresh"))
+    assert(flagged.count() == 1)
+    assert(flagged.head.getAs[Long]("n_chars") == 100000L)
+    // and the registered query emits one row per source with sane shares
+    val rows = SparkEntry.queries("tx_outliers")(spark, sf).collect()
+    assert(rows.length == Tables.documents(spark, sf).select("source").distinct().count())
+    assert(rows.forall(_.getAs[Double]("outlier_share") < 0.5))
+  }
+}

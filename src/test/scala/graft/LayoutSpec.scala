@@ -37,6 +37,24 @@ class LayoutSpec extends AnyFunSuite {
       s"partition pruning read $prunedFiles of $totalFiles files")
   }
 
+  test("q22 prunes partitions DYNAMICALLY from the joined dim side") {
+    // no static partition predicate exists anywhere in q22_dpp — the
+    // only way its scan can carry a ship_year partition filter is the
+    // planner's dynamic-pruning subquery built from the filtered
+    // orders side
+    val df = SparkEntry.queries("q22_dpp")(spark, sf)
+    // AQE wraps the tree, so inspect the final-plan string (the
+    // PlanSpec discipline): the fact scan must carry a dynamic
+    // pruning expression in its PartitionFilters
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p.contains("graft_li_byyear"), s"no scan of the partitioned fact:\n$p")
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"no dynamic pruning expression in the plan:\n$p")
+    // and the join semantics are right: only 1996/1997 survive
+    val years = df.collect().map(_.getAs[Int]("ship_year")).toSet
+    assert(years == Set(1996, 1997), s"expected {1996,1997}, got $years")
+  }
+
   test("q18 matches the flat-table row filter") {
     import org.apache.spark.sql.functions._
     val pruned = SparkEntry.queries("q18_partition_prune")(spark, sf).collect()

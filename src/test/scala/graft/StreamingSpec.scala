@@ -722,6 +722,70 @@ class StreamingSpec extends AnyFunSuite {
     assert(want.nonEmpty)
   }
 
+  test("streaming latest converges to batch cdc_latest under OUT-OF-ORDER replay") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    // deliberately shuffled arrival order: newest-wins state is a
+    // commutative max, so unlike asof/shard there is no in-order
+    // contract to honor — scramble by a hash of event_id
+    val all = eventsBatch
+      .select("event_id", "ts", "user_id", "event_type", "value").as[Event]
+      .collect()
+      .sortBy(e => (e.event_id * 2654435761L) % 1000003L)
+    val mem = MemoryStream[Event]
+    val q = Streaming.latest(mem.toDS())
+      .writeStream.outputMode("update").format("memory").queryName("latest").start()
+    try {
+      for (chunk <- all.grouped((all.length + 2) / 3)) {
+        mem.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    // update mode appends every improvement; the per-key FINAL state
+    // is the max over emissions (monotone by construction)
+    val got = spark.sql("SELECT * FROM latest")
+      .groupBy("user_id", "event_type")
+      .agg(max(struct(col("last_us"), col("last_event_id"), col("last_value"))).as("b"))
+      .select(col("user_id"), col("event_type"),
+        col("b.last_us"), col("b.last_event_id"), col("b.last_value"))
+    val want = SparkEntry.queries("cdc_latest")(spark, sf)
+    assert(got.count() == want.count() && got.count() > 0)
+    assert(got.exceptAll(want).count() == 0, s"stream rows not in batch: " +
+      got.exceptAll(want).take(3).mkString(", "))
+    assert(want.exceptAll(got).count() == 0)
+  }
+
+  test("streaming sketchCounts equals the batch HLL estimates after replay") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val all = eventsBatch
+      .select("event_id", "ts", "user_id", "event_type", "value").as[Event]
+      .collect()
+    val mem = MemoryStream[Event]
+    val q = Streaming.sketchCounts(mem.toDF())
+      .writeStream.outputMode("complete").format("memory").queryName("sketches").start()
+    try {
+      for (chunk <- all.grouped((all.length + 3) / 4)) {
+        mem.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val got = spark.sql("SELECT * FROM sketches").collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("n_users_approx")).toMap
+    val want = eventsBatch
+      .groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(14))).as("est"))
+      .collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("est")).toMap
+    assert(got == want, s"sketch estimates diverged: $got vs $want")
+    // and the estimates are actually close to exact
+    val exact = eventsBatch.groupBy("event_type")
+      .agg(countDistinct("user_id").as("n")).collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("n")).toMap
+    for ((t, e) <- exact)
+      assert(math.abs(got(t) - e) <= e * 0.04, s"$t: est ${got(t)} vs exact $e")
+  }
+
   test("batch sessionize matches the SQL sessionization operator") {
     import spark.implicits._
     val ev = eventsBatch.select("event_id", "ts", "user_id", "event_type", "value").as[Event]
