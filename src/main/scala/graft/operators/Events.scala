@@ -275,5 +275,96 @@ object Events {
       .orderBy("event_id")
   }
 
-  val all: Seq[Q] = Seq(windowAgg, sessionize, funnel, json, retention, asof, rangeJoin)
+  /** Sessionization via Spark's NATIVE session_window operator — the
+    * engine-provided merging-session-interval aggregation (one hash
+    * shuffle on user_id, per-partition interval merge; no lag/sum
+    * window chain). Sessions merge while the closed intervals
+    * [ts, ts + gap] overlap, so an event arriving at EXACTLY gap
+    * after its predecessor still extends the session — the same
+    * diff > gap split rule as ev_sessionize (boundary pinned in
+    * SessionWindowSpec against a constructed exact-gap fixture).
+    * Also the natural streaming form: the same session_window
+    * expression runs under a watermark in Structured Streaming.
+    */
+  val sessionWindow = Q(
+    "ev_session_window",
+    """SELECT user_id, session_id,
+      |  CAST(count(*) AS BIGINT) AS n_events,
+      |  min(epoch_us(ts)) AS start_us,
+      |  max(epoch_us(ts)) + 1800000000 AS end_us,
+      |  round(1e-9 + sum(value), 2) AS sum_value
+      |FROM (
+      |  SELECT user_id, ts, value,
+      |    CAST(sum(ns) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      |  FROM (
+      |    SELECT user_id, ts, event_id, value,
+      |      CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |        IS NULL OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id
+      |        ORDER BY ts, event_id)) > 1800000000 THEN 1 ELSE 0 END AS ns
+      |    FROM events
+      |  )
+      |)
+      |GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin) { (spark, dir) =>
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("s_start"))
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(lit(1e-9) + sum("value"), 2).as("sum_value"))
+      .select(col("user_id"),
+        unix_micros(col("sw.start")).as("start_us"),
+        unix_micros(col("sw.end")).as("end_us"),
+        col("n_events"), col("sum_value"),
+        col("sw.start").as("s_start"))
+      // number the merged sessions per user so the output keys match
+      // the oracle's running-sum ids: sessions are disjoint intervals,
+      // so ranking by start time over the (tiny) per-user session list
+      // reproduces them — this window sorts |sessions| rows per user,
+      // not events
+      .withColumn("session_id", row_number().over(w).cast("long"))
+      .select("user_id", "session_id", "n_events", "start_us", "end_us", "sum_value")
+      .orderBy("user_id", "session_id")
+  }
+
+  /** Semi-structured via Spark 4's VARIANT type: props parsed ONCE
+    * (parse_json → the binary variant encoding) and field-extracted
+    * with typed variant_get — at 100 TB the parse happens at ingest
+    * and every later extraction reads the variant's internal offsets
+    * instead of re-running a string JSON parser per query (the
+    * columnar semi-structured story; ev_json is the per-query
+    * string-parse twin). Missing paths surface as NULLs via
+    * try_variant_get, counted per group.
+    */
+  val variant = Q(
+    "ev_variant",
+    """SELECT event_type,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      |  round(1e-9 + avg(CAST(json_extract(props, '$.k') AS BIGINT)), 4) AS avg_k,
+      |  CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+      |  CAST(count(*) FILTER (WHERE json_extract(props, '$.absent') IS NULL) AS BIGINT)
+      |    AS n_missing
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin) { (spark, dir) =>
+    Tables.events(spark, dir)
+      .withColumn("v", parse_json(col("props")))
+      .withColumn("k", variant_get(col("v"), "$.k", "bigint"))
+      .withColumn("absent", try_variant_get(col("v"), "$.absent", "string"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum("k").as("sum_k"),
+        round(lit(1e-9) + avg("k"), 4).as("avg_k"),
+        max("k").as("max_k"),
+        count(when(col("absent").isNull, 1)).as("n_missing"))
+      .orderBy("event_type")
+  }
+
+  val all: Seq[Q] =
+    Seq(windowAgg, sessionize, funnel, json, retention, asof, rangeJoin,
+      sessionWindow, variant)
 }

@@ -463,6 +463,49 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** Shuffle-join decontamination: IDENTICAL output to
+    * pipe_decontaminate (same oracle SQL), the plan for when the
+    * "eval" side is NOT benchmark-sized — decontaminating one corpus
+    * against another corpus, or against benchmark suites × paraphrase
+    * expansions that exceed driver/broadcast reach. The eval index
+    * carries no broadcast hint (spec-asserted): the overlap join runs
+    * as a plain shuffle join co-keyed on the shingle hash, with AQE
+    * free to prove the side small at runtime (exactly the
+    * tx_unigram_ppl vocabulary posture).
+    *
+    * Zipf guard: BOTH sides collapse to (key, doc, count) histograms
+    * before the h-keyed join — a stop-shingle appearing in many docs
+    * on both sides contributes |docs_l(h)| × |docs_r(h)| joined rows,
+    * not |instances_l| × |instances_r|; the instance multiplicities
+    * multiply arithmetically (matches = Σ_h c·e), so the output is
+    * bit-identical to the broadcast path's instance-pair count.
+    */
+  val deconShuffle = Q(
+    "pipe_decon_shuffle", decontaminate.oracle.get) { (spark, dir) =>
+    val sh = shingledDocs(Tables.documents(spark, dir))
+    val co = sh.filter(col("doc_id") % evalMod =!= evalRes)
+      .select(col("doc_id"), col("source"), size(col("shingles")).as("ns"),
+        explode(col("shingles")).as("h"))
+      .groupBy("doc_id", "source", "ns", "h")
+      .agg(count(lit(1)).as("c_cnt"))
+    val ev = evalIndexOf(sh.filter(col("doc_id") % evalMod === evalRes))
+      .groupBy("h", "eval_id")
+      .agg(count(lit(1)).as("e_cnt"))
+    co.join(ev, "h")
+      .groupBy("doc_id", "source", "ns", "eval_id")
+      .agg(sum(col("c_cnt") * col("e_cnt")).as("matches"))
+      .withColumn("frac",
+        round(lit(1e-9) + col("matches") / col("ns").cast("double") + 1e-9, 6))
+      .groupBy("doc_id", "source")
+      .agg(max(struct(col("frac"), (-col("eval_id")).as("neg"))).as("best"))
+      .select(col("doc_id"), col("source"),
+        (-col("best.neg")).cast("long").as("best_eval_id"),
+        col("best.frac").as("overlap_frac"))
+      .filter(col("overlap_frac") >= suspectFloor)
+      .withColumn("contaminated", col("overlap_frac") >= contaminatedFloor)
+      .orderBy("doc_id")
+  }
+
   // ═══════════════ deterministic stratified sampling ═══════════════
 
   private val samplePerSource = 16
@@ -870,7 +913,8 @@ object Pipeline {
   /** The funnel plus the SemDeDup stage (seven stages). */
   val e2eSem = mkE2e("pipe_e2e_sem", sem = true)
 
-  val all: Seq[Q] = Seq(repetition, unigramPpl, bigramPpl, decontaminate, deconBloom, sample,
+  val all: Seq[Q] = Seq(repetition, unigramPpl, bigramPpl, decontaminate, deconBloom,
+    deconShuffle, sample,
     weightedSample, holdoutSplit,
     mix, mixApply, e2e, e2eSem)
 }

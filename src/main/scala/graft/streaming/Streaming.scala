@@ -525,7 +525,28 @@ object Streaming {
     * function body is the batch twin).
     */
   def intervalJoin(purchases: DataFrame, clicks: DataFrame,
-      band: String = "10 minutes", delay: String = "10 minutes"): DataFrame = {
+      band: String = "10 minutes", delay: String = "10 minutes"): DataFrame =
+    intervalJoinImpl(purchases, clicks, band, delay, "inner")
+
+  /** LEFT OUTER stream-stream interval join — intervalJoin plus the
+    * null-padded rows for purchases that saw NO in-band click. The
+    * semantics only exist because of watermarks: an unmatched
+    * purchase cannot be emitted eagerly (a matching click may still
+    * arrive), so the engine holds it in state and emits the
+    * null-padded row exactly when both watermarks prove no future
+    * click can land in its band — the eviction that bounds state IS
+    * the completeness proof for the outer row. Same per-side state
+    * bound as the inner join; outer rows simply ride the eviction.
+    * Cross-validated in StreamingSpec against the batch left-outer
+    * twin (same function body) after pushing the watermark past the
+    * last band.
+    */
+  def intervalJoinOuter(purchases: DataFrame, clicks: DataFrame,
+      band: String = "10 minutes", delay: String = "10 minutes"): DataFrame =
+    intervalJoinImpl(purchases, clicks, band, delay, "left_outer")
+
+  private def intervalJoinImpl(purchases: DataFrame, clicks: DataFrame,
+      band: String, delay: String, joinType: String): DataFrame = {
     val p = purchases.select(col("event_id").as("p_id"),
         col("user_id").as("p_user"), col("ts").as("p_ts"))
       .withWatermark("p_ts", delay)
@@ -534,7 +555,8 @@ object Streaming {
       .withWatermark("c_ts", delay)
     p.join(c, expr(
         s"p_user = c_user AND " +
-          s"c_ts >= p_ts - INTERVAL $band AND c_ts <= p_ts + INTERVAL $band"))
+          s"c_ts >= p_ts - INTERVAL $band AND c_ts <= p_ts + INTERVAL $band"),
+        joinType)
       .select(col("p_id"), col("p_user").as("user_id"), col("c_id"),
         (unix_micros(col("c_ts")) - unix_micros(col("p_ts"))).as("gap_us"))
   }

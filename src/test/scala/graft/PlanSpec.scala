@@ -220,6 +220,41 @@ class PlanSpec extends AnyFunSuite {
     assert(hinted.size <= 1, "only the 1-row total may be hint-broadcast")
   }
 
+  test("pipe_decon_shuffle matches the broadcast path with no eval-side hint") {
+    // identical result set to pipe_decontaminate (same oracle) …
+    val a = SparkEntry.queries("pipe_decontaminate")(spark, sf).collect().toSeq
+    val b = SparkEntry.queries("pipe_decon_shuffle")(spark, sf).collect().toSeq
+    assert(a == b, "shuffle-join decontamination must be bit-identical to broadcast path")
+    assert(a.nonEmpty)
+    val df = SparkEntry.queries("pipe_decon_shuffle")(spark, sf)
+    // … with NO broadcast hint anywhere (a corpus-sized eval side
+    // exceeds the driver; only AQE may convert from proven sizes)
+    val hinted = df.queryExecution.logical.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.UnresolvedHint => h
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+        if j.hint.leftHint.exists(_.strategy.isDefined) ||
+           j.hint.rightHint.exists(_.strategy.isDefined) => j
+    }
+    assert(hinted.isEmpty, s"no side of the decon shuffle join may be hint-broadcast: $hinted")
+    // … and the Zipf guard holds: both sides of the h-keyed join are
+    // (key, doc) histograms, so h-keyed exchanges carry aggregated
+    // rows, never raw shingle arrays or text
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val exchanges = SparkEntry.queries("pipe_decon_shuffle")(spark, sf)
+        .queryExecution.executedPlan.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+        }
+      assert(exchanges.nonEmpty)
+      for (e <- exchanges
+           if !e.outputPartitioning.isInstanceOf[
+             org.apache.spark.sql.catalyst.plans.physical.RoundRobinPartitioning])
+        assert(!e.output.exists(a => a.name == "text" || a.name == "shingles"),
+          s"a keyed shuffle carries text or a shingle array: ${e.output.map(_.name)}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("pipe_sample uses the bounded heap, not a per-source window sort") {
     val p = plan("pipe_sample")
     assert(p.contains("topk_by_score"), "sampling must go through the bounded-heap aggregate")

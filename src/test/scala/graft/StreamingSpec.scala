@@ -697,6 +697,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.filter(abs(col("gap_us")) > 600L * 1000000L).count() == 0)
   }
 
+  test("stream-stream LEFT OUTER interval join emits null-padded rows on eviction") {
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val dir = java.nio.file.Files.createTempDirectory("graft-ssjo").toString
+    eventsBatch.write.mode("overwrite").parquet(dir)
+    def side(tpe: String) = spark.readStream.schema(schema).parquet(dir)
+      .filter(col("event_type") === tpe)
+    val q = Streaming.intervalJoinOuter(side("purchase"), side("click"))
+      .writeStream.outputMode("append").format("memory").queryName("ssjo").start()
+    try {
+      q.processAllAvailable()
+      // outer rows emit only when the watermark PROVES no click can
+      // still match — push it past every band with a far-future
+      // sentinel on both sides (user -1 matches nothing real)
+      val maxTs = eventsBatch.agg(max("ts")).head.getTimestamp(0)
+      val far = new java.sql.Timestamp(maxTs.getTime + 86400000L)
+      import spark.implicits._
+      Seq((-1L, far, -1L, "purchase", 0d, "{}"), (-2L, far, -1L, "click", 0d, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("append").parquet(dir)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.sql("SELECT p_id, user_id, c_id, gap_us FROM ssjo WHERE user_id >= 0")
+    // batch twin: the SAME function body (watermarks are no-ops in batch)
+    val want = Streaming.intervalJoinOuter(
+      eventsBatch.filter(col("event_type") === "purchase"),
+      eventsBatch.filter(col("event_type") === "click"))
+    assert(got.count() == want.count())
+    val gotNull = got.filter(col("c_id").isNull).count()
+    val wantNull = want.filter(col("c_id").isNull).count()
+    assert(gotNull == wantNull && gotNull > 0,
+      s"expected null-padded unmatched purchases: stream $gotNull vs batch $wantNull")
+    assert(got.join(want, Seq("p_id", "user_id", "c_id", "gap_us"), "left_anti")
+      .count() == gotNull, "matched pairs must align pair-for-pair")
+    // (null keys never join; re-check matched rows only)
+    assert(got.filter(col("c_id").isNotNull)
+      .join(want, Seq("p_id", "user_id", "c_id", "gap_us"), "left_anti").count() == 0)
+  }
+
   test("streamed bin table + shared PSI definition reproduce batch ma_drift_psi") {
     val docsBatch = Tables.documents(spark, sf)
     val schema = docsBatch.schema
