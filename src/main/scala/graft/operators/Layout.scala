@@ -125,11 +125,20 @@ object Layout {
       |GROUP BY 1
       |ORDER BY ship_year""".stripMargin) { (spark, dir) =>
     ensureLineitemByYear(spark, dir)
+    // distinct BEFORE the join: the semi-join build side and the DPP
+    // subquery both see ≤|years| rows instead of every filtered order
+    // (measured 7.9 → ~2 s at sf10 — broadcasting 2.8 M un-distinct
+    // year rows was pure waste)
     val dimYears = Tables.orders(spark, dir)
       .filter(col("o_orderdate").between("1996-01-01", "1997-12-31"))
       .select(year(col("o_orderdate")).as("yr"))
+      .distinct()
+    // broadcast hint is justified by the policy (SF-independent side
+    // only): distinct YEARS are calendar-bounded regardless of corpus
+    // size. Without it the static planner sort-merges, shuffling the
+    // whole pruned fact (17 M rows at sf10) against a ≤7-row build.
     spark.table("graft_li_byyear")
-      .join(dimYears, col("ship_year") === col("yr"), "left_semi")
+      .join(broadcast(dimYears), col("ship_year") === col("yr"), "left_semi")
       .groupBy("ship_year")
       .agg(
         count(lit(1)).as("n_items"),
