@@ -172,5 +172,75 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(meta, frames, resample)
+  /** BMP payload per doc: a real (codec-free) IMAGE container — the
+    * 14-byte file header + 40-byte BITMAPINFOHEADER of a 24-bit
+    * bitmap whose dimensions derive from doc_id, pixel rows padded to
+    * the format's 4-byte stride boundary. Pixel content is a constant
+    * ASCII fill (1 byte = 1 char, so synthesized byte counts are
+    * exact); the operator's subject is the header geometry.
+    */
+  private def bmpDims: (Column, Column) =
+    (lit(4L) + col("doc_id") % 13, lit(1L) + col("doc_id") % 5)
+
+  private def bmpPayload: Column = {
+    val (w, h) = bmpDims
+    val stride = expr("((3 * (4 + doc_id % 13) + 3) div 4) * 4")
+    val imgBytes = stride * h
+    concat(
+      bin("BM"), le32(imgBytes + 54), le32(lit(0L)), le32(lit(54L)),
+      le32(lit(40L)), le32(w), le32(h), le16(lit(1L)), le16(lit(24L)),
+      le32(lit(0L)), le32(imgBytes), le32(lit(2835L)), le32(lit(2835L)),
+      le32(lit(0L)), le32(lit(0L)),
+      repeat(lit("P"), imgBytes.cast("int")).cast("binary"))
+  }
+
+  /** Parse the BMP geometry back out of the raw bytes — width/height/
+    * bpp from the info header, the 4-byte-aligned row stride and pad
+    * derived from the PARSED width (24bpp ⇒ stride = ceil(3w/4)·4),
+    * and the byte accounting cross-checked against the actual payload
+    * length. The oracle recomputes every field arithmetically from
+    * doc_id without touching bytes — like mm_meta, the hash match is
+    * an independent check of the byte-level parser. Map-only at any
+    * scale (one projection over the blob column; a codec decoder
+    * would replace the field extraction inside the same shape).
+    */
+  val image = Q(
+    "mm_image",
+    """SELECT doc_id, 'BM' AS magic,
+      |  CAST(54 + ((3 * (4 + doc_id % 13) + 3) // 4) * 4 * (1 + doc_id % 5) AS BIGINT)
+      |    AS file_bytes,
+      |  CAST(54 AS BIGINT) AS data_offset,
+      |  CAST(4 + doc_id % 13 AS BIGINT) AS width,
+      |  CAST(1 + doc_id % 5 AS BIGINT) AS height,
+      |  CAST(24 AS BIGINT) AS bpp,
+      |  CAST(((3 * (4 + doc_id % 13) + 3) // 4) * 4 AS BIGINT) AS row_stride,
+      |  CAST(((3 * (4 + doc_id % 13) + 3) // 4) * 4 - 3 * (4 + doc_id % 13) AS BIGINT)
+      |    AS pad_bytes,
+      |  CAST(((3 * (4 + doc_id % 13) + 3) // 4) * 4 * (1 + doc_id % 5) AS BIGINT)
+      |    AS data_bytes,
+      |  round(1e-9 + (4 + doc_id % 13) / CAST(1 + doc_id % 5 AS DOUBLE), 6) AS aspect
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    val p = col("payload")
+    val w = rd32(p, 19)
+    val h = rd32(p, 23)
+    val stride = ((lit(3L) * w + 3) / 4).cast("long") * 4
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), bmpPayload.as("payload"))
+      .select(
+        col("doc_id"),
+        decode(substring(p, 1, 2), "UTF-8").as("magic"),
+        rd32(p, 3).as("file_bytes"),
+        rd32(p, 11).as("data_offset"),
+        w.as("width"),
+        h.as("height"),
+        rd16(p, 29).as("bpp"),
+        stride.as("row_stride"),
+        (stride - lit(3L) * w).as("pad_bytes"),
+        (octet_length(p).cast("long") - rd32(p, 11)).as("data_bytes"),
+        round(lit(1e-9) + w / h.cast("double"), 6).as("aspect"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(meta, frames, resample, image)
 }

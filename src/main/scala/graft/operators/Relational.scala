@@ -186,6 +186,39 @@ object Relational {
       .orderBy("prio", "status")
   }
 
+  /** CUBE over priority × status — the remaining grouping-analytics
+    * shape next to ROLLUP (q8, prefix chain) and explicit GROUPING
+    * SETS (q15): all four combinations including the column-swapped
+    * marginal ROLLUP omits. grouping() flags disambiguate a NULL key
+    * from a super-aggregate row. Same engine shape as q8/q15: ONE
+    * Expand-fed hash aggregate, a single shuffle regardless of how
+    * many of the 2^k sets are served.
+    */
+  val q23 = Q(
+    "q23_cube",
+    """SELECT coalesce(o_orderpriority, 'ALL') AS prio,
+      |  coalesce(o_orderstatus, 'ALL') AS status,
+      |  CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+      |  CAST(grouping(o_orderstatus) AS INT) AS g_status,
+      |  count(*) AS n_orders,
+      |  round(1e-9 + sum(o_totalprice), 2) AS total_price
+      |FROM orders
+      |GROUP BY CUBE (o_orderpriority, o_orderstatus)
+      |ORDER BY prio, status, g_prio, g_status""".stripMargin) { (spark, dir) =>
+    Tables.orders(spark, dir)
+      .cube("o_orderpriority", "o_orderstatus")
+      .agg(
+        grouping(col("o_orderpriority")).cast("int").as("g_prio"),
+        grouping(col("o_orderstatus")).cast("int").as("g_status"),
+        count(lit(1)).as("n_orders"),
+        round(lit(1e-9) + sum("o_totalprice"), 2).as("total_price"))
+      .select(
+        coalesce(col("o_orderpriority"), lit("ALL")).as("prio"),
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        col("g_prio"), col("g_status"), col("n_orders"), col("total_price"))
+      .orderBy("prio", "status", "g_prio", "g_status")
+  }
+
   /** Exact distinct counts per group (the HLL variant is q9_approx, rows-only). */
   val q9 = Q(
     "q9_distinct",
@@ -488,5 +521,6 @@ object Relational {
       .orderBy("p_partkey")
   }
 
-  val all: Seq[Q] = Seq(q1, q3, q5, q6, q7, q8, q9, q9approx, q10, q13, q14, q15, q16, q17, q2)
+  val all: Seq[Q] =
+    Seq(q1, q3, q5, q6, q7, q8, q9, q9approx, q10, q13, q14, q15, q16, q17, q2, q23)
 }

@@ -91,5 +91,84 @@ object Search {
       .limit(TopK)
   }
 
-  val all: Seq[Q] = Seq(bm25)
+  private val simVocabK = 32
+
+  /** Source-to-source vocabulary similarity: each source (= model
+    * identity) reduced to a tf-idf vector over the corpus's top-32
+    * document-frequency terms, then pairwise cosine between sources —
+    * "which models talk alike", the retrieval-side companion to
+    * ma_fp_compare's style-feature cosine (llmmap.py:130-146) using
+    * lexical evidence instead of style markers.
+    *
+    * Scale shape: tokens collapse to (doc_id, h) histograms in the
+    * scan stage (the Zipf discipline — df needs the distinct anyway);
+    * the vocab head rides the bounded-heap aggregate exactly like
+    * tx_topterms (partitions·k rows to the final step, the vocabulary
+    * is never sorted or collected); the 32 winners broadcast back;
+    * everything after runs on ≤ sources×32-row frames, so the
+    * pairwise cosine is O(sources²) and corpus-size-independent.
+    * idf = ln((N+1)/(df+1)) + 1 over the same counts in both engines;
+    * cosines compare 6-dp-rounded. Sources with a zero vector over
+    * the head vocabulary are excluded on both sides (0/0 cosine —
+    * the Ann zero-norm rule).
+    */
+  val sourceSim = Q(
+    "ix_source_sim", {
+      val whSql = graft.functions.Hashing.wordHashesSql("text")
+      s"""WITH wh AS (SELECT doc_id, source, unnest($whSql) AS h FROM documents),
+         |dc AS (SELECT doc_id, source, h, CAST(count(*) AS BIGINT) AS c
+         |  FROM wh GROUP BY doc_id, source, h),
+         |v AS (SELECT h, CAST(count(*) AS BIGINT) AS df FROM dc GROUP BY h),
+         |nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+         |vocab AS (SELECT h, df FROM v ORDER BY df DESC, h LIMIT $simVocabK),
+         |w AS (
+         |  SELECT dc.source, dc.h,
+         |    sum(dc.c) * (ln((nd.n + 1) / CAST(vocab.df + 1 AS DOUBLE)) + 1) AS w
+         |  FROM dc JOIN vocab USING (h) CROSS JOIN nd
+         |  GROUP BY dc.source, dc.h, vocab.df, nd.n),
+         |nrm AS (SELECT source, sqrt(sum(w * w)) AS nrm FROM w GROUP BY source),
+         |dots AS (
+         |  SELECT a.source AS src_a, b.source AS src_b, sum(a.w * b.w) AS dot
+         |  FROM w a JOIN w b ON a.h = b.h AND a.source < b.source
+         |  GROUP BY a.source, b.source)
+         |SELECT d.src_a, d.src_b,
+         |  round(1e-9 + d.dot / (na.nrm * nb.nrm) + 1e-9, 6) AS cosine
+         |FROM dots d
+         |JOIN nrm na ON na.source = d.src_a AND na.nrm > 0
+         |JOIN nrm nb ON nb.source = d.src_b AND nb.nrm > 0
+         |ORDER BY src_a, src_b""".stripMargin
+    }) { (spark, dir) =>
+    val dc = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        explode(graft.functions.Hashing.wordHashes(col("text"))).as("h"))
+      .groupBy("doc_id", "source", "h").agg(count(lit(1)).as("c"))
+    val v = dc.groupBy("h").agg(count(lit(1)).as("df"))
+    val vocab = v
+      .agg(graft.functions.TopKAgg.topk_by_score(
+        col("df").cast("double"), col("h"), simVocabK).as("tk"))
+      .select(explode(col("tk")).as("t"))
+      .select(col("t.id").as("h"))
+      .join(v, "h") // re-attach df for the idf term
+    val nd = Tables.documents(spark, dir).agg(count(lit(1)).as("n"))
+    val w = dc.join(broadcast(vocab), "h")
+      .crossJoin(broadcast(nd))
+      .groupBy("source", "h", "df", "n")
+      .agg(sum("c").as("tf"))
+      .select(col("source"), col("h"),
+        (col("tf") * (log((col("n") + 1) / (col("df") + 1).cast("double")) + 1)).as("w"))
+    val nrm = w.groupBy("source").agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
+      .filter(col("nrm") > 0)
+    val a = w.toDF("src_a", "h", "wa")
+    val b = w.toDF("src_b", "hb", "wb")
+    a.join(b, col("h") === col("hb") && col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b")
+      .agg(sum(col("wa") * col("wb")).as("dot"))
+      .join(broadcast(nrm.toDF("src_a", "na")), "src_a")
+      .join(broadcast(nrm.toDF("src_b", "nb")), "src_b")
+      .select(col("src_a"), col("src_b"),
+        round(lit(1e-9) + col("dot") / (col("na") * col("nb")) + 1e-9, 6).as("cosine"))
+      .orderBy("src_a", "src_b")
+  }
+
+  val all: Seq[Q] = Seq(bm25, sourceSim)
 }

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins for the cube / source-similarity / image-parse additions
+  * beyond their oracle hash checks: algebraic reconciliation for
+  * CUBE, plan + range invariants for the tf-idf cosine, byte
+  * accounting for the BMP parser.
+  */
+class AnalyticsExtrasSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("q23_cube reconciles: grand total == sum of leaves == each marginal") {
+    val rows = SparkEntry.queries("q23_cube")(spark, sf).collect()
+    def n(p: org.apache.spark.sql.Row => Boolean): Long =
+      rows.filter(p).map(_.getAs[Long]("n_orders")).sum
+    val leaves = n(r => r.getAs[Int]("g_prio") == 0 && r.getAs[Int]("g_status") == 0)
+    val margPrio = n(r => r.getAs[Int]("g_prio") == 0 && r.getAs[Int]("g_status") == 1)
+    val margStatus = n(r => r.getAs[Int]("g_prio") == 1 && r.getAs[Int]("g_status") == 0)
+    val grand = n(r => r.getAs[Int]("g_prio") == 1 && r.getAs[Int]("g_status") == 1)
+    assert(grand > 0)
+    assert(leaves == grand, "leaf cells must sum to the grand total")
+    assert(margPrio == grand && margStatus == grand,
+      "both marginals must sum to the grand total")
+    // ONE Expand-fed aggregate, not four passes
+    val p = SparkEntry.queries("q23_cube")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("Expand"), "CUBE must compile to an Expand-fed hash aggregate")
+  }
+
+  test("ix_source_sim rides the bounded heap and emits valid cosines for all pairs") {
+    val df = SparkEntry.queries("ix_source_sim")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("topk_by_score"),
+      "the vocab head must go through the bounded-heap aggregate, not a sort")
+    assert(!p.contains("Window"), "no window sorts anywhere in the similarity plan")
+    val rows = df.collect()
+    val nSources = Tables.documents(spark, sf).select("source").distinct().count()
+    assert(rows.length == nSources * (nSources - 1) / 2,
+      s"expected all ${nSources * (nSources - 1) / 2} unordered pairs, got ${rows.length}")
+    // tf-idf weights are positive, so cosines live in (0, 1]
+    assert(rows.forall { r =>
+      val c = r.getAs[Double]("cosine"); c > 0d && c <= 1.000001d
+    })
+  }
+
+  test("mm_image byte accounting: parsed geometry explains every payload byte") {
+    val rows = SparkEntry.queries("mm_image")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val stride = r.getAs[Long]("row_stride")
+      assert(stride % 4 == 0, "BMP rows must be 4-byte aligned")
+      assert(stride - r.getAs[Long]("pad_bytes") == 3 * r.getAs[Long]("width"))
+      assert(r.getAs[Long]("data_bytes") == stride * r.getAs[Long]("height"))
+      assert(r.getAs[Long]("file_bytes") ==
+        r.getAs[Long]("data_offset") + r.getAs[Long]("data_bytes"))
+    }
+    // dimensions actually vary across docs (the parse isn't constant)
+    assert(rows.map(_.getAs[Long]("width")).distinct.length > 1)
+    assert(rows.map(_.getAs[Long]("height")).distinct.length > 1)
+  }
+}
