@@ -150,12 +150,26 @@ object Search {
       .select(col("t.id").as("h"))
       .join(v, "h") // re-attach df for the idf term
     val nd = Tables.documents(spark, dir).agg(count(lit(1)).as("n"))
-    val w = dc.join(broadcast(vocab), "h")
-      .crossJoin(broadcast(nd))
-      .groupBy("source", "h", "df", "n")
+    val tf = dc.join(broadcast(vocab), "h")
+      .groupBy("source", "h", "df")
       .agg(sum("c").as("tf"))
+    pairCosines(weightsOf(tf, nd))
+  }
+
+  /** tf-idf weights from a (source, h, df, tf) profile + the 1-row
+    * doc count — shared by the batch query and the streaming twin
+    * (which maintains the (source, h) tf table incrementally and
+    * derives the SAME weights from it).
+    */
+  private[graft] def weightsOf(tf: DataFrame, nd: DataFrame): DataFrame =
+    tf.crossJoin(broadcast(nd))
       .select(col("source"), col("h"),
         (col("tf") * (log((col("n") + 1) / (col("df") + 1).cast("double")) + 1)).as("w"))
+
+  /** Pairwise source cosines from a (source, h, w) weight frame —
+    * O(sources²) on ≤ sources×vocab rows, corpus-size-independent.
+    */
+  private[graft] def pairCosines(w: DataFrame): DataFrame = {
     val nrm = w.groupBy("source").agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
       .filter(col("nrm") > 0)
     val a = w.toDF("src_a", "h", "wa")
@@ -168,6 +182,23 @@ object Search {
       .select(col("src_a"), col("src_b"),
         round(lit(1e-9) + col("dot") / (col("na") * col("nb")) + 1e-9, 6).as("cosine"))
       .orderBy("src_a", "src_b")
+  }
+
+  /** The df-annotated head vocabulary + corpus doc count as plain
+    * frames, for the streaming twin's serve path. */
+  private[graft] def simVocab(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val dc = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        explode(graft.functions.Hashing.wordHashes(col("text"))).as("h"))
+      .groupBy("doc_id", "source", "h").agg(count(lit(1)).as("c"))
+    val v = dc.groupBy("h").agg(count(lit(1)).as("df"))
+    val vocab = v
+      .agg(graft.functions.TopKAgg.topk_by_score(
+        col("df").cast("double"), col("h"), simVocabK).as("tk"))
+      .select(explode(col("tk")).as("t"))
+      .select(col("t.id").as("h"))
+      .join(v, "h")
+    (vocab, Tables.documents(spark, dir).agg(count(lit(1)).as("n")))
   }
 
   val all: Seq[Q] = Seq(bm25, sourceSim)

@@ -635,6 +635,28 @@ object Streaming {
       .select(col("event_type"),
         hll_sketch_estimate(col("sk")).as("n_users_approx"))
 
+  /** Incrementally-maintained per-source term profile over a FIXED
+    * broadcast head vocabulary — the lexical half of ix_source_sim's
+    * scale story (the lengthBins/PSI pattern one shelf up): arriving
+    * docs explode map-side, the vocab filter is a stream-static
+    * broadcast join (32 rows), and ONE streaming aggregation keyed
+    * (source, h) maintains the tf table — state = sources×32 longs.
+    * The similarity serve (Search.weightsOf → Search.pairCosines,
+    * the SAME definitions batch uses) then reads the maintained
+    * table and never touches raw docs. A replay reproduces batch
+    * ix_source_sim row-for-row (StreamingSpec). In production the
+    * vocab head refreshes periodically from the corpus (like the
+    * repeatedGramIndex), while per-doc profile maintenance is
+    * continuous.
+    */
+  def termProfile(docs: DataFrame, vocab: DataFrame): DataFrame =
+    docs
+      .select(col("source"),
+        explode(graft.functions.Hashing.wordHashes(col("text"))).as("h"))
+      .join(broadcast(vocab.select("h")), Seq("h"))
+      .groupBy("source", "h")
+      .agg(count(lit(1)).as("tf"))
+
   /** Flush still-open sessions from a completed sessionize pass
     * (batch-mode convenience for tests and backfills).
     */

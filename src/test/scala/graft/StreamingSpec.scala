@@ -827,6 +827,37 @@ class StreamingSpec extends AnyFunSuite {
       assert(math.abs(got(t) - e) <= e * 0.04, s"$t: est ${got(t)} vs exact $e")
   }
 
+  test("streamed term profile + shared cosine serve reproduce batch ix_source_sim") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val (vocab, nd) = operators.Search.simVocab(spark, sf)
+    val docs = graft.Tables.documents(spark, sf)
+      .select("source", "text").as[(String, String)].collect()
+    val mem = MemoryStream[(String, String)]
+    val q = Streaming.termProfile(mem.toDF().toDF("source", "text"), vocab)
+      .writeStream.outputMode("complete").format("memory").queryName("tprof").start()
+    try {
+      docs.grouped(math.max(1, docs.length / 3 + 1)).foreach { chunk =>
+        mem.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    // serve path: the maintained tiny table + the SHARED weight/cosine
+    // definitions (freeze the sink into a local frame — the PSI-spec
+    // discipline for self-joining a memory sink)
+    val sink = spark.table("tprof")
+    val prof = spark.createDataFrame(
+      java.util.Arrays.asList(sink.collect(): _*), sink.schema)
+      .join(vocab.select("h", "df"), "h")
+    val got = operators.Search.pairCosines(operators.Search.weightsOf(prof, nd))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val want = SparkEntry.queries("ix_source_sim")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(got.keySet == want.keySet && got.nonEmpty)
+    for ((k, w) <- want)
+      assert(math.abs(got(k) - w) < 2e-6, s"$k: stream ${got(k)} vs batch $w")
+  }
+
   test("batch sessionize matches the SQL sessionization operator") {
     import spark.implicits._
     val ev = eventsBatch.select("event_id", "ts", "user_id", "event_type", "value").as[Event]
