@@ -364,7 +364,84 @@ object Events {
       .orderBy("event_type")
   }
 
+  /** Time-bounded ordered funnel (the windowFunnel analytic):
+    * signup → click → purchase must ALL land within 48 h of the
+    * user's first signup, each stage strictly after the previous one.
+    * Greedy earliest-qualifying-event semantics (the standard
+    * windowFunnel definition): t1 = first signup, t2 = first click in
+    * (t1, t1+W], t3 = first purchase in (t2, t1+W]. Unlike ev_funnel
+    * (unbounded follow-up) the window bound makes this a conversion
+    * metric. Shape: three user_id-keyed aggregations chained by joins
+    * on the same key — every stage's state is one timestamp per user,
+    * the event table is filtered to one stage's type before each join,
+    * and nothing ever sorts a user's full history (no window
+    * function). Division guards keep the empty-corpus row NULL-equal
+    * across engines.
+    */
+  val windowFunnel = Q(
+    "ev_windowfunnel",
+    """WITH s AS (
+      |  SELECT user_id, min(epoch_us(ts)) AS t1
+      |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+      |c AS (
+      |  SELECT s.user_id, s.t1, min(e.e_us) AS t2
+      |  FROM s LEFT JOIN
+      |    (SELECT user_id, epoch_us(ts) AS e_us FROM events
+      |     WHERE event_type = 'click') e
+      |    ON e.user_id = s.user_id AND e.e_us > s.t1
+      |      AND e.e_us <= s.t1 + 172800000000
+      |  GROUP BY s.user_id, s.t1),
+      |p AS (
+      |  SELECT c.user_id, c.t1, c.t2, min(e.e_us) AS t3
+      |  FROM c LEFT JOIN
+      |    (SELECT user_id, epoch_us(ts) AS e_us FROM events
+      |     WHERE event_type = 'purchase') e
+      |    ON e.user_id = c.user_id AND e.e_us > c.t2
+      |      AND e.e_us <= c.t1 + 172800000000
+      |  GROUP BY c.user_id, c.t1, c.t2)
+      |SELECT
+      |  count(t1) AS n_signup, count(t2) AS n_click, count(t3) AS n_purchase,
+      |  CASE WHEN count(t1) = 0 THEN NULL
+      |    ELSE round(1e-9 + count(t2) * 1.0 / count(t1), 6) END AS conv_click,
+      |  CASE WHEN count(t1) = 0 THEN NULL
+      |    ELSE round(1e-9 + count(t3) * 1.0 / count(t1), 6) END AS conv_purchase,
+      |  round(1e-9 + avg((t2 - t1) / 3600000000.0), 4) AS avg_hours_click,
+      |  round(1e-9 + avg((t3 - t1) / 3600000000.0), 4) AS avg_hours_purchase
+      |FROM p""".stripMargin) { (spark, dir) =>
+    val winUs = 172800000000L // 48 h
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val s = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("us").as("t1"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("us").as("c_us"))
+    val c = s.join(clicks,
+        col("user_id") === col("cu") && col("c_us") > col("t1") &&
+          col("c_us") <= col("t1") + lit(winUs), "left")
+      .groupBy("user_id", "t1").agg(min("c_us").as("t2"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("us").as("p_us"))
+    val p = c.join(purchases,
+        col("user_id") === col("pu") && col("p_us") > col("t2") &&
+          col("p_us") <= col("t1") + lit(winUs), "left")
+      .groupBy("user_id", "t1", "t2").agg(min("p_us").as("t3"))
+    p.agg(
+      count(col("t1")).as("n_signup"),
+      count(col("t2")).as("n_click"),
+      count(col("t3")).as("n_purchase"),
+      when(count(col("t1")) === 0, lit(null))
+        .otherwise(round(lit(1e-9) + count(col("t2")) * lit(1.0) / count(col("t1")), 6))
+        .as("conv_click"),
+      when(count(col("t1")) === 0, lit(null))
+        .otherwise(round(lit(1e-9) + count(col("t3")) * lit(1.0) / count(col("t1")), 6))
+        .as("conv_purchase"),
+      round(lit(1e-9) + avg((col("t2") - col("t1")) / lit(3600000000.0)), 4)
+        .as("avg_hours_click"),
+      round(lit(1e-9) + avg((col("t3") - col("t1")) / lit(3600000000.0)), 4)
+        .as("avg_hours_purchase"))
+  }
+
   val all: Seq[Q] =
     Seq(windowAgg, sessionize, funnel, json, retention, asof, rangeJoin,
-      sessionWindow, variant)
+      sessionWindow, variant, windowFunnel)
 }

@@ -521,6 +521,96 @@ object Relational {
       .orderBy("p_partkey")
   }
 
+  /** Unpivot / melt — the inverse reshape of q14_pivot: each lineitem
+    * row's three charge components (gross price, discount amount, tax
+    * amount) become three (component, amount) rows, then a normal
+    * grouped aggregation per (returnflag, component). Spark's native
+    * `unpivot` compiles to an Expand node — the row multiplication
+    * happens map-side inside the scan stage (same machinery as
+    * rollup/cube), so the only exchange is the final 6-group hash
+    * aggregate: one pass over lineitem at any corpus size, no join,
+    * no union of three scans (which is what the naive formulation —
+    * and the oracle below — would run).
+    */
+  val q24 = Q(
+    "q24_unpivot",
+    """WITH m AS (
+      |  SELECT l_returnflag,
+      |    l_extendedprice AS gross,
+      |    l_extendedprice * l_discount AS discount_amt,
+      |    l_extendedprice * (1 - l_discount) * l_tax AS tax_amt
+      |  FROM lineitem),
+      |u AS (
+      |  SELECT l_returnflag, 'gross' AS component, gross AS amount FROM m
+      |  UNION ALL
+      |  SELECT l_returnflag, 'discount_amt', discount_amt FROM m
+      |  UNION ALL
+      |  SELECT l_returnflag, 'tax_amt', tax_amt FROM m)
+      |SELECT l_returnflag, component,
+      |  round(1e-9 + sum(amount), 2) AS total,
+      |  count(*) AS n
+      |FROM u
+      |GROUP BY l_returnflag, component
+      |ORDER BY l_returnflag, component""".stripMargin) { (spark, dir) =>
+    Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"),
+        col("l_extendedprice").as("gross"),
+        (col("l_extendedprice") * col("l_discount")).as("discount_amt"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount")) * col("l_tax")).as("tax_amt"))
+      .unpivot(
+        Array(col("l_returnflag")),
+        Array(col("gross"), col("discount_amt"), col("tax_amt")),
+        "component", "amount")
+      .groupBy("l_returnflag", "component")
+      .agg(
+        round(lit(1e-9) + sum("amount"), 2).as("total"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag", "component")
+  }
+
+  /** Distribution window functions — percent_rank / cume_dist /
+    * ntile, the remaining third of the window surface next to ranking
+    * (q7) and frames (q16): each customer's lifetime revenue placed
+    * within their nation's revenue distribution. Revenue is
+    * 2-dp-rounded BEFORE ranking and the window order carries a
+    * custkey tie-break, so rank positions (and therefore all three
+    * distribution values) are bit-identical across engines. Shape:
+    * one custkey-keyed aggregate over orders (partial map-side), the
+    * customer dim joined for the nation key (CBO/AQE broadcast while
+    * it fits), then ONE window shuffle on nationkey — all three
+    * functions evaluate in the same Window node / same sort. Output
+    * is |customers| rows — the scale ceiling is the window partition
+    * size (one nation's customers per task), the classic case for a
+    * range-partitioned sort at 100 TB.
+    */
+  val q25 = Q(
+    "q25_dist_rank",
+    """WITH rev AS (
+      |  SELECT o_custkey, round(1e-9 + sum(o_totalprice), 2) AS revenue
+      |  FROM orders GROUP BY o_custkey)
+      |SELECT c_nationkey, o_custkey AS custkey, revenue,
+      |  round(1e-9 + percent_rank() OVER w, 6) AS pct_rank,
+      |  round(1e-9 + cume_dist() OVER w, 6) AS cume,
+      |  CAST(ntile(10) OVER w AS INT) AS decile
+      |FROM rev JOIN customer ON c_custkey = o_custkey
+      |WINDOW w AS (PARTITION BY c_nationkey ORDER BY revenue DESC, o_custkey)
+      |ORDER BY c_nationkey, revenue DESC, custkey""".stripMargin) { (spark, dir) =>
+    val rev = Tables.orders(spark, dir)
+      .groupBy("o_custkey")
+      .agg(round(lit(1e-9) + sum("o_totalprice"), 2).as("revenue"))
+    val w = Window.partitionBy("c_nationkey")
+      .orderBy(col("revenue").desc, col("o_custkey"))
+    rev
+      .join(Tables.customer(spark, dir).select("c_custkey", "c_nationkey"),
+        col("c_custkey") === col("o_custkey"))
+      .select(col("c_nationkey"), col("o_custkey").as("custkey"), col("revenue"),
+        round(lit(1e-9) + percent_rank().over(w), 6).as("pct_rank"),
+        round(lit(1e-9) + cume_dist().over(w), 6).as("cume"),
+        ntile(10).over(w).cast("int").as("decile"))
+      .orderBy(col("c_nationkey"), col("revenue").desc, col("custkey"))
+  }
+
   val all: Seq[Q] =
-    Seq(q1, q3, q5, q6, q7, q8, q9, q9approx, q10, q13, q14, q15, q16, q17, q2, q23)
+    Seq(q1, q3, q5, q6, q7, q8, q9, q9approx, q10, q13, q14, q15, q16, q17, q2, q23,
+      q24, q25)
 }

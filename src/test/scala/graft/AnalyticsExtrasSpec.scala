@@ -29,6 +29,60 @@ class AnalyticsExtrasSpec extends AnyFunSuite {
     assert(p.contains("Expand"), "CUBE must compile to an Expand-fed hash aggregate")
   }
 
+  test("q24_unpivot reconciles against directly-computed component sums") {
+    val rows = SparkEntry.queries("q24_unpivot")(spark, sf).collect()
+    val direct = Tables.lineitem(spark, sf)
+      .groupBy("l_returnflag")
+      .agg(
+        round(lit(1e-9) + sum("l_extendedprice"), 2).as("gross"),
+        round(lit(1e-9) + sum(col("l_extendedprice") * col("l_discount")), 2)
+          .as("discount_amt"),
+        round(lit(1e-9) + sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * col("l_tax")), 2)
+          .as("tax_amt"))
+      .collect()
+      .flatMap(r => Seq("gross", "discount_amt", "tax_amt").map(c =>
+        (r.getAs[String]("l_returnflag"), c) -> r.getAs[Double](c)))
+      .toMap
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val k = (r.getAs[String]("l_returnflag"), r.getAs[String]("component"))
+      assert(math.abs(r.getAs[Double]("total") - direct(k)) < 1e-6, s"$k diverges")
+    }
+  }
+
+  test("q25_dist_rank distribution values are coherent within every nation") {
+    val rows = SparkEntry.queries("q25_dist_rank")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byNation = rows.groupBy(_.getAs[Number]("c_nationkey").longValue)
+    for ((_, rs) <- byNation) {
+      // cume_dist reaches exactly 1 at the partition's last row; both
+      // distributions live in (0,1]/[0,1]; deciles stay in 1..10
+      assert(math.abs(rs.map(_.getAs[Double]("cume")).max - 1.0) < 1e-9)
+      assert(rs.forall { r =>
+        val pr = r.getAs[Double]("pct_rank"); pr >= 0.0 && pr <= 1.0
+      })
+      assert(rs.forall { r =>
+        val d = r.getAs[Int]("decile"); d >= 1 && d <= 10
+      })
+      // revenue is non-increasing along the ranked order
+      val revs = rs.sortBy(r => (r.getAs[Double]("pct_rank"), r.getAs[Long]("custkey")))
+        .map(_.getAs[Double]("revenue"))
+      assert(revs.zip(revs.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("ev_windowfunnel depths are monotone and bounded by the unbounded funnel") {
+    val r = SparkEntry.queries("ev_windowfunnel")(spark, sf).collect().head
+    val (s, c, p) = (r.getAs[Long]("n_signup"), r.getAs[Long]("n_click"),
+      r.getAs[Long]("n_purchase"))
+    assert(s >= c && c >= p, "stage counts must be monotone non-increasing")
+    // the 48 h bound can only lose conversions vs ev_funnel's unbounded chase
+    val f = SparkEntry.queries("ev_funnel")(spark, sf).collect().head
+    assert(s <= f.getAs[Long]("n_signup"))
+    assert(c <= f.getAs[Long]("n_click"))
+    assert(p <= f.getAs[Long]("n_purchase"))
+  }
+
   test("ix_source_sim rides the bounded heap and emits valid cosines for all pairs") {
     val df = SparkEntry.queries("ix_source_sim")(spark, sf)
     val p = df.queryExecution.executedPlan.toString

@@ -370,6 +370,29 @@ class PlanSpec extends AnyFunSuite {
     assert(keyedShuffles == 1, s"expected 1 keyed shuffle, saw $keyedShuffles")
   }
 
+  test("q24_unpivot is one Expand-fed pass: no union of per-component scans") {
+    val p = plan("q24_unpivot")
+    assert(p.contains("Expand"), "unpivot must expand map-side")
+    assert(!p.contains("Union"), "a UNION would scan lineitem three times")
+    val keyedShuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(keyedShuffles == 1, s"expected 1 keyed shuffle, saw $keyedShuffles")
+  }
+
+  test("q25_dist_rank evaluates all three distribution functions in one Window node") {
+    val p = plan("q25_dist_rank")
+    val windows = "\\bWindow\\b".r.findAllIn(p).size
+    assert(windows == 1,
+      s"percent_rank/cume_dist/ntile share (partition, order) → one Window, saw $windows")
+    val keyedShuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(keyedShuffles <= 2,
+      s"custkey agg + nation window = at most 2 keyed shuffles, saw $keyedShuffles")
+  }
+
+  test("ev_windowfunnel never sorts a user's history: chained aggs, no Window") {
+    val p = plan("ev_windowfunnel")
+    assert(!p.contains("Window"), "funnel stages must be min-aggregates, not windows")
+  }
+
   test("tx_bigram_ppl pre-aggregates (doc_id, pack) histograms before every LM join") {
     val p = plan("tx_bigram_ppl")
     assert(!p.contains("Window"), "per-doc surprisal must aggregate, not window")
