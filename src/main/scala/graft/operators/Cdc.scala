@@ -3,6 +3,7 @@ package graft.operators
 import graft.{Q, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Change-data-capture / snapshot operators — the ingest-maintenance
   * primitives a continuously-refreshed corpus needs: newest-wins key
@@ -162,5 +163,56 @@ object Cdc {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(latest, diff, incremental)
+  /** SCD Type-2 history build: the full version history per
+    * (user_id, event_type) key from the events changelog — the
+    * dimension-history companion to cdc_latest's current-only serve.
+    * Consecutive no-op updates (same 4-dp-rounded value as the
+    * previous surviving version) are suppressed first — a lag
+    * compare collapses each equal run to its first row, which is
+    * exactly sequential no-op suppression — then survivors get
+    * version numbers, [valid_from, valid_to) bounds from lead(), and
+    * an is_current flag on the open version. Shape: ONE keyed
+    * exchange on (user_id, event_type); the suppression filter
+    * preserves that partitioning, so the re-versioning windows reuse
+    * it (two Window nodes, one shuffle — plan-asserted). Per-task
+    * work is bounded by one key's history, the natural CDC unit.
+    * Streaming twin: [[graft.streaming.Streaming.scd2]] emits each
+    * closed version the moment its successor arrives.
+    */
+  val scd2 = Q(
+    "cdc_scd2",
+    """WITH c AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
+      |    round(1e-9 + value, 4) AS value,
+      |    lag(round(1e-9 + value, 4)) OVER
+      |      (PARTITION BY user_id, event_type ORDER BY epoch_us(ts), event_id) AS prev
+      |  FROM events),
+      |s AS (SELECT * FROM c WHERE prev IS NULL OR value <> prev)
+      |SELECT user_id, event_type,
+      |  CAST(row_number() OVER w AS INT) AS version,
+      |  ts_us AS valid_from_us,
+      |  lead(ts_us) OVER w AS valid_to_us,
+      |  value,
+      |  lead(ts_us) OVER w IS NULL AS is_current
+      |FROM s
+      |WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts_us, event_id)
+      |ORDER BY user_id, event_type, version""".stripMargin) { (spark, dir) =>
+    val w = Window.partitionBy("user_id", "event_type").orderBy("ts_us", "event_id")
+    val surv = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"), col("event_id"),
+        round(lit(1e-9) + col("value"), 4).as("value"))
+      .withColumn("prev", lag("value", 1).over(w))
+      .filter(col("prev").isNull || col("value") =!= col("prev"))
+    surv
+      .select(col("user_id"), col("event_type"),
+        row_number().over(w).cast("int").as("version"),
+        col("ts_us").as("valid_from_us"),
+        lead("ts_us", 1).over(w).as("valid_to_us"),
+        col("value"),
+        lead("ts_us", 1).over(w).isNull.as("is_current"))
+      .orderBy("user_id", "event_type", "version")
+  }
+
+  val all: Seq[Q] = Seq(latest, diff, incremental, scd2)
 }

@@ -578,6 +578,62 @@ object Streaming {
       .groupBy("source", "bin")
       .agg(count(lit(1)).as("n"))
 
+  final case class Scd2Out(user_id: Long, event_type: String, version: Int,
+      valid_from_us: Long, valid_to_us: Long, value: Double)
+
+  /** SCD Type-2 maintenance at ingest — the streaming twin of batch
+    * cdc_scd2: each (user, event_type) key carries its OPEN version
+    * (start micros, 4-dp value, version number) plus the in-order
+    * high-water mark as state; an arriving change with a different
+    * rounded value CLOSES the open version (emitting it with
+    * valid_to = the new change's timestamp — exactly batch's lead())
+    * and opens the next; a no-op update only advances the high-water
+    * mark. Append-mode discipline: only CLOSED versions are emitted
+    * (they are final the moment the successor arrives); the open
+    * version lives in state — batch parity is closed rows ==
+    * cdc_scd2's is_current=false rows, with one open version per
+    * live key (StreamingSpec). CONTRACT — in-order replay per key,
+    * same as [[shard]]/[[asof]]: version numbering is
+    * order-dependent, so the state fails loudly on a (ts, event_id)
+    * regression rather than silently renumbering history.
+    */
+  def scd2(events: Dataset[Event]): Dataset[Scd2Out] = {
+    import events.sparkSession.implicits._
+    def micros(e: Event): Long =
+      e.ts.getTime * 1000L + (e.ts.getNanos % 1000000L) / 1000L
+    def r4(v: Double): Double =
+      BigDecimal(1e-9 + v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val keyOrd = Ordering.Tuple2[Long, Long]
+    events
+      .groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState[(Long, Double, Int, Long, Long), Scd2Out](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: (Long, String), rows: Iterator[Event],
+         state: GroupState[(Long, Double, Int, Long, Long)]) =>
+          // (curFromUs, curValue, version, hiUs, hiId); version 0 = no
+          // open version yet (hi* track ALL seen events incl. no-ops)
+          var (curUs, curV, ver, hiUs, hiId) = state.getOption
+            .getOrElse((Long.MinValue, Double.NaN, 0, Long.MinValue, Long.MinValue))
+          val out = Seq.newBuilder[Scd2Out]
+          for (e <- rows.toSeq.sortBy(e => (micros(e), e.event_id))) {
+            val u = micros(e)
+            if (ver > 0 && keyOrd.lteq((u, e.event_id), (hiUs, hiId)))
+              throw new IllegalStateException(
+                s"Streaming.scd2: event ${e.event_id} of key $key arrived after " +
+                  s"($hiUs, $hiId) was versioned — in-order replay precondition violated")
+            hiUs = u; hiId = e.event_id
+            val v = r4(e.value)
+            if (ver == 0) { curUs = u; curV = v; ver = 1 }
+            else if (v != curV) {
+              out += Scd2Out(key._1, key._2, ver, curUs, u, curV)
+              curUs = u; curV = v; ver += 1
+            }
+          }
+          state.update((curUs, curV, ver, hiUs, hiId))
+          out.result().iterator
+      }
+  }
+
   final case class LatestOut(user_id: Long, event_type: String,
       last_us: Long, last_event_id: Long, last_value: Double)
 

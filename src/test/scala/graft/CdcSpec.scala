@@ -96,4 +96,55 @@ class CdcSpec extends AnyFunSuite {
     assert(rows.length == Tables.documents(spark, sf).select("source").distinct().count())
     assert(rows.forall(_.getAs[Double]("outlier_share") < 0.5))
   }
+
+  test("cdc_scd2 versions partition time and close exactly at successors") {
+    val rows = SparkEntry.queries("cdc_scd2")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byKey = rows.groupBy(r =>
+      (r.getAs[Long]("user_id"), r.getAs[String]("event_type")))
+    for ((_, rs) <- byKey) {
+      val sorted = rs.sortBy(_.getAs[Int]("version"))
+      // versions are 1..n dense; exactly one open (current) version, the last
+      assert(sorted.map(_.getAs[Int]("version")).toSeq == (1 to rs.length))
+      assert(sorted.count(_.getAs[Boolean]("is_current")) == 1)
+      assert(sorted.last.getAs[Boolean]("is_current"))
+      // each closed version's valid_to == its successor's valid_from,
+      // and no two adjacent versions carry the same value (suppression)
+      for (Array(a, b) <- sorted.sliding(2).map(_.toArray)) {
+        assert(a.getAs[Long]("valid_to_us") == b.getAs[Long]("valid_from_us"))
+        assert(a.getAs[Double]("value") != b.getAs[Double]("value"))
+      }
+    }
+    // every live key has a history and its current value == cdc_latest
+    val latest = SparkEntry.queries("cdc_latest")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type")) ->
+        r.getAs[Double]("last_value")).toMap
+    assert(byKey.keySet == latest.keySet)
+    for ((k, rs) <- byKey)
+      assert(rs.maxBy(_.getAs[Int]("version")).getAs[Double]("value") == latest(k))
+  }
+
+  test("cdc_scd2 collapses planted no-op runs to single versions") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // changelog: value runs 1,1,1,2,2,1 → versions (1, t0..t3), (2, t3..t5), (1, t5..)
+    val ev = Seq(
+      (1L, "2024-01-01 00:00:00", 1.0), (2L, "2024-01-01 01:00:00", 1.0),
+      (3L, "2024-01-01 02:00:00", 1.0), (4L, "2024-01-01 03:00:00", 2.0),
+      (5L, "2024-01-01 04:00:00", 2.0), (6L, "2024-01-01 05:00:00", 1.0))
+      .toDF("event_id", "ts_s", "value")
+      .select(col("event_id"), col("ts_s").cast("timestamp").as("ts"),
+        lit(7L).as("user_id"), lit("set").as("event_type"), col("value"))
+    val w = Window.partitionBy("user_id", "event_type").orderBy("ts_us", "event_id")
+    val got = ev
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"), col("event_id"),
+        round(lit(1e-9) + col("value"), 4).as("value"))
+      .withColumn("prev", lag("value", 1).over(w))
+      .filter(col("prev").isNull || col("value") =!= col("prev"))
+      .select(row_number().over(w).as("version"), col("value"))
+      .collect().map(r => (r.getAs[Int]("version"), r.getAs[Double]("value")))
+    assert(got.toSeq == Seq((1, 1.0), (2, 2.0), (3, 1.0)),
+      s"no-op runs must collapse to 3 versions, got ${got.toSeq}")
+  }
 }

@@ -388,6 +388,13 @@ class PlanSpec extends AnyFunSuite {
       s"custkey agg + nation window = at most 2 keyed shuffles, saw $keyedShuffles")
   }
 
+  test("cdc_scd2 reuses one keyed exchange across suppression and re-versioning") {
+    val p = plan("cdc_scd2")
+    val keyedShuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(keyedShuffles == 1,
+      s"the filter preserves (user, type) partitioning — 1 shuffle, saw $keyedShuffles")
+  }
+
   test("ev_windowfunnel never sorts a user's history: chained aggs, no Window") {
     val p = plan("ev_windowfunnel")
     assert(!p.contains("Window"), "funnel stages must be min-aggregates, not windows")

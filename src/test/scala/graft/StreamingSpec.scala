@@ -565,6 +565,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(want.exceptAll(got).count() == 0)
   }
 
+  test("streaming scd2 closes exactly batch cdc_scd2's non-current versions") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    def us(t: java.sql.Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos % 1000000L) / 1000L
+    val all = eventsBatch
+      .select("event_id", "ts", "user_id", "event_type", "value").as[Event]
+      .collect()
+      .sortBy(e => (us(e.ts), e.event_id))
+    val mem = MemoryStream[Event]
+    val q = Streaming.scd2(mem.toDS())
+      .writeStream.outputMode("append").format("memory").queryName("scd2").start()
+    try {
+      for (chunk <- all.grouped((all.length + 2) / 3)) {
+        mem.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val got = spark.sql("SELECT * FROM scd2").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)) ->
+        ((r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    val batch = SparkEntry.queries("cdc_scd2")(spark, sf).collect()
+    val want = batch.filter(!_.getAs[Boolean]("is_current"))
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type"),
+        r.getAs[Int]("version")) ->
+        ((r.getAs[Long]("valid_from_us"), r.getAs[Long]("valid_to_us"),
+          r.getAs[Double]("value")))).toMap
+    assert(got.nonEmpty && got == want,
+      s"closed-version sets differ: stream ${got.size} vs batch ${want.size}")
+    // exactly one open version per key stays in state (not emitted)
+    val liveKeys = batch.map(r =>
+      (r.getAs[Long]("user_id"), r.getAs[String]("event_type"))).distinct.length
+    assert(batch.length - want.size == liveKeys)
+  }
+
   test("streaming repeated-substring scan equals batch dd_spans on a replayed corpus") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
