@@ -134,6 +134,9 @@ object Bench {
       },
       built("hll_sketches", Seq("q19_sketch_union")) {
         operators.Maintain.sketchFrames(spark, sfDir)
+      },
+      built("kll_sketches", Seq("q26_kll")) {
+        operators.Maintain.kllFrames(spark, sfDir)
       }).flatten
     // deterministic name order: per-query numbers are comparable
     // run-to-run and round-to-round (Map iteration order shuffled the

@@ -1,0 +1,150 @@
+package graft.functions
+
+import org.apache.datasketches.kll.KllDoublesSketch
+import org.apache.datasketches.memory.Memory
+import org.apache.datasketches.quantilescommon.QuantileSearchCriteria
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+
+/** Mergeable quantile sketches (DataSketches KLL) — the percentile
+  * half of the sketch-re-aggregation story next to HLL distincts
+  * (q19_sketch_union): per-group KLL sketches are constant-size
+  * partial aggregates a warehouse stores once, and ANY coarser
+  * rollup's quantiles come from merging the |groups| sketch rows —
+  * the corpus is never rescanned. Spark ships hll_sketch_agg /
+  * hll_union_agg natively but no KLL surface, hence this
+  * TypedImperativeAggregate pair (build + merge) and a scalar
+  * quantile reader. KLL at k=200 carries a ±1.65% normalized rank
+  * error at 99% confidence (Karnin-Lall-Liberty, the published
+  * bound) — q26_kll pins estimates inside exact ±5%-rank quantile
+  * brackets, distribution-free.
+  *
+  * The aggregation buffer IS the heap sketch; serialize/merge use the
+  * library's own compact byte form, so map-side partials, shuffle
+  * bytes, and the stored table all carry the same ~O(k) payload.
+  */
+case class KllSketchAgg(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[KllDoublesSketch] {
+
+  override def createAggregationBuffer(): KllDoublesSketch =
+    KllDoublesSketch.newHeapInstance(k)
+
+  override def update(buf: KllDoublesSketch, input: InternalRow): KllDoublesSketch = {
+    val v = child.eval(input)
+    if (v != null) buf.update(v.asInstanceOf[Double])
+    buf
+  }
+
+  override def merge(buf: KllDoublesSketch, other: KllDoublesSketch): KllDoublesSketch = {
+    buf.merge(other)
+    buf
+  }
+
+  override def eval(buf: KllDoublesSketch): Any = buf.toByteArray
+
+  override def serialize(buf: KllDoublesSketch): Array[Byte] = buf.toByteArray
+  override def deserialize(bytes: Array[Byte]): KllDoublesSketch = {
+    val sk = createAggregationBuffer()
+    sk.merge(KllDoublesSketch.heapify(Memory.wrap(bytes)))
+    sk
+  }
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(child)
+  override def withNewMutableAggBufferOffset(o: Int): KllSketchAgg = copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): KllSketchAgg = copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): KllSketchAgg =
+    copy(child = cs(0))
+  override def prettyName: String = "kll_sketch_agg"
+}
+
+/** Union of stored KLL sketches (binary column → merged sketch):
+  * the serve-path re-aggregation — input rows are compact sketch
+  * bytes, never raw values.
+  */
+case class KllMergeAgg(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[KllDoublesSketch] {
+
+  override def createAggregationBuffer(): KllDoublesSketch =
+    KllDoublesSketch.newHeapInstance(k)
+
+  override def update(buf: KllDoublesSketch, input: InternalRow): KllDoublesSketch = {
+    val v = child.eval(input)
+    if (v != null)
+      buf.merge(KllDoublesSketch.heapify(Memory.wrap(v.asInstanceOf[Array[Byte]])))
+    buf
+  }
+
+  override def merge(buf: KllDoublesSketch, other: KllDoublesSketch): KllDoublesSketch = {
+    buf.merge(other)
+    buf
+  }
+
+  override def eval(buf: KllDoublesSketch): Any = buf.toByteArray
+
+  override def serialize(buf: KllDoublesSketch): Array[Byte] = buf.toByteArray
+  override def deserialize(bytes: Array[Byte]): KllDoublesSketch = {
+    val sk = createAggregationBuffer()
+    sk.merge(KllDoublesSketch.heapify(Memory.wrap(bytes)))
+    sk
+  }
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(child)
+  override def withNewMutableAggBufferOffset(o: Int): KllMergeAgg = copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): KllMergeAgg = copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): KllMergeAgg =
+    copy(child = cs(0))
+  override def prettyName: String = "kll_merge_agg"
+}
+
+/** Scalar reader: inclusive-rank quantile estimate from sketch bytes;
+  * NULL for an empty sketch. CodegenFallback is deliberate — this
+  * evaluates on |groups|-row serve frames, never in a corpus scan.
+  */
+case class KllQuantile(left: Expression, right: Expression)
+  extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(bytes: Any, q: Any): Any = {
+    val sk = KllDoublesSketch.heapify(Memory.wrap(bytes.asInstanceOf[Array[Byte]]))
+    if (sk.isEmpty) null
+    else sk.getQuantile(q.asInstanceOf[Double], QuantileSearchCriteria.INCLUSIVE)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): KllQuantile =
+    copy(left = l, right = r)
+  override def prettyName: String = "kll_quantile"
+}
+
+object KllAgg {
+  /** Column API: kll_sketch_agg(x, k) → binary sketch of the group's doubles. */
+  def kll_sketch_agg(x: Column, k: Int): Column =
+    Bridge.column(KllSketchAgg(Bridge.expression(x), k).toAggregateExpression())
+
+  /** Column API: kll_merge_agg(sk, k) → union of the group's binary sketches. */
+  def kll_merge_agg(sk: Column, k: Int): Column =
+    Bridge.column(KllMergeAgg(Bridge.expression(sk), k).toAggregateExpression())
+
+  /** Column API: kll_quantile(sk, q) → inclusive quantile estimate (NULL if empty). */
+  def kll_quantile(sk: Column, q: Column): Column =
+    Bridge.column(KllQuantile(Bridge.expression(sk), Bridge.expression(q)))
+}

@@ -121,5 +121,79 @@ object Maintain {
       .orderBy("o_orderpriority")
   }
 
-  val all: Seq[Q] = Seq(sketchUnion, incremental)
+  /** One-time KLL quantile-sketch table build: per-returnflag rows
+    * carrying the KLL(200) sketch of l_extendedprice plus the exact
+    * quantile BRACKETS that grade the estimates (p45/p50/p55 and
+    * p90/p95/p99 — a ±5%-RANK pin, distribution-free, generous next
+    * to KLL's published ±1.65% @ k=200). The global exact brackets
+    * are their own build output (cross-group quantiles don't compose
+    * from per-group ones — same reason q19's global exact row
+    * exists); production stores only the constant-size sketches.
+    */
+  def kllFrames(spark: org.apache.spark.sql.SparkSession, dir: String): Seq[org.apache.spark.sql.DataFrame] =
+    graft.SessionMemo.frames(spark, s"maintain.kllSketches:$dir") {
+      val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val li = Tables.lineitem(spark, dir)
+        .select(col("l_returnflag").as("grp"), col("l_extendedprice").as("x"))
+      def brackets = Seq(
+        percentile(col("x"), lit(0.45)).as("ex45"),
+        percentile(col("x"), lit(0.5)).as("ex50"),
+        percentile(col("x"), lit(0.55)).as("ex55"),
+        percentile(col("x"), lit(0.90)).as("ex90"),
+        percentile(col("x"), lit(0.95)).as("ex95"),
+        percentile(col("x"), lit(0.99)).as("ex99"))
+      val perGroup = li.groupBy("grp")
+        .agg(graft.functions.KllAgg.kll_sketch_agg(col("x"), 200).as("sk"),
+          brackets: _*)
+        .persist(lvl)
+      val globalBrackets = li.agg(brackets.head, brackets.tail: _*).persist(lvl)
+      perGroup.count(); globalBrackets.count() // materialize: q26 times the SERVE path
+      Seq(perGroup, globalBrackets)
+    }
+
+  /** Mergeable quantile serving: per-group medians/p95s read straight
+    * from the stored KLL sketch table, the ALL row from a union of
+    * the |groups| sketch rows — like q19 the corpus is NOT rescanned
+    * for the rollup. Emits the EXACT quantiles (which is what the
+    * oracle recomputes) plus booleans pinning each KLL estimate
+    * inside the exact ±5%-rank bracket: [p45, p55] must contain
+    * est(p50), [p90, p99] must contain est(p95) — quantile
+    * monotonicity makes those brackets valid for any estimate whose
+    * true rank error is under 5 points, so the pin needs no
+    * distribution assumption and no serve-time corpus pass.
+    */
+  val kllQuantiles = Q(
+    "q26_kll",
+    """SELECT grp, p50, p95, TRUE AS p50_ok, TRUE AS p95_ok FROM (
+      |  SELECT l_returnflag AS grp,
+      |    round(1e-9 + quantile_cont(l_extendedprice, 0.5), 2) AS p50,
+      |    round(1e-9 + quantile_cont(l_extendedprice, 0.95), 2) AS p95
+      |  FROM lineitem GROUP BY l_returnflag
+      |  UNION ALL
+      |  SELECT 'ALL' AS grp,
+      |    round(1e-9 + quantile_cont(l_extendedprice, 0.5), 2) AS p50,
+      |    round(1e-9 + quantile_cont(l_extendedprice, 0.95), 2) AS p95
+      |  FROM lineitem
+      |)
+      |ORDER BY grp""".stripMargin) { (spark, dir) =>
+    import graft.functions.KllAgg.{kll_merge_agg, kll_quantile}
+    val Seq(perGroup, globalBrackets) = kllFrames(spark, dir)
+    val exCols = Seq("ex45", "ex50", "ex55", "ex90", "ex95", "ex99").map(col)
+    val allRow = perGroup
+      .agg(kll_merge_agg(col("sk"), 200).as("sk"))
+      .crossJoin(globalBrackets)
+      .select(lit("ALL").as("grp") +: col("sk") +: exCols: _*)
+    perGroup.select(col("grp") +: col("sk") +: exCols: _*)
+      .unionByName(allRow)
+      .select(col("grp"),
+        round(lit(1e-9) + col("ex50"), 2).as("p50"),
+        round(lit(1e-9) + col("ex95"), 2).as("p95"),
+        (kll_quantile(col("sk"), lit(0.5)) >= col("ex45") &&
+          kll_quantile(col("sk"), lit(0.5)) <= col("ex55")).as("p50_ok"),
+        (kll_quantile(col("sk"), lit(0.95)) >= col("ex90") &&
+          kll_quantile(col("sk"), lit(0.95)) <= col("ex99")).as("p95_ok"))
+      .orderBy("grp")
+  }
+
+  val all: Seq[Q] = Seq(sketchUnion, incremental, kllQuantiles)
 }

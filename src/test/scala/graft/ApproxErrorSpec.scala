@@ -50,4 +50,42 @@ class ApproxErrorSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("KLL quantile estimates land within 5 rank points of truth, merge included") {
+    import graft.functions.KllAgg._
+    // per-group sketches + the merged ALL sketch, graded by the TRUE
+    // rank of each estimate (brute-force count ≤ est / n) — the
+    // distribution-free measurement behind q26_kll's bracket booleans
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag").as("grp"), col("l_extendedprice").as("x"))
+    val perGroup = li.groupBy("grp").agg(kll_sketch_agg(col("x"), 200).as("sk"))
+    val merged = perGroup.agg(kll_merge_agg(col("sk"), 200).as("sk"))
+      .select(lit("ALL").as("grp"), col("sk"))
+    val ests = perGroup.unionByName(merged)
+      .select(col("grp"),
+        kll_quantile(col("sk"), lit(0.5)).as("e50"),
+        kll_quantile(col("sk"), lit(0.95)).as("e95"))
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2))))
+    val data = li.collect().map(r => r.getString(0) -> r.getDouble(1))
+    def rankOf(grp: String, v: Double): Double = {
+      val xs = if (grp == "ALL") data.map(_._2) else data.filter(_._1 == grp).map(_._2)
+      xs.count(_ <= v).toDouble / xs.length
+    }
+    val errs = for {
+      (grp, (e50, e95)) <- ests.toSeq
+      (est, q) <- Seq((e50, 0.5), (e95, 0.95))
+    } yield {
+      val err = math.abs(rankOf(grp, est) - q)
+      assert(err <= 0.05, f"KLL est for $grp@$q has rank error $err%.4f (bound 0.05)")
+      err
+    }
+    info(f"max KLL rank error: ${errs.max}%.5f over ${errs.size} estimates (4 groups incl. merged ALL)")
+    // and the registered query's bracket booleans all hold
+    val rows = SparkEntry.queries("q26_kll")(spark, sf).collect()
+    assert(rows.length == 4)
+    rows.foreach { r =>
+      assert(r.getBoolean(r.fieldIndex("p50_ok")), s"p50_ok false for ${r.getString(0)}")
+      assert(r.getBoolean(r.fieldIndex("p95_ok")), s"p95_ok false for ${r.getString(0)}")
+    }
+  }
 }
