@@ -441,7 +441,68 @@ object Events {
         .as("avg_hours_purchase"))
   }
 
+  /** Time-series gap fill + forward fill: the dense 5-minute grid per
+    * event_type over the corpus's time range, empty buckets
+    * materialized with n = 0 and the last observed average carried
+    * forward (last_value IGNORE NULLS — the ev_asof carry one shelf
+    * up). The dashboard/resample primitive: downstream consumers get
+    * a regular series with no holes. Shape: the observed buckets are
+    * ONE (type, bucket) aggregation of events; the grid derives from
+    * a 1-row global min/max aggregate exploded through sequence() and
+    * cross-joined with the |types|-row dim — grid size is
+    * types × range/300 REGARDLESS of corpus density, so the fill
+    * join, the carry window, and the output are all bounded by
+    * calendar time, not event count; denser data only grows the
+    * first aggregation's map side.
+    */
+  val gapfill = Q(
+    "q27_gapfill",
+    """WITH b AS (
+      |  SELECT event_type, CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS bucket_s,
+      |    count(*) AS n, avg(value) AS av
+      |  FROM events GROUP BY event_type, bucket_s),
+      |r AS (
+      |  SELECT CAST(floor(epoch(min(ts)) / 300) * 300 AS BIGINT) AS lo,
+      |    CAST(floor(epoch(max(ts)) / 300) * 300 AS BIGINT) AS hi
+      |  FROM events),
+      |g AS (
+      |  SELECT t.event_type, gs.bucket_s
+      |  FROM (SELECT DISTINCT event_type FROM events) t
+      |  CROSS JOIN (SELECT unnest(range(lo, hi + 300, 300)) AS bucket_s FROM r) gs)
+      |SELECT g.event_type, g.bucket_s,
+      |  coalesce(b.n, 0) AS n,
+      |  round(1e-9 + last_value(b.av IGNORE NULLS) OVER (
+      |    PARTITION BY g.event_type ORDER BY g.bucket_s
+      |    ROWS UNBOUNDED PRECEDING), 4) AS value_ff,
+      |  b.n IS NULL AS filled
+      |FROM g LEFT JOIN b ON g.event_type = b.event_type AND g.bucket_s = b.bucket_s
+      |ORDER BY g.event_type, g.bucket_s""".stripMargin) { (spark, dir) =>
+    val ev = Tables.events(spark, dir)
+    val b = ev
+      .withColumn("bucket_s",
+        (floor(col("ts").cast("double") / 300) * 300).cast("long"))
+      .groupBy(col("event_type").as("b_type"), col("bucket_s").as("b_bucket"))
+      .agg(count(lit(1)).as("n"), avg("value").as("av"))
+    val range = ev.agg(
+      (floor(min(col("ts").cast("double")) / 300) * 300).cast("long").as("lo"),
+      (floor(max(col("ts").cast("double")) / 300) * 300).cast("long").as("hi"))
+    val grid = ev.select("event_type").distinct()
+      .crossJoin(broadcast(range))
+      .select(col("event_type"),
+        explode(sequence(col("lo"), col("hi"), lit(300L))).as("bucket_s"))
+    val w = Window.partitionBy("event_type").orderBy("bucket_s")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid
+      .join(b, col("event_type") === col("b_type") && col("bucket_s") === col("b_bucket"),
+        "left")
+      .select(col("event_type"), col("bucket_s"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        round(lit(1e-9) + last(col("av"), ignoreNulls = true).over(w), 4).as("value_ff"),
+        col("n").isNull.as("filled"))
+      .orderBy("event_type", "bucket_s")
+  }
+
   val all: Seq[Q] =
     Seq(windowAgg, sessionize, funnel, json, retention, asof, rangeJoin,
-      sessionWindow, variant, windowFunnel)
+      sessionWindow, variant, windowFunnel, gapfill)
 }

@@ -913,8 +913,66 @@ object Pipeline {
   /** The funnel plus the SemDeDup stage (seven stages). */
   val e2eSem = mkE2e("pipe_e2e_sem", sem = true)
 
+  // ═══════════════ chunking (embedding / RAG prep) ═══════════════
+
+  /** Chunk size / stride in WORDS: 16-word chunks every 12 words →
+    * 4-word overlap, the classic sliding-window chunker shape.
+    */
+  val ChunkSize = 16
+  val ChunkStride = 12
+
+  /** Overlapping sliding-window chunker — the embedding/RAG prep
+    * stage that turns each document into fixed-size word windows
+    * (size 16, stride 12): per chunk its 0-based index, word offset,
+    * actual length (the tail chunk may be short), and a polynomial
+    * content fingerprint over the chunk's word hashes (the
+    * tx_fingerprint discipline at chunk granularity — downstream
+    * chunk-level dedup joins on this 8-byte key, never chunk text).
+    * Pure map-only at any corpus size: words hash natively in the
+    * scan stage, chunk indexes explode from a sequence() — no join,
+    * no keyed shuffle (plan-asserted); output is ~|words|/stride
+    * rows. A doc shorter than one stride yields exactly one chunk;
+    * chunk_idx counting matches floor((n-1)/stride) on both engines.
+    */
+  val chunk = Q(
+    "pipe_chunk",
+    s"""WITH w AS (
+       |  SELECT doc_id, source, ${Hashing.wordHashesSql("text")} AS wh
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, source, wh, len(wh) AS n,
+       |    unnest(range(0, CAST(floor((len(wh) - 1) / $ChunkStride.0) AS INT) + 1))
+       |      AS chunk_idx
+       |  FROM w)
+       |SELECT doc_id, source, CAST(chunk_idx AS INT) AS chunk_idx,
+       |  CAST(chunk_idx * $ChunkStride AS INT) AS start_word,
+       |  CAST(least($ChunkSize, n - chunk_idx * $ChunkStride) AS INT) AS chunk_len,
+       |  list_reduce(list_concat([CAST(0 AS BIGINT)],
+       |    list_slice(wh, chunk_idx * $ChunkStride + 1,
+       |      chunk_idx * $ChunkStride + least($ChunkSize, n - chunk_idx * $ChunkStride))),
+       |    (a, b) -> (a * ${Hashing.B} + b) % ${Hashing.P}) AS chunk_hash
+       |FROM c
+       |ORDER BY doc_id, chunk_idx""".stripMargin) { (spark, dir) =>
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), Hashing.wordHashes(col("text")).as("wh"))
+      .withColumn("n", size(col("wh")))
+      .withColumn("chunk_idx",
+        explode(sequence(lit(0),
+          floor((col("n") - 1).cast("double") / lit(ChunkStride.toDouble)).cast("int"))))
+      .withColumn("start_word", (col("chunk_idx") * ChunkStride).cast("int"))
+      .withColumn("chunk_len",
+        least(lit(ChunkSize), col("n") - col("start_word")).cast("int"))
+      .select(col("doc_id"), col("source"), col("chunk_idx"),
+        col("start_word"), col("chunk_len"),
+        aggregate(
+          slice(col("wh"), col("start_word") + 1, col("chunk_len")),
+          lit(0L),
+          (acc, h) => (acc * Hashing.B + h) % Hashing.P).as("chunk_hash"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   val all: Seq[Q] = Seq(repetition, unigramPpl, bigramPpl, decontaminate, deconBloom,
     deconShuffle, sample,
     weightedSample, holdoutSplit,
-    mix, mixApply, e2e, e2eSem)
+    mix, mixApply, e2e, e2eSem, chunk)
 }

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Keyword search over the corpus — the retrieval shape a
@@ -201,5 +201,120 @@ object Search {
     (vocab, Tables.documents(spark, dir).agg(count(lit(1)).as("n")))
   }
 
-  val all: Seq[Q] = Seq(bm25, sourceSim)
+  // ═══════════════ hybrid retrieval (RRF) ═══════════════
+
+  /** Fixed hybrid query set — the SAME five ids the ANN family
+    * queries with (Ann.NumQueries), so lexical and semantic evidence
+    * describe the same probes; vec_id == doc_id in the testdata.
+    */
+  private val HybridQueries = 5
+  private val HybridK = 20 // per-retriever candidate depth
+  private val RrfC = 60    // the standard RRF constant (Cormack et al.)
+  private val HybridTopK = 10
+
+  val hybrid = Q(
+    "ix_hybrid", {
+      val whSql = graft.functions.Hashing.wordHashesSql("text")
+      s"""WITH dt AS (
+         |  SELECT doc_id, unnest(list_distinct($whSql)) AS h FROM documents),
+         |qt AS (SELECT doc_id AS query_id, h FROM dt WHERE doc_id < $HybridQueries),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+         |df AS (
+         |  SELECT h, CAST(count(*) AS BIGINT) AS df FROM dt
+         |  WHERE h IN (SELECT DISTINCT h FROM qt) GROUP BY h),
+         |lex AS (
+         |  SELECT qt.query_id, dt.doc_id,
+         |    round(1e-9 + sum(ln((nn.n + 1) / CAST(df.df + 1 AS DOUBLE)) + 1), 6) AS s
+         |  FROM dt JOIN qt ON dt.h = qt.h JOIN df ON df.h = dt.h CROSS JOIN nn
+         |  WHERE dt.doc_id <> qt.query_id
+         |  GROUP BY qt.query_id, dt.doc_id),
+         |lexr AS (
+         |  SELECT query_id, doc_id, CAST(row_number() OVER (
+         |    PARTITION BY query_id ORDER BY s DESC, doc_id) AS BIGINT) AS rl
+         |  FROM lex QUALIFY rl <= $HybridK),
+         |c AS (${Ann.corpusSql}),
+         |sem AS (
+         |  SELECT q.vec_id AS query_id, cc.vec_id AS doc_id,
+         |    round(1e-9 + list_dot_product(q.e, cc.e) / (q.nrm * cc.nrm), 6) AS s
+         |  FROM c q, c cc
+         |  WHERE q.vec_id < $HybridQueries AND cc.vec_id <> q.vec_id),
+         |semr AS (
+         |  SELECT query_id, doc_id, CAST(row_number() OVER (
+         |    PARTITION BY query_id ORDER BY s DESC, doc_id) AS BIGINT) AS rs
+         |  FROM sem QUALIFY rs <= $HybridK),
+         |f AS (
+         |  SELECT coalesce(l.query_id, s.query_id) AS query_id,
+         |    coalesce(l.doc_id, s.doc_id) AS doc_id,
+         |    round(1e-9 + coalesce(1.0 / ($RrfC + l.rl), 0)
+         |      + coalesce(1.0 / ($RrfC + s.rs), 0), 6) AS rrf
+         |  FROM lexr l FULL OUTER JOIN semr s
+         |    ON l.query_id = s.query_id AND l.doc_id = s.doc_id)
+         |SELECT query_id, doc_id, rrf, CAST(row_number() OVER (
+         |  PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS BIGINT) AS rank
+         |FROM f QUALIFY rank <= $HybridTopK
+         |ORDER BY query_id, rank""".stripMargin
+    }) {
+    // Hybrid search: lexical tf-idf overlap ⊕ embedding cosine, fused
+    // by reciprocal-rank fusion (1/(60+rank) — the score-free fusion
+    // that needs no cross-retriever calibration; Cormack et al.) —
+    // the modern two-tower retrieval serve composed from this
+    // engine's own halves. Scale shape: the 5-query term set
+    // broadcasts (≤ queries × vocab rows); the corpus side is a
+    // map-side distinct-term explode into that broadcast join,
+    // partially aggregated per (query, doc) — the decontamination
+    // posture, no token ever enters a keyed shuffle; both
+    // per-retriever candidate lists come from the bounded-heap
+    // aggregate (shuffle O(queries·k), no window over the corpus);
+    // the fusion join and final top-10 run on ≤ queries × 2k rows.
+    // The oracle formulates the same pipeline with windows — the
+    // plan spec asserts the Spark side has none.
+    (spark, dir) =>
+      import graft.functions.{Hashing, TopKAgg}
+      val docs = Tables.documents(spark, dir)
+      val dt = docs.select(col("doc_id"),
+        explode(array_distinct(Hashing.wordHashes(col("text")))).as("h"))
+      val qt = dt.filter(col("doc_id") < HybridQueries)
+        .select(col("doc_id").as("query_id"), col("h"))
+      val nn = docs.agg(count(lit(1)).as("n"))
+      val df = dt.join(broadcast(qt.select("h").distinct()), "h")
+        .groupBy("h").agg(count(lit(1)).as("df"))
+      val idf = df.crossJoin(broadcast(nn))
+        .select(col("h"),
+          (log((col("n") + 1) / (col("df") + 1).cast("double")) + 1).as("idf"))
+      val lex = dt.join(broadcast(qt), "h")
+        .filter(col("doc_id") =!= col("query_id"))
+        .join(broadcast(idf), "h")
+        .groupBy("query_id", "doc_id")
+        .agg(round(lit(1e-9) + sum("idf"), 6).as("s"))
+      def heapRanks(scored: DataFrame, rankName: String, k: Int): DataFrame =
+        scored.groupBy("query_id")
+          .agg(TopKAgg.topk_by_score(col("s"), col("doc_id"), k).as("tk"))
+          .select(col("query_id"), explode(col("tk")).as("t"))
+          .select(col("query_id"), col("t.id").as("doc_id"),
+            col("t.rank").as(rankName))
+      val lexr = heapRanks(lex, "rl", HybridK)
+      val c = Ann.corpus(spark, dir)
+      val q = c.filter(col("vec_id") < HybridQueries)
+        .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qn"))
+      val sem = c.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("doc_id"),
+          round(lit(1e-9) + dotC(col("qe"), col("e")) / (col("qn") * col("nrm")), 6).as("s"))
+      val semr = heapRanks(sem, "rs", HybridK)
+      val fused = lexr.join(semr, Seq("query_id", "doc_id"), "full_outer")
+        .select(col("query_id"), col("doc_id"),
+          round(lit(1e-9) + coalesce(lit(1.0) / (lit(RrfC) + col("rl")), lit(0d))
+            + coalesce(lit(1.0) / (lit(RrfC) + col("rs")), lit(0d)), 6).as("s"))
+      fused.groupBy("query_id")
+        .agg(TopKAgg.topk_by_score(col("s"), col("doc_id"), HybridTopK).as("tk"))
+        .select(col("query_id"), explode(col("tk")).as("t"))
+        .select(col("query_id"), col("t.id").as("doc_id"),
+          col("t.score").as("rrf"), col("t.rank").as("rank"))
+        .orderBy("query_id", "rank")
+    }
+
+  private[graft] def dotC(a: Column, b: Column): Column =
+    graft.functions.HashExprs.dot_product(a, b)
+
+  val all: Seq[Q] = Seq(bm25, sourceSim, hybrid)
 }

@@ -388,6 +388,26 @@ class PlanSpec extends AnyFunSuite {
       s"custkey agg + nation window = at most 2 keyed shuffles, saw $keyedShuffles")
   }
 
+  test("pipe_chunk is map-only: chunk explosion without any keyed shuffle") {
+    val p = plan("pipe_chunk")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "the chunker must not shuffle — words hash in the scan, indexes explode map-side")
+    assert(!p.contains("Join"), "no join anywhere in the chunk plan")
+  }
+
+  test("ix_hybrid ranks through bounded heaps, never a window over the corpus") {
+    val p = plan("ix_hybrid")
+    assert(p.contains("topk_by_score"),
+      "per-retriever candidate lists must come from the bounded-heap aggregate")
+    assert(!p.contains("Window"), "the oracle uses windows; the Spark side must not")
+  }
+
+  test("q27_gapfill carries the forward fill in one Window over the bounded grid") {
+    val p = plan("q27_gapfill")
+    val windows = "\\bWindow\\b".r.findAllIn(p).size
+    assert(windows == 1, s"one carry window over types×buckets rows, saw $windows")
+  }
+
   test("cdc_scd2 reuses one keyed exchange across suppression and re-versioning") {
     val p = plan("cdc_scd2")
     val keyedShuffles = "Exchange hashpartitioning".r.findAllIn(p).size
