@@ -446,14 +446,19 @@ object Events {
     * materialized with n = 0 and the last observed average carried
     * forward (last_value IGNORE NULLS — the ev_asof carry one shelf
     * up). The dashboard/resample primitive: downstream consumers get
-    * a regular series with no holes. Shape: the observed buckets are
-    * ONE (type, bucket) aggregation of events; the grid derives from
-    * a 1-row global min/max aggregate exploded through sequence() and
-    * cross-joined with the |types|-row dim — grid size is
-    * types × range/300 REGARDLESS of corpus density, so the fill
-    * join, the carry window, and the output are all bounded by
-    * calendar time, not event count; denser data only grows the
-    * first aggregation's map side.
+    * a regular series with no holes. The grid covers the 30-day
+    * REPORTING WINDOW ending at the corpus's last event — a
+    * production gap-fill always fills a bounded reporting range, and
+    * the bound is what makes the operator safe: without it a single
+    * stray 1970 timestamp would size the grid (and the sequence()
+    * array backing it) to the full epoch range — the fuzz sweep's
+    * events span 54 years and blew the heap on exactly that. Shape:
+    * the observed buckets are ONE (type, bucket) aggregation of
+    * events; the grid derives from a 1-row min/max aggregate exploded
+    * through sequence() and cross-joined with the |types|-row dim —
+    * grid size is types × 8640 buckets MAX regardless of corpus
+    * density or time span; denser data only grows the first
+    * aggregation's map side.
     */
   val gapfill = Q(
     "q27_gapfill",
@@ -462,7 +467,9 @@ object Events {
       |    count(*) AS n, avg(value) AS av
       |  FROM events GROUP BY event_type, bucket_s),
       |r AS (
-      |  SELECT CAST(floor(epoch(min(ts)) / 300) * 300 AS BIGINT) AS lo,
+      |  SELECT greatest(
+      |      CAST(floor(epoch(min(ts)) / 300) * 300 AS BIGINT),
+      |      CAST(floor(epoch(max(ts)) / 300) * 300 AS BIGINT) - 2592000) AS lo,
       |    CAST(floor(epoch(max(ts)) / 300) * 300 AS BIGINT) AS hi
       |  FROM events),
       |g AS (
@@ -484,8 +491,9 @@ object Events {
       .groupBy(col("event_type").as("b_type"), col("bucket_s").as("b_bucket"))
       .agg(count(lit(1)).as("n"), avg("value").as("av"))
     val range = ev.agg(
-      (floor(min(col("ts").cast("double")) / 300) * 300).cast("long").as("lo"),
-      (floor(max(col("ts").cast("double")) / 300) * 300).cast("long").as("hi"))
+        (floor(min(col("ts").cast("double")) / 300) * 300).cast("long").as("rawlo"),
+        (floor(max(col("ts").cast("double")) / 300) * 300).cast("long").as("hi"))
+      .select(greatest(col("rawlo"), col("hi") - lit(2592000L)).as("lo"), col("hi"))
     val grid = ev.select("event_type").distinct()
       .crossJoin(broadcast(range))
       .select(col("event_type"),
@@ -502,7 +510,76 @@ object Events {
       .orderBy("event_type", "bucket_s")
   }
 
+  /** Multi-touch attribution: every purchase attributed to the
+    * same-user clicks in its 48 h lookback window — first touch,
+    * last touch, and the linear credit split (value / n_touches) in
+    * one row. ev_asof answers "the latest click ever"; attribution
+    * needs the FULL bounded touch set, so the shape is the band-
+    * bucketed hash join from ev_range_join (lookback-sized buckets,
+    * probe exploded to 2 candidate buckets — each (purchase, click)
+    * pair meets exactly once, never a cross product) feeding ONE
+    * purchase-keyed aggregation whose first/last touches are
+    * min/max-struct argmins (no window). Purchases with no touches
+    * keep a row via the left join back (n_touches = 0, null credit).
+    */
+  val attribution = Q(
+    "ev_attribution",
+    """SELECT event_id, user_id, n_touches, first_click_id, last_click_id,
+      |  CASE WHEN n_touches > 0
+      |    THEN round(1e-9 + value / n_touches, 4) END AS credit_each
+      |FROM (
+      |  SELECT p.event_id, p.user_id, p.value,
+      |    (SELECT count(*) FROM events c
+      |     WHERE c.user_id = p.user_id AND c.event_type = 'click'
+      |       AND epoch_us(c.ts) < epoch_us(p.ts)
+      |       AND epoch_us(c.ts) >= epoch_us(p.ts) - 172800000000) AS n_touches,
+      |    (SELECT c.event_id FROM events c
+      |     WHERE c.user_id = p.user_id AND c.event_type = 'click'
+      |       AND epoch_us(c.ts) < epoch_us(p.ts)
+      |       AND epoch_us(c.ts) >= epoch_us(p.ts) - 172800000000
+      |     ORDER BY epoch_us(c.ts), c.event_id LIMIT 1) AS first_click_id,
+      |    (SELECT c.event_id FROM events c
+      |     WHERE c.user_id = p.user_id AND c.event_type = 'click'
+      |       AND epoch_us(c.ts) < epoch_us(p.ts)
+      |       AND epoch_us(c.ts) >= epoch_us(p.ts) - 172800000000
+      |     ORDER BY epoch_us(c.ts) DESC, c.event_id DESC LIMIT 1) AS last_click_id
+      |  FROM events p WHERE p.event_type = 'purchase'
+      |)
+      |ORDER BY event_id""".stripMargin) { (spark, dir) =>
+    val lookUs = 172800000000L // 48 h lookback
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("p_us"), col("value"))
+    val probe = purchases
+      .withColumn("b0", expr(s"p_us div $lookUs"))
+      .withColumn("bucket", explode(array(col("b0") - 1, col("b0"))))
+      .drop("b0", "value")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id"),
+        unix_micros(col("ts")).as("c_us"))
+      .withColumn("bucket", expr(s"c_us div $lookUs"))
+    val touches = probe
+      .join(clicks, Seq("user_id", "bucket"))
+      .filter(col("c_us") < col("p_us") && col("c_us") >= col("p_us") - lookUs)
+      .groupBy("event_id")
+      .agg(
+        count(lit(1)).as("n_touches"),
+        min(struct(col("c_us"), col("c_id"))).as("f"),
+        max(struct(col("c_us"), col("c_id"))).as("l"))
+      .select(col("event_id"), col("n_touches"),
+        col("f.c_id").as("first_click_id"), col("l.c_id").as("last_click_id"))
+    purchases
+      .join(touches, Seq("event_id"), "left")
+      .select(col("event_id"), col("user_id"),
+        coalesce(col("n_touches"), lit(0L)).as("n_touches"),
+        col("first_click_id"), col("last_click_id"),
+        when(col("n_touches") > 0,
+          round(lit(1e-9) + col("value") / col("n_touches"), 4)).as("credit_each"))
+      .orderBy("event_id")
+  }
+
   val all: Seq[Q] =
     Seq(windowAgg, sessionize, funnel, json, retention, asof, rangeJoin,
-      sessionWindow, variant, windowFunnel, gapfill)
+      sessionWindow, variant, windowFunnel, gapfill, attribution)
 }

@@ -934,25 +934,11 @@ object Pipeline {
     * rows. A doc shorter than one stride yields exactly one chunk;
     * chunk_idx counting matches floor((n-1)/stride) on both engines.
     */
-  val chunk = Q(
-    "pipe_chunk",
-    s"""WITH w AS (
-       |  SELECT doc_id, source, ${Hashing.wordHashesSql("text")} AS wh
-       |  FROM documents),
-       |c AS (
-       |  SELECT doc_id, source, wh, len(wh) AS n,
-       |    unnest(range(0, CAST(floor((len(wh) - 1) / $ChunkStride.0) AS INT) + 1))
-       |      AS chunk_idx
-       |  FROM w)
-       |SELECT doc_id, source, CAST(chunk_idx AS INT) AS chunk_idx,
-       |  CAST(chunk_idx * $ChunkStride AS INT) AS start_word,
-       |  CAST(least($ChunkSize, n - chunk_idx * $ChunkStride) AS INT) AS chunk_len,
-       |  list_reduce(list_concat([CAST(0 AS BIGINT)],
-       |    list_slice(wh, chunk_idx * $ChunkStride + 1,
-       |      chunk_idx * $ChunkStride + least($ChunkSize, n - chunk_idx * $ChunkStride))),
-       |    (a, b) -> (a * ${Hashing.B} + b) % ${Hashing.P}) AS chunk_hash
-       |FROM c
-       |ORDER BY doc_id, chunk_idx""".stripMargin) { (spark, dir) =>
+  /** The chunk frame (doc_id, source, chunk_idx, start_word,
+    * chunk_len, chunk_hash), unordered — shared by pipe_chunk and
+    * the chunk-level dedup dd_chunks.
+    */
+  private[graft] def chunksOf(spark: org.apache.spark.sql.SparkSession, dir: String) =
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), Hashing.wordHashes(col("text")).as("wh"))
       .withColumn("n", size(col("wh")))
@@ -968,11 +954,86 @@ object Pipeline {
           slice(col("wh"), col("start_word") + 1, col("chunk_len")),
           lit(0L),
           (acc, h) => (acc * Hashing.B + h) % Hashing.P).as("chunk_hash"))
-      .orderBy("doc_id", "chunk_idx")
+
+  /** The chunk CTE as oracle SQL — `chunks` exposes the same six
+    * columns as [[chunksOf]].
+    */
+  private[graft] val chunksSql: String =
+    s"""w AS (
+       |  SELECT doc_id, source, ${Hashing.wordHashesSql("text")} AS wh
+       |  FROM documents),
+       |cix AS (
+       |  SELECT doc_id, source, wh, len(wh) AS n,
+       |    unnest(range(0, CAST(floor((len(wh) - 1) / $ChunkStride.0) AS INT) + 1))
+       |      AS chunk_idx
+       |  FROM w),
+       |chunks AS (
+       |  SELECT doc_id, source, CAST(chunk_idx AS INT) AS chunk_idx,
+       |    CAST(chunk_idx * $ChunkStride AS INT) AS start_word,
+       |    CAST(least($ChunkSize, n - chunk_idx * $ChunkStride) AS INT) AS chunk_len,
+       |    list_reduce(list_concat([CAST(0 AS BIGINT)],
+       |      list_slice(wh, chunk_idx * $ChunkStride + 1,
+       |        chunk_idx * $ChunkStride + least($ChunkSize, n - chunk_idx * $ChunkStride))),
+       |      (a, b) -> (a * ${Hashing.B} + b) % ${Hashing.P}) AS chunk_hash
+       |  FROM cix)""".stripMargin
+
+  val chunk = Q(
+    "pipe_chunk",
+    s"""WITH $chunksSql
+       |SELECT doc_id, source, chunk_idx, start_word, chunk_len, chunk_hash
+       |FROM chunks
+       |ORDER BY doc_id, chunk_idx""".stripMargin) { (spark, dir) =>
+    chunksOf(spark, dir).orderBy("doc_id", "chunk_idx")
+  }
+
+  /** Chunk-level exact dedup — the consumer that makes pipe_chunk's
+    * fingerprint load-bearing: corpus-wide, every chunk whose hash
+    * already appears at a smaller (doc_id, chunk_idx) is a duplicate
+    * (the canonical copy is the min-struct keeper — the engine's
+    * standard no-window argmin), and each doc reports its duplicated-
+    * chunk share. Near-identical docs share most of their windows, so
+    * this flags partial-overlap pairs exact dedup misses and dd_spans
+    * only sees as runs. Shuffle keys are the 8-byte chunk hash and
+    * doc_id — chunk text never materializes, let alone shuffles.
+    */
+  val chunkDedup = Q(
+    "dd_chunks",
+    s"""WITH $chunksSql,
+       |keep AS (
+       |  SELECT chunk_hash, min(ROW(doc_id, chunk_idx)) AS keeper
+       |  FROM chunks GROUP BY chunk_hash)
+       |SELECT c.doc_id, c.source,
+       |  CAST(count(*) AS BIGINT) AS n_chunks,
+       |  CAST(count(*) FILTER (WHERE ROW(c.doc_id, c.chunk_idx) <> k.keeper)
+       |    AS BIGINT) AS n_dup,
+       |  round(1e-9 + count(*) FILTER (WHERE ROW(c.doc_id, c.chunk_idx) <> k.keeper)
+       |    * 1.0 / count(*), 6) AS dup_share,
+       |  count(*) FILTER (WHERE ROW(c.doc_id, c.chunk_idx) <> k.keeper)
+       |    * 2 >= count(*) AS chunk_dup
+       |FROM chunks c JOIN keep k ON c.chunk_hash = k.chunk_hash
+       |GROUP BY c.doc_id, c.source
+       |ORDER BY c.doc_id""".stripMargin) { (spark, dir) =>
+    val chunks = chunksOf(spark, dir)
+    val keep = chunks
+      .groupBy("chunk_hash")
+      .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("keeper"))
+    chunks
+      .join(keep, "chunk_hash")
+      .withColumn("is_dup",
+        col("doc_id") =!= col("keeper.doc_id") ||
+          col("chunk_idx") =!= col("keeper.chunk_idx"))
+      .groupBy("doc_id", "source")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        count(when(col("is_dup"), 1)).as("n_dup"),
+        round(lit(1e-9) + count(when(col("is_dup"), 1)) * lit(1.0) / count(lit(1)), 6)
+          .as("dup_share"),
+        (count(when(col("is_dup"), 1)) * 2 >= count(lit(1))).as("chunk_dup"))
+      .orderBy("doc_id")
   }
 
   val all: Seq[Q] = Seq(repetition, unigramPpl, bigramPpl, decontaminate, deconBloom,
     deconShuffle, sample,
     weightedSample, holdoutSplit,
-    mix, mixApply, e2e, e2eSem, chunk)
+    mix, mixApply, e2e, e2eSem, chunk, chunkDedup)
 }

@@ -83,6 +83,43 @@ class AnalyticsExtrasSpec extends AnyFunSuite {
     assert(p <= f.getAs[Long]("n_purchase"))
   }
 
+  test("dd_chunks gives every exact-duplicate loser a 100% duplicated-chunk share") {
+    val chunks = SparkEntry.queries("dd_chunks")(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("dup_share")).toMap
+    // exact-duplicate losers: docs sharing text with a smaller doc_id
+    val losers = Tables.documents(spark, sf)
+      .groupBy("text").agg(min("doc_id").as("keep"), collect_list("doc_id").as("ids"))
+      .select(explode(col("ids")).as("doc_id"), col("keep"))
+      .filter(col("doc_id") =!= col("keep"))
+      .collect().map(_.getAs[Long]("doc_id"))
+    // exact duplicates (present at the larger SFs; this SF may have
+    // none) must show a 100% duplicated-chunk share
+    for (d <- losers)
+      assert(chunks(d) == 1.0, s"exact-dup loser $d has dup_share ${chunks(d)} != 1.0")
+    // the load-bearing class: docs with PARTIAL overlap (0 < share
+    // < 1) — what exact dedup misses and chunk dedup exists to catch;
+    // the planted near-dup pairs guarantee these at every SF
+    assert(chunks.values.exists(s => s > 0 && s < 1))
+  }
+
+  test("ev_attribution's last touch agrees with ev_asof inside the lookback") {
+    val att = SparkEntry.queries("ev_attribution")(spark, sf).collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        ((r.getAs[Long]("n_touches"), Option(r.getAs[java.lang.Long]("last_click_id")))))
+      .toMap
+    val asof = SparkEntry.queries("ev_asof")(spark, sf).collect()
+    assert(att.nonEmpty && asof.nonEmpty)
+    var checked = 0
+    for (r <- asof; gap = Option(r.getAs[java.lang.Long]("gap_us")) if gap.exists(_ <= 172800000000L)) {
+      // the latest-ever click fell inside the window → it IS the last touch
+      val (n, last) = att(r.getAs[Long]("event_id"))
+      assert(n > 0 && last.contains(r.getAs[Long]("click_id")),
+        s"purchase ${r.getAs[Long]("event_id")}: asof click ${r.getAs[Long]("click_id")} vs attribution $last")
+      checked += 1
+    }
+    assert(checked > 0, "some asof answers must fall inside the 48 h lookback")
+  }
+
   test("ix_source_sim rides the bounded heap and emits valid cosines for all pairs") {
     val df = SparkEntry.queries("ix_source_sim")(spark, sf)
     val p = df.queryExecution.executedPlan.toString

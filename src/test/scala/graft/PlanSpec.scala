@@ -408,6 +408,32 @@ class PlanSpec extends AnyFunSuite {
     assert(windows == 1, s"one carry window over types×buckets rows, saw $windows")
   }
 
+  test("dd_chunks dedups on 8-byte chunk hashes: no window, no text in keyed shuffles") {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = SparkEntry.queries("dd_chunks")(spark, sf)
+      val p = df.queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+      assert(!p.contains("Window"), "keeper selection must be a min-struct agg, not a window")
+      val exchanges = df.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      for (e <- exchanges
+           if !e.outputPartitioning.isInstanceOf[
+             org.apache.spark.sql.catalyst.plans.physical.RoundRobinPartitioning])
+        assert(!e.output.exists(n => n.name == "text" || n.name == "wh"),
+          s"a keyed shuffle carries text or the word-hash array: ${e.output.map(_.name)}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("ev_attribution is a banded equi-join feeding struct argmins, no window") {
+    val p = plan("ev_attribution")
+    assert(p.contains("bucket"), "the lookback join must key on (user_id, bucket)")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "an unbanded lookback predicate degenerates to a nested-loop join")
+    assert(!p.contains("Window"), "first/last touch must be min/max-struct aggs")
+  }
+
   test("cdc_scd2 reuses one keyed exchange across suppression and re-versioning") {
     val p = plan("cdc_scd2")
     val keyedShuffles = "Exchange hashpartitioning".r.findAllIn(p).size
