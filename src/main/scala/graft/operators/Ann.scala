@@ -1120,7 +1120,65 @@ object Ann {
       .orderBy("query_id", "rank")
   }
 
+  /** Metadata ceiling for the filtered search — a simple range
+    * predicate (label ≤ 4, half the label space) so the filter
+    * PUSHES INTO THE PARQUET SCAN, which is the point of the
+    * pre-filter strategy.
+    */
+  val FilterMaxLabel = 4
+
+  /** FILTERED vector search — top-k under a metadata predicate, the
+    * production "where label in (…)" ANN query. Strategy here is
+    * PRE-FILTER: the predicate lands in the parquet scan
+    * (PushedFilters — plan-asserted) and the bounded heap ranks only
+    * qualifying vectors, so recall is exact-by-construction at any
+    * selectivity. The alternative (post-filtering an IVF probe) keeps
+    * the index's speed but must over-probe to refill k as
+    * selectivity drops — the classic filtered-ANN trade; at ≥50%
+    * selectivity like this predicate, scanning the filtered corpus
+    * with the heap is the simpler and exactly-correct plan (a real
+    * deployment partitions the index BY the filter column and gets
+    * both). Queries themselves are unfiltered (they search a
+    * restricted corpus, not a restricted query set).
+    */
+  val filteredTopk = Q(
+    "ann_filtered",
+    s"""WITH c AS (
+       |  SELECT * FROM (
+       |    SELECT vec_id, label, e, sqrt(list_dot_product(e, e)) AS nrm
+       |    FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+       |  ) WHERE nrm > 0),
+       |q AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn FROM c WHERE vec_id < $NumQueries)
+       |SELECT query_id, neighbor_id, label, cosine, rank FROM (
+       |  SELECT q.query_id, c.vec_id AS neighbor_id, c.label,
+       |    round(1e-9 + list_dot_product(qe, e) / (qn * nrm), 6) AS cosine,
+       |    CAST(row_number() OVER (PARTITION BY q.query_id
+       |      ORDER BY list_dot_product(qe, e) / (qn * nrm) DESC, c.vec_id) AS BIGINT) AS rank
+       |  FROM q, c
+       |  WHERE c.vec_id <> q.query_id AND c.label <= $FilterMaxLabel
+       |) WHERE rank <= $TopK
+       |ORDER BY query_id, rank""".stripMargin) { (spark, dir) =>
+    val cf = Tables.embeddings(spark, dir)
+      .filter(col("label") <= FilterMaxLabel)
+      .select(col("vec_id"), col("label"), embDbl(col("embedding")).as("e"))
+      .withColumn("nrm", sqrt(dotC(col("e"), col("e"))))
+      .filter(col("nrm") > 0d)
+    val q = corpus(spark, dir).filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qn"))
+    val scored = broadcast(q).join(cf, col("vec_id") =!= col("query_id"))
+      .withColumn("cos_raw", dotC(col("qe"), col("e")) / (col("qn") * col("nrm")))
+    val top = scored.groupBy("query_id")
+      .agg(graft.functions.TopKAgg.topk_by_score(col("cos_raw"), col("vec_id"), TopK).as("tk"))
+      .select(col("query_id"), explode(col("tk")).as("t"))
+      .select(col("query_id"), col("t.id").as("neighbor_id"),
+        round(lit(1e-9) + col("t.score"), 6).as("cosine"), col("t.rank").as("rank"))
+    top
+      .join(cf.select(col("vec_id"), col("label")), col("vec_id") === col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("label"), col("cosine"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
   val all: Seq[Q] =
     Seq(topk, topkAgg, topkPlan, lshTopk, ivfTopk, pqTopk, ivfpqTopk, sq8Topk,
-      embedDedup, embedClusters)
+      embedDedup, embedClusters, filteredTopk)
 }

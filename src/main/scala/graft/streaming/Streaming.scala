@@ -578,6 +578,74 @@ object Streaming {
       .groupBy("source", "bin")
       .agg(count(lit(1)).as("n"))
 
+  final case class AttributionOut(event_id: Long, user_id: Long,
+      n_touches: Long, first_click_id: Option[Long], last_click_id: Option[Long],
+      credit_each: Option[Double])
+
+  /** Multi-touch attribution at ingest — the streaming twin of batch
+    * ev_attribution: each arriving purchase is answered with its
+    * first/last touch and linear credit split from the user's click
+    * state. State per user = the clicks inside the 48 h lookback as a
+    * (micros, id) queue — BOUNDED BY THE LOOKBACK WINDOW, not stream
+    * history: every arriving event first evicts clicks older than
+    * (now − 48 h), so a user's state carries at most their 48 h click
+    * rate no matter how long the stream runs (the same
+    * watermark-eviction argument as intervalJoin, enforced by hand
+    * because the answer rides flatMapGroupsWithState). CONTRACT —
+    * in-order replay per user, enforced like [[asof]]: purchases sort
+    * before same-instant clicks ((ts, side, id) — the batch window's
+    * strictly-earlier rule), and the state fails loudly on
+    * regression. Cross-validated row-for-row against ev_attribution
+    * in StreamingSpec.
+    */
+  def attribution(events: Dataset[Event]): Dataset[AttributionOut] = {
+    import events.sparkSession.implicits._
+    val lookUs = 172800000000L
+    def micros(e: Event): Long =
+      e.ts.getTime * 1000L + (e.ts.getNanos % 1000000L) / 1000L
+    def sideOf(e: Event): Int = if (e.event_type == "purchase") 0 else 1
+    val keyOrd = Ordering.Tuple3[Long, Int, Long]
+    events
+      .filter(e => e.event_type == "click" || e.event_type == "purchase")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(List[(Long, Long)], Long, Int, Long), AttributionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Event],
+         state: GroupState[(List[(Long, Long)], Long, Int, Long)]) =>
+          // (clicks newest-first, hiUs, hiSide, hiId)
+          var (clicks, hiUs, hiSide, hiId) = state.getOption
+            .getOrElse((List.empty[(Long, Long)], Long.MinValue, -1, Long.MinValue))
+          val out = Seq.newBuilder[AttributionOut]
+          for (e <- rows.toSeq.sortBy(e => (micros(e), sideOf(e), e.event_id))) {
+            val u = micros(e); val side = sideOf(e)
+            if (keyOrd.lteq((u, side, e.event_id), (hiUs, hiSide, hiId)))
+              throw new IllegalStateException(
+                s"Streaming.attribution: event ${e.event_id} of user $userId arrived " +
+                  s"after key ($hiUs, $hiSide, $hiId) — in-order replay precondition violated")
+            hiUs = u; hiSide = side; hiId = e.event_id
+            // evict: in-order means every future purchase lands at ≥ u,
+            // so a click older than u − lookback can never match again
+            clicks = clicks.filter(_._1 >= u - lookUs)
+            if (side == 0) {
+              val touches = clicks.filter { case (cu, _) => cu < u && cu >= u - lookUs }
+              if (touches.isEmpty)
+                out += AttributionOut(e.event_id, userId, 0L, None, None, None)
+              else {
+                val n = touches.length.toLong
+                val first = touches.minBy(identity)
+                val last = touches.maxBy(identity)
+                out += AttributionOut(e.event_id, userId, n,
+                  Some(first._2), Some(last._2),
+                  Some(BigDecimal(1e-9 + e.value / n)
+                    .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+              }
+            } else clicks = (u, e.event_id) :: clicks
+          }
+          state.update((clicks, hiUs, hiSide, hiId))
+          out.result().iterator
+      }
+  }
+
   final case class Scd2Out(user_id: Long, event_type: String, version: Int,
       valid_from_us: Long, valid_to_us: Long, value: Double)
 

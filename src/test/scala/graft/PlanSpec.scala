@@ -408,6 +408,14 @@ class PlanSpec extends AnyFunSuite {
     assert(windows == 1, s"one carry window over types×buckets rows, saw $windows")
   }
 
+  test("ann_filtered pushes the metadata predicate into the scan and heap-selects") {
+    val p = plan("ann_filtered")
+    assert(p.contains("LessThanOrEqual(label,4)"),
+      "the pre-filter strategy's point: the predicate reaches the parquet scan")
+    assert(p.contains("topk_by_score"))
+    assert(!p.contains("row_number"), "no per-query window sort over the corpus")
+  }
+
   test("dd_chunks dedups on 8-byte chunk hashes: no window, no text in keyed shuffles") {
     val prev = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")

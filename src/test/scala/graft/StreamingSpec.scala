@@ -565,6 +565,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(want.exceptAll(got).count() == 0)
   }
 
+  test("streaming attribution reproduces batch ev_attribution on an in-order replay") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    def us(t: java.sql.Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos % 1000000L) / 1000L
+    val all = eventsBatch
+      .select("event_id", "ts", "user_id", "event_type", "value").as[Event]
+      .collect()
+      .sortBy(e => (us(e.ts), if (e.event_type == "purchase") 0 else 1, e.event_id))
+    val mem = MemoryStream[Event]
+    val q = Streaming.attribution(mem.toDS())
+      .writeStream.outputMode("append").format("memory").queryName("attr").start()
+    try {
+      for (chunk <- all.grouped((all.length + 2) / 3)) {
+        mem.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    def key(r: org.apache.spark.sql.Row): (Long, Long, Option[Long], Option[Long], Option[Double]) =
+      (r.getAs[Long]("event_id"), r.getAs[Long]("n_touches"),
+        Option(r.getAs[java.lang.Long]("first_click_id")).map(_.longValue),
+        Option(r.getAs[java.lang.Long]("last_click_id")).map(_.longValue),
+        Option(r.getAs[java.lang.Double]("credit_each")).map(_.doubleValue))
+    val got = spark.sql("SELECT * FROM attr").collect().map(key).toSet
+    val want = SparkEntry.queries("ev_attribution")(spark, sf).collect().map(key).toSet
+    assert(got.nonEmpty && got == want,
+      s"stream ${got.size} rows vs batch ${want.size}; diff ${(got diff want).take(3)} / ${(want diff got).take(3)}")
+  }
+
   test("streaming scd2 closes exactly batch cdc_scd2's non-current versions") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
