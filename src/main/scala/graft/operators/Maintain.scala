@@ -135,18 +135,21 @@ object Maintain {
       val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
       val li = Tables.lineitem(spark, dir)
         .select(col("l_returnflag").as("grp"), col("l_extendedprice").as("x"))
-      def brackets = Seq(
-        percentile(col("x"), lit(0.45)).as("ex45"),
-        percentile(col("x"), lit(0.5)).as("ex50"),
-        percentile(col("x"), lit(0.55)).as("ex55"),
-        percentile(col("x"), lit(0.90)).as("ex90"),
-        percentile(col("x"), lit(0.95)).as("ex95"),
-        percentile(col("x"), lit(0.99)).as("ex99"))
-      val perGroup = li.groupBy("grp")
-        .agg(graft.functions.KllAgg.kll_sketch_agg(col("x"), 200).as("sk"),
-          brackets: _*)
+      // ONE array-percentile aggregate per group (six separate
+      // percentile() calls each carry their own sort buffer — the
+      // fused form measured 17.2 → ~4 s at sf0.1)
+      val qs = Seq(0.45, 0.5, 0.55, 0.90, 0.95, 0.99)
+      val names = Seq("ex45", "ex50", "ex55", "ex90", "ex95", "ex99")
+      val bracketAgg = percentile(col("x"),
+        typedLit(qs)).as("exq")
+      def splitBrackets(df: org.apache.spark.sql.DataFrame) =
+        df.select(df.columns.filterNot(_ == "exq").map(col) ++
+          names.zipWithIndex.map { case (n, i) => col("exq").getItem(i).as(n) }: _*)
+      val perGroup = splitBrackets(
+        li.groupBy("grp")
+          .agg(graft.functions.KllAgg.kll_sketch_agg(col("x"), 200).as("sk"), bracketAgg))
         .persist(lvl)
-      val globalBrackets = li.agg(brackets.head, brackets.tail: _*).persist(lvl)
+      val globalBrackets = splitBrackets(li.agg(bracketAgg)).persist(lvl)
       perGroup.count(); globalBrackets.count() // materialize: q26 times the SERVE path
       Seq(perGroup, globalBrackets)
     }
