@@ -214,5 +214,113 @@ object Cdc {
       .orderBy("user_id", "event_type", "version")
   }
 
-  val all: Seq[Q] = Seq(latest, diff, incremental, scd2)
+  /** MERGE INTO — the changelog-apply mechanics every lakehouse
+    * refresh runs: a deterministic changelog (inserts doc_id%17=3,
+    * deletes %19=7, updates %23=5, DELETE WINNING overlaps — the
+    * priority rule an out-of-order multi-op batch needs) applied to
+    * the OLD snapshot as anti-join (drop deleted + updated keys) ∪
+    * updated rows ∪ inserted rows. The result must equal the NEW
+    * snapshot EXACTLY — the applied_ok boolean compares the applied
+    * sha index against the expected one per source (zero mismatches,
+    * zero missing, both directions) and the oracle hash-checks it
+    * TRUE, so a wrong priority rule on either engine fails the gate.
+    * Per-source row accounting (before/after/inserted/deleted/
+    * updated) rides along. Everything joins on doc_id or compares
+    * 32-byte shas — no text in any exchange (snapshots() projects to
+    * the index shape before the merge).
+    */
+  val apply = Q(
+    "cdc_apply",
+    """WITH old AS (
+      |  SELECT doc_id, source, sha256(text) AS sha
+      |  FROM documents WHERE doc_id % 17 <> 3),
+      |neu AS (
+      |  SELECT doc_id, source,
+      |    sha256(CASE WHEN doc_id % 23 = 5 THEN text || ' v2' ELSE text END) AS sha
+      |  FROM documents WHERE doc_id % 19 <> 7),
+      |del AS (SELECT doc_id FROM documents WHERE doc_id % 19 = 7),
+      |upd AS (
+      |  SELECT doc_id, source, sha256(text || ' v2') AS sha
+      |  FROM documents WHERE doc_id % 23 = 5 AND doc_id % 19 <> 7),
+      |ins AS (
+      |  SELECT doc_id, source,
+      |    sha256(CASE WHEN doc_id % 23 = 5 THEN text || ' v2' ELSE text END) AS sha
+      |  FROM documents WHERE doc_id % 17 = 3 AND doc_id % 19 <> 7),
+      |applied AS (
+      |  SELECT o.doc_id, o.source, o.sha FROM old o
+      |  WHERE o.doc_id NOT IN (SELECT doc_id FROM del)
+      |    AND o.doc_id NOT IN (SELECT doc_id FROM upd)
+      |  UNION ALL SELECT doc_id, source, sha FROM upd
+      |  UNION ALL SELECT doc_id, source, sha FROM ins),
+      |cmp AS (
+      |  SELECT coalesce(a.source, n.source) AS source,
+      |    CASE WHEN a.doc_id IS NULL OR n.doc_id IS NULL OR a.sha <> n.sha
+      |      THEN 1 ELSE 0 END AS bad
+      |  FROM applied a FULL OUTER JOIN neu n ON a.doc_id = n.doc_id)
+      |SELECT o.source,
+      |  CAST(o.n_before AS BIGINT) AS n_before,
+      |  CAST(coalesce(ap.n_after, 0) AS BIGINT) AS n_after,
+      |  CAST(coalesce(i.n_ins, 0) AS BIGINT) AS n_inserted,
+      |  CAST(coalesce(d.n_del, 0) AS BIGINT) AS n_deleted,
+      |  CAST(coalesce(u.n_upd, 0) AS BIGINT) AS n_updated,
+      |  coalesce(c.n_bad, 0) = 0 AS applied_ok
+      |FROM (SELECT source, count(*) AS n_before FROM old GROUP BY source) o
+      |LEFT JOIN (SELECT source, count(*) AS n_after FROM applied GROUP BY source) ap
+      |  ON ap.source = o.source
+      |LEFT JOIN (SELECT source, count(*) AS n_ins FROM ins GROUP BY source) i
+      |  ON i.source = o.source
+      |LEFT JOIN (SELECT o2.source, count(*) AS n_del FROM old o2
+      |  JOIN del ON del.doc_id = o2.doc_id GROUP BY o2.source) d
+      |  ON d.source = o.source
+      |LEFT JOIN (SELECT source, count(*) AS n_upd FROM upd GROUP BY source) u
+      |  ON u.source = o.source
+      |LEFT JOIN (SELECT source, sum(bad) AS n_bad FROM cmp GROUP BY source) c
+      |  ON c.source = o.source
+      |ORDER BY o.source""".stripMargin) { (spark, dir) =>
+    val docs = Tables.documents(spark, dir)
+    val (old, neu) = snapshots(spark, dir)
+    val del = docs.filter(col("doc_id") % 19 === 7).select(col("doc_id").as("d_id"))
+    val upd = docs.filter(col("doc_id") % 23 === 5 && col("doc_id") % 19 =!= 7)
+      .select(col("doc_id"), col("source"),
+        sha2(concat(col("text"), lit(" v2")), 256).as("sha"))
+    val ins = docs.filter(col("doc_id") % 17 === 3 && col("doc_id") % 19 =!= 7)
+      .select(col("doc_id"), col("source"),
+        sha2(when(col("doc_id") % 23 === 5, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")), 256).as("sha"))
+    val applied = old
+      .join(del, col("doc_id") === col("d_id"), "left_anti")
+      .join(upd.select(col("doc_id").as("u_id")), col("doc_id") === col("u_id"), "left_anti")
+      .unionByName(upd)
+      .unionByName(ins)
+    val a = applied.toDF("a_id", "a_source", "a_sha")
+    val n = neu.toDF("n_id", "n_source", "n_sha")
+    val cmp = a.join(n, col("a_id") === col("n_id"), "full_outer")
+      .select(coalesce(col("a_source"), col("n_source")).as("source"),
+        when(col("a_id").isNull || col("n_id").isNull || col("a_sha") =!= col("n_sha"), 1L)
+          .otherwise(0L).as("bad"))
+      .groupBy("source").agg(sum("bad").as("n_bad"))
+    val before = old.groupBy("source").agg(count(lit(1)).as("n_before"))
+    val after = applied.groupBy(col("source").as("ap_source"))
+      .agg(count(lit(1)).as("n_after"))
+    val nIns = ins.groupBy(col("source").as("i_source")).agg(count(lit(1)).as("n_ins"))
+    val nDel = old.join(del, col("doc_id") === col("d_id"))
+      .groupBy(col("source").as("d_source")).agg(count(lit(1)).as("n_del"))
+    val nUpd = upd.groupBy(col("source").as("u_source")).agg(count(lit(1)).as("n_upd"))
+    before
+      .join(after, col("source") === col("ap_source"), "left")
+      .join(nIns, col("source") === col("i_source"), "left")
+      .join(nDel, col("source") === col("d_source"), "left")
+      .join(nUpd, col("source") === col("u_source"), "left")
+      .join(cmp.toDF("c_source", "n_bad"), col("source") === col("c_source"), "left")
+      .select(col("source"),
+        col("n_before"),
+        coalesce(col("n_after"), lit(0L)).as("n_after"),
+        coalesce(col("n_ins"), lit(0L)).as("n_inserted"),
+        coalesce(col("n_del"), lit(0L)).as("n_deleted"),
+        coalesce(col("n_upd"), lit(0L)).as("n_updated"),
+        (coalesce(col("n_bad"), lit(0L)) === 0).as("applied_ok"))
+      .orderBy("source")
+  }
+
+  val all: Seq[Q] = Seq(latest, diff, incremental, scd2, apply)
 }

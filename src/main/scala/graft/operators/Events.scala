@@ -579,7 +579,47 @@ object Events {
       .orderBy("event_id")
   }
 
+  /** User pathing: the event-type transition matrix (the Sankey /
+    * Markov-chain behind "where do users go next") — consecutive
+    * same-user event pairs within a 30-minute gap (the sessionize
+    * threshold: a transition across a session boundary isn't a
+    * path), counted per (from, to) with the per-from share. ONE
+    * user-keyed window computes every user's successors in a single
+    * per-partition sort; the count and share aggregations then run
+    * on ≤ |types|² rows, so the share window is free. Output is the
+    * |types|×|types| matrix regardless of corpus size.
+    */
+  val pathing = Q(
+    "ev_pathing",
+    """WITH s AS (
+      |  SELECT user_id, event_type AS from_type,
+      |    lead(event_type) OVER w AS to_type,
+      |    epoch_us(lead(ts) OVER w) - epoch_us(ts) AS gap_us
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |t AS (
+      |  SELECT from_type, to_type FROM s
+      |  WHERE to_type IS NOT NULL AND gap_us <= 1800000000)
+      |SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n,
+      |  round(1e-9 + count(*) * 1.0 /
+      |    sum(count(*)) OVER (PARTITION BY from_type), 6) AS share
+      |FROM t GROUP BY from_type, to_type
+      |ORDER BY from_type, to_type""".stripMargin) { (spark, dir) =>
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val trans = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type").as("from_type"), col("ts"),
+        lead("event_type", 1).over(w).as("to_type"),
+        (unix_micros(lead("ts", 1).over(w)) - unix_micros(col("ts"))).as("gap_us"))
+      .filter(col("to_type").isNotNull && col("gap_us") <= 1800000000L)
+    val counts = trans.groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+    val wShare = Window.partitionBy("from_type")
+    counts
+      .select(col("from_type"), col("to_type"), col("n"),
+        round(lit(1e-9) + col("n") * lit(1.0) / sum("n").over(wShare), 6).as("share"))
+      .orderBy("from_type", "to_type")
+  }
+
   val all: Seq[Q] =
     Seq(windowAgg, sessionize, funnel, json, retention, asof, rangeJoin,
-      sessionWindow, variant, windowFunnel, gapfill, attribution)
+      sessionWindow, variant, windowFunnel, gapfill, attribution, pathing)
 }

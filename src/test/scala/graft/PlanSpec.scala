@@ -408,6 +408,21 @@ class PlanSpec extends AnyFunSuite {
     assert(windows == 1, s"one carry window over types×buckets rows, saw $windows")
   }
 
+  test("ev_pathing computes successors in one user-keyed window pass") {
+    val p = plan("ev_pathing")
+    // window #1: per-user lead over events; window #2: the per-from
+    // share — but that one runs on the ≤|types|² aggregated frame
+    val windows = "\\bWindow\\b".r.findAllIn(p).size
+    assert(windows == 2, s"lead window + share-over-aggregate window, saw $windows")
+    assert(!p.contains("Join"), "transition counting must not self-join events")
+  }
+
+  test("cdc_apply merges via anti joins on doc_id, never a nested loop") {
+    val p = plan("cdc_apply")
+    assert(p.contains("LeftAnti"), "delete/update removal must be anti joins")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("ann_filtered pushes the metadata predicate into the scan and heap-selects") {
     val p = plan("ann_filtered")
     assert(p.contains("LessThanOrEqual(label,4)"),
