@@ -137,6 +137,9 @@ object Bench {
       },
       built("kll_sketches", Seq("q26_kll")) {
         operators.Maintain.kllFrames(spark, sfDir)
+      },
+      built("theta_sketches", Seq("q28_theta")) {
+        operators.Maintain.thetaFrames(spark, sfDir)
       }).flatten
     // deterministic name order: per-query numbers are comparable
     // run-to-run and round-to-round (Map iteration order shuffled the

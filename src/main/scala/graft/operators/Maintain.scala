@@ -198,5 +198,80 @@ object Maintain {
       .orderBy("grp")
   }
 
-  val all: Seq[Q] = Seq(sketchUnion, incremental, kllQuantiles)
+  /** One-time theta-sketch build for the 1996/1997 purchaser cohorts
+    * (q20_setops' populations): ONE conditional-aggregation pass over
+    * orders produces both cohort sketches in a single row, plus the
+    * exact set-op counts that grade them (computed here because at
+    * serve time only the sketches exist; production stores the
+    * sketches alone and the set ops never rescan orders).
+    */
+  def thetaFrames(spark: org.apache.spark.sql.SparkSession, dir: String): Seq[org.apache.spark.sql.DataFrame] =
+    graft.SessionMemo.frames(spark, s"maintain.thetaSketches:$dir") {
+      import graft.functions.ThetaAgg.theta_sketch_agg
+      val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val orders = Tables.orders(spark, dir)
+        .select(col("o_custkey"), year(col("o_orderdate")).as("y"))
+        .filter(col("y") === 1996 || col("y") === 1997)
+      val sketches = orders.agg(
+        theta_sketch_agg(when(col("y") === 1996, col("o_custkey"))).as("sk96"),
+        theta_sketch_agg(when(col("y") === 1997, col("o_custkey"))).as("sk97"))
+        .persist(lvl)
+      def cohort(y: Int) = orders.filter(col("y") === y).select("o_custkey").distinct()
+      val a = cohort(1996); val b = cohort(1997)
+      val exact = a.intersect(b).agg(count(lit(1)).as("n_both"))
+        .crossJoin(a.except(b).agg(count(lit(1)).as("n_only96")))
+        .crossJoin(b.except(a).agg(count(lit(1)).as("n_only97")))
+        .crossJoin(a.union(b).distinct().agg(count(lit(1)).as("n_either")))
+        .persist(lvl)
+      sketches.count(); exact.count()
+      Seq(sketches, exact)
+    }
+
+  /** Sketch-served cohort set operations — the Theta member of the
+    * sketch trio (HLL distincts q19, KLL quantiles q26): how many
+    * customers purchased in BOTH 1996 and 1997, only one, or either,
+    * answered from the two stored cohort sketches via intersection /
+    * A-not-B / union WITHOUT rescanning orders or co-shuffling the
+    * cohorts (q20_setops runs the exact hash-distinct plans — this is
+    * the same report at sketch cost). Emits the exact counts (which
+    * the oracle recomputes with INTERSECT/EXCEPT/UNION) plus booleans
+    * pinning each estimate within 5% (theta at 4 k nominal entries is
+    * EXACT below 4 k distinct and ~1.6% RSE above).
+    */
+  val thetaSetops = Q(
+    "q28_theta",
+    """WITH a AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996),
+      |     b AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1997)
+      |SELECT 'both' AS set_op, CAST(count(*) AS BIGINT) AS n_exact, TRUE AS est_ok
+      |  FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
+      |UNION ALL
+      |SELECT 'either', CAST(count(*) AS BIGINT), TRUE
+      |  FROM (SELECT * FROM a UNION SELECT * FROM b)
+      |UNION ALL
+      |SELECT 'only_1996', CAST(count(*) AS BIGINT), TRUE
+      |  FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
+      |UNION ALL
+      |SELECT 'only_1997', CAST(count(*) AS BIGINT), TRUE
+      |  FROM (SELECT * FROM b EXCEPT SELECT * FROM a)
+      |ORDER BY set_op""".stripMargin) { (spark, dir) =>
+    import graft.functions.ThetaAgg._
+    val Seq(sketches, exact) = thetaFrames(spark, dir)
+    val est = sketches.select(
+      theta_intersect_estimate(col("sk96"), col("sk97")).as("e_both"),
+      theta_anotb_estimate(col("sk96"), col("sk97")).as("e_only96"),
+      theta_anotb_estimate(col("sk97"), col("sk96")).as("e_only97"),
+      theta_union_estimate(col("sk96"), col("sk97")).as("e_either"))
+    val row = est.crossJoin(exact)
+    def one(op: String, exactCol: String, estCol: String) =
+      row.select(lit(op).as("set_op"), col(exactCol).as("n_exact"),
+        (abs(col(estCol) - col(exactCol)) <= col(exactCol).cast("double") * 0.05)
+          .as("est_ok"))
+    one("both", "n_both", "e_both")
+      .unionByName(one("either", "n_either", "e_either"))
+      .unionByName(one("only_1996", "n_only96", "e_only96"))
+      .unionByName(one("only_1997", "n_only97", "e_only97"))
+      .orderBy("set_op")
+  }
+
+  val all: Seq[Q] = Seq(sketchUnion, incremental, kllQuantiles, thetaSetops)
 }

@@ -934,12 +934,13 @@ object Pipeline {
     * rows. A doc shorter than one stride yields exactly one chunk;
     * chunk_idx counting matches floor((n-1)/stride) on both engines.
     */
-  /** The chunk frame (doc_id, source, chunk_idx, start_word,
-    * chunk_len, chunk_hash), unordered — shared by pipe_chunk and
-    * the chunk-level dedup dd_chunks.
+  /** The chunk projection over any (doc_id, source, text) frame —
+    * shared by pipe_chunk, dd_chunks, and Streaming.chunks (it is
+    * pure map-side, so the same definition runs unchanged on a
+    * stream).
     */
-  private[graft] def chunksOf(spark: org.apache.spark.sql.SparkSession, dir: String) =
-    Tables.documents(spark, dir)
+  private[graft] def chunkProject(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs
       .select(col("doc_id"), col("source"), Hashing.wordHashes(col("text")).as("wh"))
       .withColumn("n", size(col("wh")))
       .withColumn("chunk_idx",
@@ -954,6 +955,10 @@ object Pipeline {
           slice(col("wh"), col("start_word") + 1, col("chunk_len")),
           lit(0L),
           (acc, h) => (acc * Hashing.B + h) % Hashing.P).as("chunk_hash"))
+
+  /** The chunk frame over the stored corpus (the batch entry). */
+  private[graft] def chunksOf(spark: org.apache.spark.sql.SparkSession, dir: String) =
+    chunkProject(Tables.documents(spark, dir))
 
   /** The chunk CTE as oracle SQL — `chunks` exposes the same six
     * columns as [[chunksOf]].

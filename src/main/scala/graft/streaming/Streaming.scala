@@ -578,6 +578,17 @@ object Streaming {
       .groupBy("source", "bin")
       .agg(count(lit(1)).as("n"))
 
+  /** Chunking at ingest — the streaming twin of pipe_chunk, and the
+    * stage a live embedding pipeline runs before its encoder: the
+    * SAME map-side projection (Pipeline.chunkProject — word hashes in
+    * the scan, chunk indexes from sequence(), polynomial chunk
+    * fingerprints) applied to the document stream. No state, no
+    * shuffle, no watermark needed; a replay reproduces batch
+    * pipe_chunk row-for-row (StreamingSpec).
+    */
+  def chunks(docs: DataFrame): DataFrame =
+    graft.operators.Pipeline.chunkProject(docs)
+
   final case class AttributionOut(event_id: Long, user_id: Long,
       n_touches: Long, first_click_id: Option[Long], last_click_id: Option[Long],
       credit_each: Option[Double])

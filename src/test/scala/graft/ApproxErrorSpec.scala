@@ -88,4 +88,34 @@ class ApproxErrorSpec extends AnyFunSuite {
       assert(r.getBoolean(r.fieldIndex("p95_ok")), s"p95_ok false for ${r.getString(0)}")
     }
   }
+
+  test("theta set-op estimates are measured against exact counts in ESTIMATE mode") {
+    // at sf0.1 each yearly cohort exceeds the 4 k nominal entries, so
+    // the sketches genuinely estimate (below that theta is exact and
+    // the 5% booleans are trivially true)
+    val dir = "/root/testdata/sf0.1"
+    val Seq(sketches, exact) = operators.Maintain.thetaFrames(spark, dir)
+    import graft.functions.ThetaAgg._
+    val est = sketches.select(
+      theta_estimate(col("sk96")).as("n96"),
+      theta_intersect_estimate(col("sk96"), col("sk97")).as("both"),
+      theta_union_estimate(col("sk96"), col("sk97")).as("either")).head
+    val ex = exact.head
+    val n96 = Tables.orders(spark, dir)
+      .filter(year(col("o_orderdate")) === 1996)
+      .select("o_custkey").distinct().count()
+    assert(n96 > 4096, s"cohort must exceed nominal entries to exercise estimation, was $n96")
+    val errs = Seq(
+      ("sk96", est.getDouble(0), n96.toDouble),
+      ("both", est.getDouble(1), ex.getAs[Long]("n_both").toDouble),
+      ("either", est.getDouble(2), ex.getAs[Long]("n_either").toDouble))
+      .map { case (name, e, x) =>
+        val rel = math.abs(e - x) / x
+        assert(rel <= 0.05, f"$name: theta estimate $e%.0f vs exact $x%.0f rel err $rel%.4f")
+        rel
+      }
+    info(f"theta relative errors (estimate mode): max ${errs.max}%.5f")
+    val rows = SparkEntry.queries("q28_theta")(spark, dir).collect()
+    assert(rows.length == 4 && rows.forall(_.getAs[Boolean]("est_ok")))
+  }
 }

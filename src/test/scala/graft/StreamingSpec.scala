@@ -565,6 +565,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(want.exceptAll(got).count() == 0)
   }
 
+  test("streaming chunker reproduces batch pipe_chunk on a replayed corpus") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "source", "text").as[(Long, String, String)].collect()
+    val mem = MemoryStream[(Long, String, String)]
+    val q = Streaming.chunks(mem.toDF().toDF("doc_id", "source", "text"))
+      .writeStream.outputMode("append").format("memory").queryName("chunks").start()
+    try {
+      docs.grouped(math.max(1, docs.length / 3 + 1)).foreach { chunk =>
+        mem.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("doc_id"), r.getAs[Int]("chunk_idx"),
+        r.getAs[Int]("start_word"), r.getAs[Int]("chunk_len"),
+        r.getAs[Long]("chunk_hash"))
+    val got = spark.sql("SELECT * FROM chunks").collect().map(key).toSet
+    val want = SparkEntry.queries("pipe_chunk")(spark, sf).collect().map(key).toSet
+    assert(got.nonEmpty && got == want)
+  }
+
   test("streaming attribution reproduces batch ev_attribution on an in-order replay") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
