@@ -44,7 +44,12 @@ object Graph {
         .distinct()
       val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
       val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      // Hash-partition the persisted frame on the iteration join key:
+      // the cached InMemoryRelation advertises HashPartitioning(src),
+      // so each of the 10 iteration joins shuffles ONLY the |V|-row
+      // ranks frame — the |E|-row edge side never re-exchanges.
       val e2 = edges.join(deg, "src")
+        .repartition(col("src"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       e2.count() // materialize eagerly: queries time the iterations
       Seq(e2)
@@ -79,8 +84,12 @@ object Graph {
       .select(col("node"), lit(1.0).as("rank"))
     for (_ <- 1 to Iters) {
       // name-based USING join sidesteps self-join column ambiguity
-      // (every iteration's ranks frame descends from e2 itself)
-      ranks = e2.join(ranks.withColumnRenamed("node", "src"), "src")
+      // (every iteration's ranks frame descends from e2 itself).
+      // SHUFFLE_HASH on the |V|-row ranks side: the cached edge side
+      // is already HashPartitioning(src), so the join streams it
+      // unsorted against a per-partition hash table — no |E|-row
+      // sort (the 31 GB/run spill source) per iteration.
+      ranks = e2.join(ranks.withColumnRenamed("node", "src").hint("SHUFFLE_HASH"), "src")
         .groupBy("dst")
         .agg((lit(0.15) + lit(Damping) * sum(col("rank") / col("outdeg"))).as("rank"))
         .select(col("dst").as("node"), col("rank"))
