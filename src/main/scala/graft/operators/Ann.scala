@@ -618,22 +618,28 @@ object Ann {
     */
   private[graft] def embedPairsOf(c: DataFrame): DataFrame = {
     val planes = bandPlanesFor(c.count())
-    val banded = c.select(col("vec_id"),
-      explode(array((0 until EmbedBands).map { b =>
-        struct(lit(b).as("band"), bandKeyCol(col("e"), b, planes).as("key"))
-      }: _*)).as("bk"))
-      .select(col("vec_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    // Band rows CARRY the vector: the (band, key) self-join then has
+    // both endpoints of every in-bucket pair in-line, so the cosine
+    // verify runs inside the bucket join and the ≥-threshold filter
+    // fires BEFORE any exchange of pairs. The previous shape pushed
+    // the raw candidate set (≈ buckets·cap²/2 per band — nine figures
+    // at sf10 once the 16-plane key space saturates) through a
+    // distinct() shuffle plus two full-vector fetch joins; now only
+    // verified near-dup pairs ever leave their bucket's partition.
+    // A pair sharing several bands is verified once per shared band —
+    // identical double arithmetic each time — and the final distinct
+    // over the small survivor set collapses the copies exactly.
+    val banded = bandKeysOf(c, planes)
     val capped = Dedup.dropOversizedBuckets(banded, Seq("band", "key"), Dedup.BucketCap)
-    val cand = capped.select(col("band"), col("key"), col("vec_id").as("vec_a"))
-      .join(capped.select(col("band"), col("key"), col("vec_id").as("vec_b")), Seq("band", "key"))
+    capped.select(col("band"), col("key"), col("vec_id").as("vec_a"),
+        col("e").as("ea"), col("nrm").as("na"))
+      .join(capped.select(col("band"), col("key"), col("vec_id").as("vec_b"),
+        col("e").as("eb"), col("nrm").as("nb")), Seq("band", "key"))
       .filter(col("vec_a") < col("vec_b"))
-      .select("vec_a", "vec_b").distinct()
-    cand
-      .join(c.select(col("vec_id").as("vec_a"), col("e").as("ea"), col("nrm").as("na")), Seq("vec_a"))
-      .join(c.select(col("vec_id").as("vec_b"), col("e").as("eb"), col("nrm").as("nb")), Seq("vec_b"))
       .select(col("vec_a"), col("vec_b"),
         round(lit(1e-9) + dotC(col("ea"), col("eb")) / (col("na") * col("nb")), 6).as("cosine"))
       .filter(col("cosine") >= NearDupThreshold)
+      .distinct()
   }
 
   /** Semantic-dedup end product (the SemDeDup shape): the verified
