@@ -169,6 +169,53 @@ object PolyHashing {
     while (i < n) { s += l.getLong(i) * r.getLong(i); i += 1 }
     s
   }
+
+  /** Spark's round(x, 6) for doubles — HALF_UP on the decimal string
+    * form (what the Round expression emits for DoubleType). Kept as
+    * its own method so pqNearest's tie handling provably matches the
+    * join-and-aggregate formulation it replaces.
+    */
+  def round6(x: Double): Double =
+    java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** Nearest PQ codeword of one subvector against a packed codebook:
+    * argmin over k of round(1e-9 + cw2_k − 2·⟨sub, cw_k⟩, 6), ties to
+    * the smallest k — the identical discretized ranking the unpacked
+    * join + struct-max aggregation computes, collapsed to one tight
+    * loop per (vector, subspace) row. `ks` must be ascending (the
+    * packed book sorts by k), so keeping the FIRST strict improvement
+    * IS the smaller-k tie-break.
+    *
+    * The 6-dp rounding goes through BigDecimal (Double.toString), far
+    * too slow for 256 calls per row — so the loop tracks the minimum
+    * RAW distance and only rounds candidates within 4e-6 of it:
+    * half-up rounding to the 1e-6 grid moves a value at most 5e-7, so
+    * anything ≥ rawMin + 2e-6 rounds strictly above round6(rawMin)
+    * and can be skipped without evaluating its rounded form. In the
+    * common case exactly one candidate pays the BigDecimal.
+    */
+  def pqNearest(sub: ArrayData, cws: ArrayData, cw2s: ArrayData, ks: ArrayData): Long = {
+    val n = ks.numElements()
+    val s = sub.toDoubleArray()
+    var rawMin = Double.MaxValue
+    var bestRounded = Double.MaxValue
+    var bestK = Long.MaxValue
+    var i = 0
+    while (i < n) {
+      val cw = cws.getArray(i)
+      var dot = 0d
+      var j = 0
+      while (j < s.length) { dot += s(j) * cw.getDouble(j); j += 1 }
+      val raw = 1e-9 + cw2s.getDouble(i) - 2d * dot
+      if (raw < rawMin) rawMin = raw
+      if (raw < rawMin + 4e-6) {
+        val r = round6(raw)
+        if (r < bestRounded) { bestRounded = r; bestK = ks.getLong(i) }
+      }
+      i += 1
+    }
+    bestK
+  }
 }
 
 // Codegen note: every expression below emits a single call to a static
@@ -297,6 +344,33 @@ case class LongDotProductExpr(left: Expression, right: Expression)
   override def prettyName: String = "long_dot_product"
 }
 
+/** Nearest-PQ-codeword argmin against a packed codebook (cws sorted
+  * by ascending codeword id `ks`): one row in, one code out, the full
+  * 256-codeword scan as a compiled loop. Replaces an explode-join +
+  * struct-max aggregation that materialized |corpus|·8·256 rows
+  * through a hash aggregate in the PQ index build. CodegenFallback:
+  * the inner loop IS the work (≈2k flops/row); the build stage it
+  * runs in is not a codegen-width-sensitive scan.
+  */
+case class PqNearestExpr(sub: Expression, cws: Expression, cw2s: Expression, ks: Expression)
+    extends Expression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def children: Seq[Expression] = Seq(sub, cws, cw2s, ks)
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val s = sub.eval(input); val c = cws.eval(input)
+    val c2 = cw2s.eval(input); val k = ks.eval(input)
+    if (s == null || c == null || c2 == null || k == null) null
+    else java.lang.Long.valueOf(PolyHashing.pqNearest(
+      s.asInstanceOf[ArrayData], c.asInstanceOf[ArrayData],
+      c2.asInstanceOf[ArrayData], k.asInstanceOf[ArrayData]))
+  }
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): PqNearestExpr =
+    copy(cs(0), cs(1), cs(2), cs(3))
+  override def prettyName: String = "pq_nearest"
+}
+
 /** Whole-string polynomial fold (document fingerprint). */
 case class PolyHashExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -320,6 +394,9 @@ object HashExprs {
     Bridge.column(DotProductExpr(Bridge.expression(a), Bridge.expression(b)))
   def long_dot_product(a: Column, b: Column): Column =
     Bridge.column(LongDotProductExpr(Bridge.expression(a), Bridge.expression(b)))
+  def pq_nearest(sub: Column, cws: Column, cw2s: Column, ks: Column): Column =
+    Bridge.column(PqNearestExpr(Bridge.expression(sub), Bridge.expression(cws),
+      Bridge.expression(cw2s), Bridge.expression(ks)))
 
   /** SQL registration so the operators are usable from spark.sql too. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

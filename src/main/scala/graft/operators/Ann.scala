@@ -764,6 +764,29 @@ object Ann {
       .agg(max(struct((-col("d2")).as("nd"), (-col("k")).as("nk"))).as("best"))
       .select(col("vec_id"), col("m"), (-col("best.nk")).cast("long").as("k"))
 
+  /** The full-corpus encode pass: same discretized argmin as
+    * nearestCode (round-6 quantized d2, ties to the smaller k — see
+    * PqNearestExpr), but against the codebook PACKED one row per
+    * subspace, so each subvector row scans its 256 codewords in one
+    * compiled loop instead of minting 256 join rows into a hash
+    * aggregate. The unpacked form stays for the Lloyd training passes
+    * (a 2 048-vector sample — cost-irrelevant, and it mirrors the
+    * oracle CTE shape line for line).
+    */
+  private def nearestCodePacked(sub: DataFrame, book: DataFrame): DataFrame = {
+    val packed = book
+      .groupBy("m")
+      .agg(array_sort(collect_list(struct(col("k"), col("cw"), col("cw2")))).as("es"))
+      .select(col("m"),
+        transform(col("es"), e => e.getField("cw")).as("cws"),
+        transform(col("es"), e => e.getField("cw2")).as("cw2s"),
+        transform(col("es"), e => e.getField("k")).as("ks"))
+    sub.join(broadcast(packed), Seq("m"))
+      .select(col("vec_id"), col("m"),
+        graft.functions.HashExprs.pq_nearest(
+          col("sub"), col("cws"), col("cw2s"), col("ks")).as("k"))
+  }
+
   /** One Lloyd refinement: reassign every subvector to its nearest
     * codeword, then take per-cell coordinate means, rounded to 6 dp
     * (with the uniform 1e-9 nudge) so Spark partial aggregation and
@@ -803,7 +826,7 @@ object Ann {
         if (book ne book0) book.unpersist(blocking = false)
         book = next
       }
-      val codes = nearestCode(sub, book).persist()
+      val codes = nearestCodePacked(sub, book).persist()
       book.count()
       codes.count()
       sub.unpersist(blocking = false)
