@@ -170,6 +170,25 @@ object PolyHashing {
     s
   }
 
+  /** |a ∩ b| for two long arrays with DISTINCT elements (shingle
+    * sets): hash-set the smaller side, probe the larger — the exact
+    * integer the per-element join + count aggregation produces,
+    * without exploding either array into rows.
+    */
+  def commonCount(a: ArrayData, b: ArrayData): Long = {
+    val (small, large) = if (a.numElements() <= b.numElements()) (a, b) else (b, a)
+    val n = small.numElements()
+    if (n == 0) return 0L
+    val set = new java.util.HashSet[java.lang.Long](n * 2)
+    var i = 0
+    while (i < n) { set.add(small.getLong(i)); i += 1 }
+    var c = 0L
+    val m = large.numElements()
+    var j = 0
+    while (j < m) { if (set.contains(large.getLong(j))) c += 1; j += 1 }
+    c
+  }
+
   /** Spark's round(x, 6) for doubles — HALF_UP on the decimal string
     * form (what the Round expression emits for DoubleType). Kept as
     * its own method so pqNearest's tie handling provably matches the
@@ -344,6 +363,21 @@ case class LongDotProductExpr(left: Expression, right: Expression)
   override def prettyName: String = "long_dot_product"
 }
 
+/** Exact |a ∩ b| of two distinct-element long arrays (Jaccard verify). */
+case class CommonCountExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(l: Any, r: Any): Any =
+    java.lang.Long.valueOf(
+      PolyHashing.commonCount(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = ${GenHelper.Poly}.commonCount($a, $b);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CommonCountExpr =
+    copy(l, r)
+  override def prettyName: String = "common_count"
+}
+
 /** Nearest-PQ-codeword argmin against a packed codebook (cws sorted
   * by ascending codeword id `ks`): one row in, one code out, the full
   * 256-codeword scan as a compiled loop. Replaces an explode-join +
@@ -394,6 +428,8 @@ object HashExprs {
     Bridge.column(DotProductExpr(Bridge.expression(a), Bridge.expression(b)))
   def long_dot_product(a: Column, b: Column): Column =
     Bridge.column(LongDotProductExpr(Bridge.expression(a), Bridge.expression(b)))
+  def common_count(a: Column, b: Column): Column =
+    Bridge.column(CommonCountExpr(Bridge.expression(a), Bridge.expression(b)))
   def pq_nearest(sub: Column, cws: Column, cw2s: Column, ks: Column): Column =
     Bridge.column(PqNearestExpr(Bridge.expression(sub), Bridge.expression(cws),
       Bridge.expression(cw2s), Bridge.expression(ks)))

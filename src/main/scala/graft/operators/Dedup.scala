@@ -207,19 +207,30 @@ object Dedup {
        |JOIN sizes na ON na.doc_id = i.doc_a
        |JOIN sizes nb ON nb.doc_id = i.doc_b
        |ORDER BY doc_a, doc_b""".stripMargin) { (spark, dir) =>
+    // Verify on the shingle ARRAYS, not an exploded (doc, shingle)
+    // relation: two array-carrying joins route each candidate pair's
+    // sets together, and |∩| is one native hash-set probe per pair
+    // (common_count — the same exact integer the oracle's unnest-join
+    // count produces, shingle sets being distinct by construction).
+    // The exploded form shuffled the whole corpus's shingle rows
+    // (nine figures at sf10) by (doc, shingle) and fed a pair-keyed
+    // count aggregate; here the only exchanges are the pair set and
+    // one pass of the 500 k shingle arrays per side.
     val sh = shinglesDf(spark, dir)
     val pairs = lshPairsDf(spark, dir)
-    val sizes = sh.select(col("doc_id"), size(col("shingles")).cast("long").as("n"))
-    val exploded = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
-    val inter = pairs
-      .join(exploded.select(col("doc_id").as("doc_a"), col("s")), Seq("doc_a"))
-      .join(exploded.select(col("doc_id").as("doc_b"), col("s")), Seq("doc_b", "s"))
-      .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("n_common"))
+    val withSets = pairs
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sha")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("shb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        graft.functions.HashExprs.common_count(col("sha"), col("shb")).as("n_common"),
+        size(col("sha")).cast("long").as("na"),
+        size(col("shb")).cast("long").as("nb"))
+      // the oracle's inter CTE is an inner join on shared shingles —
+      // a (hash-collision) candidate pair with an empty intersection
+      // is absent from its output, so drop n_common = 0 here too
+      .filter(col("n_common") > 0)
     val jac = col("n_common") / (col("na") + col("nb") - col("n_common")).cast("double")
-    inter
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+    withSets
       .select(
         col("doc_a"), col("doc_b"),
         round(lit(1e-9) + jac, 6).as("jaccard"),
