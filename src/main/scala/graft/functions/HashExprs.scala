@@ -170,6 +170,31 @@ object PolyHashing {
     s
   }
 
+  /** All sliding-window chunk hashes of a word-hash array: chunk c
+    * covers [c·stride, c·stride + min(size, n − c·stride)), hashed by
+    * the (acc·B + h) mod P fold from acc = 0 — exactly the
+    * aggregate-over-slice fold, one compiled pass per document
+    * instead of an interpreted lambda per chunk element. n ≥ 1 always
+    * (tokenize of an empty text yields one empty-token hash).
+    */
+  def chunkHashes(wh: ArrayData, stride: Int, csize: Int): GenericArrayData = {
+    val n = wh.numElements()
+    if (n == 0) return new GenericArrayData(Array.emptyLongArray)
+    val nc = (n - 1) / stride + 1
+    val out = new Array[Long](nc)
+    var c = 0
+    while (c < nc) {
+      val start = c * stride
+      val len = math.min(csize, n - start)
+      var acc = 0L
+      var i = 0
+      while (i < len) { acc = (acc * B + wh.getLong(start + i)) % P; i += 1 }
+      out(c) = acc
+      c += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** |a ∩ b| for two long arrays with DISTINCT elements (shingle
     * sets): hash-set the smaller side, probe the larger — the exact
     * integer the per-element join + count aggregation produces,
@@ -363,6 +388,20 @@ case class LongDotProductExpr(left: Expression, right: Expression)
   override def prettyName: String = "long_dot_product"
 }
 
+/** Sliding-window chunk hashes of a word-hash array (chunk dedup). */
+case class ChunkHashesExpr(child: Expression, stride: Int, csize: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    PolyHashing.chunkHashes(input.asInstanceOf[ArrayData], stride, csize)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = ${GenHelper.Poly}.chunkHashes($c, $stride, $csize);")
+  override protected def withNewChildInternal(c: Expression): ChunkHashesExpr =
+    copy(child = c)
+  override def prettyName: String = "chunk_hashes"
+}
+
 /** Exact |a ∩ b| of two distinct-element long arrays (Jaccard verify). */
 case class CommonCountExpr(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
@@ -428,6 +467,8 @@ object HashExprs {
     Bridge.column(DotProductExpr(Bridge.expression(a), Bridge.expression(b)))
   def long_dot_product(a: Column, b: Column): Column =
     Bridge.column(LongDotProductExpr(Bridge.expression(a), Bridge.expression(b)))
+  def chunk_hashes(wh: Column, stride: Int, csize: Int): Column =
+    Bridge.column(ChunkHashesExpr(Bridge.expression(wh), stride, csize))
   def common_count(a: Column, b: Column): Column =
     Bridge.column(CommonCountExpr(Bridge.expression(a), Bridge.expression(b)))
   def pq_nearest(sub: Column, cws: Column, cw2s: Column, ks: Column): Column =

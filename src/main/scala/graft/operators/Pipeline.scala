@@ -943,18 +943,18 @@ object Pipeline {
     docs
       .select(col("doc_id"), col("source"), Hashing.wordHashes(col("text")).as("wh"))
       .withColumn("n", size(col("wh")))
-      .withColumn("chunk_idx",
-        explode(sequence(lit(0),
-          floor((col("n") - 1).cast("double") / lit(ChunkStride.toDouble)).cast("int"))))
+      // all chunk hashes fold natively in one pass per doc
+      // (chunk_hashes — the aggregate-over-slice HOF it replaces ran
+      // an interpreted lambda per chunk element), then posexplode
+      // recovers chunk_idx as the array position
+      .select(col("doc_id"), col("source"), col("n"),
+        posexplode(graft.functions.HashExprs.chunk_hashes(
+          col("wh"), ChunkStride, ChunkSize)).as(Seq("chunk_idx", "chunk_hash")))
       .withColumn("start_word", (col("chunk_idx") * ChunkStride).cast("int"))
       .withColumn("chunk_len",
         least(lit(ChunkSize), col("n") - col("start_word")).cast("int"))
       .select(col("doc_id"), col("source"), col("chunk_idx"),
-        col("start_word"), col("chunk_len"),
-        aggregate(
-          slice(col("wh"), col("start_word") + 1, col("chunk_len")),
-          lit(0L),
-          (acc, h) => (acc * Hashing.B + h) % Hashing.P).as("chunk_hash"))
+        col("start_word"), col("chunk_len"), col("chunk_hash"))
 
   /** The chunk frame over the stored corpus (the batch entry). */
   private[graft] def chunksOf(spark: org.apache.spark.sql.SparkSession, dir: String) =
