@@ -618,6 +618,98 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  // ═══════════════ fuzzy (near-duplicate) decontamination ═══════════════
+
+  /** Near-duplicate decontamination: the paraphrase-robust
+    * counterpart of pipe_decontaminate. The exact-overlap variants
+    * count shared 3-gram shingles directly, so a lightly reworded
+    * eval item (tokens shifted, a word swapped every sentence) can
+    * slip under the overlap floor; here contamination is judged by
+    * MinHash-LSH candidate generation plus full Jaccard verification
+    * — precisely the dd_minhash → dd_lsh_pairs → dd_jaccard pipeline,
+    * run ACROSS the corpus/eval split instead of within the corpus.
+    *
+    * Shape at 100 TB: both splits band from the SAME minhash frame
+    * (one signature pass; the eval split is doc_id-derived exactly as
+    * in pipe_decontaminate), the banded join is bucket-capped like
+    * every LSH join in the engine, and Jaccard verification runs on
+    * the candidate pairs' shingle ARRAYS with the native common_count
+    * probe — the dd_jaccard shape, so no exploded (doc, shingle)
+    * relation ever shuffles. Per-doc best match is a struct-argmax
+    * aggregation, never a window.
+    */
+  val deconFuzzy = Q(
+    "pipe_decon_fuzzy",
+    s"""WITH mh AS ($minhashSql),
+       |banded0 AS (
+       |  ${(0 until NumBands).map(b => s"SELECT doc_id, $b AS band, ${bandKeySql(mhNames, b)} AS key FROM mh").mkString("\n  UNION ALL\n  ")}
+       |),
+       |small AS (
+       |  SELECT band, key FROM banded0 GROUP BY band, key
+       |  HAVING count(*) <= $BucketCap
+       |),
+       |banded AS (SELECT banded0.* FROM banded0 JOIN small USING (band, key)),
+       |cand AS (
+       |  SELECT DISTINCT c.doc_id AS doc_id, e.doc_id AS eval_id
+       |  FROM banded c JOIN banded e ON c.band = e.band AND c.key = e.key
+       |  WHERE c.doc_id % ${Pipeline.evalMod} != ${Pipeline.evalRes}
+       |    AND e.doc_id % ${Pipeline.evalMod} = ${Pipeline.evalRes}
+       |),
+       |ver AS (
+       |  SELECT cand.doc_id, cand.eval_id,
+       |    round(1e-9 + len(list_intersect(a.shingles, b.shingles)) /
+       |      CAST(len(a.shingles) + len(b.shingles)
+       |           - len(list_intersect(a.shingles, b.shingles)) AS DOUBLE), 6) AS jac
+       |  FROM cand
+       |  JOIN mh a ON a.doc_id = cand.doc_id
+       |  JOIN mh b ON b.doc_id = cand.eval_id
+       |),
+       |best AS (
+       |  SELECT doc_id, eval_id, jac,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY jac DESC, eval_id) AS rn
+       |  FROM ver
+       |)
+       |SELECT b.doc_id, d.source, b.eval_id AS best_eval_id, b.jac AS jaccard,
+       |  b.jac >= CAST(${Pipeline.contaminatedFloor} AS DOUBLE) AS contaminated
+       |FROM best b JOIN documents d ON d.doc_id = b.doc_id
+       |WHERE rn = 1 AND jac >= CAST(${Pipeline.suspectFloor} AS DOUBLE)
+       |ORDER BY b.doc_id""".stripMargin) { (spark, dir) =>
+    val mh = minhashDf(spark, dir)
+    val banded = mh.select(
+      col("doc_id"),
+      explode(array((0 until NumBands).map { b =>
+        struct(lit(b).as("band"), bandKey(mhNames.map(col), b).as("key"))
+      }: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val capped = dropOversizedBuckets(banded, Seq("band", "key"), BucketCap)
+    val cand = capped.filter(col("doc_id") % Pipeline.evalMod =!= Pipeline.evalRes)
+      .join(capped.filter(col("doc_id") % Pipeline.evalMod === Pipeline.evalRes)
+        .select(col("band"), col("key"), col("doc_id").as("eval_id")), Seq("band", "key"))
+      .select("doc_id", "eval_id").distinct()
+    val sh = shinglesDf(spark, dir)
+    val jacCol = col("n_common") /
+      (col("na") + col("nb") - col("n_common")).cast("double")
+    val ver = cand
+      .join(sh.select(col("doc_id"), col("shingles").as("sha")), Seq("doc_id"))
+      .join(sh.select(col("doc_id").as("eval_id"), col("shingles").as("shb")), Seq("eval_id"))
+      .select(col("doc_id"), col("eval_id"),
+        graft.functions.HashExprs.common_count(col("sha"), col("shb")).as("n_common"),
+        size(col("sha")).cast("long").as("na"), size(col("shb")).cast("long").as("nb"))
+      .select(col("doc_id"), col("eval_id"),
+        round(lit(1e-9) + jacCol, 6).as("jac"))
+    ver
+      .groupBy("doc_id")
+      .agg(max(struct(col("jac"), (-col("eval_id")).as("neg"))).as("best"))
+      .select(col("doc_id"),
+        (-col("best.neg")).cast("long").as("best_eval_id"),
+        col("best.jac").as("jaccard"))
+      .filter(col("jaccard") >= Pipeline.suspectFloor)
+      .withColumn("contaminated", col("jaccard") >= Pipeline.contaminatedFloor)
+      .join(Tables.documents(spark, dir).select("doc_id", "source"), Seq("doc_id"))
+      .select("doc_id", "source", "best_eval_id", "jaccard", "contaminated")
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(exact, exactHash, minhash, lshPairs, jaccard, clusters, simhash,
-    simhashPairs, spans)
+    simhashPairs, spans, deconFuzzy)
 }

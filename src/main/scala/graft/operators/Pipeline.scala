@@ -313,8 +313,8 @@ object Pipeline {
     * for a held-out benchmark; the rest is the training corpus to be
     * scanned for leaked eval content.
     */
-  private val evalMod = 10
-  private val evalRes = 3
+  private[graft] val evalMod = 10
+  private[graft] val evalRes = 3
   private[graft] val suspectFloor = 0.2
   private[graft] val contaminatedFloor = 0.5
 

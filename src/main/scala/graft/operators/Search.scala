@@ -316,5 +316,59 @@ object Search {
   private[graft] def dotC(a: Column, b: Column): Column =
     graft.functions.HashExprs.dot_product(a, b)
 
-  val all: Seq[Q] = Seq(bm25, sourceSim, hybrid)
+  // ═══════════════ cross-source exact-content overlap ═══════════════
+
+  /** Cross-source duplication matrix: for every source pair, how many
+    * distinct document contents (sha256 of text — the dd_exact_hash
+    * key) both sources carry, plus the overlap coefficient
+    * |A ∩ B| / min(|A|, |B|). ix_source_sim answers "which sources
+    * talk alike" from tf-idf profiles; this answers "which sources
+    * literally republish each other" — the signal that decides
+    * whether a new crawl source adds content or only duplication
+    * weight, and the cross-source counterpart of dd_exact.
+    *
+    * Scale shape: the corpus collapses to DISTINCT (source, sha) in
+    * the scan stage (32-byte keys, never text); the pair join is
+    * keyed on sha where each key carries at most |sources| rows — so
+    * the join output is bounded by |hashes|·|sources|², with the
+    * count aggregation partial map-side. The final matrix assembly
+    * runs on |sources|-row frames.
+    */
+  val sourceOverlap = Q(
+    "ix_source_overlap",
+    """WITH sh AS (SELECT DISTINCT source, sha256(text) AS sha FROM documents),
+      |tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY source),
+      |shared AS (
+      |  SELECT a.source AS src_a, b.source AS src_b, CAST(count(*) AS BIGINT) AS n_shared
+      |  FROM sh a JOIN sh b ON a.sha = b.sha AND a.source < b.source
+      |  GROUP BY a.source, b.source)
+      |SELECT ta.source AS src_a, tb.source AS src_b, ta.n AS n_a, tb.n AS n_b,
+      |  COALESCE(s.n_shared, 0) AS n_shared,
+      |  round(1e-9 + COALESCE(s.n_shared, 0) / CAST(least(ta.n, tb.n) AS DOUBLE), 6)
+      |    AS overlap_coef
+      |FROM tot ta
+      |JOIN tot tb ON ta.source < tb.source
+      |LEFT JOIN shared s ON s.src_a = ta.source AND s.src_b = tb.source
+      |ORDER BY src_a, src_b""".stripMargin) { (spark, dir) =>
+    val sh = Tables.documents(spark, dir)
+      .select(col("source"), sha2(col("text"), 256).as("sha"))
+      .distinct()
+    val tot = sh.groupBy("source").agg(count(lit(1)).as("n"))
+    val shared = sh.select(col("source").as("src_a"), col("sha"))
+      .join(sh.select(col("source").as("src_b"), col("sha")), Seq("sha"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("n_shared"))
+    broadcast(tot.select(col("source").as("src_a"), col("n").as("n_a")))
+      .join(broadcast(tot.select(col("source").as("src_b"), col("n").as("n_b"))),
+        col("src_a") < col("src_b"))
+      .join(shared, Seq("src_a", "src_b"), "left")
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        round(lit(1e-9) + coalesce(col("n_shared"), lit(0L)) /
+          least(col("n_a"), col("n_b")).cast("double"), 6).as("overlap_coef"))
+      .orderBy("src_a", "src_b")
+  }
+
+  val all: Seq[Q] = Seq(bm25, sourceSim, hybrid, sourceOverlap)
 }

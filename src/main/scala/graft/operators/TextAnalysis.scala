@@ -538,6 +538,119 @@ object TextAnalysis {
       .withColumn("templated", col("ttr") < 0.4)
       .drop("st")
 
+  // ═══════════════ sequence packing ═══════════════
+
+  private[graft] val packBudget = 512L
+
+  /** Sequence packing — the concat-and-chunk layout LM pretraining
+    * feeds the trainer: per source, documents concatenate in doc_id
+    * order and split into fixed 512-token sequences ("packs"),
+    * documents crossing pack boundaries wherever they fall. Output is
+    * the per-pack manifest: how many docs touch the pack, how many
+    * begin in it, and its filled token count (== budget except each
+    * source's final pack) — what a data loader needs to seek, and
+    * what attention-mask construction needs to know about document
+    * boundaries per sequence.
+    *
+    * Scale shape: token offsets come from ScalePrim.exclusivePrefixSum
+    * (the pipe_shard machinery — broadcast offsets with both documented
+    * escalations past driver reach); the doc→packs explode emits
+    * ceil(tokens/budget)+1 rows per doc, so the exploded relation is
+    * bounded by corpus_tokens/budget + n_docs BY CONSTRUCTION — no
+    * unbounded sequence() grid (the q27_gapfill fuzz lesson). All
+    * boundary arithmetic is integer div on both engines.
+    */
+  val pack = Q(
+    "pipe_pack",
+    s"""WITH t AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS tokens
+       |  FROM documents),
+       |p AS (
+       |  SELECT doc_id, source, tokens,
+       |    coalesce(sum(tokens) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS st
+       |  FROM t),
+       |s AS (
+       |  SELECT source, doc_id, tokens, st,
+       |    CAST(st // $packBudget AS BIGINT) AS pf,
+       |    CAST((st + tokens - 1) // $packBudget AS BIGINT) AS pl
+       |  FROM p),
+       |x AS (
+       |  SELECT source, doc_id, tokens, st, pf,
+       |    unnest(range(pf, pl + 1)) AS pack_id
+       |  FROM s)
+       |SELECT source, CAST(pack_id AS BIGINT) AS pack_id,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(count(*) FILTER (WHERE pf = pack_id) AS BIGINT) AS n_starts,
+       |  CAST(sum(least((pack_id + 1) * $packBudget, st + tokens)
+       |           - greatest(pack_id * $packBudget, st)) AS BIGINT) AS tokens_filled
+       |FROM x
+       |GROUP BY source, pack_id
+       |ORDER BY source, pack_id""".stripMargin) { (spark, dir) =>
+    val docsTok = Tables.documents(spark, dir).select(
+      col("doc_id"), col("source"), tokenCountExpr.as("tokens"))
+    ScalePrim.exclusivePrefixSum(docsTok, "source", "doc_id", col("tokens"))
+      .withColumn("st", col("prefix"))
+      .withColumn("pf", expr(s"st div $packBudget"))
+      .withColumn("pl", expr(s"(st + tokens - 1) div $packBudget"))
+      .select(col("source"), col("doc_id"), col("tokens"), col("st"), col("pf"),
+        explode(sequence(col("pf"), col("pl"))).as("pack_id"))
+      .groupBy("source", "pack_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count(when(col("pf") === col("pack_id"), 1)).as("n_starts"),
+        sum(least((col("pack_id") + 1) * packBudget, col("st") + col("tokens"))
+          - greatest(col("pack_id") * packBudget, col("st"))).as("tokens_filled"))
+      .orderBy("source", "pack_id")
+  }
+
+  // ═══════════════ corpus vocabulary statistics ═══════════════
+
+  /** Per-source vocabulary composition: token volume, distinct types,
+    * hapax legomena (frequency-1 types), type-token ratio and hapax
+    * share — the corpus-level lexical-diversity profile (tx_entropy's
+    * ttr is per-document; these numbers only exist at corpus altitude
+    * — a source of near-identical boilerplate shows a collapsing
+    * corpus TTR long before per-doc stats move).
+    *
+    * Scale shape: tokens collapse to (source, h) → count in the scan
+    * stage (the engine's standard Zipf discipline — a stopword costs
+    * one counter per map task, never a shuffled row per instance);
+    * the per-source rollup then runs on |sources|·|vocab| rows.
+    */
+  val vocab = Q(
+    "tx_vocab", {
+      val whSql = Hashing.wordHashesSql("text")
+      s"""WITH wh AS (SELECT doc_id, source, unnest($whSql) AS h FROM documents),
+         |c AS (SELECT source, h, CAST(count(*) AS BIGINT) AS cnt
+         |      FROM wh GROUP BY source, h)
+         |SELECT source,
+         |  CAST(sum(cnt) AS BIGINT) AS n_tokens,
+         |  CAST(count(*) AS BIGINT) AS n_types,
+         |  CAST(count(*) FILTER (WHERE cnt = 1) AS BIGINT) AS n_hapax,
+         |  round(1e-9 + count(*) / CAST(sum(cnt) AS DOUBLE), 6) AS ttr,
+         |  round(1e-9 + count(*) FILTER (WHERE cnt = 1) / CAST(count(*) AS DOUBLE), 6)
+         |    AS hapax_share
+         |FROM c
+         |GROUP BY source
+         |ORDER BY source""".stripMargin
+    }) { (spark, dir) =>
+    Tables.documents(spark, dir)
+      .select(col("source"), explode(Hashing.wordHashes(col("text"))).as("h"))
+      .groupBy("source", "h")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("source")
+      .agg(
+        sum("cnt").as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        count(when(col("cnt") === 1, 1)).as("n_hapax"),
+        round(lit(1e-9) + count(lit(1)) / sum("cnt").cast("double"), 6).as("ttr"),
+        round(lit(1e-9) + count(when(col("cnt") === 1, 1)) / count(lit(1)).cast("double"), 6)
+          .as("hapax_share"))
+      .orderBy("source")
+  }
+
   val all: Seq[Q] = Seq(tokens, quality, langid, fingerprint, curate, shard, topterms, pii,
-    entropy)
+    entropy, pack, vocab)
 }
