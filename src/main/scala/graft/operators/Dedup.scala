@@ -141,15 +141,21 @@ object Dedup {
 
   // ═══════════════ LSH candidate pairs ═══════════════
 
-  /** Candidate pairs sharing ≥1 of the 4 six-row bands (Spark side). */
-  private def lshPairsDf(spark: SparkSession, dir: String): DataFrame = {
-    val mh = minhashDf(spark, dir)
-    val banded = mh.select(
+  /** The (doc_id, band, key) LSH band rows of the whole corpus —
+    * shared by dd_lsh_pairs, pipe_decon_fuzzy, and the streaming
+    * fuzzy-decon eval index.
+    */
+  private def bandedMinhash(spark: SparkSession, dir: String): DataFrame =
+    minhashDf(spark, dir).select(
       col("doc_id"),
       explode(array((0 until NumBands).map { b =>
         struct(lit(b).as("band"), bandKey(mhNames.map(col), b).as("key"))
       }: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+
+  /** Candidate pairs sharing ≥1 of the 4 six-row bands (Spark side). */
+  private def lshPairsDf(spark: SparkSession, dir: String): DataFrame = {
+    val banded = bandedMinhash(spark, dir)
     // Skew guard: a degenerate band bucket (e.g. a boilerplate shingle
     // shared by millions of docs) would otherwise explode quadratically.
     // Capped buckets are dropped — their pairs are recovered by the
@@ -674,14 +680,7 @@ object Dedup {
        |FROM best b JOIN documents d ON d.doc_id = b.doc_id
        |WHERE rn = 1 AND jac >= CAST(${Pipeline.suspectFloor} AS DOUBLE)
        |ORDER BY b.doc_id""".stripMargin) { (spark, dir) =>
-    val mh = minhashDf(spark, dir)
-    val banded = mh.select(
-      col("doc_id"),
-      explode(array((0 until NumBands).map { b =>
-        struct(lit(b).as("band"), bandKey(mhNames.map(col), b).as("key"))
-      }: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
-    val capped = dropOversizedBuckets(banded, Seq("band", "key"), BucketCap)
+    val capped = dropOversizedBuckets(bandedMinhash(spark, dir), Seq("band", "key"), BucketCap)
     val cand = capped.filter(col("doc_id") % Pipeline.evalMod =!= Pipeline.evalRes)
       .join(capped.filter(col("doc_id") % Pipeline.evalMod === Pipeline.evalRes)
         .select(col("band"), col("key"), col("doc_id").as("eval_id")), Seq("band", "key"))
@@ -709,6 +708,39 @@ object Dedup {
       .select("doc_id", "source", "best_eval_id", "jaccard", "contaminated")
       .orderBy("doc_id")
   }
+
+  /** The STATIC side of streaming fuzzy decontamination: the eval
+    * split's capped band rows carrying the eval shingle sets. Built
+    * from the same corpus-wide capped banding as the batch query, so
+    * a bucket the batch drops is simply absent here — a streamed doc
+    * banding into it finds no eval entries, reproducing the batch cap
+    * semantics without the stream needing global bucket counts.
+    */
+  private[graft] def fuzzyEvalIndex(spark: SparkSession, dir: String): DataFrame =
+    dropOversizedBuckets(bandedMinhash(spark, dir), Seq("band", "key"), BucketCap)
+      .filter(col("doc_id") % Pipeline.evalMod === Pipeline.evalRes)
+      .join(shinglesDf(spark, dir), Seq("doc_id"))
+      .select(col("band"), col("key"), col("doc_id").as("eval_id"),
+        col("shingles").as("sh_e"))
+
+  /** Map-only band rows of arriving (doc_id, source, text) docs, each
+    * carrying the doc's shingle set — the STREAM side of fuzzy decon
+    * (signature + banding are per-row native expressions, so this
+    * runs unchanged on a stream).
+    */
+  private[graft] def fuzzyBandRows(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("source"),
+        shingleHashes(col("text")).as("sh"), minhashSig(col("text")).as("sig"))
+      .filter(col("sig").isNotNull)
+      .select(col("doc_id"), col("source"), col("sh"),
+        explode(array((0 until NumBands).map { b =>
+          struct(lit(b).as("band"),
+            bandKey((0 until NumPerms).map(j => element_at(col("sig"), j + 1)), b)
+              .as("key"))
+        }: _*)).as("bk"))
+      .select(col("doc_id"), col("source"), col("sh"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
 
   val all: Seq[Q] = Seq(exact, exactHash, minhash, lshPairs, jaccard, clusters, simhash,
     simhashPairs, spans, deconFuzzy)

@@ -161,6 +161,40 @@ object Streaming {
       .withColumn("contaminated",
         col("frac") >= graft.operators.Pipeline.contaminatedFloor)
 
+  /** Streaming FUZZY (near-duplicate) decontamination at ingest: each
+    * arriving (doc_id, source, text) row is MinHash-signed and banded
+    * map-side (Dedup.fuzzyBandRows), joined stream-static against the
+    * eval split's capped band index (Dedup.fuzzyEvalIndex — a bucket
+    * the batch cap drops is absent from the index, so the cap
+    * semantics carry over without global counts on the stream), and
+    * each candidate is Jaccard-verified on the shingle arrays with
+    * the exact rounding of batch pipe_decon_fuzzy. Emits every
+    * suspect (doc, eval) pair with the contaminated flag; the per-doc
+    * best-match argmax stays a reader concern, exactly as in
+    * Streaming.decontaminate (a second agg level would need
+    * complete-mode rescans). State: one row per SUSPECT pair — the
+    * ≥ suspectFloor filter runs before the aggregation, so
+    * sub-threshold candidates never enter state. Run with outputMode
+    * update/complete.
+    */
+  def deconFuzzy(docs: DataFrame, evalIndex: DataFrame): DataFrame = {
+    val jac = col("n_common") / (col("na") + col("nb") - col("n_common")).cast("double")
+    graft.operators.Dedup.fuzzyBandRows(docs)
+      .filter(col("doc_id") % graft.operators.Pipeline.evalMod
+        =!= graft.operators.Pipeline.evalRes)
+      .join(evalIndex, Seq("band", "key"))
+      .select(col("doc_id"), col("source"), col("eval_id"),
+        graft.functions.HashExprs.common_count(col("sh"), col("sh_e")).as("n_common"),
+        size(col("sh")).cast("long").as("na"), size(col("sh_e")).cast("long").as("nb"))
+      .select(col("doc_id"), col("source"), col("eval_id"),
+        round(lit(1e-9) + jac, 6).as("jac"))
+      .filter(col("jac") >= graft.operators.Pipeline.suspectFloor)
+      .groupBy("doc_id", "source", "eval_id")
+      .agg(min("jac").as("jaccard"))
+      .withColumn("contaminated",
+        col("jaccard") >= graft.operators.Pipeline.contaminatedFloor)
+  }
+
   /** Streaming semantic near-dup scan at ingest: each arriving
     * (vec_id, e, nrm) row is banded with THE SAME adaptive-width
     * hyperplane keys as batch dd_embed (Ann.bandKeysOf — map-only;

@@ -168,6 +168,45 @@ class StreamingSpec extends AnyFunSuite {
       assert(math.abs(got(k) - w) < 2e-4, s"$k: stream=${got(k)} batch=$w")
   }
 
+  test("streaming fuzzy decon reproduces batch pipe_decon_fuzzy per-doc best matches") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val evalIdx = operators.Dedup.fuzzyEvalIndex(spark, sf)
+    val corpus = graft.Tables.documents(spark, sf)
+      .filter(col("doc_id") % 10 =!= 3)
+      .select("doc_id", "source", "text")
+      .as[(Long, String, String)].collect()
+    val mem = MemoryStream[(Long, String, String)]
+    val q = Streaming.deconFuzzy(
+        mem.toDF().toDF("doc_id", "source", "text"), evalIdx)
+      .writeStream.outputMode("complete").format("memory").queryName("fuzzy_decon").start()
+    try {
+      corpus.grouped(math.max(1, corpus.length / 3 + 1)).foreach { chunk =>
+        mem.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    // the stream emits suspect pairs; the batch query keeps each doc's
+    // best (max jaccard, ties to the smaller eval_id)
+    val got = spark.sql(
+        "SELECT doc_id, source, eval_id, jaccard, contaminated FROM fuzzy_decon")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+      .groupBy(_._1).map { case (docId, rows) =>
+        val best = rows.minBy(t => (-t._4, t._3))
+        docId -> (best._2, best._3, best._4, best._5)
+      }
+    val want = SparkEntry.queries("pipe_decon_fuzzy")(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("source"), r.getAs[Long]("best_eval_id"),
+          r.getAs[Double]("jaccard"), r.getAs[Boolean]("contaminated"))).toMap
+    assert(want.nonEmpty, "fixture must contain fuzzy-contaminated docs")
+    assert(got == want,
+      s"stream best-match set diverged: missing=${(want.keySet -- got.keySet).take(5)} " +
+        s"spurious=${(got.keySet -- want.keySet).take(5)}")
+  }
+
   test("streaming decontaminate equals the batch overlap pairs on a replayed corpus") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
