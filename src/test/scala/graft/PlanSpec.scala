@@ -593,4 +593,57 @@ class PlanSpec extends AnyFunSuite {
     // corpus side broadcast would ship every doc at 100 TB
     assert(p.contains("BroadcastHashJoin"))
   }
+
+  test("gr_pagerank iterations never re-exchange or sort the cached edge frame") {
+    // force the memoized edge build so the query plan is the serve path
+    graft.operators.Graph.edgesWithDeg(spark, sf).count()
+    val p = plan("gr_pagerank")
+    assert(p.contains("ShuffledHashJoin"),
+      "iteration joins must hash-join the small ranks side, not sort-merge")
+    assert(p.contains("InMemoryTableScan"))
+    // the ONLY exchanges in the iteration pipeline are the |V|-row
+    // ranks side + final aggregations; an Exchange directly above the
+    // cached scan means the co-partitioning contract broke
+    assert(!p.split("\n").exists(l => l.contains("Sort ") && l.contains("src")),
+      "no per-iteration sort of the edge side")
+  }
+
+  test("dd_embed verifies inside the bucket join: no pair distinct before the threshold") {
+    val p = plan("dd_embed")
+    // the threshold filter must appear BELOW the distinct — i.e. the
+    // deduplicated relation is the verified survivor set, not the raw
+    // candidate set (which is nine figures at sf10)
+    val i = p.indexOf("HashAggregate(keys=[vec_a")
+    val j = p.indexOf(">= 0.3")
+    assert(i >= 0, "survivor distinct must exist")
+    assert(j > i, "cosine threshold must be evaluated under the distinct, " +
+      "inside the bucket join stage")
+    assert(!p.contains("SortMergeJoin") || p.contains("band"),
+      "the only big join is the banded bucket join")
+  }
+
+  test("pipe_pack explodes a bounded pack range and keeps integer boundary math") {
+    val p = plan("pipe_pack")
+    assert(p.contains("sequence(pf"), "doc→packs explode must run pf..pl, " +
+      "bounded by tokens/budget by construction")
+    // every Window must be a ScalePrim BUCKETED one (partitioned on
+    // (source, __bkt) / the bucket rollup) — a plain per-source window
+    // would single-task each source's whole doc list at 100 TB
+    assert(p.split("windowspecdefinition").drop(1).forall(_.take(60).contains("__bkt")),
+      "offsets come from the ScalePrim two-pass prefix sum, not a flat per-source window")
+  }
+
+  test("ix_source_overlap shuffles 32-byte hashes, never text") {
+    val p = plan("ix_source_overlap")
+    assert(!p.split("Exchange hashpartitioning").drop(1).exists(_.take(80).contains("text")),
+      "no exchange may carry the text column")
+    assert(p.contains("sha2"))
+  }
+
+  test("pipe_decon_fuzzy verifies candidates on shingle arrays with common_count") {
+    val p = plan("pipe_decon_fuzzy")
+    assert(p.contains("common_count"),
+      "Jaccard must be the native array probe, not an exploded shingle join")
+    assert(!p.contains("CartesianProduct"))
+  }
 }
