@@ -394,6 +394,46 @@ object Streaming {
       }
   }
 
+  final case class PackAssign(source: String, doc_id: Long, start_tok: Long,
+      pack_first: Long, pack_last: Long)
+
+  /** Streaming sequence packing — the [[shard]] state machine at
+    * token granularity with boundary splits: each in-order arriving
+    * (doc_id, source, tokens) row is placed at its source's running
+    * token offset and reports the pack span it occupies
+    * ([start/budget, (start+tokens−1)/budget] — docs cross pack
+    * boundaries wherever they fall, exactly batch pipe_pack's
+    * geometry). State per source: the running total + high-water
+    * doc_id; the in-order replay contract is ENFORCED the same way
+    * shard's is (IllegalStateException, never silent divergence).
+    * A reader explodes the spans to rebuild the per-pack manifest;
+    * StreamingSpec cross-validates that rebuild row-for-row against
+    * batch pipe_pack.
+    */
+  def pack(docs: Dataset[DocTok]): Dataset[PackAssign] = {
+    import docs.sparkSession.implicits._
+    val budget = graft.operators.TextAnalysis.packBudget
+    docs.groupByKey(_.source)
+      .flatMapGroupsWithState[(Long, Long), PackAssign](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (source: String, rows: Iterator[DocTok], state: GroupState[(Long, Long)]) =>
+          var (pre, hiDoc) = state.getOption.getOrElse((0L, Long.MinValue))
+          val out = rows.toSeq.sortBy(_.doc_id).map { d =>
+            if (d.doc_id <= hiDoc)
+              throw new IllegalStateException(
+                s"Streaming.pack: doc ${d.doc_id} of source $source arrived after " +
+                  s"doc $hiDoc was packed — in-order replay precondition violated")
+            hiDoc = d.doc_id
+            val a = PackAssign(source, d.doc_id, pre,
+              pre / budget, (pre + d.tokens - 1) / budget)
+            pre += d.tokens
+            a
+          }
+          state.update((pre, hiDoc))
+          out.iterator
+      }
+  }
+
   /** Streaming as-of join: each arriving purchase answered with the
     * latest strictly-earlier same-user click — the batch ev_asof rule
     * applied at ingest. State is TWO longs per user (the best click's

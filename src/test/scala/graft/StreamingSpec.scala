@@ -557,6 +557,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want, "stream packing must reproduce the batch shard layout")
   }
 
+  test("streaming pack assignments rebuild the batch pipe_pack manifest") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import org.apache.spark.sql.functions.{col, size, split, trim}
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("tokens"))
+      .as[Streaming.DocTok].collect().sortBy(_.doc_id)
+    val mem = MemoryStream[Streaming.DocTok]
+    val q = Streaming.pack(mem.toDS())
+      .writeStream.outputMode("append").format("memory").queryName("packs").start()
+    try {
+      docs.grouped(math.max(1, docs.length / 4 + 1)).foreach { chunk =>
+        mem.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val budget = operators.TextAnalysis.packBudget
+    docs.toSeq.toDF("doc_id", "source", "tokens").createOrReplaceTempView("doc_toks")
+    // rebuild the per-pack manifest from the per-doc span assignments
+    val got = spark.sql(
+      s"""SELECT source, pack_id,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(CASE WHEN pack_first = pack_id THEN 1 END) AS BIGINT) AS n_starts,
+         |  CAST(sum(least((pack_id + 1) * $budget, start_tok + tokens)
+         |           - greatest(pack_id * $budget, start_tok)) AS BIGINT) AS tokens_filled
+         |FROM (
+         |  SELECT p.source, p.doc_id, p.start_tok, p.pack_first, d.tokens,
+         |    explode(sequence(p.pack_first, p.pack_last)) AS pack_id
+         |  FROM packs p JOIN doc_toks d ON d.doc_id = p.doc_id)
+         |GROUP BY source, pack_id""".stripMargin)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    val want = SparkEntry.queries("pipe_pack")(spark, sf).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("pack_id")) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_starts"), r.getAs[Long]("tokens_filled")))
+      .toMap
+    assert(want.nonEmpty)
+    assert(got == want, "stream pack spans must rebuild the batch pack manifest")
+  }
+
   test("REEF hidden-state extraction: per-partition batched forward, deterministic") {
     val docs = operators.Reef.extractHiddenStates(
       graft.Tables.documents(spark, sf).limit(40), layer = 2, dim = 16, batchSize = 8)
