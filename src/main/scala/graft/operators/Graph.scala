@@ -179,5 +179,52 @@ object Graph {
           col("n_wedges").cast("double"), 6).as("gcc"))
   }
 
-  val all: Seq[Q] = Seq(pagerank, triangles)
+  /** Connected components over the bulk co-order graph (parts as
+    * nodes; an edge joins two parts appearing in the same order with
+    * quantity ≥ 49 — the near-max-quantity threshold keeps the graph
+    * SPARSE, so components are small and the oracle's transitive
+    * closure stays quadratic-in-component, not quadratic-in-graph).
+    * The third classic graph statistic after rank (gr_pagerank) and
+    * density (gr_triangles): community membership — and the
+    * relational-graph face of the engine's one CC implementation
+    * (Dedup.connectedComponents pointer-jumping min-label loop, the
+    * same code dd_clusters and dd_embed_clusters resolve with; the
+    * corpus never enters the loop, only the edge set).
+    */
+  val components = Q(
+    "gr_components",
+    """WITH RECURSIVE li AS (
+      |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+      |  FROM lineitem WHERE l_quantity >= 49),
+      |e0 AS (SELECT DISTINCT a.p AS u, b.p AS v
+      |       FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+      |edges AS (SELECT u, v FROM e0 UNION SELECT v AS u, u AS v FROM e0),
+      |reach(u, v) AS (
+      |  SELECT u, v FROM edges
+      |  UNION
+      |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+      |)
+      |SELECT u AS node, least(u, min(v)) AS component_id,
+      |  CAST(count(*) FILTER (WHERE v != u) + 1 AS BIGINT) AS component_size
+      |FROM (SELECT DISTINCT u, v FROM reach)
+      |GROUP BY u
+      |ORDER BY node""".stripMargin) { (spark, dir) =>
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_quantity") >= 49)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    val e0 = li.as("a").join(li.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("u"), col("b.p").as("v"))
+      .distinct()
+    val edges = e0.union(e0.select(col("v").as("u"), col("u").as("v"))).distinct()
+    val (labels, _) = Dedup.connectedComponents(edges)
+    val sizes = labels.groupBy("label").agg(count(lit(1)).as("component_size"))
+    labels.join(sizes, Seq("label"))
+      .select(col("doc").as("node"), col("label").as("component_id"),
+        col("component_size"))
+      .orderBy("node")
+  }
+
+  val all: Seq[Q] = Seq(pagerank, triangles, components)
 }
