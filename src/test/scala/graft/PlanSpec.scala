@@ -594,18 +594,26 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"))
   }
 
-  test("gr_pagerank iterations never re-exchange or sort the cached edge frame") {
+  test("gr_pagerank iterations broadcast ranks and aggregate with zero exchanges") {
     // force the memoized edge build so the query plan is the serve path
     graft.operators.Graph.edgesWithDeg(spark, sf).count()
+    // checkpoints truncate the composed plan, so this is ONE iteration:
+    // cached-edge scan ⋈(broadcast) ranks → in-place agg → round/sort
     val p = plan("gr_pagerank")
-    assert(p.contains("ShuffledHashJoin"),
-      "iteration joins must hash-join the small ranks side, not sort-merge")
+    assert(p.contains("BroadcastHashJoin"),
+      "iterations must replicate the |V|-row ranks side, not shuffle |E| contributions")
     assert(p.contains("InMemoryTableScan"))
-    // the ONLY exchanges in the iteration pipeline are the |V|-row
-    // ranks side + final aggregations; an Exchange directly above the
-    // cached scan means the co-partitioning contract broke
-    assert(!p.split("\n").exists(l => l.contains("Sort ") && l.contains("src")),
-      "no per-iteration sort of the edge side")
+    assert(!p.contains("ShuffledHashJoin") && !p.contains("SortMergeJoin"))
+    // the dst-partitioned cache already satisfies the contribution
+    // aggregation; in the SERVE pipeline (everything above the cached
+    // relation — the explain prints the cache's one-time BUILD subtree
+    // underneath it) the only exchange is the final orderBy's range
+    // partitioning — a hash exchange means the co-partitioning
+    // contract broke and the |E|-row shuffle is back
+    val serve = p.substring(0, p.indexOf("InMemoryRelation"))
+    val hashExchanges = serve.split("\n").count(l =>
+      l.contains("Exchange hashpartitioning"))
+    assert(hashExchanges == 0, s"iteration pipeline must run exchange-free, saw:\n$serve")
   }
 
   test("dd_embed verifies inside the bucket join: no pair distinct before the threshold") {
