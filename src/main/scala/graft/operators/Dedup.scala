@@ -709,6 +709,63 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  // ═══════════════ asymmetric containment (quote / subset detection) ═══════════════
+
+  private val ContainFloor = 0.5
+
+  /** Chunk-containment pairs: ordered (doc_a, doc_b) where ≥ 50% of
+    * doc_a's distinct chunk fingerprints also appear in doc_b — the
+    * ASYMMETRIC dedup relation (Broder's containment) that symmetric
+    * Jaccard misses by construction: a short document quoted inside a
+    * much longer one has tiny Jaccard (the union is dominated by the
+    * long doc) but containment ≈ 1. MinHash bands cannot generate
+    * these candidates either (minhash approximates Jaccard, not
+    * containment), so candidates come from the CHUNK index instead:
+    * two docs sharing any 16-word window share its chunk hash.
+    *
+    * Scale shape: docs collapse to distinct (doc, chunk_hash) —
+    * 8-byte keys, never text; the pair join is chunk-hash-keyed with
+    * the engine's standard oversized-bucket drop (a boilerplate
+    * window shared by thousands of docs is the dd_lsh_pairs
+    * pathology, same guard, mirrored in the oracle); the shared-count
+    * aggregation is partial map-side; totals join back on doc ids.
+    */
+  val containment = Q(
+    "dd_containment",
+    s"""WITH ${Pipeline.chunksSql},
+       |ch AS (SELECT DISTINCT doc_id, chunk_hash FROM chunks),
+       |small AS (
+       |  SELECT chunk_hash FROM ch GROUP BY chunk_hash
+       |  HAVING count(*) <= $BucketCap),
+       |chc AS (SELECT ch.* FROM ch JOIN small USING (chunk_hash)),
+       |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks FROM ch GROUP BY doc_id),
+       |shared AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_shared
+       |  FROM chc a JOIN chc b ON a.chunk_hash = b.chunk_hash AND a.doc_id != b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id)
+       |SELECT s.doc_a, s.doc_b, ta.n_chunks AS n_chunks_a, s.n_shared,
+       |  round(1e-9 + s.n_shared / CAST(ta.n_chunks AS DOUBLE), 6) AS containment
+       |FROM shared s JOIN tot ta ON ta.doc_id = s.doc_a
+       |WHERE s.n_shared / CAST(ta.n_chunks AS DOUBLE) >= $ContainFloor
+       |ORDER BY doc_a, doc_b""".stripMargin) { (spark, dir) =>
+    val ch = Pipeline.chunksOf(spark, dir)
+      .select("doc_id", "chunk_hash").distinct()
+    val tot = ch.groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
+    val chc = dropOversizedBuckets(ch, Seq("chunk_hash"), BucketCap)
+    val shared = chc.select(col("chunk_hash"), col("doc_id").as("doc_a"))
+      .join(chc.select(col("chunk_hash"), col("doc_id").as("doc_b")), Seq("chunk_hash"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(tot.select(col("doc_id").as("doc_a"), col("n_chunks").as("n_chunks_a")), Seq("doc_a"))
+      .filter(col("n_shared") / col("n_chunks_a").cast("double") >= ContainFloor)
+      .select(col("doc_a"), col("doc_b"), col("n_chunks_a"), col("n_shared"),
+        round(lit(1e-9) + col("n_shared") / col("n_chunks_a").cast("double"), 6)
+          .as("containment"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** The STATIC side of streaming fuzzy decontamination: the eval
     * split's capped band rows carrying the eval shingle sets. Built
     * from the same corpus-wide capped banding as the batch query, so
@@ -743,5 +800,5 @@ object Dedup {
         col("bk.band").as("band"), col("bk.key").as("key"))
 
   val all: Seq[Q] = Seq(exact, exactHash, minhash, lshPairs, jaccard, clusters, simhash,
-    simhashPairs, spans, deconFuzzy)
+    simhashPairs, spans, deconFuzzy, containment)
 }
