@@ -140,6 +140,9 @@ object Bench {
       },
       built("theta_sketches", Seq("q28_theta")) {
         operators.Maintain.thetaFrames(spark, sfDir)
+      },
+      built("freq_sketches", Seq("q29_freq")) {
+        operators.Maintain.freqFrames(spark, sfDir)
       }).flatten
     // deterministic name order: per-query numbers are comparable
     // run-to-run and round-to-round (Map iteration order shuffled the

@@ -68,4 +68,14 @@ object Tables {
   }
   def documents(spark: SparkSession, dir: String): DataFrame = loadSpread(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = loadSpread(spark, dir, "embeddings")
+
+  /** Catalog-safe tag derived from a data directory, appended to
+    * managed layout-table names (bucketed/partitioned builds) so each
+    * scale factor owns its own warehouse path. Without it, two JVMs —
+    * or one JVM alternating SFs — write the SAME table location and
+    * one side reads files the other just deleted (a concurrent
+    * test-suite + Verify run hit exactly that FILE_NOT_EXIST race).
+    */
+  def tableTag(dir: String): String =
+    dir.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+|_+$", "")
 }

@@ -19,6 +19,7 @@ object SparkEntry {
       operators.Graph.all ++
       operators.Distribution.all ++
       operators.Cdc.all ++
+      operators.DataQuality.all ++
       operators.Maintain.all ++
       operators.Ann.all ++
       operators.Cluster.all ++

@@ -1,0 +1,117 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality validation (the Deequ/dbt-tests shape):
+  * a suite of named checks over the warehouse tables — primary-key
+  * uniqueness, value compliance, consistency between a stored column
+  * and its definition, and referential integrity — each reported as
+  * (table, check, row count, violation count, pass).
+  *
+  * Scale shape: every SCAN check on a table fuses into ONE
+  * conditional-aggregation pass (sum(CASE WHEN violated)) — adding a
+  * check adds a column to the aggregate, not a scan; the 1-row agg
+  * result fans out to check rows via stack() on the driver-sized
+  * frame. Referential checks are LEFT ANTI joins carrying only the
+  * key column on both sides (AQE free to broadcast the distinct
+  * parent keys or shuffle past broadcast reach — no hint, the
+  * tx_unigram_ppl posture, since at 100 TB a parent table can exceed
+  * the driver). Reference analog: the toolkit validates its input
+  * response sets before fingerprinting (engine.py:107-163 rejects
+  * malformed/empty corpora); this is that gate at warehouse scale.
+  */
+object DataQuality {
+
+  private def fkViolations(child: DataFrame, key: String, parent: DataFrame, pkey: String): DataFrame =
+    child.select(col(key)).join(
+      parent.select(col(pkey)).distinct(),
+      col(key) === col(pkey), "left_anti")
+      .agg(count(lit(1)).as("violations"))
+
+  val audit = Q(
+    "dq_audit",
+    """SELECT tbl, chk, n_rows, violations, violations = 0 AS pass FROM (
+      |  SELECT 'documents' AS tbl, 'nchars_consistent' AS chk,
+      |    CAST(count(*) AS BIGINT) AS n_rows,
+      |    CAST(sum(CASE WHEN n_chars IS NULL OR text IS NULL
+      |      OR n_chars <> length(text) THEN 1 ELSE 0 END) AS BIGINT) AS violations
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT 'documents', 'nonempty_text', CAST(count(*) AS BIGINT),
+      |    CAST(sum(CASE WHEN text IS NULL OR length(text) = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT 'lineitem', 'fk_orderkey_orders',
+      |    (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+      |    (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+      |      WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+      |  UNION ALL
+      |  SELECT 'lineitem', 'qty_range_1_50', CAST(count(*) AS BIGINT),
+      |    CAST(sum(CASE WHEN l_quantity IS NULL OR l_quantity < 1 OR l_quantity > 50
+      |      THEN 1 ELSE 0 END) AS BIGINT)
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'orders', 'fk_custkey_customer',
+      |    (SELECT CAST(count(*) AS BIGINT) FROM orders),
+      |    (SELECT CAST(count(*) AS BIGINT) FROM orders o
+      |      WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+      |  UNION ALL
+      |  SELECT 'orders', 'nonneg_totalprice', CAST(count(*) AS BIGINT),
+      |    CAST(sum(CASE WHEN o_totalprice IS NULL OR o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 'orders', 'pk_unique_orderkey', CAST(count(*) AS BIGINT),
+      |    CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+      |  FROM orders
+      |)
+      |ORDER BY tbl, chk""".stripMargin) { (spark, dir) =>
+    val orders = Tables.orders(spark, dir)
+    val customer = Tables.customer(spark, dir)
+    val li = Tables.lineitem(spark, dir)
+    val docs = Tables.documents(spark, dir)
+
+    def viol(cond: Column): Column = sum(when(cond, 1L).otherwise(0L))
+
+    // one conditional-aggregation scan per table, fanned out to
+    // (chk, violations) rows by stack() on the 1-row result
+    val docChecks = docs.agg(
+      count(lit(1)).as("n_rows"),
+      viol(col("n_chars").isNull || col("text").isNull ||
+        col("n_chars") =!= length(col("text"))).as("v_nchars"),
+      viol(col("text").isNull || length(col("text")) === 0).as("v_empty"))
+      .selectExpr("'documents' AS tbl", "n_rows",
+        "stack(2, 'nchars_consistent', v_nchars, 'nonempty_text', v_empty) AS (chk, violations)")
+    val liScan = li.agg(
+      count(lit(1)).as("n_rows"),
+      viol(col("l_quantity").isNull || col("l_quantity") < 1 || col("l_quantity") > 50)
+        .as("v_qty"))
+      .selectExpr("'lineitem' AS tbl", "n_rows",
+        "stack(1, 'qty_range_1_50', v_qty) AS (chk, violations)")
+    val oScan = orders.agg(
+      count(lit(1)).as("n_rows"),
+      viol(col("o_totalprice").isNull || col("o_totalprice") <= 0).as("v_price"),
+      (count(lit(1)) - countDistinct(col("o_orderkey"))).as("v_pk"))
+      .selectExpr("'orders' AS tbl", "n_rows",
+        "stack(2, 'nonneg_totalprice', v_price, 'pk_unique_orderkey', v_pk) AS (chk, violations)")
+    // referential integrity: key-only anti joins; the table's row
+    // count rides in from its scan-check aggregate (1-row cross join)
+    val liFk = fkViolations(li, "l_orderkey", orders, "o_orderkey")
+      .crossJoin(liScan.select(col("n_rows")).limit(1))
+      .select(lit("lineitem").as("tbl"), col("n_rows"),
+        lit("fk_orderkey_orders").as("chk"), col("violations"))
+    val oFk = fkViolations(orders, "o_custkey", customer, "c_custkey")
+      .crossJoin(oScan.select(col("n_rows")).limit(1))
+      .select(lit("orders").as("tbl"), col("n_rows"),
+        lit("fk_custkey_customer").as("chk"), col("violations"))
+
+    docChecks.unionByName(liScan).unionByName(oScan)
+      .unionByName(liFk).unionByName(oFk)
+      .select(col("tbl"), col("chk"), col("n_rows"), col("violations"),
+        (col("violations") === 0).as("pass"))
+      .orderBy("tbl", "chk")
+  }
+
+  val all: Seq[Q] = Seq(audit)
+}

@@ -60,13 +60,19 @@ object Layout {
 
   /** The one-time layout build for [[partitionPrune]]: lineitem's
     * pruned-projection written partitioned by ship year (7 partitions
-    * here; day or month granularity at production volume).
+    * here; day or month granularity at production volume). Table name
+    * is keyed by the data dir (Tables.tableTag) so concurrent or
+    * alternating scale factors never share a warehouse path; returns
+    * the table name for the read side.
     */
-  def ensureLineitemByYear(spark: SparkSession, dir: String): Unit =
+  def ensureLineitemByYear(spark: SparkSession, dir: String): String = {
+    val table = s"graft_li_byyear_${Tables.tableTag(dir)}"
     ensurePartitioned(spark, Tables.lineitem(spark, dir)
       .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"),
         col("l_discount"), year(col("l_shipdate")).as("ship_year")),
-      "graft_li_byyear", "ship_year", dir)
+      table, "ship_year", dir)
+    table
+  }
 
   /** Registered query exercising the pruned path end-to-end: the 1996
     * pricing summary read from the year-partitioned layout. The
@@ -85,8 +91,8 @@ object Layout {
       |WHERE year(l_shipdate) = 1996
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin) { (spark, dir) =>
-    ensureLineitemByYear(spark, dir)
-    spark.table("graft_li_byyear")
+    val table = ensureLineitemByYear(spark, dir)
+    spark.table(table)
       .filter(col("ship_year") === 1996)
       .groupBy("l_returnflag")
       .agg(
@@ -124,7 +130,7 @@ object Layout {
       |  WHERE o_orderdate BETWEEN DATE '1996-01-01' AND DATE '1997-12-31')
       |GROUP BY 1
       |ORDER BY ship_year""".stripMargin) { (spark, dir) =>
-    ensureLineitemByYear(spark, dir)
+    val table = ensureLineitemByYear(spark, dir)
     // distinct BEFORE the join: the semi-join build side and the DPP
     // subquery both see ≤|years| rows instead of every filtered order
     // (measured 7.9 → ~2 s at sf10 — broadcasting 2.8 M un-distinct
@@ -137,7 +143,7 @@ object Layout {
     // only): distinct YEARS are calendar-bounded regardless of corpus
     // size. Without it the static planner sort-merges, shuffling the
     // whole pruned fact (17 M rows at sf10) against a ≤7-row build.
-    spark.table("graft_li_byyear")
+    spark.table(table)
       .join(broadcast(dimYears), col("ship_year") === col("yr"), "left_semi")
       .groupBy("ship_year")
       .agg(

@@ -273,5 +273,81 @@ object Maintain {
       .orderBy("set_op")
   }
 
-  val all: Seq[Q] = Seq(sketchUnion, incremental, kllQuantiles, thetaSetops)
+  /** One-time frequency-sketch build: per-source LongsSketch(1024)
+    * rows over the word-3-gram SHINGLE hash stream (the per-doc
+    * distinct shingles dd_minhash/decontamination shingle on — tens
+    * of thousands of distinct items even here, far past the counter
+    * map, so the sketch genuinely purges), plus the exact top-16 pin
+    * (bounded-heap, df DESC / h ASC) that grades the serve-path
+    * estimates. The head this serves is the STOP-SHINGLE list — the
+    * boilerplate n-grams a decontamination/overlap pass should
+    * discount — at constant memory per source. Production stores only
+    * the sketches; any rollup (here: the global head) merges them.
+    */
+  def freqFrames(spark: org.apache.spark.sql.SparkSession, dir: String): Seq[org.apache.spark.sql.DataFrame] =
+    graft.SessionMemo.frames(spark, s"maintain.freqSketches:$dir") {
+      import graft.functions.{FreqAgg, Hashing, TopKAgg}
+      val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      // shingle_hashes is per-doc distinct, so each (doc, h) appears
+      // once and the weight is 1 — tf below is DOCUMENT frequency
+      val dc = Tables.documents(spark, dir)
+        .select(col("source"), col("doc_id"),
+          explode(Hashing.shingleHashes(col("text"))).as("h"))
+      val perSource = dc
+        .groupBy("source")
+        .agg(FreqAgg.freq_sketch_agg(col("h"), lit(1L), freqMapSize).as("sk"))
+        .persist(lvl)
+      val vocab = dc.groupBy("h").agg(count(lit(1)).as("tf"))
+      val exactTop = vocab
+        .agg(TopKAgg.topk_by_score(col("tf").cast("double"), col("h"), freqTopK).as("tk"))
+        .select(explode(col("tk")).as("t"))
+        .select(col("t.rank").as("rank"), col("t.id").as("h"))
+        .join(vocab, "h")
+        .select(col("rank"), col("h"), col("tf"))
+        .persist(lvl)
+      perSource.count(); exactTop.count() // materialize: q29 times the SERVE path
+      Seq(perSource, exactTop)
+    }
+
+  private val freqMapSize = 1024
+  private val freqTopK = 16
+
+  /** Sketch-served stop-shingle head — the FREQUENT-ITEMS member of
+    * the sketch family (HLL distincts q19, KLL quantiles q26, Theta
+    * set ops q28): the corpus's 16 most document-frequent word-3-gram
+    * shingles answered from the |sources| stored sketch rows via one
+    * binary merge — the corpus is NOT rescanned, and the counter map
+    * is capped at 1024 entries no matter how many distinct shingles
+    * exist (tx_topterms runs the exact vocabulary-sized aggregation;
+    * this is the same question at constant memory, over an item
+    * universe that actually exceeds the map). Emits the EXACT
+    * ranks/counts (which the oracle recomputes) plus a boolean
+    * pinning the true count inside the sketch's DETERMINISTIC
+    * bracket lowerBound ≤ exact ≤ upperBound (upper − lower ≤
+    * maxError; the estimate itself over-counts by at most that) —
+    * unlike HLL/KLL/Theta this bound is not probabilistic, so the
+    * oracle pins TRUE with no tolerance at all.
+    */
+  val freqTopTerms = Q(
+    "q29_freq", {
+      import graft.functions.Hashing
+      s"""WITH w AS (SELECT doc_id, ${Hashing.wordHashesSql("text")} AS wh FROM documents),
+         |sh AS (SELECT doc_id, unnest(${Hashing.shingleHashesSql("wh")}) AS h FROM w),
+         |v AS (SELECT h, CAST(count(*) AS BIGINT) AS tf FROM sh GROUP BY h),
+         |r AS (SELECT h, tf,
+         |    CAST(row_number() OVER (ORDER BY tf DESC, h) AS BIGINT) AS rank FROM v)
+         |SELECT rank, h, tf, TRUE AS est_ok FROM r WHERE rank <= $freqTopK
+         |ORDER BY rank""".stripMargin
+    }) { (spark, dir) =>
+    import graft.functions.FreqAgg._
+    val Seq(perSource, exactTop) = freqFrames(spark, dir)
+    val merged = perSource.agg(freq_merge_agg(col("sk"), freqMapSize).as("sk"))
+    exactTop.crossJoin(merged)
+      .select(col("rank"), col("h"), col("tf"),
+        (freq_lower_bound(col("sk"), col("h")) <= col("tf") &&
+          freq_upper_bound(col("sk"), col("h")) >= col("tf")).as("est_ok"))
+      .orderBy("rank")
+  }
+
+  val all: Seq[Q] = Seq(sketchUnion, incremental, kllQuantiles, thetaSetops, freqTopTerms)
 }

@@ -116,14 +116,18 @@ object ScaleJoins {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin) { (spark, dir) =>
     val nb = 8
+    // per-dir table names: concurrent/alternating scale factors must
+    // never share a warehouse path (see Tables.tableTag)
+    val tag = Tables.tableTag(dir)
+    val liT = s"graft_li_bkt_$tag"; val ordT = s"graft_ord_bkt_$tag"
     ensureBucketed(spark, Tables.lineitem(spark, dir)
       .select("l_orderkey", "l_extendedprice", "l_discount"),
-      "graft_li_bkt", "l_orderkey", nb, dir)
+      liT, "l_orderkey", nb, dir)
     ensureBucketed(spark, Tables.orders(spark, dir)
       .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority")),
-      "graft_ord_bkt", "l_orderkey", nb, dir)
-    spark.table("graft_li_bkt").hint("merge")
-      .join(spark.table("graft_ord_bkt"), "l_orderkey")
+      ordT, "l_orderkey", nb, dir)
+    spark.table(liT).hint("merge")
+      .join(spark.table(ordT), "l_orderkey")
       .groupBy("o_orderpriority")
       .agg(
         count(lit(1)).as("n_items"),

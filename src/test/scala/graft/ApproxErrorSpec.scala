@@ -89,6 +89,35 @@ class ApproxErrorSpec extends AnyFunSuite {
     }
   }
 
+  test("frequency-sketch head estimates hold their deterministic bound in PURGE mode") {
+    // at sf0.1 the corpus's ~27k distinct word-3-gram shingles far
+    // exceed the 1024-entry counter map, so the sketch genuinely
+    // purges (maxError > 0) and the lower ≤ exact ≤ upper bracket
+    // (width ≤ maxError; the raw estimate over-counts by at most
+    // that) is non-trivial; measure the realized relative error on
+    // the stop-shingle head it serves
+    val dir = "/root/testdata/sf0.1"
+    val Seq(perSource, exactTop) = operators.Maintain.freqFrames(spark, dir)
+    import graft.functions.FreqAgg._
+    val merged = perSource.agg(freq_merge_agg(col("sk"), 1024).as("sk"))
+    val maxErr = merged.select(freq_max_error(col("sk"))).head.getLong(0)
+    assert(maxErr > 0, s"sketch must be past exact mode to exercise the bound, maxError=$maxErr")
+    val graded = exactTop.crossJoin(merged)
+      .select(col("tf"), freq_estimate(col("sk"), col("h")).as("est"),
+        freq_lower_bound(col("sk"), col("h")).as("lb"),
+        freq_upper_bound(col("sk"), col("h")).as("ub"))
+      .collect()
+    val errs = graded.map { r =>
+      val (tf, est, lb, ub) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(lb <= tf && tf <= ub, s"true count $tf outside sketch bracket [$lb, $ub]")
+      assert(ub - lb <= maxErr, s"bracket width ${ub - lb} exceeds maxError $maxErr")
+      math.abs(est - tf).toDouble / tf
+    }
+    info(f"freq-sketch maxError=$maxErr; realized max rel err ${errs.max}%.5f over ${errs.length} head terms")
+    val rows = SparkEntry.queries("q29_freq")(spark, dir).collect()
+    assert(rows.length == 16 && rows.forall(_.getAs[Boolean]("est_ok")))
+  }
+
   test("theta set-op estimates are measured against exact counts in ESTIMATE mode") {
     // at sf0.1 each yearly cohort exceeds the 4 k nominal entries, so
     // the sketches genuinely estimate (below that theta is exact and

@@ -12,8 +12,8 @@ class LayoutSpec extends AnyFunSuite {
   import SparkTestSession._
 
   test("q18 reads the year-partitioned layout with a partition filter") {
-    operators.Layout.ensureLineitemByYear(spark, sf)
-    val df = spark.table("graft_li_byyear")
+    val table = operators.Layout.ensureLineitemByYear(spark, sf)
+    val df = spark.table(table)
       .filter(org.apache.spark.sql.functions.col("ship_year") === 1996)
     val scans = df.queryExecution.executedPlan.collect {
       case s: FileSourceScanExec => s
@@ -22,14 +22,14 @@ class LayoutSpec extends AnyFunSuite {
     val scan = scans.head
     assert(scan.partitionFilters.exists(_.references.map(_.name).exists(_ == "ship_year")),
       s"ship_year missing from partitionFilters: ${scan.partitionFilters}")
-    val allParts = spark.table("graft_li_byyear")
+    val allParts = spark.table(table)
       .select("ship_year").distinct().count()
     assert(allParts >= 7, s"expected ≥7 year partitions, got $allParts")
     // the pruned scan's file index holds strictly fewer files than an
     // unfiltered scan of the same table (the catalog hands the scan an
     // already-pruned index, so compare against a full-scan twin)
     val prunedFiles = scan.relation.location.listFiles(Nil, Nil).map(_.files.size).sum
-    val fullScan = spark.table("graft_li_byyear").queryExecution.executedPlan.collect {
+    val fullScan = spark.table(table).queryExecution.executedPlan.collect {
       case s: FileSourceScanExec => s
     }.head
     val totalFiles = fullScan.relation.location.listFiles(Nil, Nil).map(_.files.size).sum
@@ -47,7 +47,8 @@ class LayoutSpec extends AnyFunSuite {
     // PlanSpec discipline): the fact scan must carry a dynamic
     // pruning expression in its PartitionFilters
     val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
-    assert(p.contains("graft_li_byyear"), s"no scan of the partitioned fact:\n$p")
+    assert(p.contains(s"graft_li_byyear_${Tables.tableTag(sf)}"),
+      s"no scan of the partitioned fact:\n$p")
     assert(p.toLowerCase.contains("dynamicpruning"),
       s"no dynamic pruning expression in the plan:\n$p")
     // and the join semantics are right: only 1996/1997 survive
