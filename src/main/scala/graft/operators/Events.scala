@@ -619,7 +619,68 @@ object Events {
       .orderBy("from_type", "to_type")
   }
 
+  /** Rolling z-score anomaly detection over the per-type event-rate
+    * series — the monitoring pass a live ingest runs on its own
+    * telemetry (ma_drift_psi watches distribution drift between
+    * corpora; this watches the RATE itself): each 5-minute bucket's
+    * count is scored against the mean/stddev of its 12 TRAILING
+    * buckets (the current bucket excluded — an anomaly must not
+    * dampen its own baseline), flagged at |z| > 3 once ≥6 baseline
+    * buckets exist and the baseline has variance.
+    *
+    * Scale shape: the corpus collapses to the (bucket, type) count
+    * frame in one keyed aggregation; all three window measures
+    * (count/avg/stddev) evaluate in ONE Window node over that
+    * already-aggregated series (≤ types × buckets rows — at 100 TB
+    * the series is still tiny next to the events), partitioned by the
+    * natural event_type key. z is rounded 4 dp with the 1e-9 nudge on
+    * BOTH engines and the flag compares the ROUNDED value, so both
+    * engines decide identically.
+    */
+  val anomaly = Q(
+    "ev_anomaly",
+    """WITH c AS (
+      |  SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS bucket_s,
+      |    event_type, CAST(count(*) AS BIGINT) AS n_events
+      |  FROM events GROUP BY 1, 2),
+      |w AS (
+      |  SELECT bucket_s, event_type, n_events,
+      |    count(*) OVER win AS n_prev,
+      |    avg(n_events) OVER win AS mu,
+      |    stddev_samp(n_events) OVER win AS sd
+      |  FROM c
+      |  WINDOW win AS (PARTITION BY event_type ORDER BY bucket_s
+      |    ROWS BETWEEN 12 PRECEDING AND 1 PRECEDING))
+      |SELECT event_type, bucket_s, n_events,
+      |  CASE WHEN n_prev >= 6 AND sd > 0
+      |    THEN round(1e-9 + (n_events - mu) / sd, 4) END AS z,
+      |  coalesce(n_prev >= 6 AND sd > 0
+      |    AND abs(round(1e-9 + (n_events - mu) / sd, 4)) > 3, FALSE) AS anomalous
+      |FROM w
+      |ORDER BY event_type, bucket_s""".stripMargin) { (spark, dir) =>
+    val counts = Tables.events(spark, dir)
+      .withColumn("bucket_s",
+        (floor(col("ts").cast("double") / 300) * 300).cast("long"))
+      .groupBy("bucket_s", "event_type")
+      .agg(count(lit(1)).as("n_events"))
+    val win = Window.partitionBy("event_type").orderBy("bucket_s")
+      .rowsBetween(-12, -1)
+    val scored = counts
+      .withColumn("n_prev", count(lit(1)).over(win))
+      .withColumn("mu", avg("n_events").over(win))
+      .withColumn("sd", stddev_samp("n_events").over(win))
+      .withColumn("z",
+        when(col("n_prev") >= 6 && col("sd") > 0,
+          round(lit(1e-9) + (col("n_events") - col("mu")) / col("sd"), 4)))
+    scored
+      .select(col("event_type"), col("bucket_s"), col("n_events"), col("z"),
+        coalesce(col("n_prev") >= 6 && col("sd") > 0 && abs(col("z")) > 3, lit(false))
+          .as("anomalous"))
+      .orderBy("event_type", "bucket_s")
+  }
+
   val all: Seq[Q] =
     Seq(windowAgg, sessionize, funnel, json, retention, asof, rangeJoin,
-      sessionWindow, variant, windowFunnel, gapfill, attribution, pathing)
+      sessionWindow, variant, windowFunnel, gapfill, attribution, pathing,
+      anomaly)
 }

@@ -242,5 +242,52 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(meta, frames, resample, image)
+  /** Energy-gate segmentation — the voice-activity-detection (VAD)
+    * shape of an audio pipeline: threshold each sample into
+    * active/silent, group consecutive active samples into segments,
+    * and emit per-doc segment statistics (count, longest run, active
+    * share, voiced flag). The sample stream is the text characters
+    * (the mm_frames/mm_resample convention) and the "energy gate" is
+    * the alphanumeric character class standing in for an amplitude
+    * threshold — a codec-backed decoder would feed real samples
+    * through the IDENTICAL runs-and-shares shape. Map-only at any
+    * scale: runs come from one regex split per doc, statistics from
+    * array HOFs over the run list — no explode, no shuffle beyond
+    * the output sort.
+    */
+  val segments = Q(
+    "mm_segments",
+    """SELECT doc_id,
+      |  CAST(length(text) AS BIGINT) AS n_samples,
+      |  CAST(len(list_filter(string_split_regex(text, '[^A-Za-z0-9]+'), s -> length(s) > 0)) AS BIGINT) AS n_segments,
+      |  CAST(coalesce(list_max(list_transform(
+      |    list_filter(string_split_regex(text, '[^A-Za-z0-9]+'), s -> length(s) > 0),
+      |    s -> length(s))), 0) AS BIGINT) AS longest_segment,
+      |  CASE WHEN length(text) > 0 THEN round(1e-9 +
+      |    length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) / CAST(length(text) AS DOUBLE), 6)
+      |    ELSE 0.0 END AS active_share,
+      |  CASE WHEN length(text) > 0 THEN round(1e-9 +
+      |    length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) / CAST(length(text) AS DOUBLE), 6) >= 0.5
+      |    ELSE FALSE END AS voiced
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    val runs = filter(split(col("text"), "[^A-Za-z0-9]+"), s => length(s) > 0)
+    val share = when(length(col("text")) > 0,
+      round(lit(1e-9) +
+        length(regexp_replace(col("text"), "[^A-Za-z0-9]", "")) /
+          length(col("text")).cast("double"), 6))
+      .otherwise(lit(0.0))
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_samples"),
+        size(runs).cast("long").as("n_segments"),
+        coalesce(array_max(transform(runs, s => length(s))), lit(0))
+          .cast("long").as("longest_segment"),
+        share.as("active_share"),
+        when(length(col("text")) > 0, share >= 0.5).otherwise(lit(false)).as("voiced"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(meta, frames, resample, image, segments)
 }

@@ -651,6 +651,49 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** BPE tokenizer-training inner loop: corpus-wide adjacent
+    * CHARACTER-pair frequencies within words (with multiplicity — the
+    * statistic each BPE merge step maximizes), top-32 merge
+    * candidates. A tokenizer trained on the corpus it will feed is
+    * standard LLM practice; this is the distributed form of its
+    * hottest computation (one merge round; subsequent rounds re-run
+    * it over the re-segmented corpus).
+    *
+    * Scale shape: pure map-side pair synthesis — each doc's words
+    * fold to their pair list via nested array HOFs inside the scan
+    * stage, ONE explode feeds a map-side-combined count keyed by the
+    * 2-char pair. The key space is bounded by |alphabet|² regardless
+    * of corpus size, so the aggregated frame (and the single ordered
+    * rank pass over it) is constant-sized — the one case where a
+    * global sort needs no bounded-heap escape hatch.
+    */
+  val bpePairs = Q(
+    "tx_bpe_pairs",
+    """WITH p AS (
+      |  SELECT unnest(flatten(list_transform(
+      |      list_filter(string_split_regex(lower(trim(text)), '\s+'), w -> length(w) >= 2),
+      |      w -> list_transform(range(1, length(w)), i -> substring(w, i, 2))))) AS pair
+      |  FROM documents),
+      |c AS (SELECT pair, CAST(count(*) AS BIGINT) AS cnt FROM p GROUP BY pair),
+      |r AS (SELECT pair, cnt,
+      |    CAST(row_number() OVER (ORDER BY cnt DESC, pair) AS BIGINT) AS rank FROM c)
+      |SELECT rank, pair, cnt FROM r WHERE rank <= 32
+      |ORDER BY rank""".stripMargin) { (spark, dir) =>
+    val pairs = Tables.documents(spark, dir)
+      .select(explode(flatten(transform(
+        filter(split(lower(trim(col("text"))), "\\s+"), w => length(w) >= 2),
+        w => transform(sequence(lit(1), length(w) - 1),
+          i => w.substr(i, lit(2)))))).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("pair"))
+    pairs
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 32)
+      .select("rank", "pair", "cnt")
+      .orderBy("rank")
+  }
+
   val all: Seq[Q] = Seq(tokens, quality, langid, fingerprint, curate, shard, topterms, pii,
-    entropy, pack, vocab)
+    entropy, pack, vocab, bpePairs)
 }

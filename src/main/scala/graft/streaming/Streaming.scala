@@ -844,6 +844,30 @@ object Streaming {
       .select(col("event_type"),
         hll_sketch_estimate(col("sk")).as("n_users_approx"))
 
+  /** Incrementally-maintained per-source FREQUENCY sketches over the
+    * document stream's word-3-gram shingle hashes — the streaming
+    * half of q29_freq's stop-shingle story (the sketchCounts pattern
+    * with LongsSketch state instead of HLL): arriving docs shingle
+    * map-side (the shared Hashing.shingleHashes — per-doc distinct,
+    * so weight is 1 per (doc, h) exactly as batch), and ONE streaming
+    * aggregation per source updates its 1024-entry counter map —
+    * state is constant-size per source no matter how many distinct
+    * shingles the stream carries. The maintained sketch rows merge
+    * into any coarser head on read, never rescanning the stream.
+    * Unlike the HLL twin, a frequency sketch's CONTENTS are
+    * arrival-order-dependent (purges happen at different stream
+    * positions), so the streamed sketch need not byte-equal the
+    * batch build — what holds on ANY order is the deterministic
+    * bracket lower ≤ exact ≤ upper per item, which is exactly what
+    * StreamingSpec pins against the batch exact head.
+    */
+  def freqSketch(docs: DataFrame): DataFrame =
+    docs
+      .select(col("source"),
+        explode(graft.functions.Hashing.shingleHashes(col("text"))).as("h"))
+      .groupBy("source")
+      .agg(graft.functions.FreqAgg.freq_sketch_agg(col("h"), lit(1L), 1024).as("sk"))
+
   /** Incrementally-maintained per-source term profile over a FIXED
     * broadcast head vocabulary — the lexical half of ix_source_sim's
     * scale story (the lengthBins/PSI pattern one shelf up): arriving

@@ -995,6 +995,44 @@ class StreamingSpec extends AnyFunSuite {
       assert(math.abs(got(t) - e) <= e * 0.04, s"$t: est ${got(t)} vs exact $e")
   }
 
+  test("streamed frequency sketches bracket the exact shingle head after replay") {
+    import spark.implicits._
+    import graft.functions.FreqAgg._
+    implicit val sc = spark.sqlContext
+    val docs = graft.Tables.documents(spark, sf)
+      .select("source", "text").as[(String, String)].collect()
+    val mem = MemoryStream[(String, String)]
+    val q = Streaming.freqSketch(mem.toDF().toDF("source", "text"))
+      .writeStream.outputMode("complete").format("memory").queryName("fsk").start()
+    try {
+      docs.grouped(math.max(1, docs.length / 3 + 1)).foreach { chunk =>
+        mem.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val maintained = spark.sql("SELECT * FROM fsk")
+    assert(maintained.count() == docs.map(_._1).distinct.length,
+      "one maintained sketch row per source")
+    // serve path: merge the maintained rows into the global head and
+    // grade against the batch EXACT top-16 (a frequency sketch's
+    // contents are arrival-order-dependent, so the streamed sketch
+    // need not byte-equal the batch build — the deterministic bracket
+    // is what any order must satisfy)
+    val Seq(_, exactTop) = operators.Maintain.freqFrames(spark, sf)
+    val merged = maintained.agg(freq_merge_agg(col("sk"), 1024).as("sk"))
+    val graded = exactTop.crossJoin(merged)
+      .select(col("tf"),
+        freq_lower_bound(col("sk"), col("h")).as("lb"),
+        freq_upper_bound(col("sk"), col("h")).as("ub"))
+      .collect()
+    assert(graded.length == 16)
+    graded.foreach { r =>
+      val (tf, lb, ub) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(lb <= tf && tf <= ub,
+        s"streamed sketch bracket [$lb, $ub] misses exact count $tf")
+    }
+  }
+
   test("streamed term profile + shared cosine serve reproduce batch ix_source_sim") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
