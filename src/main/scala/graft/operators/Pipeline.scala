@@ -1037,8 +1037,66 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** Per-doc NOVELTY: the share of a doc's distinct word-3-gram
+    * shingles that appear NOWHERE else in the corpus (corpus df = 1).
+    * The complement of the repetition/boilerplate axis: a doc whose
+    * shingles all recur elsewhere is template/recombined text (flagged
+    * low_novelty), one full of df-1 shingles carries genuinely unique
+    * content — the cheap corpus-level proxy for the memorization-risk
+    * / information-density questions a data mix weighs.
+    *
+    * Scale shape: the tx_unigram_ppl discipline on shingles — the
+    * (doc, h) relation is per-doc distinct (so every df join key is
+    * bounded by |docs|), the df table aggregates co-keyed on h with
+    * NO broadcast hint (a shingle vocabulary exceeds any driver), and
+    * the per-doc rollup shuffles 16-byte rows. Docs too short to
+    * shingle (< 3 words) come back via a left join with share 0.
+    */
+  private val lowNoveltyShare = 0.2
+  val novelty = Q(
+    "tx_novelty", {
+      val whSql = Hashing.wordHashesSql("text")
+      s"""WITH w AS (SELECT doc_id, $whSql AS wh FROM documents),
+         |sh AS (SELECT doc_id, unnest(${Hashing.shingleHashesSql("wh")}) AS h FROM w),
+         |f AS (SELECT h, CAST(count(*) AS BIGINT) AS df FROM sh GROUP BY h),
+         |d AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+         |    CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+         |  FROM sh JOIN f USING (h) GROUP BY doc_id)
+         |SELECT doc_id,
+         |  coalesce(n_shingles, 0) AS n_shingles,
+         |  coalesce(n_novel, 0) AS n_novel,
+         |  CASE WHEN coalesce(n_shingles, 0) > 0
+         |    THEN round(1e-9 + n_novel / CAST(n_shingles AS DOUBLE), 6) ELSE 0.0 END AS novel_share,
+         |  coalesce(n_shingles, 0) > 0 AND
+         |    CASE WHEN coalesce(n_shingles, 0) > 0
+         |      THEN round(1e-9 + n_novel / CAST(n_shingles AS DOUBLE), 6) ELSE 0.0 END
+         |      <= $lowNoveltyShare AS low_novelty
+         |FROM documents LEFT JOIN d USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
+    }) { (spark, dir) =>
+    val sh = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(Hashing.shingleHashes(col("text"))).as("h"))
+    val df = sh.groupBy("h").agg(count(lit(1)).as("df"))
+    val stats = sh.join(df, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_novel"))
+    val share = when(coalesce(col("n_shingles"), lit(0L)) > 0,
+      round(lit(1e-9) + col("n_novel") / col("n_shingles").cast("double"), 6))
+      .otherwise(lit(0.0))
+    Tables.documents(spark, dir).select("doc_id")
+      .join(stats, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        share.as("novel_share"),
+        (coalesce(col("n_shingles"), lit(0L)) > 0 && share <= lowNoveltyShare)
+          .as("low_novelty"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(repetition, unigramPpl, bigramPpl, decontaminate, deconBloom,
     deconShuffle, sample,
     weightedSample, holdoutSplit,
-    mix, mixApply, e2e, e2eSem, chunk, chunkDedup)
+    mix, mixApply, e2e, e2eSem, chunk, chunkDedup, novelty)
 }

@@ -868,6 +868,66 @@ object Streaming {
       .groupBy("source")
       .agg(graft.functions.FreqAgg.freq_sketch_agg(col("h"), lit(1L), 1024).as("sk"))
 
+  final case class AnomalyOut(event_type: String, bucket_s: Long, n_events: Long,
+      z: Option[Double], anomalous: Boolean)
+
+  /** Rolling z-score anomaly detection at ingest — the streaming twin
+    * of ev_anomaly, scoring each FINALIZED (type, bucket) count the
+    * moment it closes (in production the input is windowCounts'
+    * watermark-finalized output, which emits per type in bucket
+    * order — the in-order contract below is that pipeline's
+    * guarantee, ENFORCED like shard/asof/scd2). State per event_type
+    * is the ≤12 trailing bucket counts plus the high-water bucket —
+    * bounded regardless of stream length. The baseline arithmetic
+    * mirrors the batch window engines' exactly (sequential-sum mean,
+    * Welford M2 for stddev_samp, both in frame order; the identical
+    * 1e-9-nudged 4-dp rounding), so an in-order replay reproduces
+    * batch ev_anomaly row-for-row (StreamingSpec).
+    */
+  def anomaly(buckets: Dataset[(String, Long, Long)]): Dataset[AnomalyOut] = {
+    import buckets.sparkSession.implicits._
+    def r4(v: Double): Double =
+      BigDecimal(1e-9 + v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    buckets
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Seq[Long], Long), AnomalyOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (tpe: String, rows: Iterator[(String, Long, Long)],
+         state: GroupState[(Seq[Long], Long)]) =>
+          var (trail, hi) = state.getOption.getOrElse((Seq.empty[Long], Long.MinValue))
+          val out = Seq.newBuilder[AnomalyOut]
+          for ((_, b, n) <- rows.toSeq.sortBy(_._2)) {
+            if (hi != Long.MinValue && b <= hi)
+              throw new IllegalStateException(
+                s"Streaming.anomaly: bucket $b of type $tpe arrived after $hi " +
+                  "was scored — in-order replay precondition violated")
+            hi = b
+            val k = trail.length
+            val zOpt = if (k >= 6) {
+              // batch parity: avg = sequential double sum / count
+              // (Spark's Average), sd = sqrt(M2/(n−1)) with Welford's
+              // update (Spark's CentralMomentAgg), both in frame order
+              var s = 0.0
+              trail.foreach(x => s += x.toDouble)
+              val mu = s / k
+              var mean = 0.0; var m2 = 0.0; var i = 0
+              trail.foreach { x =>
+                i += 1
+                val d = x - mean
+                mean += d / i
+                m2 += d * (x - mean)
+              }
+              val sd = math.sqrt(m2 / (k - 1))
+              if (sd > 0) Some(r4((n - mu) / sd)) else None
+            } else None
+            out += AnomalyOut(tpe, b, n, zOpt, zOpt.exists(z => math.abs(z) > 3))
+            trail = (trail :+ n).takeRight(12)
+          }
+          state.update((trail, hi))
+          out.result().iterator
+      }
+  }
+
   /** Incrementally-maintained per-source term profile over a FIXED
     * broadcast head vocabulary — the lexical half of ix_source_sim's
     * scale story (the lengthBins/PSI pattern one shelf up): arriving

@@ -1033,6 +1033,39 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming anomaly scores reproduce batch ev_anomaly row-for-row on in-order replay") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    // the finalized (type, bucket, count) series a windowCounts stage
+    // would emit, replayed per type in bucket order across 3 batches
+    val series = eventsBatch
+      .withColumn("bucket_s",
+        (floor(col("ts").cast("double") / 300) * 300).cast("long"))
+      .groupBy("event_type", "bucket_s").agg(count(lit(1)).as("n_events"))
+      .as[(String, Long, Long)].collect()
+      .sortBy(r => (r._2, r._1))
+    val mem = MemoryStream[(String, Long, Long)]
+    val q = Streaming.anomaly(mem.toDS())
+      .writeStream.outputMode("append").format("memory").queryName("anom").start()
+    try {
+      series.grouped(math.max(1, series.length / 3 + 1)).foreach { chunk =>
+        mem.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val got = spark.sql("SELECT * FROM anom").collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("bucket_s")) ->
+        ((r.getAs[Long]("n_events"), Option(r.getAs[java.lang.Double]("z")).map(_.doubleValue),
+          r.getAs[Boolean]("anomalous")))).toMap
+    val want = SparkEntry.queries("ev_anomaly")(spark, sf).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("bucket_s")) ->
+        ((r.getAs[Long]("n_events"), Option(r.getAs[java.lang.Double]("z")).map(_.doubleValue),
+          r.getAs[Boolean]("anomalous")))).toMap
+    assert(got.keySet == want.keySet, "bucket coverage diverged")
+    val diffs = want.collect { case (k, w) if got(k) != w => (k, got(k), w) }
+    assert(diffs.isEmpty, s"${diffs.size} rows diverged, e.g. ${diffs.take(3).mkString("; ")}")
+  }
+
   test("streamed term profile + shared cosine serve reproduce batch ix_source_sim") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
