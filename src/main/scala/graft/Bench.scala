@@ -143,6 +143,9 @@ object Bench {
       },
       built("freq_sketches", Seq("q29_freq")) {
         operators.Maintain.freqFrames(spark, sfDir)
+      },
+      built("sq8_index", Seq("ann_sq8")) {
+        operators.Ann.sqIndex(spark, sfDir)
       }).flatten
     // deterministic name order: per-query numbers are comparable
     // run-to-run and round-to-round (Map iteration order shuffled the

@@ -55,6 +55,33 @@ class PlanSpec extends AnyFunSuite {
       "per-brand window would single-reducer-sort all parts at scale")
   }
 
+  test("q7 aggregates the fact BELOW the brand join") {
+    // the rewrite's point: the p_partkey join must consume the
+    // per-part AGGREGATE (|parts| rows), not raw lineitem — i.e. some
+    // join has an Aggregate descendant on a child
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    val lp = SparkEntry.queries("q7_window_topn")(spark, sf)
+      .queryExecution.optimizedPlan
+    val ok = lp.collect { case j: Join =>
+      j.children.exists(_.collectFirst { case a: Aggregate => a }.isDefined)
+    }.exists(identity)
+    assert(ok, s"brand join consumes the un-aggregated fact:\n$lp")
+  }
+
+  test("q2 semi-joins the part filter BELOW the cost aggregate") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    val lp = SparkEntry.queries("q2_mincost")(spark, sf)
+      .queryExecution.optimizedPlan
+    // a LeftSemi join must exist UNDER some aggregate (the fact is
+    // filtered to qualifying parts before the heavy (part,supp) agg)
+    val ok = lp.collectFirst {
+      case a: Aggregate if a.collectFirst {
+        case j: Join if j.joinType == LeftSemi => j }.isDefined => a
+    }.isDefined
+    assert(ok, s"no semi join below the cost aggregate:\n$lp")
+  }
+
   test("ma_fingerprint is partial-aggregated (map-side combine)") {
     val p = plan("ma_fingerprint")
     assert(p.contains("partial_avg") || p.contains("partial_"),
