@@ -146,6 +146,9 @@ object Bench {
       },
       built("sq8_index", Seq("ann_sq8")) {
         operators.Ann.sqIndex(spark, sfDir)
+      },
+      built("bpe_merges", Seq("tx_bpe_train", "tx_bpe_encode")) {
+        operators.Tokenizer.bpeFrames(spark, sfDir)
       }).flatten
     // deterministic name order: per-query numbers are comparable
     // run-to-run and round-to-round (Map iteration order shuffled the

@@ -24,6 +24,8 @@ object SparkEntry {
       operators.Ann.all ++
       operators.Cluster.all ++
       operators.TextAnalysis.all ++
+      operators.Tokenizer.all ++
+      operators.Classifier.all ++
       operators.Search.all ++
       operators.Pipeline.all ++
       operators.Reef.all ++

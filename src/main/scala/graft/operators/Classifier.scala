@@ -1,0 +1,179 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.functions.{BpeExprs, Hashing}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Model-based quality classification — the fastText-shape stage a
+  * production corpus pipeline runs after the heuristic gates (DCLM /
+  * FineWeb-Edu distill quality labels into a cheap linear classifier
+  * and score every document with it; Joulin et al. 2017 is the
+  * canonical architecture: hashed bag-of-words → linear layer).
+  *
+  * Two halves:
+  *   - clf_score (registered, hash-oracle-checked): INFERENCE. One
+  *     map-only corpus pass — token hashes → d-bucket feature
+  *     hashing → integer weight lookup → margin sum. No shuffle, no
+  *     join; the model rides into the scan as a fixed formula (a
+  *     deployment broadcasts the trained weight array instead — same
+  *     plan shape). Integer weights make the margin order-independent
+  *     and bit-exact cross-engine, so the oracle hash-checks a MODEL
+  *     INFERENCE end-to-end.
+  *   - Classifier.train (library + spec): TRAINING. Full-batch
+  *     logistic-regression gradient descent where each step is ONE
+  *     aggregation over the cached feature representation — gradient
+  *     rows bounded by d, model state (d doubles) lives driver-side
+  *     like any parameter server. Labels come from the tx_quality
+  *     gate, i.e. the classifier distills the heuristic into a
+  *     single dot product.
+  */
+object Classifier {
+
+  /** Feature buckets. Small enough that the spec's dense reference
+    * implementation is trivially auditable; production uses 2^20+.
+    */
+  val D = 256
+
+  /** clf_score: hashed linear-model inference over every document.
+    * Emits the exact integer margin, the normalized score (one
+    * division, then the house 6-dp rounding) and the sign flag —
+    * all cross-engine exact.
+    */
+  /** The shared inference projection (batch query + streaming twin):
+    * one kernel call per doc, no shuffle.
+    */
+  def scoreProject(docs: DataFrame): DataFrame = {
+    val wh = Hashing.wordHashes(col("text"))
+    docs
+      .select(col("doc_id").cast("long").as("doc_id"), col("source"),
+        size(wh).cast("long").as("n_tokens"),
+        BpeExprs.linear_margin(wh, D).as("margin"))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("margin"),
+        round(lit(1e-9) + col("margin") /
+          (col("n_tokens") * lit(graft.functions.BpeKernels.Half.toDouble)) + 1e-9, 6)
+          .as("score"),
+        (col("margin") > 0).as("flagged"))
+  }
+
+  val score = Q(
+    "clf_score", {
+      val wh = Hashing.wordHashesSql("text")
+      val w = s"((h % $D + 1) * ${graft.functions.BpeKernels.WA}) % ${Hashing.P} " +
+        s"- ${graft.functions.BpeKernels.Half}"
+      s"""SELECT doc_id, source, n_tokens, margin,
+         |  round(1e-9 + margin / (n_tokens * ${graft.functions.BpeKernels.Half}.0) + 1e-9, 6) AS score,
+         |  margin > 0 AS flagged
+         |FROM (
+         |  SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+         |    CAST(len(wh) AS BIGINT) AS n_tokens,
+         |    list_reduce(list_concat([CAST(0 AS BIGINT)],
+         |      list_transform(wh, h -> $w)), (a, b) -> a + b) AS margin
+         |  FROM (SELECT doc_id, source, $wh AS wh FROM documents))
+         |ORDER BY doc_id""".stripMargin
+    }) { (spark, dir) =>
+    scoreProject(Tables.documents(spark, dir)).orderBy("doc_id")
+  }
+
+  // ═══════════════ training (library + spec) ═══════════════
+
+  /** Per-doc sparse features: l1-normalized d-bucket token counts,
+    * label = the stopword-density gate (stop_ratio ≥ 0.065, ~the
+    * sf0.001 median). The label is itself a LINEAR functional of the
+    * normalized features — stop_ratio = Σ v_j over the stopword
+    * buckets, up to hash collisions — so full-batch GD provably
+    * recovers it: the distill-a-heuristic-into-a-dot-product shape
+    * with a known-learnable target. Cached once; every GD step
+    * re-reads THIS, never the corpus.
+    */
+  def features(spark: SparkSession, dir: String): DataFrame = {
+    val words = split(trim(lower(col("text"))), "\\s+")
+    val nStop = size(filter(words,
+      w => Seq("the", "a", "of", "to", "and", "in", "is", "it", "that", "for")
+        .map(w === _).reduce(_ || _)))
+    val denom = greatest(size(words), lit(1)).cast("double")
+    Tables.documents(spark, dir)
+      .select(col("doc_id").cast("long").as("doc_id"),
+        (nStop / denom >= 0.065).cast("double").as("y"),
+        explode(Hashing.wordHashes(col("text"))).as("h"))
+      .groupBy(col("doc_id"), col("y"), pmod(col("h"), lit(D)).as("j"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("v", col("c") / sum(col("c")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
+      .select("doc_id", "y", "j", "v")
+  }
+
+  /** Full-batch logistic-regression GD. Each step: margins = one
+    * aggregation of v·w(j) per doc (w rides in as a broadcast d-row
+    * frame), residuals join back on doc, gradient = one aggregation
+    * keyed by j (≤ d rows). Weights round-trip driver-side — O(d)
+    * model state, never data. Returns (weights, per-step log-loss).
+    */
+  def train(spark: SparkSession, dir: String, steps: Int = 12, lr0: Double = 4096.0)
+      : (Array[Double], Double, Seq[Double]) = {
+    import spark.implicits._
+    val feats = features(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = feats.select(countDistinct("doc_id")).as[Long].head().toDouble
+
+    def perDoc(w: Array[Double], b: Double): DataFrame = {
+      val wDf = broadcast(w.toSeq.zipWithIndex.toDF("wj", "j"))
+      feats.join(wDf, "j")
+        .groupBy("doc_id", "y")
+        .agg(sum(col("v") * col("wj")).as("m"))
+        .select(col("doc_id"), col("y"),
+          (lit(1d) / (lit(1d) + exp(-col("m") - b))).as("p"))
+    }
+    def lossOf(w: Array[Double], b: Double): Double = perDoc(w, b).agg(
+      avg(-(col("y") * log(greatest(col("p"), lit(1e-12))) +
+        (lit(1d) - col("y")) * log(greatest(lit(1d) - col("p"), lit(1e-12))))))
+      .as[Double].head()
+
+    var w = Array.fill(D)(0.0)
+    var b = 0.0
+    var cur = lossOf(w, b)
+    val losses = Seq.newBuilder[Double]
+    losses += cur
+    for (_ <- 1 to steps) {
+      val pd = perDoc(w, b)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val gb = pd.agg(avg(col("p") - col("y"))).as[Double].head()
+      val grad = pd.select(col("doc_id"), (col("p") - col("y")).as("r"))
+        .join(feats, "doc_id")
+        .groupBy("j").agg((sum(col("v") * col("r")) / n).as("g"))
+        .as[(Long, Double)].collect() // ≤ d rows — the model update, not data
+      pd.unpersist(blocking = false)
+      // backtracking line search: halving the step until the loss
+      // actually drops makes the trajectory monotone by construction
+      // — a fixed step either crawls (the margin here is thin) or
+      // oscillates into saturation. Each probe is ONE aggregation.
+      var lr = lr0
+      var done = false
+      while (!done) {
+        val wTry = w.clone()
+        grad.foreach { case (j, g) => wTry(j.toInt) -= lr * g }
+        val bTry = b - lr * gb
+        val cand = lossOf(wTry, bTry)
+        if (cand < cur) { w = wTry; b = bTry; cur = cand; done = true }
+        else if (lr < 1e-6) done = true // no step along −g improves: converged
+        else lr /= 2
+      }
+      losses += cur
+    }
+    feats.unpersist(blocking = false)
+    (w, b, losses.result())
+  }
+
+  /** Accuracy of a weight vector + bias against the heuristic labels. */
+  def accuracy(spark: SparkSession, dir: String, w: Array[Double], b: Double): Double = {
+    import spark.implicits._
+    val wDf = broadcast(w.toSeq.zipWithIndex.toDF("wj", "j"))
+    features(spark, dir).join(wDf, "j")
+      .groupBy("doc_id", "y")
+      .agg(sum(col("v") * col("wj")).as("m"))
+      .select(avg((((col("m") + b > 0).cast("double")) === col("y")).cast("double")))
+      .as[Double].head()
+  }
+
+  val all: Seq[Q] = Seq(score)
+}

@@ -868,6 +868,34 @@ object Streaming {
       .groupBy("source")
       .agg(graft.functions.FreqAgg.freq_sketch_agg(col("h"), lit(1L), 1024).as("sk"))
 
+  /** Classifier inference at ingest — the streaming twin of batch
+    * clf_score and the production deployment shape (the trained
+    * model scores documents as they arrive, before the curation
+    * funnel admits them): the SHARED map-only projection
+    * (Classifier.scoreProject — one native kernel call per doc), no
+    * state, no shuffle, no watermark. A replay reproduces batch
+    * clf_score row-for-row (StreamingSpec).
+    */
+  def clfScore(docs: DataFrame): DataFrame =
+    graft.operators.Classifier.scoreProject(docs)
+
+  /** Incrementally-maintained (word, cnt) vocabulary over the
+    * document stream — the input frame of BPE tokenizer training
+    * (Tokenizer.trainLoop), kept fresh at ingest the way a production
+    * tokenizer-retraining pipeline maintains corpus statistics: ONE
+    * streaming aggregation keyed by word, state = one counter per
+    * distinct word (Heaps-bounded). Word counts are order-independent
+    * integers, so after ANY replay the maintained table equals batch
+    * Tokenizer.vocab0 exactly — and training from it yields the
+    * IDENTICAL merge table (StreamingSpec runs the shared trainLoop
+    * on the streamed vocab and compares against tx_bpe_train).
+    */
+  def bpeVocab(docs: DataFrame): DataFrame =
+    docs
+      .select(explode(split(trim(lower(col("text"))), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+
   final case class AnomalyOut(event_type: String, bucket_s: Long, n_events: Long,
       z: Option[Double], anomalous: Boolean)
 

@@ -681,4 +681,27 @@ class PlanSpec extends AnyFunSuite {
       "Jaccard must be the native array probe, not an exploded shingle join")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("clf_score is one map-only scan: no join, no aggregate, one kernel call") {
+    val p = plan("clf_score")
+    assert(!p.contains("Join") && !p.contains("HashAggregate"),
+      "model inference must not shuffle or join — the model rides into the scan")
+    assert(p.contains("linear_margin"), "the margin must be the native kernel")
+    // token_hashes computed once and shared by size() and the margin
+    assert("token_hashes".r.findAllIn(p).size <= 2)
+  }
+
+  test("tx_bpe_encode joins aggregates to aggregates, never raw token rows") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    val lp = SparkEntry.queries("tx_bpe_encode")(spark, sf)
+      .queryExecution.optimizedPlan
+    val ok = lp.collect { case j: Join =>
+      j.children.forall(_.collectFirst { case a: Aggregate => a }.isDefined)
+    }
+    assert(ok.nonEmpty && ok.forall(identity),
+      s"the vocab join must consume (doc,h) counters and the hash-keyed vocab:\n$lp")
+    val p = plan("tx_bpe_encode")
+    assert(!p.split("Exchange hashpartitioning").drop(1).exists(_.take(80).contains("text")),
+      "no keyed exchange may carry document text")
+  }
 }

@@ -1109,4 +1109,58 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.join(want, Seq("user_id", "n_sessions", "n_events"), "left_anti").count() == 0)
     assert(got.count() == want.count())
   }
+
+  test("streamed classifier scores reproduce batch clf_score row-for-row") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text", "source").as[(Long, String, String)].collect()
+    val mem = MemoryStream[(Long, String, String)]
+    val q = Streaming.clfScore(mem.toDF().toDF("doc_id", "text", "source"))
+      .writeStream.outputMode("append").format("memory").queryName("clfs").start()
+    try {
+      docs.grouped(math.max(1, docs.length / 3 + 1)).foreach { chunk =>
+        mem.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val got = spark.sql("SELECT * FROM clfs").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("margin"), r.getAs[Double]("score"), r.getAs[Boolean]("flagged"))).toMap
+    val want = SparkEntry.queries("clf_score")(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("margin"), r.getAs[Double]("score"), r.getAs[Boolean]("flagged"))).toMap
+    assert(got == want, "stream replay must equal the batch inference exactly")
+  }
+
+  test("training from the streamed vocabulary yields the identical BPE merge table") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val docs = graft.Tables.documents(spark, sf)
+      .select("text").as[String].collect()
+    val mem = MemoryStream[String]
+    val q = Streaming.bpeVocab(mem.toDF().toDF("text"))
+      .writeStream.outputMode("complete").format("memory").queryName("bpev").start()
+    try {
+      docs.grouped(math.max(1, docs.length / 3 + 1)).foreach { chunk =>
+        mem.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val maintained = spark.sql("SELECT * FROM bpev")
+    // the maintained table IS the batch vocabulary (integer counts,
+    // order-independent) …
+    val batchVocab = operators.Tokenizer.vocab0(spark, sf)
+    assert(maintained.join(batchVocab, Seq("word", "cnt"), "left_anti").count() == 0)
+    assert(maintained.count() == batchVocab.count())
+    // … so the shared merge loop over it reproduces tx_bpe_train
+    val Seq(mergesFromStream, _) = operators.Tokenizer.trainLoop(spark, maintained)
+    val got = mergesFromStream.collect()
+      .map(r => (r.getAs[Long]("rank"), r.getAs[String]("lhs"), r.getAs[String]("rhs"),
+        r.getAs[Long]("pair_count"))).sortBy(_._1).toSeq
+    val want = SparkEntry.queries("tx_bpe_train")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("rank"), r.getAs[String]("lhs"), r.getAs[String]("rhs"),
+        r.getAs[Long]("pair_count"))).sortBy(_._1).toSeq
+    assert(got == want, s"stream-trained merges diverged:\n$got\n$want")
+  }
 }

@@ -1,0 +1,168 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic pins for the BPE tokenizer (tx_bpe_train / tx_bpe_encode)
+  * and the linear classifier (clf_score + Classifier.train): kernel
+  * semantics, an independent in-JVM reference BPE trainer, the merge
+  * table's monotonicity, encode arithmetic, and the GD trainer's
+  * convergence. The DuckDB oracle proves cross-engine agreement;
+  * these prove the algorithms do what BPE/LR are supposed to do.
+  */
+class TokenizerSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  // ─── kernels ───
+
+  test("codePointSplit matches DuckDB string_split(s, '') semantics") {
+    import graft.functions.BpeKernels.codePointSplit
+    def cps(s: String): Seq[String] = codePointSplit(s).map(_.toString).toSeq
+    assert(cps("abc") == Seq("a", "b", "c"))
+    assert(cps("") == Seq("")) // '' yields ONE empty element, not []
+    assert(cps("a😀b") == Seq("a", "😀", "b")) // astral char whole
+    assert(cps("é") == Seq("e", "́")) // combining mark separate
+    assert(cps("é") == Seq("é")) // precomposed é stays one
+  }
+
+  test("bpeApply is greedy, left-to-right, non-overlapping") {
+    import graft.functions.BpeKernels.bpeApply
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    def apply(syms: Seq[String], l: String, r: String): Seq[String] =
+      bpeApply(new GenericArrayData(syms.map(UTF8String.fromString).toArray),
+        UTF8String.fromString(l), UTF8String.fromString(r))
+        .toArray[UTF8String](org.apache.spark.sql.types.StringType).map(_.toString).toSeq
+    assert(apply(Seq("a", "a", "a", "a"), "a", "a") == Seq("aa", "aa"))
+    assert(apply(Seq("a", "a", "a"), "a", "a") == Seq("aa", "a")) // no overlap
+    assert(apply(Seq("a", "b", "a", "b"), "a", "b") == Seq("ab", "ab"))
+    assert(apply(Seq("x"), "a", "b") == Seq("x")) // no match
+    assert(apply(Seq("p", "ar", "t"), "p", "ar") == Seq("par", "t")) // merged lhs
+  }
+
+  // ─── train vs an independent in-JVM reference ───
+
+  private def codePoints(s: String): Vector[String] =
+    s.codePoints().toArray.toVector.map(Character.toString)
+
+  private def mergePass(syms: Vector[String], l: String, r: String): Vector[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    for (s <- syms)
+      if (out.nonEmpty && out.last == l && s == r) out(out.length - 1) = l + r
+      else out += s
+    out.toVector
+  }
+
+  /** Plain-Scala BPE reference: HashMap pair counting over the
+    * symbolized vocab, greedy merge, shared tie-break (count desc,
+    * then lexicographic — which equals UTF-8 byte order for every
+    * BMP code point).
+    */
+  private def referenceBpe(vocab: Map[String, Long], rounds: Int)
+      : Seq[(String, String, Long)] = {
+    var v: Map[Vector[String], Long] = vocab.groupMapReduce {
+      case (w, _) => codePoints(w)
+    }(_._2)(_ + _)
+    val out = Seq.newBuilder[(String, String, Long)]
+    for (_ <- 1 to rounds) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((syms, c) <- v; i <- 0 until syms.length - 1)
+        counts((syms(i), syms(i + 1))) = counts.getOrElse((syms(i), syms(i + 1)), 0L) + c
+      if (counts.nonEmpty) {
+        val ((l, r), c) = counts.minBy { case ((a, b), n) => (-n, a, b) }
+        out += ((l, r, c))
+        v = v.groupMapReduce { case (syms, _) => mergePass(syms, l, r) }(_._2)(_ + _)
+      }
+    }
+    out.result()
+  }
+
+  test("tx_bpe_train equals an independent reference BPE on the real vocab") {
+    val got = SparkEntry.queries("tx_bpe_train")(spark, sf).collect()
+      .sortBy(_.getAs[Long]("rank"))
+      .map(r => (r.getAs[String]("lhs"), r.getAs[String]("rhs"), r.getAs[Long]("pair_count")))
+      .toSeq
+    val vocab = spark.read.parquet(s"$sf/documents.parquet")
+      .select(explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
+      .filter(col("w") =!= "").groupBy("w").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = referenceBpe(vocab, operators.Tokenizer.MergeRounds)
+    assert(got == want, s"spark: $got\nreference: $want")
+  }
+
+  test("merge pair counts are non-increasing in rank (BPE invariant)") {
+    val counts = SparkEntry.queries("tx_bpe_train")(spark, sf).collect()
+      .sortBy(_.getAs[Long]("rank")).map(_.getAs[Long]("pair_count"))
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b },
+      s"counts must be non-increasing: ${counts.mkString(", ")}")
+  }
+
+  test("tx_bpe_encode arithmetic: words ≤ tokens ≤ chars, ratio in (0, 1]") {
+    val rows = SparkEntry.queries("tx_bpe_encode")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (w, t, c) = (r.getAs[Long]("n_words"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("n_chars"))
+      assert(w <= t && t <= c, s"$r violates words<=tokens<=chars")
+      val ratio = r.getAs[Double]("bpe_ratio")
+      assert(ratio > 0 && ratio <= 1.0 + 1e-9, s"ratio out of range: $r")
+    }
+    // the 8 merges must actually compress: some doc ends with fewer
+    // tokens than code points
+    assert(rows.exists(r => r.getAs[Long]("n_tokens") < r.getAs[Long]("n_chars")))
+  }
+
+  // ─── classifier ───
+
+  test("clf_score margin matches a hand-computed weight sum") {
+    import graft.functions.{BpeKernels, Hashing, PolyHashing}
+    val row = SparkEntry.queries("clf_score")(spark, sf).collect().head
+    val doc = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("doc_id") === row.getAs[Long]("doc_id"))
+      .select("text").collect().head.getString(0)
+    val want = PolyHashing.tokenHashes(doc)
+      .map(h => ((h % operators.Classifier.D + 1) * BpeKernels.WA) % Hashing.P - BpeKernels.Half)
+      .sum
+    assert(row.getAs[Long]("margin") == want)
+    assert(row.getAs[Boolean]("flagged") == (want > 0))
+  }
+
+  test("clf_score flags are discriminative, not constant") {
+    val flags = SparkEntry.queries("clf_score")(spark, sf).collect()
+      .map(_.getAs[Boolean]("flagged"))
+    assert(flags.contains(true) && flags.contains(false),
+      "a constant flag means the weight spread is degenerate")
+  }
+
+  test("Classifier.train: monotone loss descent on the real corpus") {
+    val (w, b, losses) = operators.Classifier.train(spark, sf, steps = 6)
+    assert(losses.zip(losses.tail).forall { case (a, c) => c <= a + 1e-12 },
+      s"line-searched loss must be monotone: $losses")
+    assert(losses.last < losses.head - 1e-3,
+      s"loss must actually descend from ln 2: $losses")
+    // NOTE: no accuracy floor here — the real corpus's stop-ratio
+    // boundary is thin (classes straddle the median), and early
+    // logistic descent trades accuracy for calibration; the accuracy
+    // guarantee lives on the separable fixture below.
+    val acc = operators.Classifier.accuracy(spark, sf, w, b)
+    assert(acc > 0.0 && acc < 1.0 + 1e-9, s"sanity: $acc")
+  }
+
+  test("Classifier.train reaches 100% on a linearly separable fixture") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_clf").toString
+    // two disjoint vocabularies, one stopword-laden (y=1), one not:
+    // a wide-margin problem the GD must nail quickly
+    val rows = (0 until 40).map { i =>
+      val text = if (i % 2 == 0) "the of to and in the of to and in"
+      else "join table scan merge filter sort group batch row key"
+      (i.toLong, text, "en", s"src${i % 4}", text.length.toLong)
+    }
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val (w, b, losses) = operators.Classifier.train(spark, tmp, steps = 6)
+    assert(losses.last < losses.head)
+    val acc = operators.Classifier.accuracy(spark, tmp, w, b)
+    assert(acc == 1.0, f"separable fixture must be fully learned, got $acc%.3f")
+  }
+}
