@@ -149,6 +149,9 @@ object Bench {
       },
       built("bpe_merges", Seq("tx_bpe_train", "tx_bpe_encode")) {
         operators.Tokenizer.bpeFrames(spark, sfDir)
+      },
+      built("ivf_base_index", Seq("ann_refresh")) {
+        operators.Ann.baseIvfIndex(spark, sfDir)
       }).flatten
     // deterministic name order: per-query numbers are comparable
     // run-to-run and round-to-round (Map iteration order shuffled the

@@ -435,7 +435,15 @@ object Ann {
     */
   private[graft] def ivfIndex(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val fs = graft.SessionMemo.frames(spark, s"ann.ivfIndex:$dir") {
-      val c = corpus(spark, dir)
+      buildIvf(corpus(spark, dir))
+    }
+    (fs(0), fs(1))
+  }
+
+  /** The IVF build over any (vec_id, e, nrm) corpus frame — shared by
+    * the full-corpus index and ann_refresh's base-slice index.
+    */
+  private def buildIvf(c: DataFrame): Seq[DataFrame] = {
       // one count() sizes the index — part of the one-time build, and
       // the same scalar the oracle derives from count(*)
       val n = c.count()
@@ -460,8 +468,83 @@ object Ann {
       cent.count()
       assigned.count()
       Seq(cent, assigned)
+  }
+
+  // ═══════ index maintenance under ingest (CDC × ANN) ═══════
+
+  private[graft] val RefreshMod = 10
+  private[graft] val RefreshRes = 7
+
+  /** The index as it stood BEFORE the delta arrived: built on the
+    * base slice (vec_id % 10 != 7), sized by the BASE count — the
+    * same nlist formula the oracle derives from count(*) over its
+    * base CTE.
+    */
+  private[graft] def baseIvfIndex(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val fs = graft.SessionMemo.frames(spark, s"ann.ivfBase:$dir") {
+      buildIvf(corpus(spark, dir).filter(col("vec_id") % RefreshMod =!= RefreshRes))
     }
     (fs(0), fs(1))
+  }
+
+  /** IVF index MAINTENANCE under ingest — the fast path every vector
+    * store runs between rebuilds (Faiss add(), Milvus growing
+    * segments): newly arrived vectors (the vec_id % 10 = 7 slice) are
+    * assigned to the EXISTING base-trained centroids — one map-side
+    * broadcast scoring pass over the delta only, no retrain, no touch
+    * of the base assignments — and the query reports per-cell
+    * occupancy: base members, fresh members, fresh share, and a
+    * resplit flag (fresh members outnumber the base's — that cell's
+    * quantizer no longer represents its contents and is due
+    * re-clustering at the next rebuild). Output bounded by nlist
+    * rows; every count an integer, the one division rounded — fully
+    * hash-oracle-checked, like the rest of the IVF family.
+    *
+    * Scale shape: the delta scan is the only corpus-sized work and it
+    * is map-only (centroids broadcast); the occupancy rollup keys on
+    * cell ids (≤ √N rows). The base index build is the one-time cost,
+    * billed in `builds` like ivf_index.
+    */
+  val refresh = Q(
+    "ann_refresh",
+    s"""WITH call AS ($corpusSql),
+       |c AS (SELECT * FROM call WHERE vec_id % $RefreshMod != $RefreshRes),
+       |$ivfIndexCtesSql,
+       |delta AS (SELECT * FROM call WHERE vec_id % $RefreshMod = $RefreshRes),
+       |dscored AS (
+       |  SELECT d.vec_id, cid, list_dot_product(e, ce) / (nrm * cn) AS ccos
+       |  FROM delta d, cent),
+       |dassign AS (
+       |  SELECT vec_id, cid AS cell FROM (
+       |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+       |    FROM dscored) WHERE rn = 1),
+       |nb AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_base FROM assigned GROUP BY cell),
+       |nn AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_new FROM dassign GROUP BY cell)
+       |SELECT cell, n_base, n_new, n_total,
+       |  round(1e-9 + CAST(n_new AS DOUBLE) / greatest(n_total, 1) + 1e-9, 6) AS new_share,
+       |  n_new > n_base AS resplit
+       |FROM (
+       |  SELECT cent.cid AS cell, coalesce(nb.n_base, 0) AS n_base,
+       |    coalesce(nn.n_new, 0) AS n_new,
+       |    coalesce(nb.n_base, 0) + coalesce(nn.n_new, 0) AS n_total
+       |  FROM cent LEFT JOIN nb ON cent.cid = nb.cell LEFT JOIN nn ON cent.cid = nn.cell)
+       |ORDER BY cell""".stripMargin) { (spark, dir) =>
+    val (cent, assignedBase) = baseIvfIndex(spark, dir)
+    val delta = corpus(spark, dir).filter(col("vec_id") % RefreshMod === RefreshRes)
+    val dassign = argmaxCell(scoreAgainst(delta, cent))
+    val nb = assignedBase.groupBy("cell").agg(count(lit(1)).as("n_base"))
+    val nn = dassign.groupBy("cell").agg(count(lit(1)).as("n_new"))
+    cent.select(col("cid").as("cell"))
+      .join(nb, Seq("cell"), "left")
+      .join(nn, Seq("cell"), "left")
+      .select(col("cell"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+      .withColumn("n_total", col("n_base") + col("n_new"))
+      .withColumn("new_share",
+        round(lit(1e-9) + col("n_new").cast("double") / greatest(col("n_total"), lit(1L)) + 1e-9, 6))
+      .withColumn("resplit", col("n_new") > col("n_base"))
+      .orderBy("cell")
   }
 
   /** The IVF centroids packed into ONE row (cid, ce, cn structs) —
@@ -1209,5 +1292,5 @@ object Ann {
 
   val all: Seq[Q] =
     Seq(topk, topkAgg, topkPlan, lshTopk, ivfTopk, pqTopk, ivfpqTopk, sq8Topk,
-      embedDedup, embedClusters, filteredTopk)
+      refresh, embedDedup, embedClusters, filteredTopk)
 }

@@ -147,4 +147,24 @@ class AnnRecallSpec extends AnyFunSuite {
     val (_, _, rReg, _) = curve.find(_._1 == operators.Ann.NProbe).get
     assert(rReg >= 0.75, f"IVFPQ recall at the registered nprobe regressed: $rReg%.3f")
   }
+
+  test("ann_refresh conserves every vector: base and delta counts add up") {
+    import org.apache.spark.sql.functions._
+    val occ = SparkEntry.queries("ann_refresh")(spark, sf).collect()
+    val base = occ.map(_.getAs[Long]("n_base")).sum
+    val fresh = occ.map(_.getAs[Long]("n_new")).sum
+    // reconstruct the two slices with the query's own corpus definition
+    val c = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("e"))
+      .withColumn("nrm", sqrt(aggregate(zip_with(col("e"), col("e"), _ * _),
+        lit(0d), _ + _)))
+      .filter(col("nrm") > 0d)
+    val wantBase = c.filter(col("vec_id") % 10 =!= 7).count()
+    val wantNew = c.filter(col("vec_id") % 10 === 7).count()
+    assert(base == wantBase, s"base members lost: $base != $wantBase")
+    assert(fresh == wantNew, s"delta members lost: $fresh != $wantNew")
+    assert(occ.forall(r => r.getAs[Long]("n_total") ==
+      r.getAs[Long]("n_base") + r.getAs[Long]("n_new")))
+    assert(fresh > 0, "the delta slice must be non-empty at sf0.001")
+  }
 }
