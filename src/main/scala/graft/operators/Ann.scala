@@ -558,6 +558,13 @@ object Ann {
     ivfIndex(spark, dir)._1
       .agg(collect_list(struct(col("cid"), col("ce"), col("cn"))).as("cents"))
 
+  /** Same packing over the BASE-slice index — what Streaming.annAssign
+    * broadcasts to assign arriving vectors at ingest.
+    */
+  private[graft] def packedBaseCentroids(spark: SparkSession, dir: String): DataFrame =
+    baseIvfIndex(spark, dir)._1
+      .agg(collect_list(struct(col("cid"), col("ce"), col("cn"))).as("cents"))
+
   /** The inverted cells joined with their member vectors — (cell,
     * vec_id, e, nrm), the static candidate side of streaming ANN
     * serving. Each vector is in exactly one cell.

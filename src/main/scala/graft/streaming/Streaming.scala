@@ -248,6 +248,28 @@ object Streaming {
     * in every output mode, and the packed row is the useful unit for
     * a serving sink anyway).
     */
+  /** Index maintenance at ingest — the streaming half of batch
+    * ann_refresh: each arriving vector is assigned to its nearest
+    * EXISTING cell from one broadcast row of packed base centroids
+    * (the annTopK cell-ranking shape at nprobe = 1), map-only, no
+    * state — production appends the (vec_id, cell) row to the
+    * index's growing segment. The struct sort's (−cos, cid) order is
+    * the identical (ccos DESC, cid ASC) tie-break as the batch
+    * argmax, so a replay of the delta slice reproduces batch
+    * ann_refresh's assignments row-for-row (StreamingSpec).
+    */
+  def annAssign(vectors: DataFrame, packedCentroids: DataFrame): DataFrame = {
+    import graft.functions.HashExprs.dot_product
+    vectors.crossJoin(broadcast(packedCentroids))
+      .withColumn("scored", transform(col("cents"), c =>
+        struct(
+          (-(dot_product(col("e"), c.getField("ce")) /
+            (col("nrm") * c.getField("cn")))).as("nscore"),
+          c.getField("cid").as("cid"))))
+      .select(col("vec_id"),
+        element_at(array_sort(col("scored")), 1).getField("cid").as("cell"))
+  }
+
   def annTopK(queries: DataFrame, packedCentroids: DataFrame, cellVectors: DataFrame,
       nprobe: Int, k: Int): DataFrame = {
     import graft.functions.HashExprs.dot_product

@@ -1110,6 +1110,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.count() == want.count())
   }
 
+  test("streamed delta assignment reproduces batch ann_refresh assignments") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val corpus = operators.Ann.corpus(spark, sf)
+    val cents = operators.Ann.packedBaseCentroids(spark, sf)
+    val delta = corpus.filter(col("vec_id") % operators.Ann.RefreshMod ===
+        operators.Ann.RefreshRes)
+      .select("vec_id", "e", "nrm")
+      .as[(Long, Seq[Double], Double)].collect().sortBy(_._1)
+    assert(delta.nonEmpty)
+    val mem = MemoryStream[(Long, Seq[Double], Double)]
+    val q = Streaming.annAssign(mem.toDF().toDF("vec_id", "e", "nrm"), cents)
+      .writeStream.outputMode("append").format("memory").queryName("ann_ingest").start()
+    try {
+      delta.grouped(math.max(1, delta.length / 3 + 1)).foreach { chunk =>
+        mem.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val got = spark.sql("SELECT vec_id, cell FROM ann_ingest").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the batch side of the same assignment (ann_refresh's dassign)
+    val (cent, _) = operators.Ann.baseIvfIndex(spark, sf)
+    val want = operators.Ann.argmaxCell(operators.Ann.scoreAgainst(
+        corpus.filter(col("vec_id") % operators.Ann.RefreshMod ===
+          operators.Ann.RefreshRes), cent))
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cell")).toMap
+    assert(got == want, s"ingest assignments diverged from batch: " +
+      s"${(got.toSet diff want.toSet).take(5)}")
+  }
+
   test("streamed classifier scores reproduce batch clf_score row-for-row") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
