@@ -152,6 +152,9 @@ object Bench {
       },
       built("ivf_base_index", Seq("ann_refresh")) {
         operators.Ann.baseIvfIndex(spark, sfDir)
+      },
+      built("kll_year_sketches", Seq("q30_kll_drift")) {
+        operators.Maintain.kllYearFrames(spark, sfDir)
       }).flatten
     // deterministic name order: per-query numbers are comparable
     // run-to-run and round-to-round (Map iteration order shuffled the

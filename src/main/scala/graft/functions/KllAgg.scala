@@ -135,6 +135,28 @@ case class KllQuantile(left: Expression, right: Expression)
   override def prettyName: String = "kll_quantile"
 }
 
+/** Scalar reader: inclusive normalized rank (fraction of values ≤ v)
+  * from sketch bytes — the CDF probe q30's drift statistic is built
+  * from; NULL for an empty sketch. CodegenFallback like KllQuantile:
+  * evaluates on |slices|-row serve frames, never in a corpus scan.
+  */
+case class KllRank(left: Expression, right: Expression)
+  extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(bytes: Any, v: Any): Any = {
+    val sk = KllDoublesSketch.heapify(Memory.wrap(bytes.asInstanceOf[Array[Byte]]))
+    if (sk.isEmpty) null
+    else sk.getRank(v.asInstanceOf[Double], QuantileSearchCriteria.INCLUSIVE)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): KllRank =
+    copy(left = l, right = r)
+  override def prettyName: String = "kll_rank"
+}
+
 object KllAgg {
   /** Column API: kll_sketch_agg(x, k) → binary sketch of the group's doubles. */
   def kll_sketch_agg(x: Column, k: Int): Column =
@@ -147,4 +169,8 @@ object KllAgg {
   /** Column API: kll_quantile(sk, q) → inclusive quantile estimate (NULL if empty). */
   def kll_quantile(sk: Column, q: Column): Column =
     Bridge.column(KllQuantile(Bridge.expression(sk), Bridge.expression(q)))
+
+  /** Column API: kll_rank(sk, v) → inclusive CDF estimate at v (NULL if empty). */
+  def kll_rank(sk: Column, v: Column): Column =
+    Bridge.column(KllRank(Bridge.expression(sk), Bridge.expression(v)))
 }

@@ -349,5 +349,88 @@ object Maintain {
       .orderBy("rank")
   }
 
-  val all: Seq[Q] = Seq(sketchUnion, incremental, kllQuantiles, thetaSetops, freqTopTerms)
+  // ═══════ sketch-served two-sample drift (the quartet's application) ═══════
+
+  private val DriftYearA = 1996
+  private val DriftYearB = 1997
+  private val DriftGrid: Seq[Long] = (1 to 10).map(_ * 10000L)
+
+  /** Per-ship-year KLL sketches of l_extendedprice + the exact grid
+    * CDFs that grade them — one corpus pass for both (the sketch agg
+    * and a fused conditional-agg CDF), stored like every other sketch
+    * build; production keeps only the constant-size sketches and the
+    * monitoring job re-probes them each cycle.
+    */
+  def kllYearFrames(spark: org.apache.spark.sql.SparkSession, dir: String): Seq[org.apache.spark.sql.DataFrame] =
+    graft.SessionMemo.frames(spark, s"maintain.kllYearSketches:$dir") {
+      val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val li = Tables.lineitem(spark, dir)
+        .select(year(col("l_shipdate")).as("yr"), col("l_extendedprice").as("x"))
+        .filter(col("yr").isin(DriftYearA, DriftYearB))
+      val sketches = li.groupBy("yr")
+        .agg(graft.functions.KllAgg.kll_sketch_agg(col("x"), 200).as("sk"))
+        .persist(lvl)
+      val cdfAggs = DriftGrid.map(xv =>
+        (sum(when(col("x") <= xv.toDouble, 1L).otherwise(0L)).cast("double") /
+          count(lit(1))).as(s"f$xv"))
+      val exact = li.groupBy("yr").agg(cdfAggs.head, cdfAggs.tail: _*)
+        .select(col("yr"), explode(array(DriftGrid.map(xv =>
+          struct(lit(xv).as("xv"), col(s"f$xv").as("fr"))): _*)).as("g"))
+        .select(col("yr"), col("g.xv").as("xv"), col("g.fr").as("fr"))
+        .persist(lvl)
+      sketches.count(); exact.count() // materialize: q30 times the SERVE path
+      Seq(sketches, exact)
+    }
+
+  /** Sketch-served DISTRIBUTION DRIFT — the two-sample application
+    * the sketch quartet exists for (ma_drift_psi watches categorical
+    * bins with exact counts; this watches a numeric distribution at
+    * sketch cost): the 1996-vs-1997 extendedprice CDFs probed at a
+    * fixed value grid from the two stored KLL sketches, the gap per
+    * probe (the grid-KS statistic's components), a drift flag on the
+    * rounded gap, and booleans pinning each sketch CDF within ±0.03
+    * rank of the exact CDF (KLL k=200 publishes ±1.65%; the realized
+    * error is MEASURED in ApproxErrorSpec). Exact values are emitted
+    * so the oracle can recompute them — at volume only the two
+    * sketches are probed, the corpus is never rescanned.
+    */
+  val kllDrift = Q(
+    "q30_kll_drift",
+    s"""WITH li AS (
+       |  SELECT year(l_shipdate) AS yr, l_extendedprice AS x FROM lineitem
+       |  WHERE year(l_shipdate) IN ($DriftYearA, $DriftYearB)),
+       |g AS (SELECT unnest(generate_series(1, ${DriftGrid.length})) AS k),
+       |f AS (
+       |  SELECT yr, 10000 * k AS xv,
+       |    CAST(sum(CASE WHEN x <= 10000 * k THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS fr
+       |  FROM li, g GROUP BY yr, k)
+       |SELECT CAST(xv AS BIGINT) AS x,
+       |  round(1e-9 + fa + 1e-9, 6) AS f_a,
+       |  round(1e-9 + fb + 1e-9, 6) AS f_b,
+       |  round(1e-9 + abs(fa - fb) + 1e-9, 6) AS gap,
+       |  round(1e-9 + abs(fa - fb) + 1e-9, 6) >= 0.1 AS drifted,
+       |  TRUE AS est_ok_a, TRUE AS est_ok_b
+       |FROM (SELECT xv, fr AS fa FROM f WHERE yr = $DriftYearA)
+       |JOIN (SELECT xv, fr AS fb FROM f WHERE yr = $DriftYearB) USING (xv)
+       |ORDER BY x""".stripMargin) { (spark, dir) =>
+    import graft.functions.KllAgg.kll_rank
+    val Seq(sketches, exact) = kllYearFrames(spark, dir)
+    val fa = exact.filter(col("yr") === DriftYearA).select(col("xv"), col("fr").as("fa"))
+    val fb = exact.filter(col("yr") === DriftYearB).select(col("xv"), col("fr").as("fb"))
+    val ska = sketches.filter(col("yr") === DriftYearA).select(col("sk").as("ska"))
+    val skb = sketches.filter(col("yr") === DriftYearB).select(col("sk").as("skb"))
+    fa.join(fb, "xv")
+      .crossJoin(broadcast(ska)).crossJoin(broadcast(skb))
+      .select(col("xv").as("x"),
+        round(lit(1e-9) + col("fa") + 1e-9, 6).as("f_a"),
+        round(lit(1e-9) + col("fb") + 1e-9, 6).as("f_b"),
+        round(lit(1e-9) + abs(col("fa") - col("fb")) + 1e-9, 6).as("gap"),
+        (round(lit(1e-9) + abs(col("fa") - col("fb")) + 1e-9, 6) >= 0.1).as("drifted"),
+        (abs(kll_rank(col("ska"), col("xv").cast("double")) - col("fa")) <= 0.03).as("est_ok_a"),
+        (abs(kll_rank(col("skb"), col("xv").cast("double")) - col("fb")) <= 0.03).as("est_ok_b"))
+      .orderBy("x")
+  }
+
+  val all: Seq[Q] = Seq(sketchUnion, incremental, kllQuantiles, thetaSetops, freqTopTerms,
+    kllDrift)
 }

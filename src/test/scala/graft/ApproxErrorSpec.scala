@@ -147,4 +147,22 @@ class ApproxErrorSpec extends AnyFunSuite {
     val rows = SparkEntry.queries("q28_theta")(spark, dir).collect()
     assert(rows.length == 4 && rows.forall(_.getAs[Boolean]("est_ok")))
   }
+
+  test("KLL drift CDF probes land within the ±0.03 rank pin at sf0.1") {
+    // sf0.1: ~9k lineitem rows per ship year — real compaction in a
+    // k=200 sketch, so the measured rank error is the honest one
+    // (KLL publishes ±1.65% at k=200; q30's booleans pin ±3%).
+    val dir = "/root/testdata/sf0.1"
+    import graft.functions.KllAgg.kll_rank
+    val Seq(sketches, exact) = operators.Maintain.kllYearFrames(spark, dir)
+    val errs = sketches.join(exact, "yr")
+      .select(abs(kll_rank(col("sk"), col("xv").cast("double")) - col("fr")).as("err"))
+      .collect().map(_.getDouble(0))
+    assert(errs.nonEmpty && errs.forall(_ <= 0.03),
+      s"rank error above the q30 pin: ${errs.max}")
+    info(f"KLL drift-probe rank errors at sf0.1: max ${errs.max}%.5f over ${errs.length} probes")
+    val rows = SparkEntry.queries("q30_kll_drift")(spark, dir).collect()
+    assert(rows.nonEmpty && rows.forall(r =>
+      r.getAs[Boolean]("est_ok_a") && r.getAs[Boolean]("est_ok_b")))
+  }
 }
