@@ -167,7 +167,12 @@ object Maintain {
     */
   val kllQuantiles = Q(
     "q26_kll",
-    """SELECT grp, p50, p95, TRUE AS p50_ok, TRUE AS p95_ok FROM (
+    """SELECT grp, p50, p95,
+      |  -- NULL (not TRUE) when the slice is empty: Spark's bracket
+      |  -- comparison is NULL against an empty sketch's NULL estimate,
+      |  -- and the ALL row exists even over an empty corpus
+      |  CASE WHEN p50 IS NULL THEN NULL ELSE TRUE END AS p50_ok,
+      |  CASE WHEN p95 IS NULL THEN NULL ELSE TRUE END AS p95_ok FROM (
       |  SELECT l_returnflag AS grp,
       |    round(1e-9 + quantile_cont(l_extendedprice, 0.5), 2) AS p50,
       |    round(1e-9 + quantile_cont(l_extendedprice, 0.95), 2) AS p95

@@ -32,6 +32,22 @@ class FuzzEdgeSpec extends AnyFunSuite {
     assert(failures.isEmpty, s"queries failed on edge inputs:\n${failures.mkString("\n")}")
   }
 
+  test("every registered query runs on COMPLETELY EMPTY tables") {
+    // the degenerate class beyond fuzz: zero rows everywhere (real
+    // schemas via limit(0) — tools.GenEmpty). First run of this sweep
+    // caught four cross-engine deviations (grand-total rows of
+    // ROLLUP/CUBE/GROUPING SETS, q26's vacuous booleans), now
+    // documented in those oracles; the oracle gate for this dir is
+    // Verify + tools/check.py (recorded in BASELINE.md).
+    val emptyDir = "target/emptydata-spec"
+    tools.GenEmpty.generate(spark, sf, emptyDir)
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try { fn(spark, emptyDir).collect(); None }
+      catch { case e: Throwable => Some(s"$name: ${e.getMessage.take(160)}") }
+    }
+    assert(failures.isEmpty, s"queries failed on empty inputs:\n${failures.mkString("\n")}")
+  }
+
   test("zero-norm vectors are excluded from every cosine surface") {
     val zeroIds = Set(80L, 81L) // GenFuzz's zero vectors
     for (q <- Seq("ann_topk", "ann_ivf", "ann_pq", "ann_ivfpq", "ann_lsh")) {
