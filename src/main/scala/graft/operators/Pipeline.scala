@@ -1095,8 +1095,68 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  // ═══════════════ curriculum phase assignment ═══════════════
+
+  /** Curriculum-learning phase assignment — order-free: staged
+    * training wants the corpus bucketed by difficulty (shorter/
+    * simpler docs first), but NTILE over a global ORDER BY is a
+    * single-reducer sort of the whole corpus. Instead ONE exact
+    * percentile aggregate computes the three quartile thresholds of
+    * the difficulty measure (here: whitespace token count, the
+    * tx_tokens definition), the 1-row threshold frame broadcasts,
+    * and phase assignment is a map-side CASE — no sort, no window,
+    * corpus touched once. At 100 TB the thresholds come from the
+    * stored KLL sketch (q26/q30 machinery) instead of the exact
+    * aggregate — same plan downstream.
+    *
+    * Cross-engine exactness: difficulty is an INTEGER and the
+    * quartile interpolation fractions are dyadic (p·(n−1) has
+    * fractional part ∈ {0, ¼, ½, ¾}), so both engines' linear
+    * interpolation is EXACT in doubles — the thresholds are
+    * bit-identical and boundary docs cannot flip phases.
+    */
+  val curriculum = Q(
+    "pipe_curriculum", {
+      val ntok = "len(string_split_regex(trim(text), '\\s+'))"
+      s"""WITH d AS (
+         |  SELECT source, $ntok AS ntok FROM documents),
+         |t AS (
+         |  SELECT quantile_cont(ntok, 0.25) AS t1,
+         |    quantile_cont(ntok, 0.5) AS t2,
+         |    quantile_cont(ntok, 0.75) AS t3
+         |  FROM d)
+         |SELECT source, phase,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  round(1e-9 + avg(ntok) + 1e-9, 6) AS avg_tokens
+         |FROM (
+         |  SELECT source, ntok,
+         |    CASE WHEN ntok <= t1 THEN CAST(1 AS BIGINT)
+         |      WHEN ntok <= t2 THEN 2 WHEN ntok <= t3 THEN 3
+         |      ELSE 4 END AS phase
+         |  FROM d, t)
+         |GROUP BY source, phase
+         |ORDER BY source, phase""".stripMargin
+    }) { (spark, dir) =>
+    val d = Tables.documents(spark, dir)
+      .select(col("source"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("ntok"))
+    val t = d.agg(percentile(col("ntok"), typedLit(Seq(0.25, 0.5, 0.75))).as("ts"))
+      .select(col("ts").getItem(0).as("t1"), col("ts").getItem(1).as("t2"),
+        col("ts").getItem(2).as("t3"))
+    d.crossJoin(broadcast(t))
+      .withColumn("phase",
+        when(col("ntok") <= col("t1"), 1L)
+          .when(col("ntok") <= col("t2"), 2L)
+          .when(col("ntok") <= col("t3"), 3L)
+          .otherwise(4L))
+      .groupBy("source", "phase")
+      .agg(count(lit(1)).as("n_docs"),
+        round(lit(1e-9) + avg("ntok") + 1e-9, 6).as("avg_tokens"))
+      .orderBy("source", "phase")
+  }
+
   val all: Seq[Q] = Seq(repetition, unigramPpl, bigramPpl, decontaminate, deconBloom,
     deconShuffle, sample,
     weightedSample, holdoutSplit,
-    mix, mixApply, e2e, e2eSem, chunk, chunkDedup, novelty)
+    mix, mixApply, e2e, e2eSem, chunk, chunkDedup, novelty, curriculum)
 }

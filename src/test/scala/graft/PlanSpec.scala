@@ -682,6 +682,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("pipe_curriculum assigns phases map-side from broadcast thresholds, no sort") {
+    val p = plan("pipe_curriculum")
+    // any NTILE formulation would surface as a window — and
+    // "percentile(" contains "ntile(", so test the window node itself
+    assert(!p.contains("windowspecdefinition"),
+      "NTILE/window would global-sort the corpus in one task")
+    assert(p.contains("BroadcastExchange"), "the 1-row threshold frame must broadcast")
+  }
+
   test("clf_score is one map-only scan: no join, no aggregate, one kernel call") {
     val p = plan("clf_score")
     assert(!p.contains("Join") && !p.contains("HashAggregate"),
