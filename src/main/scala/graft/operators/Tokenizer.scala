@@ -124,6 +124,23 @@ object Tokenizer {
       Seq(mergeTable, vocab)
   }
 
+  /** The trained vocabulary packed into ONE row as a map
+    * h → (n_sym, n_chr) with the SAME hash key and min()-fold
+    * collision semantics as the batch encoder's vh frame — the
+    * static side Streaming.bpeEncode broadcasts so each arriving doc
+    * is accounted map-side (a tokenizer deployment broadcasts its
+    * vocab by construction). Built executor-side (collect_list in an
+    * aggregation, not a driver collect).
+    */
+  private[graft] def packedVocab(spark: SparkSession, dir: String): DataFrame =
+    bpeFrames(spark, dir)(1)
+      .select(Hashing.charFold(col("word")).as("h"),
+        size(col("syms")).cast("long").as("n_sym"),
+        size(BpeExprs.codepoint_split(col("word"))).cast("long").as("n_chr"))
+      .groupBy("h").agg(min("n_sym").as("n_sym"), min("n_chr").as("n_chr"))
+      .agg(map_from_entries(collect_list(
+        struct(col("h"), struct(col("n_sym"), col("n_chr"))))).as("vh"))
+
   // ═══════════════ oracle SQL (macro-expanded rounds) ═══════════════
 
   private val tokSql = "string_split_regex(trim(lower(text)), '\\s+')"

@@ -918,6 +918,37 @@ object Streaming {
       .filter(col("word") =!= "")
       .groupBy("word").agg(count(lit(1)).as("cnt"))
 
+  /** Tokenizer APPLICATION at ingest — the streaming twin of batch
+    * tx_bpe_encode: each arriving doc is token-accounted map-side
+    * against ONE broadcast row packing the trained vocabulary as a
+    * hash-keyed map (Tokenizer.packedVocab — same hash, same
+    * min()-fold collision semantics as the batch vh frame). No
+    * explode, no keyed shuffle, no state: the per-doc fold sums
+    * integers, so a replay reproduces batch tx_bpe_encode
+    * row-for-row (StreamingSpec). Words outside the vocabulary (none
+    * on a replay; live traffic can carry them) and the empty-token
+    * hash are skipped exactly as the batch join drops them.
+    */
+  def bpeEncode(docs: DataFrame, packedVocab: DataFrame): DataFrame = {
+    val zero = struct(lit(0L).as("w"), lit(0L).as("ch"), lit(0L).as("tk"))
+    docs.crossJoin(broadcast(packedVocab))
+      .withColumn("st", aggregate(
+        filter(graft.functions.Hashing.wordHashes(col("text")), h => h =!= 0L),
+        zero,
+        (acc, h) => {
+          val e = element_at(col("vh"), h)
+          when(e.isNull, acc).otherwise(struct(
+            (acc.getField("w") + 1L).as("w"),
+            (acc.getField("ch") + e.getField("n_chr")).as("ch"),
+            (acc.getField("tk") + e.getField("n_sym")).as("tk")))
+        }))
+      .filter(col("st.w") > 0)
+      .select(col("doc_id").cast("long").as("doc_id"), col("source"),
+        col("st.w").as("n_words"), col("st.ch").as("n_chars"), col("st.tk").as("n_tokens"),
+        round(lit(1e-9) + col("st.tk") / col("st.ch").cast("double") + 1e-9, 6)
+          .as("bpe_ratio"))
+  }
+
   final case class AnomalyOut(event_type: String, bucket_s: Long, n_events: Long,
       z: Option[Double], anomalous: Boolean)
 

@@ -1164,6 +1164,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want, "stream replay must equal the batch inference exactly")
   }
 
+  test("streamed tokenizer application reproduces batch tx_bpe_encode row-for-row") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val pv = operators.Tokenizer.packedVocab(spark, sf)
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text", "source").as[(Long, String, String)].collect()
+    val mem = MemoryStream[(Long, String, String)]
+    val q = Streaming.bpeEncode(mem.toDF().toDF("doc_id", "text", "source"), pv)
+      .writeStream.outputMode("append").format("memory").queryName("bpe_enc").start()
+    try {
+      docs.grouped(math.max(1, docs.length / 3 + 1)).foreach { chunk =>
+        mem.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    def keyOf(r: org.apache.spark.sql.Row) = r.getAs[Long]("doc_id") ->
+      (r.getAs[Long]("n_words"), r.getAs[Long]("n_chars"),
+        r.getAs[Long]("n_tokens"), r.getAs[Double]("bpe_ratio"))
+    val got = spark.sql("SELECT * FROM bpe_enc").collect().map(keyOf).toMap
+    val want = SparkEntry.queries("tx_bpe_encode")(spark, sf).collect().map(keyOf).toMap
+    assert(got == want, "stream token accounting must equal the batch encoder exactly")
+  }
+
   test("training from the streamed vocabulary yields the identical BPE merge table") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
