@@ -1095,6 +1095,90 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  // ═══════════════ leakage-safe holdout split ═══════════════
+
+  /** Train/val/test split WITHOUT near-duplicate leakage — pipe_split
+    * hashes each doc's text, so two near-duplicate (not byte-equal)
+    * docs can land in different splits and the eval split silently
+    * memorizes the train split (the C4/Pile contamination story).
+    * Here the split key is the doc's near-dup CLUSTER canonical (the
+    * dd_clusters connected component over MinHash/LSH-verified
+    * pairs; singletons key by their own doc_id), so every member of
+    * a cluster lands in the SAME split by construction — and the
+    * query PROVES it, emitting the count of clusters straddling
+    * splits (a constant 0 the oracle recomputes from its own
+    * recursive-CTE clustering, not an assumption).
+    *
+    * Scale shape: the cluster labels come from the memoized verified
+    * -pair chain + the pointer-jumping CC (the dd_clusters path);
+    * the corpus side joins those labels by doc_id (labels bounded by
+    * |docs in clusters|, no broadcast hint) and everything after is
+    * integer hashing + two bounded rollups.
+    */
+  val splitSafe = Q(
+    "pipe_split_safe", {
+      val jq = Dedup.jaccard.oracle.get.replace("ORDER BY doc_a, doc_b", "")
+      val P = Hashing.P
+      s"""WITH RECURSIVE jq AS ($jq),
+         |pairs AS (SELECT doc_a, doc_b FROM jq WHERE is_duplicate),
+         |edges AS (
+         |  SELECT doc_a AS u, doc_b AS v FROM pairs
+         |  UNION
+         |  SELECT doc_b AS u, doc_a AS v FROM pairs
+         |),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+         |),
+         |canon AS (
+         |  SELECT u AS doc_id, least(u, min(v)) AS canonical
+         |  FROM (SELECT DISTINCT u, v FROM reach) GROUP BY u
+         |),
+         |assigned AS (
+         |  SELECT doc_id, canonical, in_cluster,
+         |    CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split
+         |  FROM (
+         |    SELECT doc_id, canonical, in_cluster,
+         |      (((canonical % $P) * 48271 + 11) % $P) % 100 AS b
+         |    FROM (
+         |      SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+         |        coalesce(c.canonical, CAST(d.doc_id AS BIGINT)) AS canonical,
+         |        c.canonical IS NOT NULL AS in_cluster
+         |      FROM documents d LEFT JOIN canon c ON d.doc_id = c.doc_id))
+         |),
+         |leak AS (
+         |  SELECT CAST(count(*) FILTER (WHERE ns > 1) AS BIGINT) AS n_leaky_clusters
+         |  FROM (SELECT canonical, count(DISTINCT split) AS ns FROM assigned GROUP BY canonical)
+         |)
+         |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(*) FILTER (WHERE in_cluster) AS BIGINT) AS n_dup_docs,
+         |  (SELECT n_leaky_clusters FROM leak) AS n_leaky_clusters
+         |FROM assigned
+         |GROUP BY split
+         |ORDER BY split""".stripMargin
+    }) { (spark, dir) =>
+    val (labels, _) = Dedup.connectedComponents(Dedup.duplicateEdges(spark, dir))
+    val canon = labels.select(col("doc").as("doc_id"), col("label").as("cl"))
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id").cast("long").as("doc_id"))
+      .join(canon, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cl"), col("doc_id")).as("canonical"),
+        col("cl").isNotNull.as("in_cluster"))
+    val b = (((col("canonical") % Hashing.P) * 48271L + 11L) % Hashing.P) % 100L
+    val assigned = d.withColumn("split",
+      when(b < 90, "train").when(b < 95, "val").otherwise("test"))
+    val leak = assigned.groupBy("canonical")
+      .agg(countDistinct("split").as("ns"))
+      .agg(sum(when(col("ns") > 1, 1L).otherwise(0L)).as("n_leaky_clusters"))
+    assigned.groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("in_cluster"), 1L).otherwise(0L)).as("n_dup_docs"))
+      .crossJoin(broadcast(leak))
+      .orderBy("split")
+  }
+
   // ═══════════════ curriculum phase assignment ═══════════════
 
   /** Curriculum-learning phase assignment — order-free: staged
@@ -1157,6 +1241,6 @@ object Pipeline {
 
   val all: Seq[Q] = Seq(repetition, unigramPpl, bigramPpl, decontaminate, deconBloom,
     deconShuffle, sample,
-    weightedSample, holdoutSplit,
+    weightedSample, holdoutSplit, splitSafe,
     mix, mixApply, e2e, e2eSem, chunk, chunkDedup, novelty, curriculum)
 }

@@ -321,4 +321,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(dupGroups.filter(col("k") > 1).count() == 0,
       "a duplicated text was assigned to two different splits")
   }
+
+  test("pipe_split_safe partitions the corpus with zero cluster leakage — and the naive split DOES leak") {
+    val rows = SparkEntry.queries("pipe_split_safe")(spark, sf).collect()
+    val total = rows.map(_.getAs[Long]("n_docs")).sum
+    assert(total == graft.Tables.documents(spark, sf).count(),
+      "splits must partition the corpus")
+    assert(rows.forall(_.getAs[Long]("n_leaky_clusters") == 0L),
+      "a near-dup cluster straddles splits")
+    assert(rows.map(_.getAs[Long]("n_dup_docs")).sum > 0,
+      "fixture must contain near-dup clusters")
+    // the operator's reason to exist, as a tested fact: keying the
+    // split on raw TEXT hash (the naive pipe_split rule) splits at
+    // least one near-dup cluster across train/val/test on this corpus
+    val (labels, _) = operators.Dedup.connectedComponents(
+      operators.Dedup.duplicateEdges(spark, sf))
+    val naiveB = ((graft.functions.Hashing.charFold(col("text")) % 100) + 100) % 100
+    val naive = graft.Tables.documents(spark, sf)
+      .select(col("doc_id").cast("long").as("doc_id"),
+        when(naiveB < 90, "train").when(naiveB < 95, "val").otherwise("test").as("split"))
+      .join(labels.select(col("doc").as("doc_id"), col("label")), "doc_id")
+      .groupBy("label").agg(countDistinct("split").as("ns"))
+    assert(naive.filter(col("ns") > 1).count() > 0,
+      "expected the text-hash split to leak on a corpus with near-dup (non-identical) clusters")
+  }
 }
