@@ -205,40 +205,30 @@ object Bench {
     val failed = results.collect { case (k, _, false) => s"\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    // Two renderings of the same numbers: full nanosecond precision
-    // for the file artifact, and a millisecond-rounded line for
-    // stdout. The stdout line must survive a fixed-size tail capture
-    // (round 8's was cut at 2 000 chars, making the round's timings
-    // unparseable) — at ~80 queries, centisecond values keep the
-    // whole object under that with margin to grow.
-    def render(fmt: Double => String, withBuilds: Boolean): String = {
-      val qs = results.map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }
-        .mkString("{", ",", "}")
-      val bs =
-        if (withBuilds) builds.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
-          .mkString(""","builds":{""", ",", "}")
-        else ""
-      // measured shuffle/spill per query (file artifact only — the
-      // stdout line must stay under the driver's tail budget)
-      val sh =
-        if (withBuilds) shuffleStats.map { case (k, s) =>
-          "\"" + k + "\":{\"w_mb\":" + f"${s.bytes / 1048576.0}%.3f" +
-            ",\"rows\":" + s.records +
-            ",\"spill_mb\":" + f"${s.spillBytes / 1048576.0}%.3f" + "}"
-        }.mkString(""","shuffle":{""", ",", "}")
-        else ""
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","action":"$action","queries":$qs,"failed":$failed$bs$sh,"sf":"$sfDir"}"""
-    }
-    val json = render(_.toString, withBuilds = true)
-    // stdout omits the one-time build timings (they live in the file
-    // artifact) — at 81 queries the builds object alone would push
-    // the line past the 2 000-char tail budget
-    println(render(v => f"$v%.2f", withBuilds = false))
-    // self-contained copy: stdout `tail` captures have truncated the
-    // JSON line in past rounds; the file always holds the whole object.
-    // Default target is gitignored — casual runs must not clobber the
-    // committed round artifact; round close copies it to BENCH_LAST.json
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_last.json")
+    // File artifact: full nanosecond precision, per-query times, build
+    // times, and measured shuffle/spill. Stdout: a SUMMARY line only.
+    // The driver tail-captures stdout at 2 000 chars; at 147 queries
+    // even a centisecond per-query map is ~3.4 KB, so rounds 8 and 9
+    // both shipped `parsed: null`. Per-query numbers therefore live
+    // ONLY in the file; stdout carries what always fits: total, count,
+    // failures, and the artifact path holding the full numbers.
+    val json = {
+      val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      val bs = builds.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString(""","builds":{""", ",", "}")
+      val sh = shuffleStats.map { case (k, s) =>
+        "\"" + k + "\":{\"w_mb\":" + f"${s.bytes / 1048576.0}%.3f" +
+          ",\"rows\":" + s.records +
+          ",\"spill_mb\":" + f"${s.spillBytes / 1048576.0}%.3f" + "}"
+      }.mkString(""","shuffle":{""", ",", "}")
+      s"""{"metric":"total","value":$total,"unit":"sec","action":"$action","queries":$qs,"failed":$failed$bs$sh,"sf":"$sfDir"}"""
+    }
+    println(
+      s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec","action":"$action","n":${results.size},"failed":$failed,"artifact":"$out","sf":"$sfDir"}""")
+    // Default file target is gitignored — casual runs must not clobber
+    // the committed round artifact; round close copies it to BENCH_LAST.json
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (json + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] write $out: ${e.getMessage}") }

@@ -76,6 +76,14 @@ object Tables {
     * one side reads files the other just deleted (a concurrent
     * test-suite + Verify run hit exactly that FILE_NOT_EXIST race).
     */
-  def tableTag(dir: String): String =
-    dir.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+|_+$", "")
+  def tableTag(dir: String): String = {
+    val sanitized = dir.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+|_+$", "")
+    // The sanitized form alone collides for dirs that normalize
+    // identically (/data/sf0.1 vs /data/sf0_1), which would reintroduce
+    // the very concurrent-writer race the tag exists to prevent — a
+    // short stable hash of the RAW string keeps distinct dirs distinct.
+    val h = java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffffL)
+    s"${sanitized}_$h"
+  }
 }

@@ -314,7 +314,10 @@ object Maintain {
       Seq(perSource, exactTop)
     }
 
-  private val freqMapSize = 1024
+  /** Shared with Streaming.freqSketch (and StreamingSpec's merge)
+    * so the streamed sketch can never silently diverge from the
+    * batch build it is cross-validated against. */
+  private[graft] val freqMapSize = 1024
   private val freqTopK = 16
 
   /** Sketch-served stop-shingle head — the FREQUENT-ITEMS member of

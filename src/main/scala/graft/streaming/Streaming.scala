@@ -888,7 +888,8 @@ object Streaming {
       .select(col("source"),
         explode(graft.functions.Hashing.shingleHashes(col("text"))).as("h"))
       .groupBy("source")
-      .agg(graft.functions.FreqAgg.freq_sketch_agg(col("h"), lit(1L), 1024).as("sk"))
+      .agg(graft.functions.FreqAgg.freq_sketch_agg(col("h"), lit(1L),
+        graft.operators.Maintain.freqMapSize).as("sk"))
 
   /** Classifier inference at ingest — the streaming twin of batch
     * clf_score and the production deployment shape (the trained

@@ -27,7 +27,7 @@ class FuzzEdgeSpec extends AnyFunSuite {
   test("every registered query runs on the pathological dataset") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       try { fn(spark, fuzzDir).collect(); None }
-      catch { case e: Throwable => Some(s"$name: ${e.getMessage.take(160)}") }
+      catch { case e: Throwable => Some(s"$name: ${e.toString.take(160)}") }
     }
     assert(failures.isEmpty, s"queries failed on edge inputs:\n${failures.mkString("\n")}")
   }
@@ -43,7 +43,7 @@ class FuzzEdgeSpec extends AnyFunSuite {
     tools.GenEmpty.generate(spark, sf, emptyDir)
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       try { fn(spark, emptyDir).collect(); None }
-      catch { case e: Throwable => Some(s"$name: ${e.getMessage.take(160)}") }
+      catch { case e: Throwable => Some(s"$name: ${e.toString.take(160)}") }
     }
     assert(failures.isEmpty, s"queries failed on empty inputs:\n${failures.mkString("\n")}")
   }

@@ -1019,7 +1019,8 @@ class StreamingSpec extends AnyFunSuite {
     // need not byte-equal the batch build — the deterministic bracket
     // is what any order must satisfy)
     val Seq(_, exactTop) = operators.Maintain.freqFrames(spark, sf)
-    val merged = maintained.agg(freq_merge_agg(col("sk"), 1024).as("sk"))
+    val merged = maintained.agg(
+      freq_merge_agg(col("sk"), operators.Maintain.freqMapSize).as("sk"))
     val graded = exactTop.crossJoin(merged)
       .select(col("tf"),
         freq_lower_bound(col("sk"), col("h")).as("lb"),
