@@ -153,6 +153,9 @@ object Bench {
       built("ivf_base_index", Seq("ann_refresh")) {
         operators.Ann.baseIvfIndex(spark, sfDir)
       },
+      built("fuzzy_corpus_index", Seq("dd_minhash_incremental")) {
+        operators.Dedup.fuzzyCorpusIndex(spark, sfDir)
+      },
       built("kll_year_sketches", Seq("q30_kll_drift")) {
         operators.Maintain.kllYearFrames(spark, sfDir)
       }).flatten

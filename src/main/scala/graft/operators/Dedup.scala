@@ -780,6 +780,124 @@ object Dedup {
       .select(col("band"), col("key"), col("doc_id").as("eval_id"),
         col("shingles").as("sh_e"))
 
+  // ═══════════════ incremental near-dup (delta vs standing band index) ═══════════════
+
+  /** One-time standing MinHash-LSH index of the CORPUS split
+    * (doc_id % 10 < 8 — the same base/delta algebra as
+    * dd_incremental): the capped band rows plus the corpus shingle
+    * store, both persisted and materialized eagerly (SessionMemo) so
+    * every delta batch probes the same build instead of re-banding
+    * the corpus. The cap is computed from CORPUS bucket counts only —
+    * an arriving batch must not need global bucket statistics (the
+    * same single-sided cap semantics as fuzzyEvalIndex).
+    *
+    * The shingle store is the verification side: candidate pairs pull
+    * the corpus sets by doc_id, so corpus TEXT is never rescanned at
+    * serve time. Array-column persistence is a one-time build cost
+    * billed in Bench's `builds`, exactly like the IVF embedding index.
+    */
+  private[graft] def fuzzyCorpusIndex(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val fs = graft.SessionMemo.frames(spark, s"dedup.fuzzyCorpusIndex:$dir") {
+      val corpusBands = bandedMinhash(spark, dir)
+        .filter(col("doc_id") % 10 < 8)
+      val bands = dropOversizedBuckets(corpusBands, Seq("band", "key"), BucketCap)
+        .select(col("band"), col("key"), col("doc_id").as("corpus_id"))
+        .persist()
+      val shing = shinglesDf(spark, dir)
+        .filter(col("doc_id") % 10 < 8)
+        .select(col("doc_id").as("corpus_id"), col("shingles").as("sh_c"))
+        .persist()
+      bands.count()
+      shing.count()
+      Seq(bands, shing)
+    }
+    (fs(0), fs(1))
+  }
+
+  /** Incremental NEAR-DUP dedup: the fuzzy twin of dd_incremental.
+    * A delta batch (doc_id % 10 ≥ 8 playing "today's ingest") is
+    * probed against the standing corpus MinHash band index — delta
+    * docs band map-only (O(|delta|) signature work), candidates come
+    * from the (band, key) join against the persisted index, and
+    * Jaccard verification runs on the candidate pairs' shingle arrays
+    * with the native common_count probe (the dd_jaccard shape — no
+    * exploded (doc, shingle) relation ever shuffles). Every delta doc
+    * gets a verdict: 'dup_near' (best corpus match at Jaccard ≥ 0.5,
+    * the dd_jaccard duplicate floor) or 'new', plus the best-match id
+    * and score for suspect-range observability.
+    *
+    * Per batch the cost is O(|delta| + candidates): corpus size
+    * enters only through the one-time index build (billed in
+    * `builds`, like ivf_base_index for ann_refresh). Verdicts are
+    * spec-pinned equal to the batch dd_lsh_pairs → dd_jaccard
+    * pipeline restricted to cross (corpus, delta) pairs — see
+    * DedupIncrementalSpec.
+    */
+  val minhashIncremental = Q(
+    "dd_minhash_incremental",
+    s"""WITH mh AS ($minhashSql),
+       |banded0 AS (
+       |  ${(0 until NumBands).map(b => s"SELECT doc_id, $b AS band, ${bandKeySql(mhNames, b)} AS key FROM mh").mkString("\n  UNION ALL\n  ")}
+       |),
+       |idx0 AS (SELECT * FROM banded0 WHERE doc_id % 10 < 8),
+       |small AS (
+       |  SELECT band, key FROM idx0 GROUP BY band, key
+       |  HAVING count(*) <= $BucketCap),
+       |idx AS (SELECT idx0.* FROM idx0 JOIN small USING (band, key)),
+       |dband AS (SELECT * FROM banded0 WHERE doc_id % 10 >= 8),
+       |cand AS (
+       |  SELECT DISTINCT d.doc_id AS doc_id, i.doc_id AS corpus_id
+       |  FROM dband d JOIN idx i ON d.band = i.band AND d.key = i.key),
+       |ver AS (
+       |  SELECT cand.doc_id, cand.corpus_id,
+       |    round(1e-9 + len(list_intersect(a.shingles, b.shingles)) /
+       |      CAST(len(a.shingles) + len(b.shingles)
+       |           - len(list_intersect(a.shingles, b.shingles)) AS DOUBLE), 6) AS jac
+       |  FROM cand
+       |  JOIN mh a ON a.doc_id = cand.doc_id
+       |  JOIN mh b ON b.doc_id = cand.corpus_id),
+       |best AS (
+       |  SELECT doc_id, corpus_id, jac,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY jac DESC, corpus_id) AS rn
+       |  FROM ver)
+       |SELECT d.doc_id, d.source, b.corpus_id AS best_corpus_id, b.jac AS jaccard,
+       |  CASE WHEN b.jac >= CAST(0.5 AS DOUBLE) THEN 'dup_near' ELSE 'new' END AS verdict
+       |FROM (SELECT doc_id, source FROM documents WHERE doc_id % 10 >= 8) d
+       |LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin) { (spark, dir) =>
+    val (idxBands, idxShing) = fuzzyCorpusIndex(spark, dir)
+    val delta = Tables.documents(spark, dir).filter(col("doc_id") % 10 >= 8)
+    // map-only over the delta: signature + banding per arriving doc
+    val dBands = fuzzyBandRows(delta).select("doc_id", "band", "key")
+    val cand = dBands.join(idxBands, Seq("band", "key"))
+      .select("doc_id", "corpus_id").distinct()
+    val dSh = delta
+      .select(col("doc_id"), shingleHashes(col("text")).as("sh_d"))
+      .filter(size(col("sh_d")) > 0)
+    val jacCol = col("n_common") /
+      (col("na") + col("nb") - col("n_common")).cast("double")
+    val ver = cand
+      .join(dSh, Seq("doc_id"))
+      .join(idxShing, Seq("corpus_id"))
+      .select(col("doc_id"), col("corpus_id"),
+        graft.functions.HashExprs.common_count(col("sh_d"), col("sh_c")).as("n_common"),
+        size(col("sh_d")).cast("long").as("na"),
+        size(col("sh_c")).cast("long").as("nb"))
+      .select(col("doc_id"), col("corpus_id"),
+        round(lit(1e-9) + jacCol, 6).as("jac"))
+    val best = ver
+      .groupBy("doc_id")
+      .agg(max(struct(col("jac"), (-col("corpus_id")).as("neg"))).as("best"))
+      .select(col("doc_id"),
+        (-col("best.neg")).cast("long").as("best_corpus_id"),
+        col("best.jac").as("jaccard"))
+    delta.select("doc_id", "source")
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"), col("best_corpus_id"), col("jaccard"),
+        when(col("jaccard") >= 0.5, "dup_near").otherwise("new").as("verdict"))
+      .orderBy("doc_id")
+  }
+
   /** Map-only band rows of arriving (doc_id, source, text) docs, each
     * carrying the doc's shingle set — the STREAM side of fuzzy decon
     * (signature + banding are per-row native expressions, so this
@@ -800,5 +918,5 @@ object Dedup {
         col("bk.band").as("band"), col("bk.key").as("key"))
 
   val all: Seq[Q] = Seq(exact, exactHash, minhash, lshPairs, jaccard, clusters, simhash,
-    simhashPairs, spans, deconFuzzy, containment)
+    simhashPairs, spans, deconFuzzy, containment, minhashIncremental)
 }
