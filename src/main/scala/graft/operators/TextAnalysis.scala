@@ -130,6 +130,161 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  // ═══════════════ trained language ID (fastText-LID shape) ═══════════════
+
+  /** Feature buckets / weight scale for the trained language ID —
+    * hashed bag-of-words into LidD buckets, integer weights scaled by
+    * LidScale so scores stay BIGINT-exact cross-engine.
+    */
+  private val LidD = 256
+  private val LidScale = 1048576L
+  private[graft] val lidLangs = Seq("de", "en", "es", "fr", "zh")
+
+  /** The tx_langid decision as a scalar SQL CASE over precomputed hit
+    * columns (en_hits…de_hits, cjk_chars) — shared by the tx_langid_clf
+    * oracle's label CTEs.
+    */
+  private val heurCaseSql: String =
+    """CASE WHEN cjk_chars >= 10 THEN 'zh'
+      |    WHEN en_hits >= fr_hits AND en_hits >= es_hits AND en_hits >= de_hits THEN 'en'
+      |    WHEN fr_hits >= es_hits AND fr_hits >= de_hits THEN 'fr'
+      |    WHEN es_hits >= de_hits THEN 'es'
+      |    ELSE 'de' END""".stripMargin
+
+  private def heurHitsSql(rel: String): String = {
+    val words = "string_split_regex(trim(lower(text)), '\\s+')"
+    val langHits = langStops.map { case (l, ws) =>
+      val set = ws.map(w => s"'$w'").mkString("(", ", ", ")")
+      s"len(list_filter($words, w -> w IN $set)) AS ${l}_hits"
+    }.mkString(",\n      ")
+    s"""SELECT *,
+       |      $langHits,
+       |      length(regexp_replace(text, '[^一-鿿]', '', 'g')) AS cjk_chars
+       |    FROM $rel""".stripMargin
+  }
+
+  /** tx_langid_clf over any (doc_id, text) frame — the registered
+    * query runs it on the corpus; LangidClfSpec runs it on a planted
+    * multilingual fixture to pin out-of-sample accuracy.
+    */
+  private[graft] def langidClfOf(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // Distillation labels: the tx_langid heuristic on the TRAIN split
+    // (doc_id % 10 < 8 — the engine's base/delta convention), computed
+    // inline so the seed pass stays map-only (no label join against
+    // the exploded token relation).
+    val seedCnt = docs.filter(col("doc_id") % 10 < 8)
+      .select(predLangExpr.as("lang"),
+        explode(Hashing.wordHashes(col("text"))).as("h"))
+      .groupBy(col("lang"), (col("h") % LidD).as("j"))
+      .agg(count(lit(1)).as("c"))
+    val tot = seedCnt.groupBy("lang").agg(sum("c").as("tot"))
+    // Dense D×L integer weight matrix (Laplace-smoothed class-
+    // conditional bucket frequencies, floor-scaled — pure BIGINT
+    // arithmetic, so the argmax is bit-exact on any engine).
+    val grid = lidLangs.toDF("lang")
+      .crossJoin(spark.range(LidD).select(col("id").as("j")))
+    val w = grid
+      .join(seedCnt, Seq("lang", "j"), "left")
+      .join(tot, Seq("lang"), "left")
+      .select(col("lang"), col("j"),
+        expr(s"((coalesce(c, 0L) + 1L) * $LidScale) div (coalesce(tot, 0L) + $LidD)").as("w"))
+    // one wide row per bucket → the whole model is LidD rows, broadcast
+    val wCols = lidLangs.map(l => max(when(col("lang") === l, col("w"))).as(s"w_$l"))
+    val ww = w.groupBy("j").agg(wCols.head, wCols.tail: _*)
+    val tok = docs.select(col("doc_id"),
+      explode(Hashing.wordHashes(col("text"))).as("h"))
+      .select(col("doc_id"), (col("h") % LidD).as("j"))
+    val sc = tok.join(broadcast(ww), Seq("j"))
+      .groupBy("doc_id")
+      .agg(lidLangs.map(l => sum(col(s"w_$l")).as(s"s_$l")).head,
+        lidLangs.map(l => sum(col(s"w_$l")).as(s"s_$l")).tail: _*)
+    val lab = docs.select(col("doc_id"), predLangExpr.as("heur_lang"))
+    val f0 = lab.join(sc, Seq("doc_id"), "left")
+      .select(col("doc_id") +: col("heur_lang") +:
+        lidLangs.map(l => coalesce(col(s"s_$l"), lit(0L)).as(s"s_$l")): _*)
+    val Seq(sde, sen, ses, sfr, szh) = lidLangs.map(l => col(s"s_$l"))
+    val pred = when(sde >= sen && sde >= ses && sde >= sfr && sde >= szh, "de")
+      .when(sen >= ses && sen >= sfr && sen >= szh, "en")
+      .when(ses >= sfr && ses >= szh, "es")
+      .when(sfr >= szh, "fr")
+      .otherwise("zh")
+    f0.withColumn("pred_lang", pred)
+      .withColumn("agree", col("pred_lang") === col("heur_lang"))
+  }
+
+  /** tx_langid_clf — TRAINED multi-class language ID (the fastText-LID
+    * architecture: hashed bag-of-words → per-class linear weights →
+    * argmax; Joulin et al. 2017), distilling the tx_langid heuristic
+    * the way Classifier.train distills the tx_quality gate. Weights
+    * are Laplace-smoothed class-conditional bucket frequencies from
+    * the train split's heuristic labels, floor-scaled to integers, so
+    * the per-class scores — and therefore the argmax — are BIGINT-
+    * exact and the oracle hash-checks a trained-model inference
+    * end-to-end.
+    *
+    * Scale shape: the seed pass is map-only (labels computed inline,
+    * never joined against the exploded tokens) feeding a ≤ L·D-row
+    * aggregate; the model is a LidD-row broadcast; inference is one
+    * partial-aggregated shuffle keyed by doc_id. At 100 TB the weight
+    * table is trained once and broadcast — the same serve plan.
+    * Out-of-sample accuracy (and where it beats the heuristic it was
+    * distilled from) is pinned on a planted multilingual fixture in
+    * LangidClfSpec.
+    */
+  val langidClf = Q(
+    "tx_langid_clf", {
+      val wh = Hashing.wordHashesSql("text")
+      val caseSql = (sfx: String) =>
+        s"""CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+           |    WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+           |    WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+           |    WHEN s_fr >= s_zh THEN 'fr'
+           |    ELSE 'zh' END$sfx""".stripMargin
+      s"""WITH seedtok AS (
+         |  SELECT lang, unnest($wh) % $LidD AS j FROM (
+         |    SELECT text, $heurCaseSql AS lang
+         |    FROM (${heurHitsSql("documents WHERE doc_id % 10 < 8")}))),
+         |seedcnt AS (
+         |  SELECT lang, j, CAST(count(*) AS BIGINT) AS c FROM seedtok GROUP BY lang, j),
+         |tot AS (SELECT lang, CAST(sum(c) AS BIGINT) AS tot FROM seedcnt GROUP BY lang),
+         |grid AS (
+         |  SELECT l.lang, r.j
+         |  FROM (SELECT unnest([${lidLangs.map(l => s"'$l'").mkString(", ")}]) AS lang) l
+         |  CROSS JOIN (SELECT unnest(range($LidD)) AS j) r),
+         |w AS (
+         |  SELECT g.lang, g.j,
+         |    ((COALESCE(s.c, 0) + 1) * $LidScale) // (COALESCE(t.tot, 0) + $LidD) AS w
+         |  FROM grid g
+         |  LEFT JOIN seedcnt s ON s.lang = g.lang AND s.j = g.j
+         |  LEFT JOIN tot t ON t.lang = g.lang),
+         |ww AS (
+         |  SELECT j, ${lidLangs.map(l => s"max(CASE WHEN lang = '$l' THEN w END) AS w_$l").mkString(",\n    ")}
+         |  FROM w GROUP BY j),
+         |tok AS (SELECT doc_id, unnest($wh) % $LidD AS j FROM documents),
+         |sc AS (
+         |  SELECT doc_id, ${lidLangs.map(l => s"CAST(sum(w_$l) AS BIGINT) AS s_$l").mkString(",\n    ")}
+         |  FROM tok JOIN ww USING (j) GROUP BY doc_id),
+         |lab AS (
+         |  SELECT doc_id, $heurCaseSql AS heur_lang
+         |  FROM (${heurHitsSql("documents")})),
+         |f0 AS (
+         |  SELECT lab.doc_id, lab.heur_lang,
+         |    ${lidLangs.map(l => s"COALESCE(sc.s_$l, 0) AS s_$l").mkString(",\n    ")}
+         |  FROM lab LEFT JOIN sc ON sc.doc_id = lab.doc_id),
+         |preds AS (
+         |  SELECT *, ${caseSql(" AS pred_lang")}
+         |  FROM f0)
+         |SELECT doc_id, heur_lang, s_de, s_en, s_es, s_fr, s_zh, pred_lang,
+         |  pred_lang = heur_lang AS agree
+         |FROM preds
+         |ORDER BY doc_id""".stripMargin
+    }) { (spark, dir) =>
+    langidClfOf(Tables.documents(spark, dir)).orderBy("doc_id")
+  }
+
   /** Whole-document rolling polynomial fingerprint (content hash that
     * any engine can reproduce — unlike murmur/xxhash).
     */
@@ -694,6 +849,6 @@ object TextAnalysis {
       .orderBy("rank")
   }
 
-  val all: Seq[Q] = Seq(tokens, quality, langid, fingerprint, curate, shard, topterms, pii,
+  val all: Seq[Q] = Seq(tokens, quality, langid, langidClf, fingerprint, curate, shard, topterms, pii,
     entropy, pack, vocab, bpePairs)
 }
