@@ -242,6 +242,176 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  // ═══════ perceptual image near-dup (dHash over the parsed bitmap) ═══════
+
+  /** dHash grid: PhashRows sample rows × PhashCols sample columns →
+    * PhashRows·(PhashCols−1) = 60 horizontal-gradient bits, keeping
+    * the fingerprint positive in a BIGINT like the 60-bit SimHash.
+    */
+  private val PhashRows = 6
+  private val PhashCols = 11
+  private val PhashBits = PhashRows * (PhashCols - 1)
+
+  /** Near-dup verification floor: Hamming ≤ 2 over the 60 gradient
+    * bits. Candidates share one of three 20-bit hash chunks — an
+    * exact cover by pigeonhole (≤ 2 differing bits leave ≥ 1 of 3
+    * chunks intact), with 2^20 buckets per chunk keeping random chunk
+    * collisions ~N²/2^20 (the dd_simhash lesson: 15-bit keys birthday-
+    * collide at corpus scale). At larger corpora the same plan widens
+    * the hash (128-bit grid) and chunks (32-bit) — machinery is
+    * width-agnostic.
+    */
+  private val PhashHammingMax = 2
+  private val PhashChunkBits = 20
+  private val PhashChunks = PhashBits / PhashChunkBits
+
+  /** The pixel raster each doc's bitmap carries: printable-ASCII
+    * sanitized text cycled across the w×h grid (gray pixels, 1 char =
+    * 1 luminance value) — the synthesis twin of mm_meta's WAV data
+    * section, giving every doc a CONTENT-derived texture so
+    * perceptually-near documents produce perceptually-near bitmaps.
+    */
+  private val pxSql =
+    "rpad('', CAST((4 + doc_id % 13) * (1 + doc_id % 5) AS INT), " +
+      "CASE WHEN regexp_replace(text, '[^ -~]', '') = '' THEN 'P' " +
+      "ELSE regexp_replace(text, '[^ -~]', '') END)"
+
+  /** BMP payload with the textured pixel raster: the bmpPayload
+    * header geometry around rows of gray 24-bit pixels (3 equal
+    * channel bytes per char) padded to the 4-byte stride boundary.
+    * `px` must be the pre-computed raster string column.
+    */
+  private def bmpTexturedPayload(px: Column): Column = {
+    val (w, h) = bmpDims
+    val stride = expr("((3 * (4 + doc_id % 13) + 3) div 4) * 4")
+    val imgBytes = stride * h
+    val rowsSql =
+      "aggregate(sequence(0, CAST(doc_id % 5 AS INT)), CAST('' AS BINARY), " +
+        "(acc, r) -> concat(acc, " +
+        "CAST(regexp_replace(substring(px, r * CAST(4 + doc_id % 13 AS INT) + 1, " +
+        "CAST(4 + doc_id % 13 AS INT)), '(.)', '$1$1$1') AS BINARY), " +
+        "unhex(repeat('00', CAST(((3 * (4 + doc_id % 13) + 3) div 4) * 4 " +
+        "- 3 * (4 + doc_id % 13) AS INT)))))"
+    concat(
+      bin("BM"), le32(imgBytes + 54), le32(lit(0L)), le32(lit(54L)),
+      le32(lit(40L)), le32(w), le32(h), le16(lit(1L)), le16(lit(24L)),
+      le32(lit(0L)), le32(imgBytes), le32(lit(2835L)), le32(lit(2835L)),
+      le32(lit(0L)), le32(lit(0L)),
+      expr(rowsSql))
+  }
+
+  /** The 60 dHash gradient terms: bit k = gy·10+gx set when the
+    * sampled luminance to the RIGHT exceeds the current cell's.
+    * `lum(gy, gx)` renders the engine-specific luminance read.
+    */
+  private def dhashSql(lum: (Int, Int) => String, longSuffix: String): String = {
+    val terms = for { gy <- 0 until PhashRows; gx <- 0 until PhashCols - 1 } yield {
+      val bit = 1L << (gy * (PhashCols - 1) + gx)
+      s"CASE WHEN ${lum(gy, gx + 1)} > ${lum(gy, gx)} THEN $bit$longSuffix ELSE 0 END"
+    }
+    s"CAST(${terms.mkString(" + ")} AS BIGINT)"
+  }
+
+  /** Per-doc perceptual hash: synthesize the textured BMP, then PARSE
+    * it back — width/height from the info header, each grid sample
+    * read from the raw pixel bytes at the stride-aware offset. The
+    * oracle recomputes the identical hash arithmetically from the
+    * text raster without touching bytes (the mm_meta/mm_image
+    * independence pattern), so a hash match end-to-end checks the
+    * byte-level parse + sampling. Map-only at any scale.
+    */
+  private[graft] def phashOf(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val blobs = docs
+      .select(col("doc_id"), col("text"), expr(pxSql).as("px"))
+      .select(col("doc_id"), bmpTexturedPayload(col("px")).as("payload"))
+    val p = col("payload")
+    val parsed = blobs.select(
+      col("doc_id"), p,
+      rd32(p, 19).as("w"), rd32(p, 23).as("h"))
+      .withColumn("stride", (((lit(3L) * col("w") + 3) / 4).cast("long") * 4))
+    val sparkLum = (gy: Int, gx: Int) =>
+      s"ascii(decode(substring(payload, 55 + (($gy * h) div $PhashRows) * stride " +
+        s"+ (($gx * w) div $PhashCols) * 3, 1), 'UTF-8'))"
+    parsed.select(col("doc_id"), col("w").as("width"), col("h").as("height"),
+      expr(dhashSql(sparkLum, "L")).as("dhash"))
+  }
+
+  /** The matching per-doc hash CTE body for the DuckDB oracle. */
+  private val phashOracleSql: String = {
+    val duckLum = (gy: Int, gx: Int) =>
+      s"ascii(substr(px, CAST((($gy * h) // $PhashRows) * w " +
+        s"+ (($gx * w) // $PhashCols) AS BIGINT) + 1, 1))"
+    s"""SELECT doc_id, ${dhashSql(duckLum, "")} AS dhash
+       |FROM (
+       |  SELECT doc_id, 4 + doc_id % 13 AS w, 1 + doc_id % 5 AS h,
+       |    rpad('', CAST((4 + doc_id % 13) * (1 + doc_id % 5) AS INT),
+       |      CASE WHEN s = '' THEN 'P' ELSE s END) AS px
+       |  FROM (SELECT doc_id, regexp_replace(text, '[^ -~]', '', 'g') AS s FROM documents))""".stripMargin
+  }
+
+  /** Hamming-banded near-dup pairs over any (doc_id, text) frame —
+    * the dd_simhash_pairs machinery on the perceptual hash: three
+    * 20-bit chunk buckets generate candidates (exact for Hamming ≤ 2
+    * by pigeonhole), the standard oversized-bucket cap guards
+    * degenerate textures (constant-fill bitmaps all hash to 0), and
+    * bit_count verification runs on the candidate pairs only.
+    */
+  private[graft] def phashPairsOf(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val ph = phashOf(docs).select("doc_id", "dhash")
+    val mask = (1L << PhashChunkBits) - 1
+    val chunked0 = ph.select(col("doc_id"), col("dhash"),
+      explode(array((0 until PhashChunks).map { c =>
+        struct(lit(c).as("chunk"),
+          shiftright(col("dhash"), c * PhashChunkBits).bitwiseAND(lit(mask)).as("key"))
+      }: _*)).as("ck"))
+      .select(col("doc_id"), col("dhash"),
+        col("ck.chunk").as("chunk"), col("ck.key").as("key"))
+    val chunked = Dedup.dropOversizedBuckets(chunked0, Seq("chunk", "key"), Dedup.BucketCap)
+    val a = chunked.select(col("chunk"), col("key"),
+      col("doc_id").as("doc_a"), col("dhash").as("ha"))
+    val b = chunked.select(col("chunk"), col("key"),
+      col("doc_id").as("doc_b"), col("dhash").as("hb"))
+    a.join(b, Seq("chunk", "key")).filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= PhashHammingMax)
+  }
+
+  /** mm_phash_pairs — perceptual image near-duplicate pairs, closing
+    * the multimodal half of the dedup story: dHash (horizontal
+    * luminance gradients on a fixed sample grid — Krawetz's
+    * difference hash) computed by PARSING each doc's synthesized BMP
+    * bytes, then the engine's standard banded Hamming self-join.
+    * Near-identical bitmaps (a few pixels changed) differ in ≤ 2
+    * gradient bits and surface as pairs; planted near-identical BMPs
+    * are pinned in PhashPairsSpec.
+    */
+  val phashPairs = Q(
+    "mm_phash_pairs",
+    s"""WITH ph AS ($phashOracleSql),
+       |chunked0 AS (
+       |  ${(0 until PhashChunks).map(c =>
+          s"SELECT doc_id, dhash, $c AS chunk, (dhash >> ${c * PhashChunkBits}) & ${(1L << PhashChunkBits) - 1} AS key FROM ph")
+          .mkString("\n  UNION ALL\n  ")}
+       |),
+       |small AS (
+       |  SELECT chunk, key FROM chunked0 GROUP BY chunk, key
+       |  HAVING count(*) <= ${Dedup.BucketCap}
+       |),
+       |chunked AS (SELECT chunked0.* FROM chunked0 JOIN small USING (chunk, key))
+       |SELECT doc_a, doc_b, hamming FROM (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
+       |  FROM chunked a JOIN chunked b
+       |    ON a.chunk = b.chunk AND a.key = b.key AND a.doc_id < b.doc_id
+       |) WHERE hamming <= $PhashHammingMax
+       |ORDER BY doc_a, doc_b""".stripMargin) { (spark, dir) =>
+    phashPairsOf(Tables.documents(spark, dir)).orderBy("doc_a", "doc_b")
+  }
+
   /** Energy-gate segmentation — the voice-activity-detection (VAD)
     * shape of an audio pipeline: threshold each sample into
     * active/silent, group consecutive active samples into segments,
@@ -289,5 +459,5 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(meta, frames, resample, image, segments)
+  val all: Seq[Q] = Seq(meta, frames, resample, image, segments, phashPairs)
 }
