@@ -285,6 +285,117 @@ object TextAnalysis {
     langidClfOf(Tables.documents(spark, dir)).orderBy("doc_id")
   }
 
+  // ═══════════════ HTML boilerplate extraction gate ═══════════════
+
+  /** Block-keep thresholds: a block survives when its tag-stripped
+    * text is ≥ HtmlMinBlockChars AND its text density (text chars /
+    * (text + tag chars)) is ≥ 0.7 — compared CROSS-MULTIPLIED in
+    * integers (10·text ≥ 7·(text+tags)) so the gate is division-free
+    * and bit-exact on any engine. Link-heavy navigation and footer
+    * blocks fall far below the floor; body paragraphs sit near 1.
+    */
+  private val HtmlMinBlockChars = 25
+
+  /** The synthesized page around each doc's text — the storage-side
+    * twin of Multimodal's WAV/BMP synthesis: a real crawl front end
+    * receives raw HTML; here the corpus text is wrapped in the
+    * boilerplate (head/title/style, a link-only nav, a link-heavy
+    * copyright footer) the extractor must strip back out.
+    */
+  private[graft] def htmlPageSql(textExpr: String): String =
+    "concat('<html><head><title>Doc ', CAST(doc_id AS STRING), " +
+      "'</title><style>p{margin:0}</style></head><body>" +
+      "<div class=nav><a href=/>Home</a> <a href=/about>About</a></div><p>', " +
+      s"$textExpr, " +
+      "'</p><div class=footer><a href=/tos>Terms</a> <a href=/privacy>Privacy</a> " +
+      "Copyright 2026 Example Corp. All rights reserved.</div></body></html>')"
+
+  /** Engine-parameterized extraction fragments (DuckDB regexp_replace
+    * needs the explicit 'g' flag; Spark is global by default).
+    */
+  private def htmlStrip(b: String, duck: Boolean): String =
+    if (duck) s"regexp_replace($b, '<[^>]*>', '', 'g')"
+    else s"regexp_replace($b, '<[^>]*>', '')"
+
+  private def htmlKeepPred(duck: Boolean): String = {
+    val t = s"length(trim(${htmlStrip("b", duck)}))"
+    s"b -> $t >= $HtmlMinBlockChars AND 10 * $t >= " +
+      s"7 * ($t + length(b) - length(${htmlStrip("b", duck)}))"
+  }
+
+  /** The kept-text expression over a bound `blocks` array column.
+    * Coalesced to '' on BOTH engines: DuckDB's array_to_string returns
+    * NULL for an empty list where Spark's array_join returns '', and
+    * the coalesce also pins the NULL-text row to '' identically.
+    */
+  private def htmlKeptTextSql(duck: Boolean): String =
+    if (duck)
+      s"COALESCE(array_to_string(list_transform(list_filter(blocks, ${htmlKeepPred(duck = true)}), " +
+        s"b -> trim(${htmlStrip("b", duck = true)})), ' '), '')"
+    else
+      s"coalesce(array_join(transform(filter(blocks, ${htmlKeepPred(duck = false)}), " +
+        s"b -> trim(${htmlStrip("b", duck = false)})), ' '), '')"
+
+  /** Spark-side extraction over any (doc_id, text[, …]) frame: wrap in
+    * the synthesized page, strip <style> payloads, split into blocks
+    * at block-level closers, keep high-density blocks, join their
+    * stripped text. All array HOFs over one projection — map-only.
+    * Returns the input columns plus html/blocks/kept_text.
+    */
+  private[graft] def htmlExtract(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs
+      .withColumn("html", expr(htmlPageSql("text")))
+      .withColumn("nostyle", expr("regexp_replace(html, '<style>[^<]*</style>', '')"))
+      .withColumn("blocks", expr("split(nostyle, '</p>|</div>')"))
+      .withColumn("kept_text", expr(htmlKeptTextSql(duck = false)))
+
+  /** tx_html — boilerplate/text extraction: the gate a crawl-fed
+    * pipeline runs before any quality scoring (tag stripping + a
+    * text-density block filter in the Boilerpipe/trafilatura family,
+    * reduced to regex + array HOFs so it stays map-only and engine-
+    * exact). The round-trip flag pins end-to-end honesty: the text
+    * recovered from the synthesized page must equal the original doc
+    * text (true for every corpus doc; data-dependent on pathological
+    * inputs, identically on both engines). HtmlSpec feeds raw-HTML
+    * fixtures through the extractor into pipe_curate's funnel.
+    */
+  val html = Q(
+    "tx_html", {
+      val fold = Hashing.charFoldSql("kept_text")
+      s"""SELECT doc_id,
+         |  CAST(len(blocks) AS BIGINT) AS n_blocks,
+         |  CAST(len(list_filter(blocks, ${htmlKeepPred(duck = true)})) AS BIGINT) AS n_kept,
+         |  CAST(length(html) AS BIGINT) AS raw_chars,
+         |  CAST(length(regexp_replace(nostyle, '<[^>]*>', '', 'g')) AS BIGINT) AS text_chars,
+         |  CAST(length(kept_text) AS BIGINT) AS kept_chars,
+         |  $fold AS kept_fp,
+         |  kept_text = trim(text) AS recovered
+         |FROM (
+         |  SELECT doc_id, text, html, nostyle, blocks,
+         |    ${htmlKeptTextSql(duck = true)} AS kept_text
+         |  FROM (
+         |    SELECT doc_id, text, html, nostyle,
+         |      string_split_regex(nostyle, '</p>|</div>') AS blocks
+         |    FROM (
+         |      SELECT doc_id, text, html,
+         |        regexp_replace(html, '<style>[^<]*</style>', '') AS nostyle
+         |      FROM (SELECT doc_id, text, ${htmlPageSql("text")} AS html FROM documents))))
+         |ORDER BY doc_id""".stripMargin
+    }) { (spark, dir) =>
+    htmlExtract(Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+      .select(
+        col("doc_id"),
+        size(col("blocks")).cast("long").as("n_blocks"),
+        expr(s"size(filter(blocks, ${htmlKeepPred(duck = false)}))").cast("long").as("n_kept"),
+        length(col("html")).cast("long").as("raw_chars"),
+        length(expr(htmlStrip("nostyle", duck = false))).cast("long").as("text_chars"),
+        length(col("kept_text")).cast("long").as("kept_chars"),
+        Hashing.charFold(col("kept_text")).as("kept_fp"),
+        (col("kept_text") === trim(col("text"))).as("recovered"))
+      .orderBy("doc_id")
+  }
+
   /** Whole-document rolling polynomial fingerprint (content hash that
     * any engine can reproduce — unlike murmur/xxhash).
     */
@@ -406,7 +517,16 @@ object TextAnalysis {
          |GROUP BY source
          |ORDER BY source""".stripMargin
     }) { (spark, dir) =>
-    val enriched = Tables.documents(spark, dir)
+    curateOf(Tables.documents(spark, dir))
+  }
+
+  /** The pipe_curate funnel over any (doc_id, source, text) frame —
+    * the registered query runs it on the corpus; HtmlSpec runs it on
+    * raw-HTML fixtures routed through the tx_html extractor.
+    */
+  private[graft] def curateOf(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val enriched = docs
       .select(col("doc_id"), col("source"), sha2(col("text"), 256).as("sha"),
         qualityExpr.as("quality"), predLangExpr.as("pred_lang"))
     // canonical per content hash: 40-byte (sha, doc_id) shuffle, never
@@ -849,6 +969,6 @@ object TextAnalysis {
       .orderBy("rank")
   }
 
-  val all: Seq[Q] = Seq(tokens, quality, langid, langidClf, fingerprint, curate, shard, topterms, pii,
+  val all: Seq[Q] = Seq(tokens, quality, langid, langidClf, html, fingerprint, curate, shard, topterms, pii,
     entropy, pack, vocab, bpePairs)
 }
