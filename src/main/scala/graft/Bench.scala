@@ -156,6 +156,9 @@ object Bench {
       built("fuzzy_corpus_index", Seq("dd_minhash_incremental")) {
         operators.Dedup.fuzzyCorpusIndex(spark, sfDir)
       },
+      built("outlier_kll_sketches", Seq("tx_outliers_sketch")) {
+        operators.Distribution.outlierKllFrames(spark, sfDir)
+      },
       built("kll_year_sketches", Seq("q30_kll_drift")) {
         operators.Maintain.kllYearFrames(spark, sfDir)
       }).flatten

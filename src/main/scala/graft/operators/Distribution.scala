@@ -241,5 +241,99 @@ object Distribution {
       .orderBy("source")
   }
 
-  val all: Seq[Q] = Seq(setOps, histogram, driftPsi, outliers)
+  // ═══════ sketch-served outlier gate (SURVEY's own q13/tx_outliers caveat) ═══════
+
+  /** One-time per-source outlier-sketch build: the KLL sketch of
+    * n_chars, the KLL sketch of |n_chars − median| (deviations taken
+    * around the EXACT median, preserving tx_outliers' semantics), the
+    * exact ±5%-rank brackets that grade both medians, and the exact
+    * MAD gate results (threshold, outlier count, share) the oracle
+    * recomputes. Production stores only the two constant-size
+    * sketches per source and re-probes them each monitoring cycle —
+    * the corpus is never rescanned at serve time (this closes
+    * SURVEY's own caveat that tx_outliers' two exact median passes
+    * are the piece "the mergeable sketch replaces at 100 TB").
+    */
+  def outlierKllFrames(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    graft.SessionMemo.frames(spark, s"distribution.outlierKll:$dir") {
+      import graft.functions.KllAgg.kll_sketch_agg
+      val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val lens = Tables.documents(spark, dir)
+        .select(col("source"), col("n_chars").cast("double").as("x"))
+      val qs = typedLit(Seq(0.45, 0.5, 0.55))
+      val m = lens.groupBy("source")
+        .agg(kll_sketch_agg(col("x"), 200).as("sk_x"), percentile(col("x"), qs).as("mq"))
+        .select(col("source"), col("sk_x"),
+          col("mq").getItem(0).as("mx45"), col("mq").getItem(1).as("mx50"),
+          col("mq").getItem(2).as("mx55"))
+      val dev = lens.join(broadcast(m.select(col("source"), col("mx50"))), "source")
+        .select(col("source"), abs(col("x") - col("mx50")).as("d"))
+      val dq = dev.groupBy("source")
+        .agg(kll_sketch_agg(col("d"), 200).as("sk_d"), percentile(col("d"), qs).as("dqq"))
+        .select(col("source"), col("sk_d"),
+          col("dqq").getItem(0).as("dv45"), col("dqq").getItem(1).as("dv50"),
+          col("dqq").getItem(2).as("dv55"))
+        .withColumn("thresh", round(lit(1e-9) + lit(5.18903632) * col("dv50"), 4))
+      val counts = dev
+        .join(broadcast(dq.select(col("source"), col("thresh"))), "source")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(col("d") > col("thresh"), 1)).as("n_outliers"))
+      val frame = m.join(dq, "source").join(counts, "source").persist(lvl)
+      frame.count() // materialize: the query times the SERVE path
+      Seq(frame)
+    }.head
+
+  /** tx_outliers_sketch — the MAD gate served from the stored KLL
+    * sketches: per source, the exact gate results (median, threshold,
+    * outlier count/share — which the oracle recomputes) plus booleans
+    * pinning each sketch estimate: est(p50 of n_chars) inside the
+    * exact [p45, p55] bracket, est(p50 of deviations) inside its
+    * bracket (both the q26 distribution-free ±5%-rank pin), and the
+    * sketch-rank outlier share within ±0.05 of the exact share (KLL
+    * k=200 publishes ±1.65% rank error). At serve time only the
+    * |sources|-row sketch frame is read; the corpus passes live in
+    * the build, billed under Bench's `builds` like every sketch
+    * table.
+    */
+  val outliersSketch = Q(
+    "tx_outliers_sketch",
+    """WITH med AS (
+      |  SELECT source, quantile_cont(n_chars, 0.5) AS med
+      |  FROM documents GROUP BY source),
+      |mad AS (
+      |  SELECT d.source, any_value(m.med) AS med,
+      |    round(1e-9 + 5.18903632 * quantile_cont(abs(d.n_chars - m.med), 0.5), 4) AS thresh
+      |  FROM documents d JOIN med m ON d.source = m.source
+      |  GROUP BY d.source)
+      |SELECT d.source,
+      |  round(1e-9 + any_value(t.med), 2) AS median_chars,
+      |  any_value(t.thresh) AS mad_thresh,
+      |  CAST(count(*) FILTER (WHERE abs(d.n_chars - t.med) > t.thresh) AS BIGINT) AS n_outliers,
+      |  round(1e-9 + count(*) FILTER (WHERE abs(d.n_chars - t.med) > t.thresh)
+      |    / CAST(count(*) AS DOUBLE), 6) AS outlier_share,
+      |  CASE WHEN any_value(t.med) IS NULL THEN NULL ELSE TRUE END AS med_ok,
+      |  CASE WHEN any_value(t.thresh) IS NULL THEN NULL ELSE TRUE END AS mad_ok,
+      |  CASE WHEN any_value(t.thresh) IS NULL THEN NULL ELSE TRUE END AS share_ok
+      |FROM documents d JOIN mad t ON d.source = t.source
+      |GROUP BY d.source
+      |ORDER BY d.source""".stripMargin) { (spark, dir) =>
+    import graft.functions.KllAgg.{kll_quantile, kll_rank}
+    val frame = outlierKllFrames(spark, dir)
+    val share = col("n_outliers") / col("n_docs").cast("double")
+    frame.select(
+      col("source"),
+      round(lit(1e-9) + col("mx50"), 2).as("median_chars"),
+      col("thresh").as("mad_thresh"),
+      col("n_outliers"),
+      round(lit(1e-9) + share, 6).as("outlier_share"),
+      (kll_quantile(col("sk_x"), lit(0.5)) >= col("mx45") &&
+        kll_quantile(col("sk_x"), lit(0.5)) <= col("mx55")).as("med_ok"),
+      (kll_quantile(col("sk_d"), lit(0.5)) >= col("dv45") &&
+        kll_quantile(col("sk_d"), lit(0.5)) <= col("dv55")).as("mad_ok"),
+      (abs((lit(1d) - kll_rank(col("sk_d"), col("thresh"))) - share) <= 0.05).as("share_ok"))
+      .orderBy("source")
+  }
+
+  val all: Seq[Q] = Seq(setOps, histogram, driftPsi, outliers, outliersSketch)
 }

@@ -63,6 +63,34 @@ class DistributionSpec extends AnyFunSuite {
     assert(out("src_long")._1 > out("src_same")._1 * 0.1)
   }
 
+  test("tx_outliers_sketch serves the exact gate from the sketch frame, no corpus rescan") {
+    // exact columns must equal tx_outliers row for row
+    val exact = SparkEntry.queries("tx_outliers")(spark, sf).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Double]("median_chars"), r.getAs[Double]("mad_thresh"),
+          r.getAs[Long]("n_outliers"), r.getAs[Double]("outlier_share"))).toMap
+    val served = SparkEntry.queries("tx_outliers_sketch")(spark, sf).collect()
+    assert(served.length == exact.size)
+    served.foreach { r =>
+      val s = r.getAs[String]("source")
+      assert((r.getAs[Double]("median_chars"), r.getAs[Double]("mad_thresh"),
+        r.getAs[Long]("n_outliers"), r.getAs[Double]("outlier_share")) == exact(s), s)
+      assert(r.getAs[Boolean]("med_ok") && r.getAs[Boolean]("mad_ok")
+        && r.getAs[Boolean]("share_ok"), s"sketch estimate out of bracket for $s")
+    }
+    // serve plan: after the build, the query reads ONLY the persisted
+    // |sources|-row sketch frame — any parquet scan means the exact
+    // median passes leaked back into the serve path
+    operators.Distribution.outlierKllFrames(spark, sf)
+    val df = SparkEntry.queries("tx_outliers_sketch")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p.contains("InMemoryTableScan"))
+    val serve = if (p.contains("InMemoryRelation")) p.substring(0, p.indexOf("InMemoryRelation")) else p
+    assert(!serve.split("\n").exists(_.contains("FileScan parquet")),
+      "serve path must not rescan the corpus")
+  }
+
   test("gr_triangles matches a brute-force census at sf0.001") {
     val row = SparkEntry.queries("gr_triangles")(spark, sf).collect().head
     // brute force: materialize the (small) sf0.001 edge set and count
