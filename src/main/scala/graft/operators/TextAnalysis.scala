@@ -234,54 +234,61 @@ object TextAnalysis {
     * distilled from) is pinned on a planted multilingual fixture in
     * LangidClfSpec.
     */
+  /** The trained-LID CTE chain ending in `preds` (doc_id, heur_lang,
+    * per-language scores, pred_lang) — shared by the tx_langid_clf
+    * oracle and pipe_curate_clf's funnel oracle.
+    */
+  private[graft] lazy val langidClfCtesSql: String = {
+    val wh = Hashing.wordHashesSql("text")
+    val caseSql =
+      s"""CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+         |    WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+         |    WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+         |    WHEN s_fr >= s_zh THEN 'fr'
+         |    ELSE 'zh' END""".stripMargin
+    s"""seedtok AS (
+       |  SELECT lang, unnest($wh) % $LidD AS j FROM (
+       |    SELECT text, $heurCaseSql AS lang
+       |    FROM (${heurHitsSql("documents WHERE doc_id % 10 < 8")}))),
+       |seedcnt AS (
+       |  SELECT lang, j, CAST(count(*) AS BIGINT) AS c FROM seedtok GROUP BY lang, j),
+       |tot AS (SELECT lang, CAST(sum(c) AS BIGINT) AS tot FROM seedcnt GROUP BY lang),
+       |grid AS (
+       |  SELECT l.lang, r.j
+       |  FROM (SELECT unnest([${lidLangs.map(l => s"'$l'").mkString(", ")}]) AS lang) l
+       |  CROSS JOIN (SELECT unnest(range($LidD)) AS j) r),
+       |w AS (
+       |  SELECT g.lang, g.j,
+       |    ((COALESCE(s.c, 0) + 1) * $LidScale) // (COALESCE(t.tot, 0) + $LidD) AS w
+       |  FROM grid g
+       |  LEFT JOIN seedcnt s ON s.lang = g.lang AND s.j = g.j
+       |  LEFT JOIN tot t ON t.lang = g.lang),
+       |ww AS (
+       |  SELECT j, ${lidLangs.map(l => s"max(CASE WHEN lang = '$l' THEN w END) AS w_$l").mkString(",\n    ")}
+       |  FROM w GROUP BY j),
+       |tok AS (SELECT doc_id, unnest($wh) % $LidD AS j FROM documents),
+       |sc AS (
+       |  SELECT doc_id, ${lidLangs.map(l => s"CAST(sum(w_$l) AS BIGINT) AS s_$l").mkString(",\n    ")}
+       |  FROM tok JOIN ww USING (j) GROUP BY doc_id),
+       |lab AS (
+       |  SELECT doc_id, $heurCaseSql AS heur_lang
+       |  FROM (${heurHitsSql("documents")})),
+       |f0 AS (
+       |  SELECT lab.doc_id, lab.heur_lang,
+       |    ${lidLangs.map(l => s"COALESCE(sc.s_$l, 0) AS s_$l").mkString(",\n    ")}
+       |  FROM lab LEFT JOIN sc ON sc.doc_id = lab.doc_id),
+       |preds AS (
+       |  SELECT *, $caseSql AS pred_lang
+       |  FROM f0)""".stripMargin
+  }
+
   val langidClf = Q(
-    "tx_langid_clf", {
-      val wh = Hashing.wordHashesSql("text")
-      val caseSql = (sfx: String) =>
-        s"""CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
-           |    WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
-           |    WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
-           |    WHEN s_fr >= s_zh THEN 'fr'
-           |    ELSE 'zh' END$sfx""".stripMargin
-      s"""WITH seedtok AS (
-         |  SELECT lang, unnest($wh) % $LidD AS j FROM (
-         |    SELECT text, $heurCaseSql AS lang
-         |    FROM (${heurHitsSql("documents WHERE doc_id % 10 < 8")}))),
-         |seedcnt AS (
-         |  SELECT lang, j, CAST(count(*) AS BIGINT) AS c FROM seedtok GROUP BY lang, j),
-         |tot AS (SELECT lang, CAST(sum(c) AS BIGINT) AS tot FROM seedcnt GROUP BY lang),
-         |grid AS (
-         |  SELECT l.lang, r.j
-         |  FROM (SELECT unnest([${lidLangs.map(l => s"'$l'").mkString(", ")}]) AS lang) l
-         |  CROSS JOIN (SELECT unnest(range($LidD)) AS j) r),
-         |w AS (
-         |  SELECT g.lang, g.j,
-         |    ((COALESCE(s.c, 0) + 1) * $LidScale) // (COALESCE(t.tot, 0) + $LidD) AS w
-         |  FROM grid g
-         |  LEFT JOIN seedcnt s ON s.lang = g.lang AND s.j = g.j
-         |  LEFT JOIN tot t ON t.lang = g.lang),
-         |ww AS (
-         |  SELECT j, ${lidLangs.map(l => s"max(CASE WHEN lang = '$l' THEN w END) AS w_$l").mkString(",\n    ")}
-         |  FROM w GROUP BY j),
-         |tok AS (SELECT doc_id, unnest($wh) % $LidD AS j FROM documents),
-         |sc AS (
-         |  SELECT doc_id, ${lidLangs.map(l => s"CAST(sum(w_$l) AS BIGINT) AS s_$l").mkString(",\n    ")}
-         |  FROM tok JOIN ww USING (j) GROUP BY doc_id),
-         |lab AS (
-         |  SELECT doc_id, $heurCaseSql AS heur_lang
-         |  FROM (${heurHitsSql("documents")})),
-         |f0 AS (
-         |  SELECT lab.doc_id, lab.heur_lang,
-         |    ${lidLangs.map(l => s"COALESCE(sc.s_$l, 0) AS s_$l").mkString(",\n    ")}
-         |  FROM lab LEFT JOIN sc ON sc.doc_id = lab.doc_id),
-         |preds AS (
-         |  SELECT *, ${caseSql(" AS pred_lang")}
-         |  FROM f0)
-         |SELECT doc_id, heur_lang, s_de, s_en, s_es, s_fr, s_zh, pred_lang,
-         |  pred_lang = heur_lang AS agree
-         |FROM preds
-         |ORDER BY doc_id""".stripMargin
-    }) { (spark, dir) =>
+    "tx_langid_clf",
+    s"""WITH $langidClfCtesSql
+       |SELECT doc_id, heur_lang, s_de, s_en, s_es, s_fr, s_zh, pred_lang,
+       |  pred_lang = heur_lang AS agree
+       |FROM preds
+       |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
     langidClfOf(Tables.documents(spark, dir)).orderBy("doc_id")
   }
 
@@ -525,10 +532,17 @@ object TextAnalysis {
     * raw-HTML fixtures routed through the tx_html extractor.
     */
   private[graft] def curateOf(docs: org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame = {
-    val enriched = docs
+      : org.apache.spark.sql.DataFrame =
+    curateFunnel(docs
       .select(col("doc_id"), col("source"), sha2(col("text"), 256).as("sha"),
-        qualityExpr.as("quality"), predLangExpr.as("pred_lang"))
+        qualityExpr.as("quality"), predLangExpr.as("pred_lang")))
+
+  /** The funnel aggregation over an enriched (doc_id, source, sha,
+    * quality, pred_lang) frame — shared by the heuristic-gated
+    * pipe_curate and the trained-gate pipe_curate_clf.
+    */
+  private def curateFunnel(enriched: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     // canonical per content hash: 40-byte (sha, doc_id) shuffle, never
     // the text; joined back sha-keyed (same partitioning, AQE reuses)
     val canon = enriched.groupBy("sha").agg(min("doc_id").as("canonical_id"))
@@ -545,6 +559,48 @@ object TextAnalysis {
         count(when(kept, 1)).as("n_kept"),
         round(lit(1e-9) + avg(when(kept, col("quality"))) + 1e-9, 6).as("avg_quality_kept"))
       .orderBy("source")
+  }
+
+  /** pipe_curate_clf — the curation funnel with the TRAINED language
+    * gate: identical dedup/quality stages, but the language drop is
+    * tx_langid_clf's model prediction instead of the stopword
+    * heuristic — the production upgrade a pipeline makes once the
+    * distilled LID beats its teacher out of distribution (pinned in
+    * LangidClfSpec). Registered alongside pipe_curate so the two
+    * gates stay directly comparable per round; the extra cost over
+    * the heuristic funnel is one doc_id-keyed join of the ≤ LidD-row-
+    * model scores — the seed pass and broadcast model are shared
+    * shapes with tx_langid_clf.
+    */
+  val curateClf = Q(
+    "pipe_curate_clf",
+    s"""WITH $langidClfCtesSql,
+       |enr AS (
+       |  SELECT e.doc_id, e.source, e.sha, e.quality, p.pred_lang
+       |  FROM (
+       |  ${enrichedSqlFrom("documents")}
+       |  ) e JOIN preds p ON p.doc_id = e.doc_id),
+       |canon AS (SELECT sha, min(doc_id) AS canonical_id FROM enr GROUP BY sha)
+       |SELECT source,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(count(*) FILTER (WHERE doc_id != canonical_id) AS BIGINT) AS n_dup_dropped,
+       |  CAST(count(*) FILTER (WHERE doc_id = canonical_id AND pred_lang != 'en') AS BIGINT) AS n_lang_dropped,
+       |  CAST(count(*) FILTER (WHERE doc_id = canonical_id AND pred_lang = 'en'
+       |    AND quality < ${d("0.55")}) AS BIGINT) AS n_quality_dropped,
+       |  CAST(count(*) FILTER (WHERE doc_id = canonical_id AND pred_lang = 'en'
+       |    AND quality >= ${d("0.55")}) AS BIGINT) AS n_kept,
+       |  round(1e-9 + avg(quality) FILTER (WHERE doc_id = canonical_id AND pred_lang = 'en'
+       |    AND quality >= ${d("0.55")}) + 1e-9, 6) AS avg_quality_kept
+       |FROM enr JOIN canon USING (sha)
+       |GROUP BY source
+       |ORDER BY source""".stripMargin) { (spark, dir) =>
+    val docs = Tables.documents(spark, dir)
+    val enriched = docs
+      .select(col("doc_id"), col("source"), sha2(col("text"), 256).as("sha"),
+        qualityExpr.as("quality"))
+      .join(langidClfOf(docs).select(col("doc_id"), col("pred_lang")), "doc_id")
+      .select("doc_id", "source", "sha", "quality", "pred_lang")
+    curateFunnel(enriched)
   }
 
   // ═══════════════ training-shard packing ═══════════════
@@ -969,6 +1025,6 @@ object TextAnalysis {
       .orderBy("rank")
   }
 
-  val all: Seq[Q] = Seq(tokens, quality, langid, langidClf, html, fingerprint, curate, shard, topterms, pii,
+  val all: Seq[Q] = Seq(tokens, quality, langid, langidClf, html, fingerprint, curate, curateClf, shard, topterms, pii,
     entropy, pack, vocab, bpePairs)
 }
