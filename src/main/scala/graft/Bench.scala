@@ -67,9 +67,18 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Cluster-posture knob: shuffle parallelism defaults to the core
+    // count (the local-mode sweet spot) but is overridable so the
+    // scale legs can demonstrate the memory-budget claim — the sf10
+    // spill concentrated in pagerank/q2/dd_embed is per-task working
+    // set, and partitions ∝ data (at fixed memory) shrink it the way
+    // executors ∝ data would on a real cluster. Driver heap is the
+    // matching SPARK_DRIVER_MEM knob in build.sbt.
+    val shufflePartitions =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

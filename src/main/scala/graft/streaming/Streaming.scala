@@ -195,6 +195,38 @@ object Streaming {
         col("jaccard") >= graft.operators.Pipeline.contaminatedFloor)
   }
 
+  /** Streaming incremental NEAR-DUP dedup — the deployment shape of
+    * batch dd_minhash_incremental: each arriving (doc_id, source,
+    * text) row is MinHash-signed and banded map-side
+    * (Dedup.fuzzyBandRows), joined stream-static against the standing
+    * corpus band index (Dedup.fuzzyCorpusIndex — corpus-side bucket
+    * cap, so a degenerate bucket the build drops simply yields no
+    * candidates on the stream), each candidate Jaccard-verified on
+    * the shingle arrays against the index's corpus shingle store, and
+    * every verified near-dup pair (Jaccard ≥ 0.5, the dd_jaccard
+    * duplicate floor) emitted with the batch query's exact rounding.
+    * The per-doc best-match argmax stays a reader concern, as in
+    * Streaming.deconFuzzy. State: one row per VERIFIED pair — the
+    * floor filter runs before the aggregation, so sub-threshold
+    * candidates never enter state. Run with outputMode
+    * update/complete.
+    */
+  def minhashIncremental(
+      docs: DataFrame, idxBands: DataFrame, idxShing: DataFrame): DataFrame = {
+    val jac = col("n_common") / (col("na") + col("nb") - col("n_common")).cast("double")
+    graft.operators.Dedup.fuzzyBandRows(docs)
+      .join(idxBands, Seq("band", "key"))
+      .join(idxShing, Seq("corpus_id"))
+      .select(col("doc_id"), col("source"), col("corpus_id"),
+        graft.functions.HashExprs.common_count(col("sh"), col("sh_c")).as("n_common"),
+        size(col("sh")).cast("long").as("na"), size(col("sh_c")).cast("long").as("nb"))
+      .select(col("doc_id"), col("source"), col("corpus_id"),
+        round(lit(1e-9) + jac, 6).as("jac"))
+      .filter(col("jac") >= 0.5)
+      .groupBy("doc_id", "source", "corpus_id")
+      .agg(min("jac").as("jaccard"))
+  }
+
   /** Streaming semantic near-dup scan at ingest: each arriving
     * (vec_id, e, nrm) row is banded with THE SAME adaptive-width
     * hyperplane keys as batch dd_embed (Ann.bandKeysOf — map-only;

@@ -207,6 +207,44 @@ class StreamingSpec extends AnyFunSuite {
         s"spurious=${(got.keySet -- want.keySet).take(5)}")
   }
 
+  test("streaming minhashIncremental matches batch dd_minhash_incremental dup verdicts") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val (idxBands, idxShing) = operators.Dedup.fuzzyCorpusIndex(spark, sf)
+    // replay the delta split ("today's ingest") as the stream
+    val delta = graft.Tables.documents(spark, sf)
+      .filter(col("doc_id") % 10 >= 8)
+      .select("doc_id", "source", "text")
+      .as[(Long, String, String)].collect()
+    val mem = MemoryStream[(Long, String, String)]
+    val q = Streaming.minhashIncremental(
+        mem.toDF().toDF("doc_id", "source", "text"), idxBands, idxShing)
+      .writeStream.outputMode("complete").format("memory").queryName("mh_inc").start()
+    try {
+      delta.grouped(math.max(1, delta.length / 3 + 1)).foreach { chunk =>
+        mem.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    // the stream emits every verified dup pair; the batch query keeps
+    // each delta doc's best (max jaccard, ties to the smaller corpus id)
+    val got = spark.sql("SELECT doc_id, corpus_id, jaccard FROM mh_inc").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).map { case (docId, rows) =>
+        val best = rows.minBy(t => (-t._3, t._2))
+        docId -> (best._2, best._3)
+      }
+    val want = SparkEntry.queries("dd_minhash_incremental")(spark, sf).collect()
+      .filter(_.getAs[String]("verdict") == "dup_near")
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("best_corpus_id"), r.getAs[Double]("jaccard"))).toMap
+    assert(want.nonEmpty, "fixture must contain cross-split near-dups")
+    assert(got == want,
+      s"stream dup set diverged: missing=${(want.keySet -- got.keySet).take(5)} " +
+        s"spurious=${(got.keySet -- want.keySet).take(5)}")
+  }
+
   test("streaming decontaminate equals the batch overlap pairs on a replayed corpus") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
