@@ -359,7 +359,11 @@ object Multimodal {
     */
   private[graft] def phashPairsOf(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    val ph = phashOf(docs).select("doc_id", "dhash")
+    // fixed-width (doc_id, dhash) cached: the cap aggregation and both
+    // self-join sides otherwise re-run the synth+parse pipeline (and
+    // re-codegen its 120-read expression) once each — the simhashDf
+    // pattern, shared by CacheManager plan dedup
+    val ph = phashOf(docs).select("doc_id", "dhash").cache()
     val mask = (1L << PhashChunkBits) - 1
     val chunked0 = ph.select(col("doc_id"), col("dhash"),
       explode(array((0 until PhashChunks).map { c =>
