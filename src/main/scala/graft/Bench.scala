@@ -162,8 +162,11 @@ object Bench {
       built("ivf_base_index", Seq("ann_refresh")) {
         operators.Ann.baseIvfIndex(spark, sfDir)
       },
-      built("fuzzy_corpus_index", Seq("dd_minhash_incremental")) {
+      built("fuzzy_corpus_index", Seq("dd_minhash_incremental", "dd_clusters_incremental")) {
         operators.Dedup.fuzzyCorpusIndex(spark, sfDir)
+      },
+      built("base_cluster_labels", Seq("dd_clusters_incremental")) {
+        operators.Dedup.baseClusterLabels(spark, sfDir)
       },
       built("outlier_kll_sketches", Seq("tx_outliers_sketch")) {
         operators.Distribution.outlierKllFrames(spark, sfDir)

@@ -898,6 +898,149 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  // ═══════════ incremental cluster maintenance (delta vs standing labels) ═══════════
+
+  /** One-time standing NEAR-DUP CLUSTER state of the corpus split:
+    * verified duplicate pairs WITHIN the corpus (both self-join sides
+    * read the fuzzyCorpusIndex band rows, verification probes the
+    * index's shingle store) resolved to min-label components — the
+    * labels an ingesting system keeps current between rebuilds.
+    * Persisted via SessionMemo like every standing index.
+    */
+  private[graft] def baseClusterLabels(spark: SparkSession, dir: String): DataFrame =
+    graft.SessionMemo.frames(spark, s"dedup.baseClusters:$dir") {
+      val (idxBands, idxShing) = fuzzyCorpusIndex(spark, dir)
+      val a = idxBands.select(col("band"), col("key"), col("corpus_id").as("doc_a"))
+      val b = idxBands.select(col("band"), col("key"), col("corpus_id").as("doc_b"))
+      val cand = a.join(b, Seq("band", "key")).filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
+      val jac = col("n_common") / (col("na") + col("nb") - col("n_common")).cast("double")
+      val pairs = cand
+        .join(idxShing.select(col("corpus_id").as("doc_a"), col("sh_c").as("sha")), Seq("doc_a"))
+        .join(idxShing.select(col("corpus_id").as("doc_b"), col("sh_c").as("shb")), Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          graft.functions.HashExprs.common_count(col("sha"), col("shb")).as("n_common"),
+          size(col("sha")).cast("long").as("na"), size(col("shb")).cast("long").as("nb"))
+        .filter(col("n_common") > 0 && jac >= 0.5)
+        .select("doc_a", "doc_b")
+      val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+        .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+        .distinct()
+      val (labels, _) = connectedComponents(edges)
+      val out = labels.select(col("doc").as("corpus_id"), col("label")).persist()
+      out.count()
+      Seq(out)
+    }.head
+
+  /** dd_clusters_incremental — incremental CLUSTER maintenance, the
+    * third leg of the continuous-ingest dedup story (dd_incremental
+    * keeps the exact-hash index current, dd_minhash_incremental the
+    * near-dup pair probe; this keeps the duplicate CLUSTERS current):
+    * a delta batch's verified near-dup edges — delta↔corpus from the
+    * standing band index, delta↔delta from banding the batch against
+    * itself — are resolved against the standing labels by CONTRACTING
+    * every touched base cluster to its label node and running the
+    * pointer-jump CC on that small graph only. Because a base label
+    * is its cluster's minimum doc id, the contracted minimum equals
+    * the composed corpus's minimum, so each delta doc's canonical_id
+    * is exactly what a full rebuild (dd_clusters) would assign — the
+    * equality is spec-pinned, and a delta doc bridging two standing
+    * clusters merges them correctly. Output: one row per delta doc
+    * with its canonical and whether it joined an existing corpus
+    * cluster. Per batch the cost is O(|delta| + touched clusters);
+    * corpus text and the corpus-wide pair graph are build-time only
+    * (billed in `builds`). Cap semantics per regime (corpus-side and
+    * delta-side bucket caps) coincide with the full rebuild's
+    * whole-corpus cap below BucketCap, like the other incremental
+    * twins.
+    */
+  val clustersIncremental = Q(
+    "dd_clusters_incremental", {
+      val jq = jaccard.oracle.get.replace("ORDER BY doc_a, doc_b", "")
+      s"""WITH RECURSIVE jq AS ($jq),
+         |pairs AS (SELECT doc_a, doc_b FROM jq WHERE is_duplicate),
+         |edges AS (
+         |  SELECT doc_a AS u, doc_b AS v FROM pairs
+         |  UNION
+         |  SELECT doc_b AS u, doc_a AS v FROM pairs
+         |),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+         |),
+         |comp AS (
+         |  SELECT u AS doc_id, least(u, min(v)) AS canonical
+         |  FROM (SELECT DISTINCT u, v FROM reach)
+         |  GROUP BY u),
+         |hc AS (
+         |  SELECT canonical, max(CASE WHEN doc_id % 10 < 8 THEN 1 ELSE 0 END) = 1 AS has_corpus
+         |  FROM comp GROUP BY canonical)
+         |SELECT d.doc_id,
+         |  COALESCE(comp.canonical, d.doc_id) AS canonical_id,
+         |  COALESCE(hc.has_corpus, FALSE) AS in_existing
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 >= 8) d
+         |LEFT JOIN comp ON comp.doc_id = d.doc_id
+         |LEFT JOIN hc ON hc.canonical = comp.canonical
+         |ORDER BY d.doc_id""".stripMargin
+    }) { (spark, dir) =>
+    val (idxBands, idxShing) = fuzzyCorpusIndex(spark, dir)
+    val baseLabels = baseClusterLabels(spark, dir)
+    val delta = Tables.documents(spark, dir).filter(col("doc_id") % 10 >= 8)
+    val dBandsAll = fuzzyBandRows(delta)
+    val dBands = dBandsAll.select("doc_id", "band", "key")
+    val dSh = delta.select(col("doc_id"), shingleHashes(col("text")).as("shd"))
+      .filter(size(col("shd")) > 0)
+    val jac = col("n_common") / (col("na") + col("nb") - col("n_common")).cast("double")
+    // delta ↔ corpus: probe the standing index, verify on arrays
+    val cross = dBands.join(idxBands, Seq("band", "key"))
+      .select("doc_id", "corpus_id").distinct()
+      .join(dSh, Seq("doc_id"))
+      .join(idxShing, Seq("corpus_id"))
+      .select(col("doc_id"), col("corpus_id"),
+        graft.functions.HashExprs.common_count(col("shd"), col("sh_c")).as("n_common"),
+        size(col("shd")).cast("long").as("na"), size(col("sh_c")).cast("long").as("nb"))
+      .filter(col("n_common") > 0 && jac >= 0.5)
+      .select(col("doc_id"), col("corpus_id"))
+    // delta ↔ delta: band the batch against itself (delta-side cap)
+    val dCapped = dropOversizedBuckets(dBands, Seq("band", "key"), BucketCap)
+    val dd = dCapped.select(col("band"), col("key"), col("doc_id").as("doc_a"))
+      .join(dCapped.select(col("band"), col("key"), col("doc_id").as("doc_b")), Seq("band", "key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+      .join(dSh.select(col("doc_id").as("doc_a"), col("shd").as("sha")), Seq("doc_a"))
+      .join(dSh.select(col("doc_id").as("doc_b"), col("shd").as("shb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        graft.functions.HashExprs.common_count(col("sha"), col("shb")).as("n_common"),
+        size(col("sha")).cast("long").as("na"), size(col("shb")).cast("long").as("nb"))
+      .filter(col("n_common") > 0 && jac >= 0.5)
+      .select("doc_a", "doc_b")
+    // contract touched base clusters to their label nodes
+    val crossC = cross.join(baseLabels, Seq("corpus_id"))
+      .select(col("doc_id").as("a"),
+        coalesce(col("label"), col("corpus_id")).as("b"))
+    // a corpus doc with no standing pair is its own singleton cluster
+    val crossS = cross.join(baseLabels, Seq("corpus_id"), "left_anti")
+      .select(col("doc_id").as("a"), col("corpus_id").as("b"))
+    val rawEdges = crossC.unionByName(crossS)
+      .unionByName(dd.select(col("doc_a").as("a"), col("doc_b").as("b")))
+    val edges = rawEdges.select(col("a").as("u"), col("b").as("v"))
+      .union(rawEdges.select(col("b").as("u"), col("a").as("v")))
+      .distinct()
+    val (labels, _) = connectedComponents(edges)
+    val hasCorpus = labels
+      .groupBy("label")
+      .agg(max(when(col("doc") % 10 < 8, 1).otherwise(0)).as("hc"))
+      .select(col("label"), (col("hc") === 1).as("has_corpus"))
+    delta.select("doc_id")
+      .join(labels.select(col("doc").as("doc_id"), col("label")), Seq("doc_id"), "left")
+      .join(hasCorpus, Seq("label"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("canonical_id"),
+        coalesce(col("has_corpus"), lit(false)).as("in_existing"))
+      .orderBy("doc_id")
+  }
+
   /** Map-only band rows of arriving (doc_id, source, text) docs, each
     * carrying the doc's shingle set — the STREAM side of fuzzy decon
     * (signature + banding are per-row native expressions, so this
@@ -918,5 +1061,5 @@ object Dedup {
         col("bk.band").as("band"), col("bk.key").as("key"))
 
   val all: Seq[Q] = Seq(exact, exactHash, minhash, lshPairs, jaccard, clusters, simhash,
-    simhashPairs, spans, deconFuzzy, containment, minhashIncremental)
+    simhashPairs, spans, deconFuzzy, containment, minhashIncremental, clustersIncremental)
 }

@@ -64,6 +64,32 @@ class DedupIncrementalSpec extends AnyFunSuite {
     }
   }
 
+  test("dd_clusters_incremental equals a full dd_clusters rebuild on the delta split") {
+    // full rebuild on the composed corpus: every paired doc's canonical
+    val full = SparkEntry.queries("dd_clusters")(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("canonical_id")).toMap
+    val members = full.toSeq.groupBy(_._2).view
+      .mapValues(_.map(_._1)).toMap // canonical -> component members
+    val inc = SparkEntry.queries("dd_clusters_incremental")(spark, sf).collect()
+    val nDelta = Tables.documents(spark, sf).filter(col("doc_id") % 10 >= 8).count()
+    assert(inc.length == nDelta, "one row per delta doc, singletons included")
+    var joined = 0
+    inc.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val canon = r.getAs[Long]("canonical_id")
+      full.get(id) match {
+        case Some(expect) =>
+          assert(canon == expect, s"doc $id: incremental canonical $canon vs rebuild $expect")
+          val hasCorpus = members(expect).exists(m => !isDelta(m))
+          assert(r.getAs[Boolean]("in_existing") == hasCorpus, s"doc $id in_existing")
+          if (hasCorpus) joined += 1
+        case None => // unpaired in the rebuild: must be its own singleton
+          assert(canon == id && !r.getAs[Boolean]("in_existing"), s"doc $id singleton")
+      }
+    }
+    assert(joined > 0, "fixture must contain delta docs joining existing corpus clusters")
+  }
+
   test("serve plan probes the persisted index and scans only the delta split") {
     // force the standing build so the query plan is the serve path
     operators.Dedup.fuzzyCorpusIndex(spark, sf)
