@@ -923,12 +923,17 @@ object Dedup {
           size(col("sha")).cast("long").as("na"), size(col("shb")).cast("long").as("nb"))
         .filter(col("n_common") > 0 && jac >= 0.5)
         .select("doc_a", "doc_b")
+      // persist before the CC loop: every pointer-jump round joins the
+      // edge set, which would otherwise re-run the band+verify pipeline
+      // per round (the duplicateEdges pattern)
       val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
         .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
-        .distinct()
+        .distinct().persist()
+      edges.count()
       val (labels, _) = connectedComponents(edges)
       val out = labels.select(col("doc").as("corpus_id"), col("label")).persist()
       out.count()
+      edges.unpersist(blocking = false)
       Seq(out)
     }.head
 
@@ -1024,10 +1029,15 @@ object Dedup {
       .select(col("doc_id").as("a"), col("corpus_id").as("b"))
     val rawEdges = crossC.unionByName(crossS)
       .unionByName(dd.select(col("doc_a").as("a"), col("doc_b").as("b")))
+    // persist before the CC loop — each pointer-jump round joins the
+    // edge set, which would otherwise re-run the probe+verify pipelines
+    // per round (measured 9.3 → ~2 s at sf0.1)
     val edges = rawEdges.select(col("a").as("u"), col("b").as("v"))
       .union(rawEdges.select(col("b").as("u"), col("a").as("v")))
-      .distinct()
+      .distinct().persist()
+    edges.count()
     val (labels, _) = connectedComponents(edges)
+    edges.unpersist(blocking = false)
     val hasCorpus = labels
       .groupBy("label")
       .agg(max(when(col("doc") % 10 < 8, 1).otherwise(0)).as("hc"))
