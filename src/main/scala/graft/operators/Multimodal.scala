@@ -261,7 +261,7 @@ object Multimodal {
     * the hash (128-bit grid) and chunks (32-bit) — machinery is
     * width-agnostic.
     */
-  private val PhashHammingMax = 2
+  private[graft] val PhashHammingMax = 2
   private val PhashChunkBits = 20
   private val PhashChunks = PhashBits / PhashChunkBits
 
@@ -357,6 +357,39 @@ object Multimodal {
     * degenerate textures (constant-fill bitmaps all hash to 0), and
     * bit_count verification runs on the candidate pairs only.
     */
+  /** The 3 chunk rows of a (doc_id, dhash) frame — shared by the
+    * batch pair join, the standing chunk index, and the stream side.
+    */
+  private[graft] def phashChunks(ph: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val mask = (1L << PhashChunkBits) - 1
+    ph.select(col("doc_id"), col("dhash"),
+      explode(array((0 until PhashChunks).map { c =>
+        struct(lit(c).as("chunk"),
+          shiftright(col("dhash"), c * PhashChunkBits).bitwiseAND(lit(mask)).as("key"))
+      }: _*)).as("ck"))
+      .select(col("doc_id"), col("dhash"),
+        col("ck.chunk").as("chunk"), col("ck.key").as("key"))
+  }
+
+  /** One-time standing perceptual-hash chunk index of the corpus —
+    * the STATIC side of streaming image dedup (Streaming.phashDedup):
+    * capped chunk rows carrying each corpus doc's dHash, persisted
+    * per (session, dir) like the MinHash band index.
+    */
+  private[graft] def phashChunkIndex(spark: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame =
+    graft.SessionMemo.frames(spark, s"multimodal.phashChunkIndex:$dir") {
+      val ph = phashOf(Tables.documents(spark, dir).select("doc_id", "text"))
+        .select("doc_id", "dhash")
+      val idx = Dedup.dropOversizedBuckets(phashChunks(ph), Seq("chunk", "key"), Dedup.BucketCap)
+        .select(col("chunk"), col("key"),
+          col("doc_id").as("corpus_id"), col("dhash").as("h_c"))
+        .persist()
+      idx.count()
+      Seq(idx)
+    }.head
+
   private[graft] def phashPairsOf(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     // fixed-width (doc_id, dhash) cached: the cap aggregation and both
@@ -364,15 +397,7 @@ object Multimodal {
     // re-codegen its 120-read expression) once each — the simhashDf
     // pattern, shared by CacheManager plan dedup
     val ph = phashOf(docs).select("doc_id", "dhash").cache()
-    val mask = (1L << PhashChunkBits) - 1
-    val chunked0 = ph.select(col("doc_id"), col("dhash"),
-      explode(array((0 until PhashChunks).map { c =>
-        struct(lit(c).as("chunk"),
-          shiftright(col("dhash"), c * PhashChunkBits).bitwiseAND(lit(mask)).as("key"))
-      }: _*)).as("ck"))
-      .select(col("doc_id"), col("dhash"),
-        col("ck.chunk").as("chunk"), col("ck.key").as("key"))
-    val chunked = Dedup.dropOversizedBuckets(chunked0, Seq("chunk", "key"), Dedup.BucketCap)
+    val chunked = Dedup.dropOversizedBuckets(phashChunks(ph), Seq("chunk", "key"), Dedup.BucketCap)
     val a = chunked.select(col("chunk"), col("key"),
       col("doc_id").as("doc_a"), col("dhash").as("ha"))
     val b = chunked.select(col("chunk"), col("key"),

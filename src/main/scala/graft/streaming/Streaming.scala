@@ -227,6 +227,30 @@ object Streaming {
       .agg(min("jac").as("jaccard"))
   }
 
+  /** Streaming PERCEPTUAL image dedup at ingest — the multimodal twin
+    * of minhashIncremental: each arriving (doc_id, text) doc's
+    * bitmap is synthesized, byte-parsed and dHashed map-side
+    * (Multimodal.phashOf — per-row column expressions, so it runs
+    * unchanged on a stream), its three 20-bit chunks joined
+    * stream-static against the standing capped chunk index
+    * (Multimodal.phashChunkIndex), and each candidate verified by
+    * Hamming ≤ 2 on the two 60-bit hashes. Only EARLIER corpus images
+    * match (corpus_id < arriving doc_id), so an in-order corpus
+    * replay reproduces the batch mm_phash_pairs set exactly
+    * (cross-validated in StreamingSpec). State: one row per VERIFIED
+    * pair. Run with outputMode update/complete.
+    */
+  def phashDedup(docs: DataFrame, chunkIndex: DataFrame): DataFrame =
+    graft.operators.Multimodal.phashChunks(
+        graft.operators.Multimodal.phashOf(docs).select("doc_id", "dhash"))
+      .join(chunkIndex, Seq("chunk", "key"))
+      .filter(col("corpus_id") < col("doc_id"))
+      .select(col("corpus_id").as("doc_a"), col("doc_id").as("doc_b"),
+        bit_count(col("h_c").bitwiseXOR(col("dhash"))).cast("long").as("h"))
+      .filter(col("h") <= graft.operators.Multimodal.PhashHammingMax)
+      .groupBy("doc_a", "doc_b")
+      .agg(min("h").as("hamming"))
+
   /** Streaming semantic near-dup scan at ingest: each arriving
     * (vec_id, e, nrm) row is banded with THE SAME adaptive-width
     * hyperplane keys as batch dd_embed (Ann.bandKeysOf — map-only;

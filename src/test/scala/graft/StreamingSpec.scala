@@ -245,6 +245,31 @@ class StreamingSpec extends AnyFunSuite {
         s"spurious=${(got.keySet -- want.keySet).take(5)}")
   }
 
+  test("streaming phashDedup reproduces batch mm_phash_pairs on an in-order replay") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val idx = operators.Multimodal.phashChunkIndex(spark, sf)
+    val corpus = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").as[(Long, String)].collect().sortBy(_._1)
+    val mem = MemoryStream[(Long, String)]
+    val q = Streaming.phashDedup(mem.toDF().toDF("doc_id", "text"), idx)
+      .writeStream.outputMode("complete").format("memory").queryName("phash_dedup").start()
+    try {
+      corpus.grouped(math.max(1, corpus.length / 3 + 1)).foreach { chunk =>
+        mem.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val got = spark.sql("SELECT doc_a, doc_b, hamming FROM phash_dedup").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = SparkEntry.queries("mm_phash_pairs")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Long]("hamming"))).toSet
+    assert(want.nonEmpty, "fixture must contain perceptual near-dup pairs")
+    assert(got == want,
+      s"stream pair set diverged: missing=${(want -- got).take(5)} spurious=${(got -- want).take(5)}")
+  }
+
   test("streaming decontaminate equals the batch overlap pairs on a replayed corpus") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
