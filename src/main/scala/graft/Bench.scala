@@ -168,6 +168,9 @@ object Bench {
       built("base_cluster_labels", Seq("dd_clusters_incremental")) {
         operators.Dedup.baseClusterLabels(spark, sfDir)
       },
+      built("phash_corpus_index", Seq("mm_phash_incremental")) {
+        operators.Multimodal.phashCorpusChunkIndex(spark, sfDir)
+      },
       built("outlier_kll_sketches", Seq("tx_outliers_sketch")) {
         operators.Distribution.outlierKllFrames(spark, sfDir)
       },

@@ -441,6 +441,84 @@ object Multimodal {
     phashPairsOf(Tables.documents(spark, dir)).orderBy("doc_a", "doc_b")
   }
 
+  /** mm_phash_incremental — the multimodal member of the incremental
+    * dedup trio (dd_incremental exact, dd_minhash_incremental fuzzy
+    * text, this for images): a delta batch (doc_id % 10 ≥ 8) is
+    * dHashed map-side and probed against the standing corpus chunk
+    * index (corpus split only, corpus-side cap — built once per
+    * session like the MinHash band index), every candidate verified
+    * by Hamming ≤ 2, and each delta image assigned a verdict:
+    * 'dup_image' with its best corpus match (min Hamming, ties to the
+    * smaller corpus id) or 'new'. Per batch the cost is O(|delta| +
+    * candidates); the corpus is hashed only in the one-time build.
+    */
+  val phashIncremental = Q(
+    "mm_phash_incremental",
+    s"""WITH ph AS ($phashOracleSql),
+       |chunked0 AS (
+       |  ${(0 until PhashChunks).map(c =>
+          s"SELECT doc_id, dhash, $c AS chunk, (dhash >> ${c * PhashChunkBits}) & ${(1L << PhashChunkBits) - 1} AS key FROM ph")
+          .mkString("\n  UNION ALL\n  ")}
+       |),
+       |idx0 AS (SELECT * FROM chunked0 WHERE doc_id % 10 < 8),
+       |small AS (
+       |  SELECT chunk, key FROM idx0 GROUP BY chunk, key
+       |  HAVING count(*) <= ${Dedup.BucketCap}),
+       |idx AS (SELECT idx0.* FROM idx0 JOIN small USING (chunk, key)),
+       |dchunk AS (SELECT * FROM chunked0 WHERE doc_id % 10 >= 8),
+       |cand AS (
+       |  SELECT DISTINCT d.doc_id, i.doc_id AS corpus_id,
+       |    CAST(bit_count(xor(d.dhash, i.dhash)) AS BIGINT) AS hamming
+       |  FROM dchunk d JOIN idx i ON d.chunk = i.chunk AND d.key = i.key),
+       |best AS (
+       |  SELECT doc_id, corpus_id, hamming,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY hamming, corpus_id) AS rn
+       |  FROM cand WHERE hamming <= $PhashHammingMax)
+       |SELECT d.doc_id, b.corpus_id AS best_corpus_id, b.hamming,
+       |  CASE WHEN b.corpus_id IS NOT NULL THEN 'dup_image' ELSE 'new' END AS verdict
+       |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 >= 8) d
+       |LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin) { (spark, dir) =>
+    val idx = phashCorpusChunkIndex(spark, dir)
+    val delta = Tables.documents(spark, dir).filter(col("doc_id") % 10 >= 8)
+    val dChunks = phashChunks(phashOf(delta.select("doc_id", "text"))
+      .select("doc_id", "dhash"))
+    val best = dChunks.join(idx, Seq("chunk", "key"))
+      .select(col("doc_id"), col("corpus_id"),
+        bit_count(col("dhash").bitwiseXOR(col("h_c"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= PhashHammingMax)
+      .groupBy("doc_id")
+      .agg(min(struct(col("hamming"), col("corpus_id"))).as("b"))
+      .select(col("doc_id"), col("b.corpus_id").as("best_corpus_id"),
+        col("b.hamming").as("hamming"))
+    delta.select("doc_id")
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("best_corpus_id"), col("hamming"),
+        when(col("best_corpus_id").isNotNull, "dup_image").otherwise("new").as("verdict"))
+      .orderBy("doc_id")
+  }
+
+  /** Standing chunk index over the CORPUS SPLIT only (doc_id % 10 < 8,
+    * corpus-side cap) — the delta-probe side of mm_phash_incremental;
+    * phashChunkIndex (whole corpus) stays the streaming replay's
+    * static side.
+    */
+  private[graft] def phashCorpusChunkIndex(
+      spark: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame =
+    graft.SessionMemo.frames(spark, s"multimodal.phashCorpusChunkIndex:$dir") {
+      val ph = phashOf(Tables.documents(spark, dir)
+        .filter(col("doc_id") % 10 < 8).select("doc_id", "text"))
+        .select("doc_id", "dhash")
+      val idx = Dedup.dropOversizedBuckets(phashChunks(ph), Seq("chunk", "key"), Dedup.BucketCap)
+        .select(col("chunk"), col("key"),
+          col("doc_id").as("corpus_id"), col("dhash").as("h_c"))
+        .persist()
+      idx.count()
+      Seq(idx)
+    }.head
+
   /** Energy-gate segmentation — the voice-activity-detection (VAD)
     * shape of an audio pipeline: threshold each sample into
     * active/silent, group consecutive active samples into segments,
@@ -488,5 +566,5 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(meta, frames, resample, image, segments, phashPairs)
+  val all: Seq[Q] = Seq(meta, frames, resample, image, segments, phashPairs, phashIncremental)
 }

@@ -43,4 +43,22 @@ class PhashPairsSpec extends AnyFunSuite {
     assert(!pairs.keySet.exists { case (a, b) => a == 132L || b == 132L },
       s"far texture must not pair: $pairs")
   }
+
+  test("mm_phash_incremental dup verdicts equal batch cross pairs on the corpus") {
+    def isDelta(id: Long) = id % 10 >= 8
+    val batch = SparkEntry.queries("mm_phash_pairs")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Long]("hamming")))
+    val cross = batch.collect {
+      case (a, b, h) if isDelta(a) != isDelta(b) => (if (isDelta(a)) a else b) -> h
+    }
+    val bestBatch = cross.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val inc = SparkEntry.queries("mm_phash_incremental")(spark, sf).collect()
+    val dup = inc.filter(_.getAs[String]("verdict") == "dup_image")
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("hamming")).toMap
+    assert(dup.keySet == bestBatch.keySet,
+      s"only-inc=${(dup.keySet -- bestBatch.keySet).take(5)} " +
+        s"only-batch=${(bestBatch.keySet -- dup.keySet).take(5)}")
+    dup.foreach { case (id, h) => assert(h == bestBatch(id), s"doc $id best hamming") }
+    assert(dup.nonEmpty, "fixture must contain cross-split image dups")
+  }
 }
