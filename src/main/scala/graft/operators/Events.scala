@@ -679,8 +679,93 @@ object Events {
       .orderBy("event_type", "bucket_s")
   }
 
+  /** RFM segmentation: per-user recency/frequency/monetary quartile
+    * scores over purchase events, reported as segment-cell counts.
+    *
+    * Scale shape: one hash shuffle to the user grain, then a 1-row
+    * quantile frame broadcast back for map-side scoring — the
+    * corpus-sized frame never re-shuffles. Monetary is scored in
+    * integer cents and recency/frequency are integral, so the
+    * quartile interpolation ((1-f)*lo + f*hi on exact binary
+    * fractions) is bit-identical across engines; reference analog:
+    * the reference's per-model score bucketing (report.py grades).
+    */
+  val rfm = Q(
+    "ev_rfm",
+    """WITH p AS (
+      |  SELECT user_id,
+      |    CAST(floor(epoch(max(ts))) AS BIGINT) AS last_s,
+      |    CAST(count(*) AS BIGINT) AS freq,
+      |    CAST(round(100 * (1e-9 + sum(value))) AS BIGINT) AS monetary_c
+      |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+      |r AS (
+      |  SELECT user_id, (SELECT max(last_s) FROM p) - last_s AS recency_s,
+      |    freq, monetary_c FROM p),
+      |t AS (
+      |  SELECT
+      |    quantile_cont(recency_s, 0.25) AS r1, quantile_cont(recency_s, 0.5) AS r2,
+      |    quantile_cont(recency_s, 0.75) AS r3,
+      |    quantile_cont(freq, 0.25) AS f1, quantile_cont(freq, 0.5) AS f2,
+      |    quantile_cont(freq, 0.75) AS f3,
+      |    quantile_cont(monetary_c, 0.25) AS m1, quantile_cont(monetary_c, 0.5) AS m2,
+      |    quantile_cont(monetary_c, 0.75) AS m3
+      |  FROM r)
+      |SELECT r_score, f_score, m_score,
+      |  CAST(count(*) AS BIGINT) AS n_users,
+      |  round(1e-9 + avg(monetary_c) / 100.0, 4) AS avg_monetary
+      |FROM (
+      |  SELECT
+      |    CASE WHEN recency_s <= r1 THEN CAST(4 AS BIGINT)
+      |      WHEN recency_s <= r2 THEN 3 WHEN recency_s <= r3 THEN 2
+      |      ELSE 1 END AS r_score,
+      |    CASE WHEN freq <= f1 THEN CAST(1 AS BIGINT)
+      |      WHEN freq <= f2 THEN 2 WHEN freq <= f3 THEN 3
+      |      ELSE 4 END AS f_score,
+      |    CASE WHEN monetary_c <= m1 THEN CAST(1 AS BIGINT)
+      |      WHEN monetary_c <= m2 THEN 2 WHEN monetary_c <= m3 THEN 3
+      |      ELSE 4 END AS m_score,
+      |    monetary_c
+      |  FROM r, t)
+      |GROUP BY 1, 2, 3
+      |ORDER BY 1, 2, 3""".stripMargin) { (spark, dir) =>
+    val perUser = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(
+        floor(max(col("ts")).cast("double")).cast("long").as("last_s"),
+        count(lit(1)).as("freq"),
+        round(lit(100) * (lit(1e-9) + sum("value"))).cast("long").as("monetary_c"))
+    val ref = perUser.agg(max("last_s").as("ref_s"))
+    val r = perUser.crossJoin(broadcast(ref))
+      .withColumn("recency_s", col("ref_s") - col("last_s"))
+    val t = r.agg(
+      percentile(col("recency_s"), typedLit(Seq(0.25, 0.5, 0.75))).as("rq"),
+      percentile(col("freq"), typedLit(Seq(0.25, 0.5, 0.75))).as("fq"),
+      percentile(col("monetary_c"), typedLit(Seq(0.25, 0.5, 0.75))).as("mq"))
+    r.crossJoin(broadcast(t))
+      .withColumn("r_score",
+        when(col("recency_s") <= col("rq").getItem(0), 4L)
+          .when(col("recency_s") <= col("rq").getItem(1), 3L)
+          .when(col("recency_s") <= col("rq").getItem(2), 2L)
+          .otherwise(1L))
+      .withColumn("f_score",
+        when(col("freq") <= col("fq").getItem(0), 1L)
+          .when(col("freq") <= col("fq").getItem(1), 2L)
+          .when(col("freq") <= col("fq").getItem(2), 3L)
+          .otherwise(4L))
+      .withColumn("m_score",
+        when(col("monetary_c") <= col("mq").getItem(0), 1L)
+          .when(col("monetary_c") <= col("mq").getItem(1), 2L)
+          .when(col("monetary_c") <= col("mq").getItem(2), 3L)
+          .otherwise(4L))
+      .groupBy("r_score", "f_score", "m_score")
+      .agg(count(lit(1)).as("n_users"),
+        round(lit(1e-9) + avg("monetary_c") / 100.0, 4).as("avg_monetary"))
+      .orderBy("r_score", "f_score", "m_score")
+  }
+
   val all: Seq[Q] =
     Seq(windowAgg, sessionize, funnel, json, retention, asof, rangeJoin,
       sessionWindow, variant, windowFunnel, gapfill, attribution, pathing,
-      anomaly)
+      anomaly, rfm)
 }

@@ -151,4 +151,28 @@ class AnalyticsExtrasSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("width")).distinct.length > 1)
     assert(rows.map(_.getAs[Long]("height")).distinct.length > 1)
   }
+
+  test("ev_rfm reconciles: cells cover every purchasing user, quartiles balance") {
+    val rows = SparkEntry.queries("ev_rfm")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val users = rows.map(_.getAs[Long]("n_users")).sum
+    val direct = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .select("user_id").distinct().count()
+    assert(users == direct, "segment cells must partition the purchasing users")
+    // scores stay on the 1..4 grid
+    for (r <- rows; c <- Seq("r_score", "f_score", "m_score")) {
+      val s = r.getAs[Long](c); assert(s >= 1 && s <= 4, s"$c out of range: $s")
+    }
+    // at least floor(q*(n-1))+1 values sit at or below the interpolated
+    // quantile_cont(q) threshold (ties can only push a bucket over)
+    for (c <- Seq("r_score", "f_score", "m_score"); s <- 1L to 4L) {
+      val atOrBelow =
+        rows.filter(r => if (c == "r_score") 5 - r.getAs[Long](c) <= s
+                         else r.getAs[Long](c) <= s)
+          .map(_.getAs[Long]("n_users")).sum
+      assert(atOrBelow >= s * (users - 1) / 4 + 1,
+        s"$c: cumulative bucket $s holds $atOrBelow of $users users")
+    }
+  }
 }
