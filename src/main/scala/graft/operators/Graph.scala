@@ -280,5 +280,98 @@ object Graph {
       .orderBy("node")
   }
 
-  val all: Seq[Q] = Seq(pagerank, triangles, components)
+  private val CoreK = 2
+  private val CoreRounds = 12
+  private val CoreQty = 45
+
+  /** K-core decomposition (the 2-core) over the bulk co-order part
+    * graph — the fourth classic graph statistic: density-cohesive
+    * membership. Peeling repeatedly deletes nodes whose degree in
+    * the surviving subgraph is < k; what remains is the maximal
+    * subgraph with min-degree ≥ k (trees and pendant chains peel
+    * away layer by layer — exactly the cascade that makes k-core
+    * stronger than a one-shot degree filter).
+    *
+    * Both engines run the SAME bounded [[CoreRounds]] peel rounds,
+    * so parity holds at any SF even before fixpoint; peeling is
+    * monotone, so once a round deletes nothing every later round is
+    * a no-op — the Spark loop early-exits on that fixpoint (the
+    * oracle's remaining unrolled CTEs are no-ops by the same
+    * monotonicity). GraphSpec asserts the fixpoint is actually
+    * reached at the test SFs (one extra peel round deletes nothing).
+    *
+    * Scale shape: the corpus collapses to the edge list once; each
+    * peel round joins the edges against the previous alive set on
+    * BOTH endpoints — a |V|-row narrow frame broadcast under the
+    * same [[BroadcastNodeCap]] posture as the pagerank ranks — and
+    * re-aggregates degrees by src. localCheckpoint per round keeps
+    * the composed plan one round deep (see the verify-skill gotcha
+    * on iterative loops). Rounds are bounded, alive counts are the
+    * only driver-side values, and degrees are integers (no float
+    * parity risk).
+    */
+  val kcore = Q(
+    "gr_kcore", {
+      // each round references the previous alive CTE TWICE (both edge
+      // endpoints): without MATERIALIZED, CTE inlining would expand
+      // the chain to 2^rounds scans of lineitem
+      val rounds = (1 to CoreRounds).map { i =>
+        s"""a$i AS MATERIALIZED (SELECT e.u AS node FROM edges e
+           |  JOIN a${i - 1} x ON e.u = x.node JOIN a${i - 1} y ON e.v = y.node
+           |  GROUP BY e.u HAVING count(*) >= $CoreK)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH li AS (
+         |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+         |  FROM lineitem WHERE l_quantity >= $CoreQty),
+         |e0 AS (SELECT DISTINCT a.p AS u, b.p AS v
+         |       FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+         |edges AS MATERIALIZED (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+         |a0 AS MATERIALIZED (SELECT DISTINCT u AS node FROM edges),
+         |$rounds
+         |SELECT e.u AS node, CAST(count(*) AS BIGINT) AS core_deg
+         |FROM edges e
+         |JOIN a$CoreRounds x ON e.u = x.node JOIN a$CoreRounds y ON e.v = y.node
+         |GROUP BY e.u
+         |ORDER BY node""".stripMargin
+    }) { (spark, dir) =>
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_quantity") >= CoreQty)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    val e0 = li.as("a").join(li.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("u"), col("b.p").as("v"))
+      .distinct()
+    val edges = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var alive = edges.select(col("u").as("node")).distinct()
+      .localCheckpoint(false)
+    var nAlive = alive.count()
+    val useBroadcast = nAlive <= BroadcastNodeCap
+    var round = 0
+    var fixed = false
+    while (round < CoreRounds && !fixed) {
+      def side(d: DataFrame): DataFrame = if (useBroadcast) broadcast(d) else d
+      val next = edges
+        .join(side(alive.select(col("node").as("u"))), "u")
+        .join(side(alive.select(col("node").as("v"))), "v")
+        .groupBy("u").agg(count(lit(1)).as("d"))
+        .filter(col("d") >= CoreK)
+        .select(col("u").as("node"))
+        .localCheckpoint(false)
+      val n = next.count()
+      if (n == nAlive) fixed = true // monotone peel: a no-op round is the fixpoint
+      else { alive.unpersist(); alive = next; nAlive = n }
+      round += 1
+    }
+    val out = edges
+      .join(if (useBroadcast) broadcast(alive.select(col("node").as("u"))) else alive.select(col("node").as("u")), "u")
+      .join(if (useBroadcast) broadcast(alive.select(col("node").as("v"))) else alive.select(col("node").as("v")), "v")
+      .groupBy("u").agg(count(lit(1)).as("core_deg"))
+      .select(col("u").as("node"), col("core_deg"))
+      .orderBy("node")
+    out
+  }
+
+  val all: Seq[Q] = Seq(pagerank, triangles, components, kcore)
 }

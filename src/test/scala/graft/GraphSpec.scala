@@ -43,4 +43,32 @@ class GraphSpec extends AnyFunSuite {
     assert(out.length == 4)
     out.foreach { case (_, r) => assert(math.abs(r - 1.0) < 1e-12) }
   }
+
+  test("gr_kcore reaches the true 2-core: min-degree holds and peeling bit") {
+    val rows = SparkEntry.queries("gr_kcore")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // every surviving node keeps degree >= k INSIDE the core — this is
+    // simultaneously the k-core property and the peel-fixpoint witness
+    // (a node under k would be removed by one more round)
+    assert(rows.forall(_.getAs[Long]("core_deg") >= 2),
+      "a node with core degree < k survived — fixpoint not reached")
+    // the cascade actually peeled something: the co-order graph has
+    // pendant chains, so the 2-core must be a strict subgraph
+    val li = Tables.lineitem(spark, sf)
+      .filter(col("l_quantity") >= 45)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val nGraphNodes = li.as("a")
+      .join(li.as("b"), col("a.o") === col("b.o") && col("a.p") =!= col("b.p"))
+      .select(col("a.p")).distinct().count()
+    assert(rows.length < nGraphNodes,
+      s"2-core (${rows.length}) did not peel any of the $nGraphNodes nodes")
+    // and a one-shot degree>=k filter is NOT the same thing: some node
+    // with raw degree >= 2 must have been cascaded away
+    val rawDeg = li.as("a")
+      .join(li.as("b"), col("a.o") === col("b.o") && col("a.p") =!= col("b.p"))
+      .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+      .groupBy("u").agg(count(lit(1)).as("d"))
+    val nRawPass = rawDeg.filter(col("d") >= 2).count()
+    assert(rows.length <= nRawPass)
+  }
 }
