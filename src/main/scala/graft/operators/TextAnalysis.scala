@@ -1025,6 +1025,110 @@ object TextAnalysis {
       .orderBy("rank")
   }
 
+  /** Gopher-style hard quality rules (Rae et al. 2021, published
+    * thresholds): unlike tx_quality's weighted score, each rule is a
+    * hard boolean gate and a doc must clear ALL of them. Map-only —
+    * one projection over the corpus, no shuffle at any scale; every
+    * ratio is a quotient of identically-computed integers so the
+    * boundary comparisons agree bit-exactly cross-engine.
+    */
+  val gopher = Q(
+    "tx_gopher", {
+      val words = "string_split_regex(trim(text), '\\s+')"
+      val lwords = "string_split_regex(trim(lower(text)), '\\s+')"
+      val sw = stopwords.map(s => s"'$s'").mkString("(", ", ", ")")
+      s"""SELECT doc_id, n_words,
+         |  round(1e-9 + mean_wl + 1e-9, 4) AS mean_word_len,
+         |  round(1e-9 + symbol_ratio + 1e-9, 6) AS symbol_ratio,
+         |  round(1e-9 + bullet_frac + 1e-9, 6) AS bullet_frac,
+         |  round(1e-9 + ellipsis_frac + 1e-9, 6) AS ellipsis_frac,
+         |  round(1e-9 + alpha_frac + 1e-9, 6) AS alpha_frac,
+         |  stop_hits,
+         |  n_words BETWEEN 50 AND 100000 AS r_words,
+         |  mean_wl >= 3 AND mean_wl <= 10 AS r_wordlen,
+         |  symbol_ratio <= 0.1 AS r_symbol,
+         |  bullet_frac <= 0.9 AS r_bullet,
+         |  ellipsis_frac <= 0.3 AS r_ellipsis,
+         |  alpha_frac >= 0.8 AS r_alpha,
+         |  stop_hits >= 2 AS r_stop,
+         |  (n_words BETWEEN 50 AND 100000) AND mean_wl >= 3 AND mean_wl <= 10
+         |    AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9
+         |    AND ellipsis_frac <= 0.3 AND alpha_frac >= 0.8
+         |    AND stop_hits >= 2 AS pass
+         |FROM (
+         |  SELECT doc_id,
+         |    CAST(len($words) AS BIGINT) AS n_words,
+         |    length(regexp_replace(text, '\\s+', '', 'g'))
+         |      / ${d(s"greatest(len($words), 1)")} AS mean_wl,
+         |    ((length(text) - length(replace(text, '#', '')))
+         |      + (length(text) - length(replace(text, '...', ''))) // 3)
+         |      / ${d(s"greatest(len($words), 1)")} AS symbol_ratio,
+         |    len(list_filter(string_split(text, chr(10)), l ->
+         |      starts_with(ltrim(l), '-') OR starts_with(ltrim(l), '*')
+         |      OR starts_with(ltrim(l), '•')))
+         |      / ${d("greatest(len(string_split(text, chr(10))), 1)")} AS bullet_frac,
+         |    len(list_filter(string_split(text, chr(10)), l ->
+         |      ends_with(rtrim(l), '...')))
+         |      / ${d("greatest(len(string_split(text, chr(10))), 1)")} AS ellipsis_frac,
+         |    len(list_filter($words, w -> regexp_matches(w, '[a-zA-Z]')))
+         |      / ${d(s"greatest(len($words), 1)")} AS alpha_frac,
+         |    CAST(len(list_filter($lwords, w -> w IN $sw)) AS BIGINT) AS stop_hits
+         |  FROM documents
+         |)
+         |ORDER BY doc_id""".stripMargin
+    }) { (spark, dir) =>
+    gopherOf(Tables.documents(spark, dir)).orderBy("doc_id")
+  }
+
+  /** The tx_gopher rule battery over any (doc_id, text) frame —
+    * exposed so specs can drive planted per-rule violations.
+    */
+  def gopherOf(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val words = split(trim(col("text")), "\\s+")
+    val lwords = split(trim(lower(col("text"))), "\\s+")
+    val lines = split(col("text"), "\n")
+    val nWordsD = greatest(size(words), lit(1)).cast("double")
+    val nLinesD = greatest(size(lines), lit(1)).cast("double")
+    val meanWl = length(regexp_replace(col("text"), "\\s+", "")) / nWordsD
+    val symbolRatio =
+      ((length(col("text")) - length(regexp_replace(col("text"), "#", ""))) +
+        ((length(col("text")) - length(regexp_replace(col("text"), "\\.\\.\\.", ""))) / 3))
+        .cast("double") / nWordsD
+    val bulletFrac = size(filter(lines, l =>
+      ltrim(l).startsWith("-") || ltrim(l).startsWith("*") || ltrim(l).startsWith("•")))
+      .cast("double") / nLinesD
+    val ellipsisFrac = size(filter(lines, l => rtrim(l).endsWith("...")))
+      .cast("double") / nLinesD
+    val alphaFrac = size(filter(words, _.rlike("[a-zA-Z]"))).cast("double") / nWordsD
+    val stopHits = size(filter(lwords, w => stopwords.map(w === _).reduce(_ || _)))
+      .cast("long")
+    docs
+      .select(col("doc_id"), size(words).cast("long").as("n_words"),
+        meanWl.as("mean_wl"), symbolRatio.as("symbol_ratio"),
+        bulletFrac.as("bullet_frac"), ellipsisFrac.as("ellipsis_frac"),
+        alphaFrac.as("alpha_frac"), stopHits.as("stop_hits"))
+      .select(
+        col("doc_id"), col("n_words"),
+        round(lit(1e-9) + col("mean_wl") + 1e-9, 4).as("mean_word_len"),
+        round(lit(1e-9) + col("symbol_ratio") + 1e-9, 6).as("symbol_ratio"),
+        round(lit(1e-9) + col("bullet_frac") + 1e-9, 6).as("bullet_frac"),
+        round(lit(1e-9) + col("ellipsis_frac") + 1e-9, 6).as("ellipsis_frac"),
+        round(lit(1e-9) + col("alpha_frac") + 1e-9, 6).as("alpha_frac"),
+        col("stop_hits"),
+        col("n_words").between(50, 100000).as("r_words"),
+        (col("mean_wl") >= 3 && col("mean_wl") <= 10).as("r_wordlen"),
+        (col("symbol_ratio") <= 0.1).as("r_symbol"),
+        (col("bullet_frac") <= 0.9).as("r_bullet"),
+        (col("ellipsis_frac") <= 0.3).as("r_ellipsis"),
+        (col("alpha_frac") >= 0.8).as("r_alpha"),
+        (col("stop_hits") >= 2).as("r_stop"),
+        (col("n_words").between(50, 100000) &&
+          col("mean_wl") >= 3 && col("mean_wl") <= 10 &&
+          col("symbol_ratio") <= 0.1 && col("bullet_frac") <= 0.9 &&
+          col("ellipsis_frac") <= 0.3 && col("alpha_frac") >= 0.8 &&
+          col("stop_hits") >= 2).as("pass"))
+  }
+
   val all: Seq[Q] = Seq(tokens, quality, langid, langidClf, html, fingerprint, curate, curateClf, shard, topterms, pii,
-    entropy, pack, vocab, bpePairs)
+    entropy, pack, vocab, bpePairs, gopher)
 }
