@@ -154,5 +154,97 @@ object Layout {
       .orderBy("ship_year")
   }
 
-  val all: Seq[Q] = Seq(partitionPrune, dppJoin)
+  private val ZBits = 16   // per-dimension grid resolution
+  private val ZBuckets = 64 // top-6-bit z ranges → an 8×8 (part, supp) grid
+
+  /** Z-order (Morton-curve) layout — the MULTI-dimensional sibling of
+    * q18's one-dimensional partitioning: bits of the two clustering
+    * keys interleave into one sort key, so contiguous z-ranges are
+    * tight rectangles in (part, supp) space and min/max file stats
+    * prune scans filtered on EITHER dimension (the Delta/Iceberg
+    * OPTIMIZE ZORDER idea). A one-dim sort would leave the second
+    * key's per-file range at full width — zero skipping for its
+    * filters; z-order bounds both.
+    *
+    * The query maps each lineitem to the 2^16 grid (integer-only
+    * normalization — (k−min)·2^16 div (range+1) — so both engines
+    * land on identical cells), interleaves 16 bits per dimension,
+    * buckets rows by the top 6 z bits, and reports each bucket's
+    * min/max on both keys plus its area share of the global
+    * rectangle. The numbers ARE the data-skipping story: ~1/64 area
+    * per bucket means a point filter on either key touches ~8 of 64
+    * buckets (one grid strip). LayoutSpec additionally WRITES the
+    * z-sorted layout via repartitionByRange(z) and asserts every
+    * written file's key rectangles are tight — the stats any parquet
+    * reader would prune with. Map-only + one 64-group agg; the
+    * interleave is 32 codegen'd shift/mask terms, no shuffle beyond
+    * the final tiny aggregation.
+    */
+  val zorder = Q(
+    "q31_zorder", {
+      def interleaveSql(px: String, sx: String): String =
+        (0 until ZBits).flatMap { i =>
+          Seq(s"((($px >> $i) & 1) << ${2 * i})",
+              s"((($sx >> $i) & 1) << ${2 * i + 1})")
+        }.mkString(" + ")
+      s"""WITH b AS (
+         |  SELECT min(l_partkey) AS minp, max(l_partkey) AS maxp,
+         |         min(l_suppkey) AS mins, max(l_suppkey) AS maxs
+         |  FROM lineitem),
+         |g AS (
+         |  SELECT l_partkey AS p, l_suppkey AS s,
+         |    ((l_partkey - minp) * ${1 << ZBits}) // (maxp - minp + 1) AS px,
+         |    ((l_suppkey - mins) * ${1 << ZBits}) // (maxs - mins + 1) AS sx,
+         |    minp, maxp, mins, maxs
+         |  FROM lineitem, b),
+         |z AS (
+         |  SELECT p, s, minp, maxp, mins, maxs,
+         |    (${interleaveSql("px", "sx")}) >> ${2 * ZBits - 6} AS bucket
+         |  FROM g)
+         |SELECT bucket,
+         |  CAST(count(*) AS BIGINT) AS n_rows,
+         |  min(p) AS min_p, max(p) AS max_p,
+         |  min(s) AS min_s, max(s) AS max_s,
+         |  round(1e-9 + CAST((max(p) - min(p) + 1) * (max(s) - min(s) + 1) AS DOUBLE)
+         |    / ((max(maxp) - max(minp) + 1) * (max(maxs) - max(mins) + 1)), 6)
+         |    AS area_share
+         |FROM z
+         |GROUP BY bucket
+         |ORDER BY bucket""".stripMargin
+    }) { (spark, dir) =>
+    val li = Tables.lineitem(spark, dir)
+    val b = li.agg(
+      min("l_partkey").as("minp"), max("l_partkey").as("maxp"),
+      min("l_suppkey").as("mins"), max("l_suppkey").as("maxs"))
+    val g = li.select(col("l_partkey").as("p"), col("l_suppkey").as("s"))
+      .crossJoin(broadcast(b))
+      .withColumn("px", expr(s"((p - minp) * ${1 << ZBits}) div (maxp - minp + 1)"))
+      .withColumn("sx", expr(s"((s - mins) * ${1 << ZBits}) div (maxs - mins + 1)"))
+    val zcol = (0 until ZBits).flatMap { i =>
+      Seq(shiftleft(shiftright(col("px"), i).bitwiseAND(lit(1L)), 2 * i),
+          shiftleft(shiftright(col("sx"), i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ + _)
+    g.withColumn("bucket", shiftright(zcol, 2 * ZBits - 6))
+      .groupBy("bucket")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min("p").as("min_p"), max("p").as("max_p"),
+        min("s").as("min_s"), max("s").as("max_s"),
+        round(lit(1e-9) +
+          ((max("p") - min("p") + 1) * (max("s") - min("s") + 1)).cast("double") /
+          ((max("maxp") - max("minp") + 1) * (max("maxs") - max("mins") + 1)), 6)
+          .as("area_share"))
+      .orderBy("bucket")
+  }
+
+  /** The z-value column for LayoutSpec's physical write: same grid,
+    * same interleave, over any frame carrying (p, s, minp…maxs).
+    */
+  def zValue(px: org.apache.spark.sql.Column, sx: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (0 until ZBits).flatMap { i =>
+      Seq(shiftleft(shiftright(px, i).bitwiseAND(lit(1L)), 2 * i),
+          shiftleft(shiftright(sx, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ + _)
+
+  val all: Seq[Q] = Seq(partitionPrune, dppJoin, zorder)
 }

@@ -70,4 +70,61 @@ class LayoutSpec extends AnyFunSuite {
       .orderBy("l_returnflag").collect()
     assert(pruned.toSeq == flat.toSeq)
   }
+
+  test("q31_zorder buckets are tight rectangles: point filters touch one strip") {
+    val rows = SparkEntry.queries("q31_zorder")(spark, sf).collect()
+    assert(rows.length > 8, s"expected a populated z-grid, got ${rows.length} buckets")
+    // every bucket covers a small share of the (part, supp) rectangle —
+    // the whole point of interleaving vs a one-dimensional sort
+    val shares = rows.map(_.getAs[Double]("area_share"))
+    assert(shares.forall(_ <= 0.25), s"a bucket spans ${shares.max} of the space")
+    val avg = shares.sum / shares.length
+    assert(avg <= 4.0 / 64,
+      f"avg bucket area $avg%.4f exceeds 4x the ideal 1/64 cell")
+    // a point filter on EITHER key touches only one grid strip (~8 of
+    // 64 buckets), not all of them — that's the two-sided skipping win
+    val (minP, maxP) = (rows.map(_.getAs[Long]("min_p")).min, rows.map(_.getAs[Long]("max_p")).max)
+    val probeP = (minP + maxP) / 2
+    val touchedP = rows.count(r => r.getAs[Long]("min_p") <= probeP && probeP <= r.getAs[Long]("max_p"))
+    assert(touchedP <= 16, s"partkey point filter touches $touchedP of ${rows.length} buckets")
+    val (minS, maxS) = (rows.map(_.getAs[Long]("min_s")).min, rows.map(_.getAs[Long]("max_s")).max)
+    val probeS = (minS + maxS) / 2
+    val touchedS = rows.count(r => r.getAs[Long]("min_s") <= probeS && probeS <= r.getAs[Long]("max_s"))
+    assert(touchedS <= 16, s"suppkey point filter touches $touchedS of ${rows.length} buckets")
+  }
+
+  test("the physically z-written layout has tight per-file stats on BOTH keys") {
+    import org.apache.spark.sql.functions._
+    val li = Tables.lineitem(spark, sf)
+    val b = li.agg(
+      min("l_partkey").as("minp"), max("l_partkey").as("maxp"),
+      min("l_suppkey").as("mins"), max("l_suppkey").as("maxs"))
+    val g = li.select(col("l_partkey").as("p"), col("l_suppkey").as("s"))
+      .crossJoin(broadcast(b))
+      .withColumn("px", expr(s"((p - minp) * 65536) div (maxp - minp + 1)"))
+      .withColumn("sx", expr(s"((s - mins) * 65536) div (maxs - mins + 1)"))
+      .withColumn("z", operators.Layout.zValue(col("px"), col("sx")))
+    val out = java.nio.file.Files.createTempDirectory("zorder").toString
+    // the production layout job: range-partition on z, sort within
+    g.select("p", "s", "z").repartitionByRange(16, col("z"))
+      .sortWithinPartitions("z")
+      .write.mode("overwrite").parquet(out)
+    val perFile = spark.read.parquet(out)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("p").as("minp"), max("p").as("maxp"),
+        min("s").as("mins"), max("s").as("maxs"))
+      .collect()
+    assert(perFile.length > 4)
+    val Seq(gp, gs) = Seq(("minp", "maxp"), ("mins", "maxs")).map { case (lo, hi) =>
+      (perFile.map(_.getAs[Long](lo)).min, perFile.map(_.getAs[Long](hi)).max)
+    }
+    // each file's rectangle area stays well under the full rectangle —
+    // min/max footer stats would prune it for most filters on either key
+    val gArea = (gp._2 - gp._1 + 1).toDouble * (gs._2 - gs._1 + 1)
+    val avgArea = perFile.map(r =>
+      (r.getAs[Long]("maxp") - r.getAs[Long]("minp") + 1).toDouble *
+        (r.getAs[Long]("maxs") - r.getAs[Long]("mins") + 1)).sum / perFile.length
+    assert(avgArea <= gArea / 4,
+      f"avg file covers ${avgArea / gArea}%.3f of the key space — no skipping value")
+  }
 }
