@@ -713,4 +713,41 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.split("Exchange hashpartitioning").drop(1).exists(_.take(80).contains("text")),
       "no keyed exchange may carry document text")
   }
+
+  test("ix_bm25_incremental serves O(|delta|): one delta scan, standing stats cached") {
+    // warm the standing-stats memo (the nightly build, billed once)
+    operators.Search.bm25StatsStanding(spark, sf).count()
+    val df = SparkEntry.queries("ix_bm25_incremental")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // count scan NODES in the live tree — the plan STRING also prints
+    // the InMemoryRelation's cached build plan, which never re-executes.
+    // AQE wrappers and query stages are leaves to collect(), so unwrap.
+    def liveScans(sp: org.apache.spark.sql.execution.SparkPlan): Int = {
+      val self = sp match {
+        case _: org.apache.spark.sql.execution.FileSourceScanExec => 1
+        case _ => 0
+      }
+      val nested = sp match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          liveScans(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          liveScans(q.plan)
+        case _ => 0
+      }
+      self + nested + sp.children.map(liveScans).sum
+    }
+    assert(liveScans(df.queryExecution.executedPlan) == 1,
+      "serve path must scan ONLY the delta documents — standing text stays unread")
+    assert(p.contains("InMemoryTableScan") || p.contains("InMemoryRelation"),
+      "standing stats must come from the memoized build, not a recompute")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-k must ride the bounded heap, not a global sort")
+    // pinned weights: a delta doc's score equals the standing-stats formula
+    val g = operators.Search.bm25StatsStanding(spark, sf).collect()(0)
+    assert(g.getAs[Long]("n") > 0)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Long]("doc_id") % 10 >= 8),
+      "only delta docs may appear in the incremental ranking")
+  }
 }
