@@ -566,5 +566,82 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(meta, frames, resample, image, segments, phashPairs, phashIncremental)
+  private val AudioFrames = 16
+
+  /** Per-doc audio fingerprint over any (doc_id, text) frame: the
+    * payload is synthesized+parsed (Spark side) while the oracle
+    * recomputes from the text directly — the mm_meta independence
+    * discipline. Exposed for the planted-pair spec.
+    */
+  private[graft] def audioHashOf(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val blobs = docs.select(col("doc_id"), wavPayload.as("payload"))
+    val p = col("payload")
+    // decode the data section back out of the parsed container bytes
+    val parsed = blobs.select(col("doc_id"),
+      rd32(p, 41).as("data_bytes"),
+      expr("decode(substring(payload, 45, octet_length(payload) - 44), 'UTF-8')").as("s"))
+      .withColumn("n", length(col("s")))
+    // frame f covers chars [f*n/16, (f+1)*n/16) — integer boundaries
+    def energy(f: Int): Column =
+      aggregate(
+        split(expr(s"substring(s, ($f * n) div $AudioFrames + 1, " +
+          s"((${f + 1} * n) div $AudioFrames) - (($f * n) div $AudioFrames))"), ""),
+        lit(0L), (acc, c) => acc + ascii(c))
+    val withE = parsed.select(
+      col("doc_id") +: col("data_bytes") +:
+        (0 until AudioFrames).map(f => energy(f).as(s"e$f")): _*)
+    val fp = (0 until AudioFrames - 1).map { f =>
+      shiftleft((col(s"e${f + 1}") > col(s"e$f")).cast("long"), f)
+    }.reduce(_ + _)
+    withE.select(col("doc_id"), col("data_bytes"),
+      col("e0").as("energy_first"), col(s"e${AudioFrames - 1}").as("energy_last"),
+      fp.as("fingerprint"))
+      .withColumn("n_rising", bit_count(col("fingerprint")).cast("long"))
+  }
+
+  /** mm_audio_hash — perceptual audio fingerprint (Haitsma/Kalker
+    * robust-hash shape, simplified to one energy band): the WAV data
+    * section is parsed back out of the container bytes, split into 16
+    * equal frames, and each frame's energy (sum of sample codes)
+    * feeds a 15-bit sign-of-energy-delta fingerprint — the property
+    * that makes it PERCEPTUAL is that small payload edits flip at
+    * most the bits of the frames they touch, so near-identical audio
+    * lands within a small Hamming distance (planted-pair spec) and
+    * the existing banded-Hamming machinery (mm_phash_pairs) applies
+    * unchanged. Map-only over the corpus; the oracle recomputes the
+    * energies arithmetically from the text WITHOUT byte-parsing, so
+    * the hash-match independently checks the byte-level parse.
+    */
+  val audioHash = Q(
+    "mm_audio_hash", {
+      def energySql(f: Int): String =
+        s"coalesce(list_sum(list_transform(string_split(substr(text, ($f * n) // $AudioFrames + 1, " +
+          s"((${f + 1} * n) // $AudioFrames) - (($f * n) // $AudioFrames)), ''), " +
+          s"c -> CAST(ascii(c) AS BIGINT))), 0)"
+      val eCols = (0 until AudioFrames).map(f => s"${energySql(f)} AS e$f").mkString(",\n    ")
+      val fpSql = (0 until AudioFrames - 1).map { f =>
+        s"(CASE WHEN e${f + 1} > e$f THEN 1 ELSE 0 END << $f)"
+      }.mkString(" + ")
+      s"""WITH base AS (SELECT doc_id, text, length(text) AS n,
+         |    CAST(octet_length(encode(text)) AS BIGINT) AS data_bytes
+         |  FROM documents),
+         |e AS (
+         |  SELECT doc_id, data_bytes,
+         |    $eCols
+         |  FROM base)
+         |SELECT doc_id, data_bytes,
+         |  CAST(e0 AS BIGINT) AS energy_first,
+         |  CAST(e${AudioFrames - 1} AS BIGINT) AS energy_last,
+         |  CAST($fpSql AS BIGINT) AS fingerprint,
+         |  CAST(bit_count($fpSql) AS BIGINT) AS n_rising
+         |FROM e
+         |ORDER BY doc_id""".stripMargin
+    }) { (spark, dir) =>
+    audioHashOf(Tables.documents(spark, dir).select("doc_id", "text"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(meta, frames, resample, image, segments, phashPairs, phashIncremental,
+    audioHash)
 }
