@@ -175,5 +175,86 @@ object Classifier {
       .as[Double].head()
   }
 
-  val all: Seq[Q] = Seq(score)
+  private val CalBins = 10
+
+  /** clf_calibration — the reliability diagram for clf_score: scores
+    * binned into 10 equal-width bins over the observed [min, max],
+    * each bin reporting its doc count, mean score and OBSERVED
+    * positive rate under the distill-target label (the stopword-
+    * density gate the trainer learns from). A well-calibrated
+    * classifier shows pos_rate rising monotonically with the bin —
+    * the ML-eval step between training and deployment gating.
+    *
+    * Scale shape: one corpus pass for the scores (the clf_score
+    * kernel), a 1-row min/max aggregate broadcast back, and a 10-row
+    * final aggregate. Bins are computed from the 6-dp ROUNDED scores
+    * (already proven bit-exact cross-engine by clf_score's hash
+    * check), so the equal-width binning arithmetic sees identical
+    * doubles on both sides.
+    */
+  val calibration = Q(
+    "clf_calibration", {
+      val wh = Hashing.wordHashesSql("text")
+      val w = s"((h % $D + 1) * ${graft.functions.BpeKernels.WA}) % ${Hashing.P} " +
+        s"- ${graft.functions.BpeKernels.Half}"
+      val words = "string_split_regex(trim(lower(text)), '\\s+')"
+      val sw = Seq("the", "a", "of", "to", "and", "in", "is", "it", "that", "for")
+        .map(s => s"'$s'").mkString("(", ", ", ")")
+      s"""WITH scored AS (
+         |  SELECT doc_id,
+         |    round(1e-9 + margin / (n_tokens * ${graft.functions.BpeKernels.Half}.0) + 1e-9, 6) AS score,
+         |    y
+         |  FROM (
+         |    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         |      CAST(len(wh) AS BIGINT) AS n_tokens,
+         |      list_reduce(list_concat([CAST(0 AS BIGINT)],
+         |        list_transform(wh, h -> $w)), (a, b) -> a + b) AS margin,
+         |      y
+         |    FROM (SELECT doc_id, $wh AS wh,
+         |      CASE WHEN len(list_filter($words, x -> x IN $sw))
+         |        / ${d(s"greatest(len($words), 1)")} >= 0.065 THEN 1 ELSE 0 END AS y
+         |      FROM documents))),
+         |b AS (SELECT min(score) AS lo, max(score) AS hi FROM scored)
+         |SELECT bin,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  round(1e-9 + avg(score) + 1e-9, 6) AS avg_score,
+         |  round(1e-9 + avg(CAST(y AS DOUBLE)) + 1e-9, 6) AS pos_rate
+         |FROM (
+         |  SELECT least(CAST(floor((score - lo) * $CalBins
+         |      / greatest(hi - lo, 1e-12)) AS BIGINT), ${CalBins - 1}) AS bin,
+         |    score, y
+         |  FROM scored, b)
+         |GROUP BY bin
+         |ORDER BY bin""".stripMargin
+    }) { (spark, dir) =>
+    val words = split(trim(lower(col("text"))), "\\s+")
+    val nStop = size(filter(words,
+      w => Seq("the", "a", "of", "to", "and", "in", "is", "it", "that", "for")
+        .map(w === _).reduce(_ || _)))
+    val denom = greatest(size(words), lit(1)).cast("double")
+    // one map-only pass: the clf_score kernel and the label ride the
+    // same scan — no join, no second read of the text
+    val wh = Hashing.wordHashes(col("text"))
+    val scored = Tables.documents(spark, dir)
+      .select(
+        round(lit(1e-9) + BpeExprs.linear_margin(wh, D) /
+          (size(wh).cast("long") * lit(graft.functions.BpeKernels.Half.toDouble)) + 1e-9, 6)
+          .as("score"),
+        (nStop / denom >= 0.065).cast("int").as("y"))
+    val b = scored.agg(min("score").as("lo"), max("score").as("hi"))
+    scored.crossJoin(broadcast(b))
+      .withColumn("bin",
+        least(floor((col("score") - col("lo")) * CalBins /
+          greatest(col("hi") - col("lo"), lit(1e-12))).cast("long"),
+          lit((CalBins - 1).toLong)))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"),
+        round(lit(1e-9) + avg("score") + 1e-9, 6).as("avg_score"),
+        round(lit(1e-9) + avg(col("y").cast("double")) + 1e-9, 6).as("pos_rate"))
+      .orderBy("bin")
+  }
+
+  private def d(x: String): String = s"CAST($x AS DOUBLE)"
+
+  val all: Seq[Q] = Seq(score, calibration)
 }

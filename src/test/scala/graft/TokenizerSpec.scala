@@ -165,4 +165,23 @@ class TokenizerSpec extends AnyFunSuite {
     val acc = operators.Classifier.accuracy(spark, tmp, w, b)
     assert(acc == 1.0, f"separable fixture must be fully learned, got $acc%.3f")
   }
+
+  test("clf_calibration bins partition the corpus and carry valid rates") {
+    val rows = SparkEntry.queries("clf_calibration")(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    val total = rows.map(_.getAs[Long]("n_docs")).sum
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(total == nDocs, s"bins cover $total of $nDocs docs")
+    for (r <- rows) {
+      val bin = r.getAs[Long]("bin")
+      assert(bin >= 0 && bin <= 9)
+      val rate = r.getAs[Double]("pos_rate")
+      assert(rate >= 0.0 && rate <= 1.0 + 1e-9)
+    }
+    // avg_score rises with the bin — equal-width bins over the score
+    // axis make this structural, not a calibration claim
+    val byBin = rows.sortBy(_.getAs[Long]("bin")).map(_.getAs[Double]("avg_score"))
+    assert(byBin.zip(byBin.tail).forall { case (a, b) => a <= b + 1e-9 },
+      "bin mean scores must be non-decreasing across bins")
+  }
 }
