@@ -764,8 +764,72 @@ object Events {
       .orderBy("r_score", "f_score", "m_score")
   }
 
+  private val SesAlpha = 0.25
+  private val SesWindow = 24
+
+  /** ev_forecast — one-step-ahead exponential-smoothing forecast of
+    * the per-type 5-minute event rate (the capacity-planning twin of
+    * ev_anomaly's z-score: anomaly asks "is now weird", forecast asks
+    * "what comes next"). Truncated SES: forecast(t) =
+    * α·Σ_{k=1..24} (1−α)^{k−1}·x(t−k·300), with absent buckets
+    * correctly contributing zero RATE (time-offset weighting, not
+    * row-offset — a gap in the series decays the forecast, which a
+    * rows-window would silently skip). The 24 weights are emitted as
+    * exact double literals into BOTH engines, so no pow() libm
+    * variance exists; the only float work is a ≤24-term weighted sum.
+    *
+    * Scale shape: the corpus collapses to the (bucket, type) counts
+    * frame in one keyed agg; contributions explode that SMALL frame
+    * 24× (never the raw events) and re-aggregate; the final join is
+    * counts-to-forecast on the same key. Everything after the first
+    * agg is corpus-size-independent.
+    */
+  val forecast = Q(
+    "ev_forecast", {
+      val weights = (1 to SesWindow).map(k =>
+        (k, SesAlpha * math.pow(1 - SesAlpha, k - 1)))
+      val wRows = weights.map { case (k, w) => s"($k, ${w.toString})" }.mkString(", ")
+      s"""WITH c AS (
+         |  SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS bucket_s,
+         |    event_type, CAST(count(*) AS BIGINT) AS n_events
+         |  FROM events GROUP BY 1, 2),
+         |f AS (
+         |  SELECT event_type AS f_type, bucket_s + k * 300 AS tb,
+         |    sum(n_events * w) AS forecast
+         |  FROM c, (VALUES $wRows) AS wt(k, w)
+         |  GROUP BY 1, 2)
+         |SELECT c.event_type, c.bucket_s, c.n_events,
+         |  round(1e-9 + coalesce(f.forecast, 0) + 1e-9, 4) AS forecast,
+         |  round(1e-9 + abs(c.n_events - coalesce(f.forecast, 0)) + 1e-9, 4) AS abs_err
+         |FROM c LEFT JOIN f ON f.f_type = c.event_type AND f.tb = c.bucket_s
+         |ORDER BY event_type, bucket_s""".stripMargin
+    }) { (spark, dir) =>
+    val counts = Tables.events(spark, dir)
+      .withColumn("bucket_s",
+        (floor(col("ts").cast("double") / 300) * 300).cast("long"))
+      .groupBy("bucket_s", "event_type")
+      .agg(count(lit(1)).as("n_events"))
+    val wArr = array((1 to SesWindow).map { k =>
+      struct(lit(k.toLong).as("k"),
+        lit(SesAlpha * math.pow(1 - SesAlpha, k - 1)).as("w"))
+    }: _*)
+    val contrib = counts
+      .select(col("event_type"), col("bucket_s"), col("n_events"),
+        explode(wArr).as("wt"))
+      .groupBy(col("event_type").as("f_type"), (col("bucket_s") + col("wt.k") * 300).as("tb"))
+      .agg(sum(col("n_events") * col("wt.w")).as("forecast"))
+    counts.join(contrib,
+        col("f_type") === col("event_type") &&
+          col("tb") === col("bucket_s"), "left")
+      .select(col("event_type"), col("bucket_s"), col("n_events"),
+        round(lit(1e-9) + coalesce(col("forecast"), lit(0d)) + 1e-9, 4).as("forecast"),
+        round(lit(1e-9) + abs(col("n_events") - coalesce(col("forecast"), lit(0d))) + 1e-9, 4)
+          .as("abs_err"))
+      .orderBy("event_type", "bucket_s")
+  }
+
   val all: Seq[Q] =
     Seq(windowAgg, sessionize, funnel, json, retention, asof, rangeJoin,
       sessionWindow, variant, windowFunnel, gapfill, attribution, pathing,
-      anomaly, rfm)
+      anomaly, rfm, forecast)
 }

@@ -101,4 +101,31 @@ class MonitorSpec extends AnyFunSuite {
     assert(out(2L) == ((0L, 0L, 0.0, false)))
     assert(out(3L) == ((1L, 6L, 1.0, true)))
   }
+
+  test("ev_forecast converges on a constant series and decays across a gap") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_fc").toString
+    // constant 10 events per bucket for 40 buckets, then a 10-bucket
+    // OUTAGE, then one resumed bucket — the forecast for the resumed
+    // bucket must have decayed toward zero (missing buckets are zero
+    // rate, not skipped rows)
+    val rows = for {
+      b <- (0 until 40) ++ Seq(50)
+      i <- 0 until 10
+    } yield (b.toLong * 100 + i, b.toLong * 300 + i % 300, 1L + i, "load", 1.0, "{}")
+    rows.toDF("event_id", "ts_s", "user_id", "event_type", "value", "props")
+      .withColumn("ts", timestamp_seconds(col("ts_s"))).drop("ts_s")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = SparkEntry.queries("ev_forecast")(spark, tmp).collect()
+      .map(r => r.getAs[Long]("bucket_s") -> r.getAs[Double]("forecast")).toMap
+    // deep in the steady state the truncated SES sits at 10·(1−0.75²⁴)
+    val steady = out(39L * 300)
+    assert(math.abs(steady - 10.0) < 0.05, s"steady-state forecast $steady far from 10")
+    // after 10 silent buckets only weights k=11..24 see history:
+    // forecast = 10·0.25·Σ_{k=11..24}0.75^{k-1} = 10·(0.75^10 − 0.75^24)
+    val resumed = out(50L * 300)
+    val want = 10.0 * (math.pow(0.75, 10) - math.pow(0.75, 24))
+    assert(math.abs(resumed - want) < 0.01,
+      s"post-gap forecast $resumed should equal the decayed $want")
+  }
 }
