@@ -71,33 +71,40 @@ object Cluster {
       Seq(centFinal)
     }.head
 
+  /** The WITH-chain deriving s3 (every vector scored against the two-
+    * iteration centroids) — shared by the topics, profile and
+    * silhouette oracles.
+    */
+  private def s3ChainSql: String = {
+    val dims = s"(SELECT unnest(generate_series(1, ${Ann.Dim})) AS i)"
+    def scoreSql(cent: String) =
+      s"SELECT c.vec_id, cid, list_dot_product(e, ce) / (nrm * cn) AS ccos FROM c, $cent"
+    def refineSql(prev: String) =
+      s"""SELECT cid, ce, sqrt(list_dot_product(ce, ce)) AS cn FROM (
+         |    SELECT cid, list(m ORDER BY i) AS ce FROM (
+         |      SELECT cid, i, round(1e-9 + avg(e[i]), 6) AS m
+         |      FROM (SELECT vec_id, cid FROM (
+         |          SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+         |          FROM $prev) WHERE rn = 1) a
+         |        JOIN c USING (vec_id), $dims
+         |      GROUP BY cid, i) GROUP BY cid)""".stripMargin
+    s"""c AS (${Ann.corpusSql}),
+       |cent0 AS (SELECT vec_id AS cid, e AS ce, nrm AS cn FROM c WHERE vec_id < $K),
+       |s1 AS (${scoreSql("cent0")}),
+       |cent1 AS (${refineSql("s1")}),
+       |s2 AS (${scoreSql("cent1")}),
+       |cent2 AS (${refineSql("s2")}),
+       |s3 AS (${scoreSql("cent2")})""".stripMargin
+  }
+
   val topics = Q(
-    "km_topics", {
-      val dims = s"(SELECT unnest(generate_series(1, ${Ann.Dim})) AS i)"
-      def scoreSql(cent: String) =
-        s"SELECT c.vec_id, cid, list_dot_product(e, ce) / (nrm * cn) AS ccos FROM c, $cent"
-      def refineSql(prev: String) =
-        s"""SELECT cid, ce, sqrt(list_dot_product(ce, ce)) AS cn FROM (
-           |    SELECT cid, list(m ORDER BY i) AS ce FROM (
-           |      SELECT cid, i, round(1e-9 + avg(e[i]), 6) AS m
-           |      FROM (SELECT vec_id, cid FROM (
-           |          SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
-           |          FROM $prev) WHERE rn = 1) a
-           |        JOIN c USING (vec_id), $dims
-           |      GROUP BY cid, i) GROUP BY cid)""".stripMargin
-      s"""WITH c AS (${Ann.corpusSql}),
-         |cent0 AS (SELECT vec_id AS cid, e AS ce, nrm AS cn FROM c WHERE vec_id < $K),
-         |s1 AS (${scoreSql("cent0")}),
-         |cent1 AS (${refineSql("s1")}),
-         |s2 AS (${scoreSql("cent1")}),
-         |cent2 AS (${refineSql("s2")}),
-         |s3 AS (${scoreSql("cent2")})
-         |SELECT vec_id, CAST(cid AS BIGINT) AS cluster, round(1e-9 + ccos, 6) AS ccos
-         |FROM (SELECT vec_id, cid, ccos,
-         |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
-         |  FROM s3) WHERE rn = 1
-         |ORDER BY vec_id""".stripMargin
-    }) { (spark, dir) =>
+    "km_topics",
+    s"""WITH $s3ChainSql
+       |SELECT vec_id, CAST(cid AS BIGINT) AS cluster, round(1e-9 + ccos, 6) AS ccos
+       |FROM (SELECT vec_id, cid, ccos,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+       |  FROM s3) WHERE rn = 1
+       |ORDER BY vec_id""".stripMargin) { (spark, dir) =>
     assignment(spark, dir).orderBy("vec_id")
   }
 
@@ -139,5 +146,55 @@ object Cluster {
       .orderBy("cluster")
   }
 
-  val all: Seq[Q] = Seq(topics, profile)
+  /** km_silhouette — simplified (centroid-based) silhouette per
+    * cluster, THE standard clustering-quality diagnostic: for each
+    * vector a = cosine distance to its own centroid, b = distance to
+    * the nearest OTHER centroid, s = (b − a)/max(a, b) ∈ [−1, 1];
+    * clusters reported with member count, mean and min silhouette.
+    * The full-pairwise silhouette is O(N²); the centroid form is the
+    * one any production pipeline computes, and it reuses the serve
+    * pass: ONE scoring of the corpus against the k memoized centroids,
+    * then a single per-vector aggregation collecting the k cosines
+    * (k=8 structs — bounded), then an 8-row agg. No pairwise surface,
+    * no window over the corpus.
+    */
+  val silhouette = Q(
+    "km_silhouette",
+    s"""WITH $s3ChainSql,
+       |ranked AS (
+       |  SELECT vec_id, cid, ccos,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+       |  FROM s3),
+       |pv AS (
+       |  SELECT vec_id,
+       |    max(CASE WHEN rn = 1 THEN cid END) AS cluster,
+       |    max(CASE WHEN rn = 1 THEN ccos END) AS c1,
+       |    max(CASE WHEN rn = 2 THEN ccos END) AS c2
+       |  FROM ranked GROUP BY vec_id)
+       |SELECT CAST(cluster AS BIGINT) AS cluster,
+       |  CAST(count(*) AS BIGINT) AS n_members,
+       |  round(1e-9 + avg((c1 - c2) / greatest(1 - c1, 1 - c2, 1e-12)) + 1e-9, 6) AS avg_sil,
+       |  round(1e-9 + min((c1 - c2) / greatest(1 - c1, 1 - c2, 1e-12)) + 1e-9, 6) AS min_sil
+       |FROM pv GROUP BY cluster
+       |ORDER BY cluster""".stripMargin) { (spark, dir) =>
+    val scored = Ann.scoreAgainst(Ann.corpus(spark, dir), centroids(spark, dir))
+    // ONE aggregation: all k cosines per vector, sorted (ccos DESC,
+    // cid ASC) via the negated-struct trick — a[0] is the assignment,
+    // a[1] the nearest other centroid
+    val pv = scored.groupBy("vec_id")
+      .agg(array_sort(collect_list(struct((-col("ccos")).as("nc"), col("cid")))).as("a"))
+      .select(col("vec_id"),
+        col("a").getItem(0).getField("cid").as("cluster"),
+        (-col("a").getItem(0).getField("nc")).as("c1"),
+        (-col("a").getItem(1).getField("nc")).as("c2"))
+    val sil = (col("c1") - col("c2")) /
+      greatest(lit(1d) - col("c1"), lit(1d) - col("c2"), lit(1e-12))
+    pv.groupBy(col("cluster").cast("long").as("cluster"))
+      .agg(count(lit(1)).as("n_members"),
+        round(lit(1e-9) + avg(sil) + 1e-9, 6).as("avg_sil"),
+        round(lit(1e-9) + min(sil) + 1e-9, 6).as("min_sil"))
+      .orderBy("cluster")
+  }
+
+  val all: Seq[Q] = Seq(topics, profile, silhouette)
 }

@@ -47,4 +47,18 @@ class ClustersSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("rounds"))
   }
+
+  test("km_silhouette: bounded scores, full coverage, counts match km_profile") {
+    val sil = SparkEntry.queries("km_silhouette")(spark, sf).collect()
+    assert(sil.nonEmpty)
+    for (r <- sil) {
+      val (a, m) = (r.getAs[Double]("avg_sil"), r.getAs[Double]("min_sil"))
+      assert(a >= -1.0 - 1e-6 && a <= 1.0 + 1e-6)
+      assert(m <= a + 1e-9, "min silhouette cannot exceed the mean")
+    }
+    val prof = SparkEntry.queries("km_profile")(spark, sf).collect()
+      .map(r => r.getAs[Long]("cluster") -> r.getAs[Long]("n_members")).toMap
+    assert(sil.map(r => r.getAs[Long]("cluster") -> r.getAs[Long]("n_members")).toMap
+      == prof, "silhouette must see exactly the profile's membership")
+  }
 }
