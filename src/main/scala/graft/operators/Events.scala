@@ -828,8 +828,89 @@ object Events {
       .orderBy("event_type", "bucket_s")
   }
 
+  /** ev_changepoint — offline change-point detection on the per-type
+    * rate series (the first split of binary segmentation, CUSUM's
+    * batch face): the change point is the bucket maximizing the
+    * absolute cumulative deviation |Σ_{i≤k}(x_i − x̄)| — where the
+    * running sum strays farthest from the constant-mean line. Reports
+    * the split bucket, its deviation, and the mean rate before/after
+    * — the "did the level shift, and when" question ev_anomaly's
+    * local z-score can't answer.
+    *
+    * Scale shape: the corpus collapses to the (bucket, type) counts
+    * frame in one keyed agg; the running sums are ONE window over
+    * that small frame, and the argmax is a struct-max aggregation
+    * (ties → earliest bucket via the negated-bucket field), never a
+    * sort. Running sums are order-defined by the window, so the
+    * doubles agree bit-exactly cross-engine.
+    */
+  val changepoint = Q(
+    "ev_changepoint",
+    """SELECT event_type, cp_bucket, n_buckets,
+      |  round(1e-9 + max_dev + 1e-9, 4) AS max_dev,
+      |  round(1e-9 + mean_before + 1e-9, 4) AS mean_before,
+      |  round(1e-9 + mean_after + 1e-9, 4) AS mean_after
+      |FROM (
+      |  SELECT event_type,
+      |    max(CASE WHEN rn = 1 THEN bucket_s END) AS cp_bucket,
+      |    max(CASE WHEN rn = 1 THEN adev END) AS max_dev,
+      |    max(CASE WHEN rn = 1 THEN cum_sum / cum_n END) AS mean_before,
+      |    max(CASE WHEN rn = 1 THEN (tot_sum - cum_sum) / nullif(tot_n - cum_n, 0) END)
+      |      AS mean_after,
+      |    CAST(max(tot_n) AS BIGINT) AS n_buckets
+      |  FROM (
+      |    SELECT event_type, bucket_s, cum_sum, cum_n, tot_sum, tot_n,
+      |      abs(cum_sum - cum_n * (tot_sum / tot_n)) AS adev,
+      |      row_number() OVER (PARTITION BY event_type
+      |        ORDER BY abs(cum_sum - cum_n * (tot_sum / tot_n)) DESC, bucket_s) AS rn
+      |    FROM (
+      |      SELECT event_type, bucket_s,
+      |        CAST(sum(n) OVER (PARTITION BY event_type ORDER BY bucket_s
+      |          ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_sum,
+      |        CAST(count(*) OVER (PARTITION BY event_type ORDER BY bucket_s
+      |          ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_n,
+      |        CAST(sum(n) OVER (PARTITION BY event_type) AS DOUBLE) AS tot_sum,
+      |        CAST(count(*) OVER (PARTITION BY event_type) AS DOUBLE) AS tot_n
+      |      FROM (
+      |        SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS bucket_s,
+      |          event_type, count(*) AS n
+      |        FROM events GROUP BY 1, 2)))
+      |  GROUP BY event_type)
+      |ORDER BY event_type""".stripMargin) { (spark, dir) =>
+    val counts = Tables.events(spark, dir)
+      .withColumn("bucket_s",
+        (floor(col("ts").cast("double") / 300) * 300).cast("long"))
+      .groupBy("bucket_s", "event_type")
+      .agg(count(lit(1)).as("n"))
+    val run = Window.partitionBy("event_type").orderBy("bucket_s")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.partitionBy("event_type")
+    val dev = counts
+      .withColumn("cum_sum", sum("n").over(run).cast("double"))
+      .withColumn("cum_n", count(lit(1)).over(run).cast("double"))
+      .withColumn("tot_sum", sum("n").over(whole).cast("double"))
+      .withColumn("tot_n", count(lit(1)).over(whole).cast("double"))
+      .withColumn("adev",
+        abs(col("cum_sum") - col("cum_n") * (col("tot_sum") / col("tot_n"))))
+    dev.groupBy("event_type")
+      .agg(
+        max(struct(col("adev"), (-col("bucket_s")).as("nb"), col("bucket_s").as("b"),
+          (col("cum_sum") / col("cum_n")).as("mb"),
+          ((col("tot_sum") - col("cum_sum")) /
+            when(col("tot_n") - col("cum_n") === 0, lit(null))
+              .otherwise(col("tot_n") - col("cum_n"))).as("ma"))).as("m"),
+        max("tot_n").as("tot_n"))
+      .select(col("event_type"),
+        col("m.b").as("cp_bucket"),
+        col("tot_n").cast("long").as("n_buckets"),
+        round(lit(1e-9) + col("m.adev") + 1e-9, 4).as("max_dev"),
+        round(lit(1e-9) + col("m.mb") + 1e-9, 4).as("mean_before"),
+        round(lit(1e-9) + col("m.ma") + 1e-9, 4).as("mean_after"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[Q] =
     Seq(windowAgg, sessionize, funnel, json, retention, asof, rangeJoin,
       sessionWindow, variant, windowFunnel, gapfill, attribution, pathing,
-      anomaly, rfm, forecast)
+      anomaly, rfm, forecast, changepoint)
 }

@@ -128,4 +128,32 @@ class MonitorSpec extends AnyFunSuite {
     assert(math.abs(resumed - want) < 0.01,
       s"post-gap forecast $resumed should equal the decayed $want")
   }
+
+  test("ev_changepoint finds a planted level shift at its exact bucket") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cp").toString
+    // "shift": rate 5 for buckets 0..29, rate 15 for 30..59 — the max
+    // cumulative deviation from the 10-mean line lands exactly at the
+    // last low bucket (29). "flat": constant 8, deviation ~0.
+    val rows = for {
+      (tpe, lvl) <- Seq("shift" -> ((b: Int) => if (b < 30) 5 else 15),
+                        "flat" -> ((_: Int) => 8))
+      b <- 0 until 60
+      i <- 0 until lvl(b)
+    } yield (b.toLong * 1000 + i, b.toLong * 300 + i % 300, 1L + i, tpe, 1.0, "{}")
+    rows.toDF("event_id", "ts_s", "user_id", "event_type", "value", "props")
+      .withColumn("ts", timestamp_seconds(col("ts_s"))).drop("ts_s")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = SparkEntry.queries("ev_changepoint")(spark, tmp).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    val shift = out("shift")
+    assert(shift.getAs[Long]("cp_bucket") == 29L * 300,
+      s"split must land on the last low bucket, got ${shift.getAs[Long]("cp_bucket")}")
+    assert(math.abs(shift.getAs[Double]("mean_before") - 5.0) < 1e-9)
+    assert(math.abs(shift.getAs[Double]("mean_after") - 15.0) < 1e-9)
+    assert(shift.getAs[Double]("max_dev") > 100,
+      "a 3x level shift must show a large cumulative deviation")
+    assert(out("flat").getAs[Double]("max_dev") < 1.0,
+      "the constant series must show ~zero deviation")
+  }
 }
