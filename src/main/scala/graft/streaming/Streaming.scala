@@ -1066,6 +1066,55 @@ object Streaming {
       }
   }
 
+  final case class ForecastOut(event_type: String, bucket_s: Long, n_events: Long,
+      forecast: Double, abs_err: Double)
+
+  /** One-step-ahead SES forecast at ingest — the streaming twin of
+    * ev_forecast, scoring each finalized (type, bucket) count against
+    * the truncated exponential-smoothing prediction of the trailing
+    * ≤24 TIME slots (absent buckets decay the forecast exactly as in
+    * batch, because weights key on bucket DISTANCE, not row offset).
+    * State per type: the (bucket, count) pairs still inside the
+    * 24-slot horizon plus the high-water bucket — bounded regardless
+    * of stream length. Same in-order replay contract as [[anomaly]];
+    * weights are the identical Scala-computed double literals the
+    * batch plan embeds, and the rounding mirrors batch's double-nudge
+    * 4-dp form, so a replay reproduces ev_forecast row-for-row
+    * (StreamingSpec).
+    */
+  def sesForecast(buckets: Dataset[(String, Long, Long)]): Dataset[ForecastOut] = {
+    import buckets.sparkSession.implicits._
+    val weights: Array[Double] =
+      (1 to 24).map(k => 0.25 * math.pow(0.75, k - 1)).toArray
+    def r4(v: Double): Double =
+      BigDecimal(1e-9 + v + 1e-9).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    buckets
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Seq[(Long, Long)], Long), ForecastOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (tpe: String, rows: Iterator[(String, Long, Long)],
+         state: GroupState[(Seq[(Long, Long)], Long)]) =>
+          var (trail, hi) = state.getOption.getOrElse((Seq.empty[(Long, Long)], Long.MinValue))
+          val out = Seq.newBuilder[ForecastOut]
+          for ((_, b, n) <- rows.toSeq.sortBy(_._2)) {
+            if (hi != Long.MinValue && b <= hi)
+              throw new IllegalStateException(
+                s"Streaming.sesForecast: bucket $b of type $tpe arrived after $hi " +
+                  "was scored — in-order replay precondition violated")
+            hi = b
+            var f = 0.0
+            trail.foreach { case (bi, ni) =>
+              val k = ((b - bi) / 300L).toInt
+              if (k >= 1 && k <= 24) f += ni * weights(k - 1)
+            }
+            out += ForecastOut(tpe, b, n, r4(f), r4(math.abs(n - f)))
+            trail = (trail :+ (b, n)).filter { case (bi, _) => b - bi < 24L * 300 }
+          }
+          state.update((trail, hi))
+          out.result().iterator
+      }
+  }
+
   /** Incrementally-maintained per-source term profile over a FIXED
     * broadcast head vocabulary — the lexical half of ix_source_sim's
     * scale story (the lengthBins/PSI pattern one shelf up): arriving

@@ -1130,6 +1130,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(diffs.isEmpty, s"${diffs.size} rows diverged, e.g. ${diffs.take(3).mkString("; ")}")
   }
 
+  test("streaming SES forecast reproduces batch ev_forecast row-for-row on replay") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val series = eventsBatch
+      .withColumn("bucket_s",
+        (floor(col("ts").cast("double") / 300) * 300).cast("long"))
+      .groupBy("event_type", "bucket_s").agg(count(lit(1)).as("n_events"))
+      .as[(String, Long, Long)].collect()
+      .sortBy(r => (r._2, r._1))
+    val mem = MemoryStream[(String, Long, Long)]
+    val q = Streaming.sesForecast(mem.toDS())
+      .writeStream.outputMode("append").format("memory").queryName("sesfc").start()
+    try {
+      series.grouped(math.max(1, series.length / 3 + 1)).foreach { chunk =>
+        mem.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val got = spark.sql("SELECT * FROM sesfc").collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("bucket_s")) ->
+        ((r.getAs[Long]("n_events"), r.getAs[Double]("forecast"),
+          r.getAs[Double]("abs_err")))).toMap
+    val want = SparkEntry.queries("ev_forecast")(spark, sf).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("bucket_s")) ->
+        ((r.getAs[Long]("n_events"), r.getAs[Double]("forecast"),
+          r.getAs[Double]("abs_err")))).toMap
+    assert(got.keySet == want.keySet, "bucket coverage diverged")
+    val diffs = want.collect { case (k, w) if got(k) != w => (k, got(k), w) }
+    assert(diffs.isEmpty, s"${diffs.size} rows diverged, e.g. ${diffs.take(3).mkString("; ")}")
+  }
+
   test("streamed term profile + shared cosine serve reproduce batch ix_source_sim") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
