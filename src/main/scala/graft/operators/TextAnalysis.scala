@@ -1129,6 +1129,66 @@ object TextAnalysis {
           col("stop_hits") >= 2).as("pass"))
   }
 
+  /** pipe_card — the dataset card a corpus release ships: one row per
+    * source with volume (docs, whitespace tokens), exact-dup rate
+    * (global sha canonicalization — a doc duplicated ACROSS sources
+    * counts against the copier), language share, and the two quality
+    * gates' pass rates (the weighted tx_quality score vs the hard
+    * tx_gopher battery — publishing both shows how much the gates
+    * disagree). Everything is a rate the downstream consumer uses to
+    * weigh the source in a mix.
+    *
+    * Scale shape: two map-only corpus scans (the curate enrichment
+    * and the gopher battery) joined doc_id-keyed, the sha canon agg
+    * shuffles 40-byte rows, and the final agg is |sources| rows. No
+    * text ever exchanges.
+    */
+  val card = Q(
+    "pipe_card", {
+      val gopherSql = gopher.oracle.get.replaceAll("\nORDER BY doc_id$", "")
+      s"""WITH enriched AS (
+         |  ${enrichedSqlFrom("documents")}
+         |),
+         |canon AS (SELECT sha, min(doc_id) AS canonical_id FROM enriched GROUP BY sha),
+         |g AS ($gopherSql)
+         |SELECT e.source,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(g.n_words) AS BIGINT) AS n_tokens,
+         |  round(1e-9 + avg(g.n_words) + 1e-9, 4) AS avg_tokens,
+         |  round(1e-9 + avg(CASE WHEN e.doc_id != canon.canonical_id THEN 1.0 ELSE 0.0 END) + 1e-9, 6) AS dup_rate,
+         |  round(1e-9 + avg(CASE WHEN e.pred_lang = 'en' THEN 1.0 ELSE 0.0 END) + 1e-9, 6) AS en_share,
+         |  round(1e-9 + avg(CASE WHEN e.quality >= ${d("0.55")} THEN 1.0 ELSE 0.0 END) + 1e-9, 6) AS quality_rate,
+         |  round(1e-9 + avg(CASE WHEN g.pass THEN 1.0 ELSE 0.0 END) + 1e-9, 6) AS gopher_rate
+         |FROM enriched e
+         |JOIN canon USING (sha)
+         |JOIN g ON g.doc_id = e.doc_id
+         |GROUP BY e.source
+         |ORDER BY e.source""".stripMargin
+    }) { (spark, dir) =>
+    val docs = Tables.documents(spark, dir)
+    val enriched = docs.select(col("doc_id"), col("source"),
+      sha2(col("text"), 256).as("sha"),
+      qualityExpr.as("quality"), predLangExpr.as("pred_lang"))
+    val canon = enriched.groupBy("sha").agg(min("doc_id").as("canonical_id"))
+    val g = gopherOf(docs).select(col("doc_id"), col("n_words"), col("pass"))
+    enriched.join(canon, "sha")
+      .join(g, "doc_id")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_words").as("n_tokens"),
+        round(lit(1e-9) + avg("n_words") + 1e-9, 4).as("avg_tokens"),
+        round(lit(1e-9) + avg(when(col("doc_id") =!= col("canonical_id"), 1.0).otherwise(0.0)) + 1e-9, 6)
+          .as("dup_rate"),
+        round(lit(1e-9) + avg(when(col("pred_lang") === "en", 1.0).otherwise(0.0)) + 1e-9, 6)
+          .as("en_share"),
+        round(lit(1e-9) + avg(when(col("quality") >= qualityFloor, 1.0).otherwise(0.0)) + 1e-9, 6)
+          .as("quality_rate"),
+        round(lit(1e-9) + avg(when(col("pass"), 1.0).otherwise(0.0)) + 1e-9, 6)
+          .as("gopher_rate"))
+      .orderBy("source")
+  }
+
   val all: Seq[Q] = Seq(tokens, quality, langid, langidClf, html, fingerprint, curate, curateClf, shard, topterms, pii,
-    entropy, pack, vocab, bpePairs, gopher)
+    entropy, pack, vocab, bpePairs, gopher, card)
 }

@@ -345,4 +345,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(naive.filter(col("ns") > 1).count() > 0,
       "expected the text-hash split to leak on a corpus with near-dup (non-identical) clusters")
   }
+
+  test("pipe_card reconciles with its constituent gates") {
+    val card = SparkEntry.queries("pipe_card")(spark, sf).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    assert(card.nonEmpty)
+    // volumes: per-source doc counts match the raw corpus
+    val docs = Tables.documents(spark, sf)
+      .groupBy("source").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("n")).toMap
+    assert(card.keySet == docs.keySet)
+    assert(card.forall { case (s, r) => r.getAs[Long]("n_docs") == docs(s) })
+    // gopher_rate agrees with the tx_gopher battery counted per source
+    val gs = SparkEntry.queries("tx_gopher")(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("pass")).toMap
+    val srcOf = Tables.documents(spark, sf).select("doc_id", "source").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("source")).toMap
+    for ((s, r) <- card) {
+      val ids = srcOf.collect { case (id, src) if src == s => id }
+      val want = ids.count(gs).toDouble / ids.size
+      assert(math.abs(r.getAs[Double]("gopher_rate") - want) < 1e-4,
+        s"source $s gopher_rate ${r.getAs[Double]("gopher_rate")} != $want")
+    }
+    // dup accounting: total duplicate docs equals the curate funnel's
+    val cardDups = card.map { case (s, r) =>
+      math.round(r.getAs[Double]("dup_rate") * docs(s)) }.sum
+    val curateDups = SparkEntry.queries("pipe_curate")(spark, sf).collect()
+      .map(_.getAs[Long]("n_dup_dropped")).sum
+    assert(cardDups == curateDups,
+      s"card counts $cardDups dups, the curate funnel $curateDups")
+  }
 }
