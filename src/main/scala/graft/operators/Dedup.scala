@@ -304,7 +304,7 @@ object Dedup {
     * superseded label snapshot stays resident — O(rounds) executor
     * storage on a large graph.
     */
-  private def releaseLocalCheckpoint(df: DataFrame): Unit =
+  private[graft] def releaseLocalCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed.collect {
       case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
     }.foreach(_.unpersist(blocking = false))

@@ -360,16 +360,27 @@ object Graph {
         .select(col("u").as("node"))
         .localCheckpoint(false)
       val n = next.count()
-      if (n == nAlive) fixed = true // monotone peel: a no-op round is the fixpoint
-      else { alive.unpersist(); alive = next; nAlive = n }
+      if (n == nAlive) {
+        fixed = true // monotone peel: a no-op round is the fixpoint
+        Dedup.releaseLocalCheckpoint(next)
+      } else {
+        Dedup.releaseLocalCheckpoint(alive)
+        alive = next; nAlive = n
+      }
       round += 1
     }
+    // materialize the result eagerly, then RELEASE the per-query edge
+    // cache and the final alive snapshot — a bench/session running many
+    // queries must not accumulate one edge cache per kcore invocation
     val out = edges
       .join(if (useBroadcast) broadcast(alive.select(col("node").as("u"))) else alive.select(col("node").as("u")), "u")
       .join(if (useBroadcast) broadcast(alive.select(col("node").as("v"))) else alive.select(col("node").as("v")), "v")
       .groupBy("u").agg(count(lit(1)).as("core_deg"))
       .select(col("u").as("node"), col("core_deg"))
       .orderBy("node")
+      .localCheckpoint(true) // blocks self-clean once the frame is GC'd
+    edges.unpersist(blocking = false)
+    Dedup.releaseLocalCheckpoint(alive)
     out
   }
 

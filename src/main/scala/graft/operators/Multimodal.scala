@@ -402,11 +402,18 @@ object Multimodal {
       col("doc_id").as("doc_a"), col("dhash").as("ha"))
     val b = chunked.select(col("chunk"), col("key"),
       col("doc_id").as("doc_b"), col("dhash").as("hb"))
-    a.join(b, Seq("chunk", "key")).filter(col("doc_a") < col("doc_b"))
+    // materialize the (small) pair set eagerly, then RELEASE the
+    // per-call hash cache — a bench/session running many pair queries
+    // must not accumulate one corpus-hash cache per invocation; the
+    // checkpoint's blocks self-clean once the returned frame is GC'd
+    val pairs = a.join(b, Seq("chunk", "key")).filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= PhashHammingMax)
+      .localCheckpoint(true)
+    ph.unpersist(blocking = false)
+    pairs
   }
 
   /** mm_phash_pairs — perceptual image near-duplicate pairs, closing
