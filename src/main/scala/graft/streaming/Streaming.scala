@@ -1115,6 +1115,68 @@ object Streaming {
       }
   }
 
+  final case class CusumOut(event_type: String, bucket_s: Long, n_events: Long,
+      s_pos: Double, s_neg: Double, alarm: Boolean)
+
+  /** Online CUSUM level-shift alarm — the STREAMING face of
+    * ev_changepoint (batch finds the split offline with the whole
+    * series in hand; this raises the alarm AT INGEST, the first
+    * moment the cumulative evidence crosses the threshold). Classic
+    * self-tuning two-sided CUSUM: against the running Welford
+    * mean/stddev of the PRE-SHIFT baseline, accumulate
+    * S⁺ = max(0, S⁺ + (x − μ − kσ)) and the mirrored S⁻; alarm when
+    * either exceeds hσ (k = σ/2 slack, h = 5 — the textbook ARL
+    * operating point). Baseline updates are FROZEN while an alarm is
+    * active so the shifted level cannot absorb itself into μ; state
+    * per type is six doubles + the high-water bucket, bounded
+    * regardless of stream length. Planted-shift behavior pinned in
+    * StreamingSpec (fires within a few buckets of the 3× shift, never
+    * on the flat series, and batch ev_changepoint agrees on WHERE).
+    */
+  def cusum(buckets: Dataset[(String, Long, Long)]): Dataset[CusumOut] = {
+    import buckets.sparkSession.implicits._
+    final case class St(n: Long, mean: Double, m2: Double,
+        sPos: Double, sNeg: Double, hi: Long)
+    buckets
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Double, Double, Double, Double, Long), CusumOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (tpe: String, rows: Iterator[(String, Long, Long)],
+         state: GroupState[(Long, Double, Double, Double, Double, Long)]) =>
+          var st = state.getOption.map(t => St(t._1, t._2, t._3, t._4, t._5, t._6))
+            .getOrElse(St(0, 0.0, 0.0, 0.0, 0.0, Long.MinValue))
+          val out = Seq.newBuilder[CusumOut]
+          for ((_, b, n) <- rows.toSeq.sortBy(_._2)) {
+            if (st.hi != Long.MinValue && b <= st.hi)
+              throw new IllegalStateException(
+                s"Streaming.cusum: bucket $b of type $tpe arrived after ${st.hi} " +
+                  "was scored — in-order replay precondition violated")
+            val x = n.toDouble
+            val sd = if (st.n >= 2) math.sqrt(st.m2 / (st.n - 1)) else 0.0
+            val (sPos, sNeg, alarm) =
+              if (st.n >= 6 && sd > 0) {
+                val k = sd / 2
+                val p = math.max(0.0, st.sPos + (x - st.mean - k))
+                val m = math.max(0.0, st.sNeg + (st.mean - x - k))
+                (p, m, p > 5 * sd || m > 5 * sd)
+              } else (0.0, 0.0, false)
+            out += CusumOut(tpe, b, n, sPos, sNeg, alarm)
+            // freeze the baseline while alarming — the shifted level
+            // must not teach itself into the mean
+            st =
+              if (alarm) St(st.n, st.mean, st.m2, sPos, sNeg, b)
+              else {
+                val n1 = st.n + 1
+                val d = x - st.mean
+                val mean1 = st.mean + d / n1
+                St(n1, mean1, st.m2 + d * (x - mean1), sPos, sNeg, b)
+              }
+          }
+          state.update((st.n, st.mean, st.m2, st.sPos, st.sNeg, st.hi))
+          out.result().iterator
+      }
+  }
+
   /** Incrementally-maintained per-source term profile over a FIXED
     * broadcast head vocabulary — the lexical half of ix_source_sim's
     * scale story (the lengthBins/PSI pattern one shelf up): arriving

@@ -1161,6 +1161,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(diffs.isEmpty, s"${diffs.size} rows diverged, e.g. ${diffs.take(3).mkString("; ")}")
   }
 
+  test("streaming CUSUM alarms promptly on a planted shift, stays silent on flat") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    // the ev_changepoint fixture: 5/bucket for 30 buckets then 15, and
+    // a flat-8 control
+    val series = (for {
+      (tpe, lvl) <- Seq("shift" -> ((b: Int) => if (b < 30) 5L else 15L),
+                        "flat" -> ((_: Int) => 8L))
+      b <- 0 until 60
+    } yield (tpe, b.toLong * 300, lvl(b))).sortBy(_._2)
+    val mem = MemoryStream[(String, Long, Long)]
+    val q = Streaming.cusum(mem.toDS())
+      .writeStream.outputMode("append").format("memory").queryName("cus").start()
+    try {
+      series.grouped(40).foreach { chunk =>
+        mem.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val rows = spark.sql("SELECT * FROM cus").collect()
+    val alarms = rows.filter(_.getAs[Boolean]("alarm"))
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("bucket_s")))
+    assert(alarms.forall(_._1 == "shift"), s"flat series alarmed: ${alarms.mkString(",")}")
+    val first = alarms.map(_._2).min
+    assert(first >= 30L * 300 && first <= 33L * 300,
+      s"alarm must fire within a few buckets of the shift at 9000, got $first")
+    // once alarming with a frozen baseline, the alarm LATCHES for the
+    // sustained shift — every later bucket stays flagged
+    assert(alarms.map(_._2).toSet == (first / 300 to 59L).map(_ * 300).toSet,
+      "sustained shift must keep the alarm raised")
+    // batch agreement on WHERE: ev_changepoint put the split at 29*300
+    // (last low bucket); the online alarm fires just after it
+    assert(first > 29L * 300)
+  }
+
   test("streamed term profile + shared cosine serve reproduce batch ix_source_sim") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
