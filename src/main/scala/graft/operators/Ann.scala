@@ -1297,7 +1297,83 @@ object Ann {
       .orderBy("query_id", "rank")
   }
 
+  private val KnnJoinK = 3
+
+  /** ann_knn_join — the similarity JOIN, a different operator family
+    * from the query-vs-corpus top-k above: EVERY vector gets its k=3
+    * nearest neighbors, via the memoized IVF assignment (candidates =
+    * own-cell members — single-probe; the self-join twin of ann_ivf's
+    * probe). This is the kNN-join a SemDeDup/near-dup-graph pipeline
+    * runs corpus-wide, not per query.
+    *
+    * Scale shape: the join shuffles on the CELL key, so per-cell work
+    * is bounded by cell size (≈√N under the √N-nlist sizing; the
+    * ann_refresh resplit flags are the production guard against cells
+    * outgrowing that). Each vector PROBES its top-4 cells (the
+    * ann_ivf nprobe knob applied to the join side — single-probe
+    * measured only 0.21 recall@3 on this geometry, 4 probes ≈ 0.6;
+    * AnnRecallSpec pins the floor against the exact in-JVM kNN), so
+    * candidate volume is ≈ 4·N·√N instead of the all-pairs N²; the
+    * per-vector top-3 rides the bounded-heap aggregate, so the
+    * post-join shuffle is O(N·k) rows, never the candidate set.
+    * Vectors whose probed cells hold no other member legitimately
+    * emit no row (both engines agree).
+    */
+  private val KnnJoinProbe = 4
+
+  val knnJoin = Q(
+    "ann_knn_join",
+    s"""WITH c AS ($corpusSql),
+       |$ivfIndexCtesSql,
+       |probe AS (
+       |  SELECT vec_id, cid AS cell FROM (
+       |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+       |    FROM scored
+       |  ) WHERE rn <= $KnnJoinProbe
+       |),
+       |pairs AS (
+       |  SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+       |  FROM probe a JOIN assigned b ON a.cell = b.cell AND a.vec_id != b.vec_id
+       |)
+       |SELECT vec_id, neighbor_id, cosine, rank FROM (
+       |  SELECT p.va AS vec_id, p.vb AS neighbor_id,
+       |    round(1e-9 + list_dot_product(ca.e, cb.e) / (ca.nrm * cb.nrm), 6) AS cosine,
+       |    CAST(row_number() OVER (PARTITION BY p.va
+       |      ORDER BY list_dot_product(ca.e, cb.e) / (ca.nrm * cb.nrm) DESC, p.vb) AS BIGINT) AS rank
+       |  FROM pairs p
+       |  JOIN c ca ON ca.vec_id = p.va
+       |  JOIN c cb ON cb.vec_id = p.vb
+       |) WHERE rank <= $KnnJoinK
+       |ORDER BY vec_id, rank""".stripMargin) { (spark, dir) =>
+    val c = corpus(spark, dir)
+    val (cent, assigned) = ivfIndex(spark, dir)
+    // top-4 probe cells per vector via the bounded heap (no corpus
+    // window), then the cell-keyed candidate join
+    val probe = scoreAgainst(c, cent)
+      .groupBy("vec_id")
+      .agg(graft.functions.TopKAgg.topk_by_score(col("ccos"), col("cid"), KnnJoinProbe).as("pc"))
+      .select(col("vec_id"), explode(col("pc")).as("p"))
+      .select(col("vec_id"), col("p.id").as("cell"))
+    // candidate pairs dedup on IDS ONLY (a pair reachable through two
+    // shared cells must score once) — embeddings join back afterwards,
+    // so no exchange ever carries an array for the dedup
+    val pairs = probe.select(col("cell"), col("vec_id").as("va"))
+      .join(assigned.select(col("cell"), col("vec_id").as("vb")), Seq("cell"))
+      .filter(col("va") =!= col("vb"))
+      .select("va", "vb").distinct()
+    pairs
+      .join(c.select(col("vec_id").as("va"), col("e").as("ea"), col("nrm").as("na")), Seq("va"))
+      .join(c.select(col("vec_id").as("vb"), col("e").as("eb"), col("nrm").as("nb")), Seq("vb"))
+      .withColumn("cos_raw", dotC(col("ea"), col("eb")) / (col("na") * col("nb")))
+      .groupBy(col("va").as("vec_id"))
+      .agg(graft.functions.TopKAgg.topk_by_score(col("cos_raw"), col("vb"), KnnJoinK).as("tk"))
+      .select(col("vec_id"), explode(col("tk")).as("t"))
+      .select(col("vec_id"), col("t.id").as("neighbor_id"),
+        round(lit(1e-9) + col("t.score"), 6).as("cosine"), col("t.rank").as("rank"))
+      .orderBy("vec_id", "rank")
+  }
+
   val all: Seq[Q] =
     Seq(topk, topkAgg, topkPlan, lshTopk, ivfTopk, pqTopk, ivfpqTopk, sq8Topk,
-      refresh, embedDedup, embedClusters, filteredTopk)
+      refresh, embedDedup, embedClusters, filteredTopk, knnJoin)
 }

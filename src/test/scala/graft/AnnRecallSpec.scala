@@ -167,4 +167,37 @@ class AnnRecallSpec extends AnyFunSuite {
       r.getAs[Long]("n_base") + r.getAs[Long]("n_new")))
     assert(fresh > 0, "the delta slice must be non-empty at sf0.001")
   }
+
+  test("ann_knn_join: valid ranks, no self-pairs, measured recall vs exact kNN") {
+    val rows = SparkEntry.queries("ann_knn_join")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      assert(r.getAs[Long]("vec_id") != r.getAs[Long]("neighbor_id"))
+      assert(r.getAs[Long]("rank") >= 1 && r.getAs[Long]("rank") <= 3)
+    }
+    // per-vector ranks are dense from 1 and cosines non-increasing
+    rows.groupBy(_.getAs[Long]("vec_id")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.map(_.getAs[Long]("rank")).toSeq == (1L to sorted.length))
+      val cs = sorted.map(_.getAs[Double]("cosine"))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b - 1e-9 })
+    }
+    // measured recall vs the exact in-JVM kNN join (single-probe IVF
+    // cells trade recall for the N·√N bound — pin the floor)
+    import org.apache.spark.sql.functions._
+    val vecs = operators.Ann.corpus(spark, sf)
+      .select(col("vec_id"), col("e"), col("nrm")).collect()
+      .map(r => (r.getAs[Long]("vec_id"),
+        r.getAs[scala.collection.Seq[Double]]("e").toArray, r.getAs[Double]("nrm")))
+    val exact: Map[Long, Set[Long]] = vecs.map { case (id, e, n) =>
+      id -> vecs.filter(_._1 != id).map { case (id2, e2, n2) =>
+        (id2, e.zip(e2).map { case (a, b) => a * b }.sum / (n * n2))
+      }.sortBy { case (id2, c) => (-c, id2) }.take(3).map(_._1).toSet
+    }.toMap
+    val got = rows.groupBy(_.getAs[Long]("vec_id"))
+      .map { case (v, rs) => v -> rs.map(_.getAs[Long]("neighbor_id")).toSet }
+    val hits = got.map { case (v, ns) => (ns & exact(v)).size }.sum.toDouble
+    val recall = hits / (exact.size * 3)
+    assert(recall >= 0.45, f"single-probe kNN-join recall $recall%.3f below floor")
+  }
 }
