@@ -30,7 +30,8 @@ object SparkEntry {
       operators.Pipeline.all ++
       operators.Reef.all ++
       operators.Multimodal.all ++
-      operators.BenchmarkEval.all
+      operators.BenchmarkEval.all ++
+      operators.Stats.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The full audit verdict — llmmap fingerprint compare + DLI

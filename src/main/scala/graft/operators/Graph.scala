@@ -384,5 +384,97 @@ object Graph {
     out
   }
 
-  val all: Seq[Q] = Seq(pagerank, triangles, components, kcore)
+  private val BfsQty = 42
+  private val BfsMaxHops = 8
+
+  /** Multi-hop BFS distances from a deterministic seed (the lowest
+    * part id in the edge set) over the bulk co-order graph — the
+    * reachability statistic next to membership (gr_components):
+    * "how far does influence propagate from this node, and to whom".
+    * Both engines bound the walk at [[BfsMaxHops]] hops, so parity
+    * holds even when the graph's diameter exceeds the bound; the
+    * oracle's recursive CTE deduplicates (node, dist) pairs per
+    * round (UNION, not UNION ALL — path proliferation through cycles
+    * never materializes) and takes min(dist) at the end.
+    *
+    * Scale shape: the corpus collapses to the cached edge list once;
+    * each hop broadcast-joins the FRONTIER (new nodes only — at most
+    * |V| rows across ALL rounds combined, not per round) against the
+    * edges, anti-joins the visited set, and checkpoints. Early exit
+    * on an empty frontier. Per-round driver traffic is one count —
+    * the same posture as the kcore peel.
+    */
+  val bfs = Q(
+    "gr_bfs",
+    s"""WITH RECURSIVE li AS (
+       |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+       |  FROM lineitem WHERE l_quantity >= $BfsQty),
+       |e0 AS (SELECT DISTINCT a.p AS u, b.p AS v
+       |       FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+       |edges AS MATERIALIZED (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+       |seed AS (SELECT min(u) AS s FROM edges),
+       |walk(node, dist) AS (
+       |  SELECT s, 0 FROM seed WHERE s IS NOT NULL
+       |  UNION
+       |  SELECT e.v, w.dist + 1 FROM walk w
+       |  JOIN edges e ON e.u = w.node WHERE w.dist < $BfsMaxHops
+       |)
+       |SELECT node, CAST(min(dist) AS INT) AS dist
+       |FROM walk GROUP BY node
+       |ORDER BY node""".stripMargin) { (spark, dir) =>
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_quantity") >= BfsQty)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    val e0 = li.as("a").join(li.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("u"), col("b.p").as("v"))
+      .distinct()
+    val edges = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val seedRow = edges.agg(min(col("u")).as("s")).collect()(0)
+    if (seedRow.isNullAt(0)) {
+      edges.unpersist(blocking = false)
+      val s = spark
+      import s.implicits._
+      Seq.empty[(Long, Int)].toDF("node", "dist")
+    } else {
+      val seed = seedRow.getLong(0)
+      var visited = spark.range(1).select(
+        lit(seed).as("node"), lit(0).as("dist")).localCheckpoint(false)
+      var frontier = visited
+      var hop = 0
+      var exhausted = false
+      while (hop < BfsMaxHops && !exhausted) {
+        val next = edges
+          .join(broadcast(frontier.select(col("node").as("u"))), "u")
+          .select(col("v").as("node")).distinct()
+          .join(broadcast(visited.select(col("node"))), Seq("node"), "left_anti")
+          .select(col("node"), lit(hop + 1).as("dist"))
+          .localCheckpoint(false)
+        if (next.isEmpty) {
+          exhausted = true
+          Dedup.releaseLocalCheckpoint(next)
+        } else {
+          // EAGER checkpoint: grown must materialize before its parents'
+          // checkpoint RDDs are released (local checkpoints cannot recompute)
+          val grown = visited.union(next).localCheckpoint(true)
+          Dedup.releaseLocalCheckpoint(visited)
+          if (hop > 0) Dedup.releaseLocalCheckpoint(frontier)
+          visited = grown
+          frontier = next
+        }
+        hop += 1
+      }
+      val out = visited.select(col("node"), col("dist").cast("int").as("dist"))
+        .orderBy("node")
+        .localCheckpoint(true)
+      edges.unpersist(blocking = false)
+      Dedup.releaseLocalCheckpoint(visited)
+      Dedup.releaseLocalCheckpoint(frontier) // double-release is a no-op
+      out
+    }
+  }
+
+  val all: Seq[Q] = Seq(pagerank, triangles, components, kcore, bfs)
 }

@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariants for the statistical operators (q32_regression,
+  * q33_skyline) and BFS reachability (gr_bfs) that pin the
+  * implementations independently of the DuckDB oracle replay.
+  */
+class StatsGraphSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("q32_regression: r2 = corr² and slope matches the moment formula") {
+    val rows = SparkEntry.queries("q32_regression")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val r2 = r.getAs[Double]("r2")
+      val c = r.getAs[Double]("corr_price_qty")
+      assert(r2 >= 0.0 && r2 <= 1.0)
+      assert(math.abs(r2 - c * c) < 1e-4, s"r2 $r2 != corr² ${c * c}")
+    }
+    // recompute one group's slope from raw sufficient statistics
+    val g = Tables.lineitem(spark, sf)
+      .filter("l_returnflag = 'A' AND l_linestatus = 'F'")
+      .agg(
+        count(lit(1)).as("n"),
+        sum("l_quantity").as("sx"),
+        sum("l_extendedprice").as("sy"),
+        sum(col("l_quantity") * col("l_extendedprice")).as("sxy"),
+        sum(col("l_quantity") * col("l_quantity")).as("sxx"))
+      .collect()(0)
+    val n = g.getAs[Long]("n").toDouble
+    val expected = (g.getAs[Double]("sxy") - g.getAs[Double]("sx") * g.getAs[Double]("sy") / n) /
+      (g.getAs[Double]("sxx") - g.getAs[Double]("sx") * g.getAs[Double]("sx") / n)
+    val got = rows.find(r => r.getString(0) == "A" && r.getString(1) == "F").get
+      .getAs[Double]("slope")
+    assert(math.abs(got - expected) < 1e-3, s"slope $got vs moment formula $expected")
+  }
+
+  test("q32_regression: a perfect planted line gives slope/intercept/r2 exactly") {
+    import spark.implicits._
+    val planted = (1 to 100).map(i => (i.toDouble, 3.0 * i + 2.0)).toDF("x", "y")
+    val r = planted.agg(
+      expr("regr_slope(y, x)").as("slope"),
+      expr("regr_intercept(y, x)").as("intercept"),
+      expr("regr_r2(y, x)").as("r2")).collect()(0)
+    assert(math.abs(r.getAs[Double]("slope") - 3.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("intercept") - 2.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("r2") - 1.0) < 1e-12)
+  }
+
+  test("q33_skyline is exactly the brute-force Pareto frontier") {
+    val pts = Tables.part(spark, sf)
+      .select("p_partkey", "p_retailprice", "p_size").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    def dominated(a: (Long, Double, Int)) = pts.exists { b =>
+      b._2 <= a._2 && b._3 >= a._3 && (b._2 < a._2 || b._3 > a._3)
+    }
+    val expected = pts.filterNot(dominated).map(_._1).sorted
+    val got = SparkEntry.queries("q33_skyline")(spark, sf).collect()
+      .map(_.getAs[Long]("p_partkey")).sorted
+    assert(got.toSeq == expected.toSeq)
+  }
+
+  test("q33_skyline keeps tied points (neither dominates the other)") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // two identical points + one dominated: replay the plan's verdict
+    // rule directly on a planted frame
+    val p = Seq((1L, 10.0, 5), (2L, 10.0, 5), (3L, 11.0, 4))
+      .toDF("p_partkey", "p_retailprice", "p_size")
+    val perPrice = p.groupBy("p_retailprice").agg(max("p_size").as("same_mx"))
+    val w = Window.orderBy("p_retailprice").rowsBetween(Window.unboundedPreceding, -1)
+    val pref = perPrice.withColumn("strict_mx",
+      coalesce(max("same_mx").over(w), lit(Int.MinValue)))
+    val sky = p.join(pref, Seq("p_retailprice"))
+      .filter(!(col("strict_mx") >= col("p_size") || col("same_mx") > col("p_size")))
+      .select("p_partkey").collect().map(_.getLong(0)).sorted
+    assert(sky.toSeq == Seq(1L, 2L))
+  }
+
+  test("gr_bfs: seed at dist 0, hop bound respected, edge-wise 1-Lipschitz") {
+    val rows = SparkEntry.queries("gr_bfs")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("node"), r.getAs[Int]("dist")))
+    assert(rows.nonEmpty)
+    val dist = rows.toMap
+    assert(dist.size == rows.length, "duplicate nodes in BFS output")
+    val seed = rows.filter(_._2 == 0)
+    assert(seed.length == 1, s"expected one dist-0 node, got ${seed.length}")
+    assert(rows.forall(_._2 <= 8))
+    // rebuild the same edge set and check: distances differ by <= 1
+    // across any edge whose endpoints are both reached, and any
+    // neighbor of a node at dist < 8 is reached (frontier closure)
+    val li = Tables.lineitem(spark, sf)
+      .filter(col("l_quantity") >= 42)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val e0 = li.as("a").join(li.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(seed.head._1 == e0.flatMap(e => Seq(e._1, e._2)).min)
+    e0.foreach { case (u, v) =>
+      (dist.get(u), dist.get(v)) match {
+        case (Some(du), Some(dv)) =>
+          assert(math.abs(du - dv) <= 1, s"edge ($u,$v) dists $du/$dv")
+        case (Some(du), None) =>
+          assert(du == 8, s"unreached neighbor of $u at dist $du < 8")
+        case (None, Some(dv)) =>
+          assert(dv == 8, s"unreached neighbor of $v at dist $dv < 8")
+        case _ => ()
+      }
+    }
+  }
+}
