@@ -1,0 +1,71 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariants for the engagement / interpolation operators
+  * (ev_active_users, q34_interpolate) independent of the oracle.
+  */
+class EngagementSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("ev_active_users: WAU bounds DAU, first day equal, stickiness in (0,1]") {
+    val rows = SparkEntry.queries("ev_active_users")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val dau = r.getAs[Long]("dau")
+      val wau = r.getAs[Long]("wau")
+      val st = r.getAs[Double]("stickiness")
+      assert(wau >= dau, s"rolling 7-day distinct $wau below daily $dau")
+      assert(st > 0.0 && st <= 1.0)
+      assert(r.getAs[Boolean]("wau_est_ok"), "HLL estimate outside 5% of exact")
+    }
+    val first = rows.minBy(_.getAs[java.sql.Timestamp]("day").getTime)
+    assert(first.getAs[Long]("dau") == first.getAs[Long]("wau"),
+      "first day's window contains only itself")
+    // WAU can never exceed the sum of the 7 daily DAUs it covers
+    val dauByDay = rows.map(r =>
+      r.getAs[java.sql.Timestamp]("day").getTime / 86400000L -> r.getAs[Long]("dau")).toMap
+    rows.foreach { r =>
+      val d = r.getAs[java.sql.Timestamp]("day").getTime / 86400000L
+      val cap = (0 to 6).flatMap(k => dauByDay.get(d - k)).sum
+      assert(r.getAs[Long]("wau") <= cap)
+    }
+  }
+
+  test("q34_interpolate: observed buckets keep their average, holes stay between anchors") {
+    val rows = SparkEntry.queries("q34_interpolate")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        Option(r.getAs[java.lang.Double]("value_li")).map(_.doubleValue),
+        r.getAs[Boolean]("interpolated")))
+    assert(rows.nonEmpty)
+    // observed rows are never flagged; flagged rows are holes with a value
+    rows.foreach { case (_, _, n, li, flag) =>
+      if (flag) assert(n == 0 && li.isDefined)
+      if (n > 0) assert(!flag && li.isDefined)
+    }
+    assert(rows.exists(_._5), "no interior hole was interpolated at this SF")
+    // per type: every interpolated value lies between its two anchors
+    rows.groupBy(_._1).foreach { case (_, series0) =>
+      val series = series0.sortBy(_._2)
+      var prev: Option[Double] = None
+      var i = 0
+      while (i < series.length) {
+        val (_, _, n, li, flag) = series(i)
+        if (n > 0) prev = li
+        else if (flag) {
+          val next = series.drop(i + 1).find(_._3 > 0).flatMap(_._4)
+          (prev, next, li) match {
+            case (Some(p), Some(q), Some(v)) =>
+              assert(v >= math.min(p, q) - 1e-4 && v <= math.max(p, q) + 1e-4,
+                s"interpolated $v outside anchor range [$p, $q]")
+            case _ => fail("interpolated hole without both anchors")
+          }
+        } else assert(li.isEmpty == prev.isEmpty ||
+          series.drop(i + 1).forall(_._3 == 0L),
+          "unflagged hole must lack an anchor on at least one side")
+        i += 1
+      }
+    }
+  }
+}
