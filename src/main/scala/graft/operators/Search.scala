@@ -451,5 +451,85 @@ object Search {
       .limit(TopK)
   }
 
-  val all: Seq[Q] = Seq(bm25, sourceSim, hybrid, sourceOverlap, bm25Incremental)
+  private val Phrases = Seq("table value", "fast scan", "agg row window")
+
+  /** One-time positional inverted index: (doc_id, pos, token hash) —
+    * the postings-with-positions table a phrase-capable search system
+    * stores. Built once per dir, reused by every phrase probe.
+    */
+  private[graft] def posIndex(spark: SparkSession, dir: String): DataFrame =
+    graft.SessionMemo.frames(spark, s"search.posIndex:$dir") {
+      val idx = Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          posexplode(graft.functions.Hashing.wordHashes(col("text")))
+            .as(Seq("pos", "h")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      idx.count() // materialize: queries time the probe path
+      Seq(idx)
+    }.head
+
+  /** Exact phrase search served from the positional index — the
+    * operator BM25's bag-of-words scoring cannot express: the query
+    * terms must appear CONSECUTIVELY. The classic one-join phrase
+    * plan: each query term is offset by its position in the phrase,
+    * so every occurrence produces k postings that agree on the
+    * anchor (pos − query offset); a (doc, anchor) group holding all
+    * k offsets is a match. One broadcast join of the |query terms|
+    * frame against the postings + one aggregation — never a LIKE
+    * scan over raw text (the oracle replays the identical positional
+    * logic relationally, not via substring). Zero-hit phrases keep
+    * their row through the left join back. At 100 TB the postings
+    * are the stored table and the probe touches only the matching
+    * hash partitions.
+    */
+  val phrase = Q(
+    "ix_phrase", {
+      val whSql = graft.functions.Hashing.wordHashesSql("text")
+      val qhSql = graft.functions.Hashing.wordHashesSql("phrase")
+      val values = Phrases.map(p => s"('$p')").mkString(", ")
+      s"""WITH d AS (SELECT doc_id, $whSql AS wh FROM documents),
+         |p AS (SELECT doc_id, unnest(wh) AS h, generate_subscripts(wh, 1) AS pos FROM d),
+         |ph AS (SELECT phrase, $qhSql AS qh FROM (VALUES $values) AS t(phrase)),
+         |q AS (SELECT phrase, len(qh) AS k, unnest(qh) AS h,
+         |        generate_subscripts(qh, 1) AS qpos FROM ph),
+         |m AS (SELECT q.phrase, p.doc_id, p.pos - q.qpos AS anchor
+         |      FROM p JOIN q USING (h)
+         |      GROUP BY q.phrase, p.doc_id, anchor, q.k
+         |      HAVING count(DISTINCT q.qpos) = q.k),
+         |a AS (SELECT phrase, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |        CAST(count(*) AS BIGINT) AS n_occ,
+         |        min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |      FROM m GROUP BY phrase)
+         |SELECT ph.phrase, coalesce(a.n_docs, 0) AS n_docs,
+         |  coalesce(a.n_occ, 0) AS n_occ, a.first_doc, a.last_doc
+         |FROM ph LEFT JOIN a USING (phrase)
+         |ORDER BY ph.phrase""".stripMargin
+    }) { (spark, dir) =>
+    val idx = posIndex(spark, dir)
+    val s = spark
+    import s.implicits._
+    val phrases = Phrases.toDF("phrase")
+    val qterms = phrases
+      .withColumn("qh", graft.functions.Hashing.wordHashes(col("phrase")))
+      .select(col("phrase"), size(col("qh")).as("k"),
+        posexplode(col("qh")).as(Seq("qpos", "h")))
+    val matches = idx.join(broadcast(qterms), "h")
+      .groupBy(col("phrase"), col("doc_id"),
+        (col("pos") - col("qpos")).as("anchor"), col("k"))
+      .agg(countDistinct(col("qpos")).as("hits"))
+      .filter(col("hits") === col("k"))
+    val agg = matches.groupBy("phrase")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+    phrases.join(agg, Seq("phrase"), "left")
+      .select(col("phrase"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("n_occ"), lit(0L)).as("n_occ"),
+        col("first_doc"), col("last_doc"))
+      .orderBy("phrase")
+  }
+
+  val all: Seq[Q] = Seq(bm25, sourceSim, hybrid, sourceOverlap, bm25Incremental,
+    phrase)
 }

@@ -1189,6 +1189,89 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  private val PmiMinPair = 5
+  private val PmiTopK = 50
+
+  /** PMI collocation mining — the top word pairs that co-occur
+    * adjacently far more than chance: pmi = log2(P(ab)/(P(a)·P(b))).
+    * The collocation head is what a corpus linguist (or a tokenizer-
+    * merge audit) reads first; the min-pair-count floor kills PMI's
+    * rare-pair bias before any join runs.
+    *
+    * Scale shape: the scan emits invertible bigram PACKS that
+    * collapse to (doc, pack) → count before anything global (the
+    * tx_bigram_ppl Zipf-proofing), the ≥[[PmiMinPair]] filter runs on
+    * the |bigrams|-row aggregate BEFORE the two unigram joins (probe
+    * side shrinks to the frequent pairs), both totals are 1-row
+    * broadcasts, both unigram sides join the SAME vocab frame, and
+    * the head is the bounded-heap top-k aggregate — no global sort,
+    * no LM-table broadcast hint (100 TB vocab exceeds the driver).
+    * PMI is computed with identical left-associated double
+    * arithmetic in both engines and rounded 6 dp; ranking uses the
+    * ROUNDED value + pack tiebreak so the top-k SET is engine-exact.
+    */
+  val pmi = Q(
+    "tx_pmi", {
+      val whSql = Hashing.wordHashesSql("text")
+      val bpSql = Hashing.bigramPacksSql("wh")
+      val P = Hashing.P
+      s"""WITH wh AS (SELECT doc_id, $whSql AS wh FROM documents),
+         |bpr AS (SELECT doc_id, unnest($bpSql) AS bp FROM wh),
+         |dc AS (SELECT doc_id, bp, CAST(count(*) AS BIGINT) AS c FROM bpr GROUP BY doc_id, bp),
+         |b AS (SELECT bp, CAST(sum(c) AS BIGINT) AS c_pair FROM dc GROUP BY bp),
+         |n2 AS (SELECT CAST(sum(c_pair) AS DOUBLE) AS n2 FROM b),
+         |uh AS (SELECT doc_id, unnest(wh) AS h FROM wh),
+         |udc AS (SELECT doc_id, h, CAST(count(*) AS BIGINT) AS c FROM uh GROUP BY doc_id, h),
+         |u AS (SELECT h, CAST(sum(c) AS BIGINT) AS cu FROM udc GROUP BY h),
+         |n1 AS (SELECT CAST(sum(cu) AS DOUBLE) AS n1 FROM u),
+         |s AS (SELECT b.bp, b.bp // $P AS w1, b.bp % $P AS w2, b.c_pair,
+         |    u1.cu AS c1, u2.cu AS c2,
+         |    round(1e-9 + log2(((CAST(b.c_pair AS DOUBLE) * n1) * n1) /
+         |      ((n2 * CAST(u1.cu AS DOUBLE)) * CAST(u2.cu AS DOUBLE))), 6) AS pmi
+         |  FROM b JOIN u u1 ON b.bp // $P = u1.h
+         |         JOIN u u2 ON b.bp % $P = u2.h
+         |         CROSS JOIN n1 CROSS JOIN n2
+         |  WHERE b.c_pair >= $PmiMinPair),
+         |r AS (SELECT *, CAST(row_number() OVER (ORDER BY pmi DESC, bp) AS BIGINT) AS rank FROM s)
+         |SELECT rank, w1, w2, c_pair, c1, c2, pmi FROM r WHERE rank <= $PmiTopK
+         |ORDER BY rank""".stripMargin
+    }) { (spark, dir) =>
+    val docs = Tables.documents(spark, dir)
+    val b = docs
+      .select(col("doc_id"),
+        explode(Hashing.bigramPacks(Hashing.wordHashes(col("text")))).as("bp"))
+      .groupBy("doc_id", "bp").agg(count(lit(1)).as("c"))
+      .groupBy("bp").agg(sum("c").as("c_pair"))
+    val n2 = b.agg(sum("c_pair").cast("double").as("n2"))
+    val u = docs
+      .select(col("doc_id"), explode(Hashing.wordHashes(col("text"))).as("h"))
+      .groupBy("doc_id", "h").agg(count(lit(1)).as("c"))
+      .groupBy("h").agg(sum("c").as("cu"))
+    val n1 = u.agg(sum("cu").cast("double").as("n1"))
+    val P = Hashing.P
+    val scored = b.filter(col("c_pair") >= PmiMinPair)
+      .join(u.select(expr(s"h AS h1"), col("cu").as("c1")),
+        expr(s"bp div $P") === col("h1"))
+      .join(u.select(expr(s"h AS h2"), col("cu").as("c2")),
+        expr(s"bp % $P") === col("h2"))
+      .crossJoin(broadcast(n1)).crossJoin(broadcast(n2))
+      .select(col("bp"), expr(s"bp div $P").as("w1"), expr(s"bp % $P").as("w2"),
+        col("c_pair"), col("c1"), col("c2"),
+        round(lit(1e-9) + log2(
+          ((col("c_pair").cast("double") * col("n1")) * col("n1")) /
+            ((col("n2") * col("c1").cast("double")) * col("c2").cast("double"))),
+          6).as("pmi"))
+    val top = scored
+      .agg(graft.functions.TopKAgg.topk_by_score(
+        col("pmi"), col("bp"), PmiTopK).as("tk"))
+      .select(explode(col("tk")).as("t"))
+      .select(col("t.rank").as("rank"), col("t.id").as("bp"))
+    scored.join(broadcast(top), "bp")
+      .select(col("rank"), col("w1"), col("w2"), col("c_pair"),
+        col("c1"), col("c2"), col("pmi"))
+      .orderBy("rank")
+  }
+
   val all: Seq[Q] = Seq(tokens, quality, langid, langidClf, html, fingerprint, curate, curateClf, shard, topterms, pii,
-    entropy, pack, vocab, bpePairs, gopher, card)
+    entropy, pack, vocab, bpePairs, gopher, card, pmi)
 }
