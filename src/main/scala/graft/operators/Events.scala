@@ -1080,8 +1080,60 @@ object Events {
       .orderBy("event_type", "bucket_s")
   }
 
+  /** Top-k frequent 3-step paths — sequence mining one level above
+    * ev_pathing's pair-transition matrix: the most common
+    * within-session event-type TRIPLES (both hops inside the 30-min
+    * session gap), with corpus share. Two lead() offsets in ONE
+    * user-keyed window pass (no self-joins — the naive 3-way join on
+    * (user, ts±) is the plan that dies at scale); the corpus
+    * collapses to the ≤|types|³ counts frame before the ranking
+    * window, so the global ordering touches a bounded frame. Integer
+    * counts + full path tiebreak make the top-k set engine-exact.
+    */
+  val pathsTopK = Q(
+    "ev_paths_topk",
+    """WITH s AS (
+      |  SELECT user_id, ts, event_type,
+      |    lead(event_type) OVER w AS t2, lead(ts) OVER w AS ts2,
+      |    lead(event_type, 2) OVER w AS t3, lead(ts, 2) OVER w AS ts3
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |tr AS (SELECT event_type AS t1, t2, t3 FROM s
+      |  WHERE t3 IS NOT NULL AND epoch(ts2) - epoch(ts) <= 1800
+      |    AND epoch(ts3) - epoch(ts2) <= 1800),
+      |c AS (SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS n FROM tr GROUP BY 1, 2, 3),
+      |tot AS (SELECT CAST(sum(n) AS DOUBLE) AS tot FROM c),
+      |r AS (SELECT t1, t2, t3, n,
+      |  CAST(row_number() OVER (ORDER BY n DESC, t1, t2, t3) AS BIGINT) AS rank FROM c)
+      |SELECT rank, t1, t2, t3, n, round(1e-9 + n / tot, 6) AS share
+      |FROM r CROSS JOIN tot
+      |WHERE rank <= 10
+      |ORDER BY rank""".stripMargin) { (spark, dir) =>
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val triples = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("t1"),
+        lead("event_type", 1).over(w).as("t2"),
+        lead("ts", 1).over(w).as("ts2"),
+        lead("event_type", 2).over(w).as("t3"),
+        lead("ts", 2).over(w).as("ts3"))
+      .filter(col("t3").isNotNull &&
+        col("ts2").cast("double") - col("ts").cast("double") <= 1800 &&
+        col("ts3").cast("double") - col("ts2").cast("double") <= 1800)
+    val counts = triples.groupBy("t1", "t2", "t3").agg(count(lit(1)).as("n"))
+    val tot = counts.agg(sum("n").cast("double").as("tot"))
+    val wr = Window.orderBy(col("n").desc, col("t1"), col("t2"), col("t3"))
+    counts
+      .withColumn("rank", row_number().over(wr).cast("long"))
+      .filter(col("rank") <= 10)
+      .crossJoin(broadcast(tot))
+      .select(col("rank"), col("t1"), col("t2"), col("t3"), col("n"),
+        round(lit(1e-9) + col("n") / col("tot"), 6).as("share"))
+      .orderBy("rank")
+  }
+
   val all: Seq[Q] =
     Seq(windowAgg, sessionize, funnel, json, retention, asof, rangeJoin,
       sessionWindow, variant, windowFunnel, gapfill, attribution, pathing,
-      anomaly, rfm, forecast, changepoint, activeUsers, interpolate)
+      anomaly, rfm, forecast, changepoint, activeUsers, interpolate,
+      pathsTopK)
 }

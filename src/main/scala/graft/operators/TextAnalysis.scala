@@ -1272,6 +1272,58 @@ object TextAnalysis {
       .orderBy("rank")
   }
 
+  private val ZipfRanks = 200
+
+  /** Zipf-law fit per source — the corpus-health diagnostic behind
+    * every "does this source look like natural language" check: OLS
+    * slope of log2(tf) on log2(rank) over the top [[ZipfRanks]] of
+    * each source's term histogram (natural text sits near −1; a
+    * templated or synthetic source flattens or cliffs). Composes the
+    * engine's own primitives: the Zipf-proofed vocab build
+    * (doc-level counts first, so one hot doc cannot skew a reducer),
+    * per-source ranking via a window over the AGGREGATED vocab frame
+    * (≪ corpus), and the q32 regression aggregate over ≤200 rows per
+    * source. Rank ties break on the hash so both engines rank
+    * identically.
+    */
+  val zipf = Q(
+    "tx_zipf", {
+      val whSql = Hashing.wordHashesSql("text")
+      s"""WITH wh AS (SELECT doc_id, source, unnest($whSql) AS h FROM documents),
+         |dc AS (SELECT doc_id, source, h, CAST(count(*) AS BIGINT) AS c
+         |  FROM wh GROUP BY doc_id, source, h),
+         |v AS (SELECT source, h, CAST(sum(c) AS BIGINT) AS tf FROM dc GROUP BY source, h),
+         |r AS (SELECT source, h, tf, CAST(row_number() OVER (
+         |    PARTITION BY source ORDER BY tf DESC, h) AS BIGINT) AS rank FROM v),
+         |f AS (SELECT source, rank, tf FROM r WHERE rank <= $ZipfRanks)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_ranks,
+         |  round(1e-9 + regr_slope(log2(CAST(tf AS DOUBLE)), log2(CAST(rank AS DOUBLE))), 6)
+         |    AS zipf_slope,
+         |  round(1e-9 + regr_r2(log2(CAST(tf AS DOUBLE)), log2(CAST(rank AS DOUBLE))), 6)
+         |    AS fit_r2
+         |FROM f GROUP BY source
+         |ORDER BY source""".stripMargin
+    }) { (spark, dir) =>
+    val v = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        explode(Hashing.wordHashes(col("text"))).as("h"))
+      .groupBy("doc_id", "source", "h").agg(count(lit(1)).as("c"))
+      .groupBy("source", "h").agg(sum("c").as("tf"))
+    val wr = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("tf").desc, col("h"))
+    v.withColumn("rank", row_number().over(wr).cast("long"))
+      .filter(col("rank") <= ZipfRanks)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_ranks"),
+        round(lit(1e-9) +
+          expr("regr_slope(log2(CAST(tf AS DOUBLE)), log2(CAST(rank AS DOUBLE)))"),
+          6).as("zipf_slope"),
+        round(lit(1e-9) +
+          expr("regr_r2(log2(CAST(tf AS DOUBLE)), log2(CAST(rank AS DOUBLE)))"),
+          6).as("fit_r2"))
+      .orderBy("source")
+  }
+
   val all: Seq[Q] = Seq(tokens, quality, langid, langidClf, html, fingerprint, curate, curateClf, shard, topterms, pii,
-    entropy, pack, vocab, bpePairs, gopher, card, pmi)
+    entropy, pack, vocab, bpePairs, gopher, card, pmi, zipf)
 }
