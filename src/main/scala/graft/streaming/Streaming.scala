@@ -922,6 +922,23 @@ object Streaming {
       .select(col("event_type"),
         hll_sketch_estimate(col("sk")).as("n_users_approx"))
 
+  /** Incrementally-maintained per-DAY user sketches — the streaming
+    * half of ev_active_users: arriving events update their day's HLL
+    * user sketch (constant state per day), and any rolling window —
+    * WAU, MAU, a custom 3-day span — is served by unioning the
+    * maintained sketch rows, never by replaying events. HLL updates
+    * commute, so a replay's estimates equal the batch build's
+    * exactly (StreamingSpec pins both the per-day estimates and the
+    * 7-day-union WAU against the batch frames).
+    */
+  def dailyUsers(events: DataFrame): DataFrame =
+    events
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+      .groupBy("day")
+      .agg(hll_sketch_agg(col("user_id"), lit(14)).as("sk"))
+      .select(col("day"), col("sk"),
+        hll_sketch_estimate(col("sk")).as("dau_approx"))
+
   /** Incrementally-maintained per-source FREQUENCY sketches over the
     * document stream's word-3-gram shingle hashes — the streaming
     * half of q29_freq's stop-shingle story (the sketchCounts pattern

@@ -1058,6 +1058,53 @@ class StreamingSpec extends AnyFunSuite {
       assert(math.abs(got(t) - e) <= e * 0.04, s"$t: est ${got(t)} vs exact $e")
   }
 
+  test("streamed daily user sketches serve DAU and 7-day WAU like the batch build") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val all = eventsBatch
+      .select("event_id", "ts", "user_id", "event_type", "value").as[Event]
+      .collect()
+    val mem = MemoryStream[Event]
+    val q = Streaming.dailyUsers(mem.toDF())
+      .writeStream.outputMode("complete").format("memory").queryName("du").start()
+    try {
+      for (chunk <- all.grouped((all.length + 3) / 4)) {
+        mem.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = spark.sql("SELECT * FROM du")
+    // per-day estimates replay to the batch build's exactly
+    val gotDau = streamed.collect()
+      .map(r => r.getAs[java.sql.Date]("day").toString ->
+        r.getAs[Long]("dau_approx")).toMap
+    val wantDau = eventsBatch
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+      .groupBy("day")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(14))).as("est"))
+      .collect().map(r => r.getAs[java.sql.Date]("day").toString ->
+        r.getAs[Long]("est")).toMap
+    assert(gotDau == wantDau, "streamed daily estimates diverged from batch")
+    // the maintained sketches union into the rolling 7-day distinct
+    // within the same tolerance the batch query pins
+    val wauEst = streamed
+      .select(explode(expr("sequence(day, date_add(day, 6), interval 1 day)"))
+        .as("day"), col("sk"))
+      .join(streamed.select("day"), Seq("day"), "left_semi")
+      .groupBy("day")
+      .agg(hll_sketch_estimate(
+        hll_union_agg(col("sk"), allowDifferentLgConfigK = lit(false))).as("est"))
+      .collect().map(r => r.getAs[java.sql.Date]("day").toString ->
+        r.getAs[Long]("est")).toMap
+    val exactWau = SparkEntry.queries("ev_active_users")(spark, sf).collect()
+      .map(r => r.getAs[java.sql.Timestamp]("day").toString.take(10) ->
+        r.getAs[Long]("wau")).toMap
+    assert(wauEst.keySet == exactWau.keySet)
+    for ((d, e) <- exactWau)
+      assert(math.abs(wauEst(d) - e) <= math.max(1L, (e * 0.05).toLong),
+        s"$d: union estimate ${wauEst(d)} vs exact $e")
+  }
+
   test("streamed frequency sketches bracket the exact shingle head after replay") {
     import spark.implicits._
     import graft.functions.FreqAgg._
