@@ -1120,12 +1120,15 @@ object Events {
         col("ts2").cast("double") - col("ts").cast("double") <= 1800 &&
         col("ts3").cast("double") - col("ts2").cast("double") <= 1800)
     val counts = triples.groupBy("t1", "t2", "t3").agg(count(lit(1)).as("n"))
-    val tot = counts.agg(sum("n").cast("double").as("tot"))
+    // both the rank and the share denominator are windows over the
+    // ALREADY-AGGREGATED ≤|types|³ frame — a crossJoin'd total would
+    // re-run the whole corpus pipeline for one number
     val wr = Window.orderBy(col("n").desc, col("t1"), col("t2"), col("t3"))
+    val wAll = Window.partitionBy()
     counts
+      .withColumn("tot", sum("n").over(wAll).cast("double"))
       .withColumn("rank", row_number().over(wr).cast("long"))
       .filter(col("rank") <= 10)
-      .crossJoin(broadcast(tot))
       .select(col("rank"), col("t1"), col("t2"), col("t3"), col("n"),
         round(lit(1e-9) + col("n") / col("tot"), 6).as("share"))
       .orderBy("rank")

@@ -97,11 +97,31 @@ object Stats {
       |  WHERE b.p_retailprice <= a.p_retailprice AND b.p_size >= a.p_size
       |    AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size))
       |ORDER BY a.p_partkey""".stripMargin) { (spark, dir) =>
+    val (lazyOut, perPrice) = skylinePlan(spark, dir)
+    val out = lazyOut
+      .localCheckpoint(true) // materialize before the price frame is released
+    Dedup.releaseLocalCheckpoint(perPrice)
+    out
+  }
+
+  /** The lazy skyline pipeline + the checkpointed price frame it
+    * reads (exposed so PlanSpec can assert the shape before the
+    * query materializes and releases it). Callers must release the
+    * returned perPrice checkpoint once the result is materialized.
+    */
+  private[graft] def skylinePlan(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
     val p = Tables.part(spark, dir)
       .select("p_partkey", "p_retailprice", "p_size")
+    // the distinct-price aggregate feeds BOTH prefix maxima; eager
+    // checkpoint so the part scan + aggregation run exactly once
+    // (branch-specific inferred filters otherwise defeat exchange
+    // reuse and the plan scans part three times)
     val perPrice = p.groupBy("p_retailprice")
       .agg(max("p_size").as("same_mx"))
       .withColumn("bkt", floor(col("p_retailprice") / lit(SkylineBand)))
+      .localCheckpoint(true)
     val wIn = Window.partitionBy("bkt").orderBy("p_retailprice")
       .rowsBetween(Window.unboundedPreceding, -1)
     val inPref = perPrice.withColumn("in_mx", max("same_mx").over(wIn))
@@ -118,11 +138,12 @@ object Stats {
           coalesce(col("in_mx"), lit(Int.MinValue)),
           coalesce(col("prev_mx"), lit(Int.MinValue))))
       .select("p_retailprice", "same_mx", "strict_mx")
-    p.join(verdict, Seq("p_retailprice"))
+    val out = p.join(verdict, Seq("p_retailprice"))
       .filter(!(col("strict_mx") >= col("p_size") ||
         col("same_mx") > col("p_size")))
       .select("p_partkey", "p_retailprice", "p_size")
       .orderBy("p_partkey")
+    (out, perPrice)
   }
 
   val all: Seq[Q] = Seq(regression, skyline)

@@ -714,6 +714,60 @@ class PlanSpec extends AnyFunSuite {
       "no keyed exchange may carry document text")
   }
 
+
+  test("q32_regression is one scan into one hash aggregate") {
+    val p = plan("q32_regression")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      "regression must need exactly one keyed exchange")
+    assert(p.contains("ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_returnflag:string,l_linestatus:string>")
+      || p.contains("ReadSchema: struct<l_returnflag:string,l_linestatus:string,l_quantity:double,l_extendedprice:double>"),
+      "scan must read only the four regression columns")
+  }
+
+  test("q33_skyline never forms the quadratic dominance join") {
+    // the served query eagerly checkpoints; assert on the lazy pipeline
+    val (out, perPrice) = operators.Stats.skylinePlan(spark, sf)
+    val p = out.queryExecution.explainString(SimpleMode)
+    try {
+      assert(!p.contains("CartesianProduct"), "skyline must not cross-join part with itself")
+      assert("FileScan parquet".r.findAllIn(p).size == 1,
+        "only the verdict join back reads part; the price aggregate is the checkpoint")
+      assert("Scan ExistingRDD".r.findAllIn(p).size >= 1,
+        "both prefix maxima must read the one checkpointed price frame")
+      assert("Window".r.findAllIn(p).size >= 2, "prefix maxima must come from window passes")
+    } finally operators.Dedup.releaseLocalCheckpoint(perPrice)
+  }
+
+  test("ix_phrase probes the postings with a broadcast of the query terms") {
+    val p = plan("ix_phrase")
+    assert(p.contains("BroadcastHashJoin"), "query-term frame must broadcast")
+    assert(!p.toLowerCase.contains("like"), "no substring scan over raw text")
+    assert(p.contains("InMemoryTableScan"), "must serve from the stored positional index")
+  }
+
+  test("ev_active_users serves from stored sketches, never rescanning events") {
+    // the explain STRING prints each InMemoryRelation's build lineage
+    // (which legitimately contains the one-time FileScan), so walk the
+    // optimized plan instead: live scans are LogicalRelation NODES, the
+    // cached build is not a child of its InMemoryRelation
+    val qe = SparkEntry.queries("ev_active_users")(spark, sf).queryExecution
+    val live = qe.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation => l
+    }
+    assert(live.isEmpty, "serve path must not rescan any base table")
+    val cached = qe.optimizedPlan.collect {
+      case m: org.apache.spark.sql.execution.columnar.InMemoryRelation => m
+    }
+    assert(cached.size >= 3, "per-day sketches + exact pin must come from the memoized frames")
+  }
+
+  test("ev_paths_topk: one user-keyed exchange feeds both lead offsets") {
+    val p = plan("ev_paths_topk")
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size == 1,
+      "both lead() offsets must share one window pass")
+    assert(!p.contains("Join"), "sequence mining must not self-join events")
+  }
+
   test("ix_bm25_incremental serves O(|delta|): one delta scan, standing stats cached") {
     // warm the standing-stats memo (the nightly build, billed once)
     operators.Search.bm25StatsStanding(spark, sf).count()
