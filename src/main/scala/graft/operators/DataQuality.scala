@@ -113,5 +113,94 @@ object DataQuality {
       .orderBy("tbl", "chk")
   }
 
-  val all: Seq[Q] = Seq(audit)
+  /** Profiled lineitem columns: (name, kind) with kind deciding which
+    * numeric summary applies (num → min/max/avg/std, ts → epoch
+    * min/max, str → counts only).
+    */
+  private val ProfCols = Seq(
+    ("l_orderkey", "num"), ("l_quantity", "num"), ("l_extendedprice", "num"),
+    ("l_discount", "num"), ("l_tax", "num"), ("l_returnflag", "str"),
+    ("l_linestatus", "str"), ("l_shipdate", "ts"))
+
+  /** Column profiler — dq_audit's descriptive sibling (the Deequ
+    * ColumnProfiler / dbt-docs stats shape): per column of lineitem,
+    * row/null/exact-distinct counts plus the numeric five-number
+    * summary where the type admits one. The whole profile is ONE
+    * aggregation pass: the eight count(DISTINCT) columns plan as a
+    * single Expand (8× narrow (gid, value) pairs into one shuffle —
+    * the standard multi-distinct plan; cost is 8 narrow copies of
+    * the scan, NOT 8 scans), every other metric rides the same
+    * aggregate, and the 1-row result fans out to per-column rows
+    * map-side. Adding a profiled column adds Expand width, never a
+    * pass. At 100 TB the exact distincts are the expensive honesty —
+    * a production profiler swaps them for the stored HLL sketches
+    * (q19 machinery) column-for-column.
+    */
+  val profile = Q(
+    "dq_profile", {
+      def one(c: String, kind: String): String = {
+        val stats = kind match {
+          case "num" =>
+            s"""round(1e-9 + min($c), 4) AS min_num,
+               |  round(1e-9 + max($c), 4) AS max_num,
+               |  round(1e-9 + avg($c), 4) AS avg_num,
+               |  round(1e-9 + stddev($c), 4) AS std_num""".stripMargin
+          case "ts" =>
+            s"""round(1e-9 + epoch(min($c)), 4) AS min_num,
+               |  round(1e-9 + epoch(max($c)), 4) AS max_num,
+               |  CAST(NULL AS DOUBLE) AS avg_num,
+               |  CAST(NULL AS DOUBLE) AS std_num""".stripMargin
+          case _ =>
+            s"""CAST(NULL AS DOUBLE) AS min_num,
+               |  CAST(NULL AS DOUBLE) AS max_num,
+               |  CAST(NULL AS DOUBLE) AS avg_num,
+               |  CAST(NULL AS DOUBLE) AS std_num""".stripMargin
+        }
+        s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n,
+           |  CAST(count(*) - count($c) AS BIGINT) AS n_null,
+           |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  $stats
+           |FROM lineitem""".stripMargin
+      }
+      ProfCols.map { case (c, k) => one(c, k) }
+        .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    }) { (spark, dir) =>
+    val t = Tables.lineitem(spark, dir)
+    val aggs: Seq[Column] = count(lit(1)).as("n") +: ProfCols.flatMap { case (c, k) =>
+      val base = Seq(
+        count(col(c)).as(s"nn_$c"),
+        countDistinct(col(c)).as(s"dist_$c"))
+      val stats = k match {
+        case "num" => Seq(
+          round(lit(1e-9) + min(col(c)), 4).as(s"min_$c"),
+          round(lit(1e-9) + max(col(c)), 4).as(s"max_$c"),
+          round(lit(1e-9) + avg(col(c)), 4).as(s"avg_$c"),
+          round(lit(1e-9) + stddev(col(c)), 4).as(s"std_$c"))
+        case "ts" => Seq(
+          round(lit(1e-9) + min(col(c)).cast("timestamp").cast("double"), 4)
+            .as(s"min_$c"),
+          round(lit(1e-9) + max(col(c)).cast("timestamp").cast("double"), 4)
+            .as(s"max_$c"))
+        case _ => Nil
+      }
+      base ++ stats
+    }
+    val one = t.agg(aggs.head, aggs.tail: _*)
+    val nullD = lit(null).cast("double")
+    val rows = ProfCols.map { case (c, k) =>
+      val (mn, mx) =
+        if (k == "str") (nullD, nullD) else (col(s"min_$c"), col(s"max_$c"))
+      val (av, sd) =
+        if (k == "num") (col(s"avg_$c"), col(s"std_$c")) else (nullD, nullD)
+      struct(
+        lit(c).as("col_name"), col("n"),
+        (col("n") - col(s"nn_$c")).as("n_null"),
+        col(s"dist_$c").as("n_distinct"),
+        mn.as("min_num"), mx.as("max_num"), av.as("avg_num"), sd.as("std_num"))
+    }
+    one.select(explode(array(rows: _*)).as("r")).select("r.*")
+      .orderBy("col_name")
+  }
+
+  val all: Seq[Q] = Seq(audit, profile)
 }

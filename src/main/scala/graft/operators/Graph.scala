@@ -476,5 +476,46 @@ object Graph {
     }
   }
 
-  val all: Seq[Q] = Seq(pagerank, triangles, components, kcore, bfs)
+  /** Degree distribution + power-law fit over the co-purchase graph
+    * — the zipf/heaps sibling for graphs: the histogram (degree,
+    * node count) with the fitted log-log slope (a scale-free link
+    * graph sits near −2…−3; a random graph's histogram is Poisson
+    * and the fit collapses). Serves ENTIRELY from the memoized
+    * pagerank edge build (src, outdeg already materialized): one
+    * distinct over the cached frame, a |degrees|-row histogram, and
+    * the q32 regression aggregate over the log-log points — the
+    * corpus is never rescanned.
+    */
+  val degreeDist = Q(
+    "gr_degree_dist",
+    s"""WITH e0 AS (
+       |  SELECT DISTINCT l_partkey AS src, l_suppkey + $SuppOffset AS dst FROM lineitem),
+       |edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
+       |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY src),
+       |h AS (SELECT d AS degree, CAST(count(*) AS BIGINT) AS n_nodes FROM deg GROUP BY d),
+       |fit AS (SELECT
+       |    round(1e-9 + regr_slope(log2(CAST(n_nodes AS DOUBLE)),
+       |      log2(CAST(degree AS DOUBLE))), 6) AS alpha,
+       |    round(1e-9 + regr_r2(log2(CAST(n_nodes AS DOUBLE)),
+       |      log2(CAST(degree AS DOUBLE))), 6) AS fit_r2
+       |  FROM h)
+       |SELECT degree, n_nodes, alpha, fit_r2 FROM h CROSS JOIN fit
+       |ORDER BY degree""".stripMargin) { (spark, dir) =>
+    val h = edgesWithDeg(spark, dir)
+      .select(col("src"), col("outdeg")).distinct()
+      .groupBy(col("outdeg").as("degree"))
+      .agg(count(lit(1)).as("n_nodes"))
+    val fit = h.agg(
+      round(lit(1e-9) + expr(
+        "regr_slope(log2(CAST(n_nodes AS DOUBLE)), log2(CAST(degree AS DOUBLE)))"),
+        6).as("alpha"),
+      round(lit(1e-9) + expr(
+        "regr_r2(log2(CAST(n_nodes AS DOUBLE)), log2(CAST(degree AS DOUBLE)))"),
+        6).as("fit_r2"))
+    h.crossJoin(broadcast(fit))
+      .select(col("degree"), col("n_nodes"), col("alpha"), col("fit_r2"))
+      .orderBy("degree")
+  }
+
+  val all: Seq[Q] = Seq(pagerank, triangles, components, kcore, bfs, degreeDist)
 }

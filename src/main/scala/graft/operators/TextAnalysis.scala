@@ -1324,6 +1324,75 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  private val HeapsSteps = Seq(25L, 100L, 400L, 1600L, 6400L, 25600L, 102400L)
+
+  /** Heaps-law vocabulary growth — tx_zipf's companion diagnostic:
+    * distinct-term count V as a function of corpus token count N at
+    * geometric doc-id prefixes, with the fitted exponent β of
+    * V = K·N^β (natural language sits near 0.4–0.6; a
+    * template-generated source saturates early and β collapses).
+    *
+    * The scalable algorithm is the FIRST-OCCURRENCE histogram: the
+    * naive plan runs one distinct count per prefix (a 7-way
+    * multi-distinct Expand over every token — the exact blowup the
+    * q9_approx note documents). Instead ONE vocab aggregation
+    * records each hash's first doc id; every prefix's vocab is then
+    * a conditional count over the |vocab|-row frame, and every
+    * prefix's token total a conditional sum over the |docs|-row
+    * frame — the corpus is tokenized once, shuffled once. The β fit
+    * is the q32 regression aggregate over ≤7 log-log points,
+    * broadcast back onto the per-step rows.
+    */
+  val heaps = Q(
+    "tx_heaps", {
+      val whSql = Hashing.wordHashesSql("text")
+      val steps = HeapsSteps.mkString("[", ", ", "]")
+      s"""WITH wh AS (SELECT doc_id, unnest($whSql) AS h FROM documents),
+         |f AS (SELECT h, min(doc_id) AS fst FROM wh GROUP BY h),
+         |dtok AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM wh GROUP BY doc_id),
+         |steps AS (SELECT unnest($steps) AS step),
+         |per AS (SELECT s.step,
+         |    (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) FROM dtok
+         |      WHERE doc_id < s.step) AS n_tokens,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM f WHERE fst < s.step) AS n_vocab
+         |  FROM steps s),
+         |pf AS (SELECT * FROM per WHERE n_vocab > 0),
+         |fit AS (SELECT
+         |    round(1e-9 + regr_slope(log2(CAST(n_vocab AS DOUBLE)),
+         |      log2(CAST(n_tokens AS DOUBLE))), 6) AS heaps_beta,
+         |    round(1e-9 + regr_r2(log2(CAST(n_vocab AS DOUBLE)),
+         |      log2(CAST(n_tokens AS DOUBLE))), 6) AS fit_r2
+         |  FROM pf)
+         |SELECT step, n_tokens, n_vocab, heaps_beta, fit_r2
+         |FROM pf CROSS JOIN fit
+         |ORDER BY step""".stripMargin
+    }) { (spark, dir) =>
+    val s = spark
+    import s.implicits._
+    val wh = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(Hashing.wordHashes(col("text"))).as("h"))
+    val f = wh.groupBy("h").agg(min("doc_id").as("fst"))
+    val dtok = wh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val steps = HeapsSteps.toDF("step")
+    val vocabPer = f.join(broadcast(steps), col("fst") < col("step"))
+      .groupBy("step").agg(count(lit(1)).as("n_vocab"))
+    val tokPer = dtok.join(broadcast(steps), col("doc_id") < col("step"))
+      .groupBy("step").agg(sum("n").as("n_tokens"))
+    val per = vocabPer.join(tokPer, Seq("step"))
+      .filter(col("n_vocab") > 0)
+    val fit = per.agg(
+      round(lit(1e-9) + expr(
+        "regr_slope(log2(CAST(n_vocab AS DOUBLE)), log2(CAST(n_tokens AS DOUBLE)))"),
+        6).as("heaps_beta"),
+      round(lit(1e-9) + expr(
+        "regr_r2(log2(CAST(n_vocab AS DOUBLE)), log2(CAST(n_tokens AS DOUBLE)))"),
+        6).as("fit_r2"))
+    per.crossJoin(broadcast(fit))
+      .select(col("step"), col("n_tokens"), col("n_vocab"),
+        col("heaps_beta"), col("fit_r2"))
+      .orderBy("step")
+  }
+
   val all: Seq[Q] = Seq(tokens, quality, langid, langidClf, html, fingerprint, curate, curateClf, shard, topterms, pii,
-    entropy, pack, vocab, bpePairs, gopher, card, pmi, zipf)
+    entropy, pack, vocab, bpePairs, gopher, card, pmi, zipf, heaps)
 }
