@@ -322,5 +322,81 @@ object Cdc {
       .orderBy("source")
   }
 
-  val all: Seq[Q] = Seq(latest, diff, incremental, scd2, apply)
+  /** One-time SCD2 history build (the cdc_scd2 frame without its
+    * report ordering), persisted via SessionMemo — the stored
+    * dimension-history table that point-in-time reads serve from.
+    */
+  private[graft] def scd2History(spark: SparkSession, dir: String): DataFrame =
+    graft.SessionMemo.frames(spark, s"cdc.scd2History:$dir") {
+      val w = Window.partitionBy("user_id", "event_type").orderBy("ts_us", "event_id")
+      val surv = Tables.events(spark, dir)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"), col("event_id"),
+          round(lit(1e-9) + col("value"), 4).as("value"))
+        .withColumn("prev", lag("value", 1).over(w))
+        .filter(col("prev").isNull || col("value") =!= col("prev"))
+      val h = surv
+        .select(col("user_id"), col("event_type"),
+          row_number().over(w).cast("int").as("version"),
+          col("ts_us").as("valid_from_us"),
+          lead("ts_us", 1).over(w).as("valid_to_us"),
+          col("value"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      h.count() // materialize: queries time the serve path
+      Seq(h)
+    }.head
+
+  /** Point-in-time read (time travel): the value every (user, type)
+    * key held AS OF a cutoff instant, served from the STORED SCD2
+    * history — one interval filter `valid_from ≤ t < valid_to` over
+    * the history table, no window, no changelog rescan (the whole
+    * point of maintaining the history: any past snapshot is a filter,
+    * not a replay). The cutoff is the midpoint of the history's
+    * change-time range, derived identically on both engines; the
+    * oracle recomputes the snapshot DIRECTLY from the changelog
+    * (newest change ≤ cutoff per key), so the history serve and the
+    * direct definition are cross-derived — a wrong validity bound on
+    * either side fails the hash.
+    */
+  val timetravel = Q(
+    "cdc_timetravel",
+    """WITH b AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
+      |    round(1e-9 + value, 4) AS value
+      |  FROM events),
+      |s AS (SELECT * FROM (
+      |    SELECT user_id, event_type, ts_us, event_id, value,
+      |      lag(value) OVER (PARTITION BY user_id, event_type
+      |        ORDER BY ts_us, event_id) AS prev
+      |    FROM b)
+      |  WHERE prev IS NULL OR value <> prev),
+      |cut AS (SELECT (min(ts_us) + max(ts_us)) // 2 AS c FROM s),
+      |tv AS (
+      |  SELECT user_id, event_type,
+      |    CAST(count(*) AS INT) AS version, max(ts_us) AS since_us
+      |  FROM s CROSS JOIN cut WHERE ts_us <= c
+      |  GROUP BY user_id, event_type),
+      |pick AS (
+      |  SELECT s.user_id, s.event_type, tv.version, tv.since_us,
+      |    max(s.event_id) AS last_id
+      |  FROM tv JOIN s ON s.user_id = tv.user_id
+      |    AND s.event_type = tv.event_type AND s.ts_us = tv.since_us
+      |  GROUP BY s.user_id, s.event_type, tv.version, tv.since_us)
+      |SELECT p.user_id, p.event_type, p.version, p.since_us, s.value
+      |FROM pick p JOIN s ON s.user_id = p.user_id
+      |  AND s.event_type = p.event_type AND s.ts_us = p.since_us
+      |  AND s.event_id = p.last_id
+      |ORDER BY p.user_id, p.event_type""".stripMargin) { (spark, dir) =>
+    val h = scd2History(spark, dir)
+    val cut = h.agg(min("valid_from_us").as("mn"), max("valid_from_us").as("mx"))
+      .select(expr("(mn + mx) div 2").as("c")) // integer floor, like the oracle's //
+    h.crossJoin(broadcast(cut))
+      .filter(col("valid_from_us") <= col("c") &&
+        (col("valid_to_us").isNull || col("valid_to_us") > col("c")))
+      .select(col("user_id"), col("event_type"), col("version"),
+        col("valid_from_us").as("since_us"), col("value"))
+      .orderBy("user_id", "event_type")
+  }
+
+  val all: Seq[Q] = Seq(latest, diff, incremental, scd2, apply, timetravel)
 }

@@ -147,4 +147,27 @@ class CdcSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1, 1.0), (2, 2.0), (3, 1.0)),
       s"no-op runs must collapse to 3 versions, got ${got.toSeq}")
   }
+
+  test("cdc_timetravel agrees with cdc_scd2's valid interval at the cutoff") {
+    val tv = SparkEntry.queries("cdc_timetravel")(spark, sf)
+    val hist = SparkEntry.queries("cdc_scd2")(spark, sf)
+    val bounds = hist.agg(
+      min("valid_from_us").as("mn"), max("valid_from_us").as("mx")).collect()(0)
+    val c = (bounds.getLong(0) + bounds.getLong(1)) / 2
+    val want = hist
+      .filter(col("valid_from_us") <= c &&
+        (col("valid_to_us").isNull || col("valid_to_us") > c))
+      .select(col("user_id"), col("event_type"), col("version"),
+        col("valid_from_us").as("since_us"), col("value"))
+    assert(tv.count() > 0)
+    assert(tv.exceptAll(want).count() == 0 && want.exceptAll(tv).count() == 0,
+      "time-travel serve must equal the history's valid interval")
+    // the cutoff is interior: some key must already be past version 1
+    assert(tv.filter(col("version") > 1).count() > 0)
+    // and strictly fewer current versions than the final state has keys
+    assert(tv.count() == hist.select("user_id", "event_type").distinct()
+      .join(hist.filter(col("valid_from_us") <= c)
+        .select("user_id", "event_type").distinct(), Seq("user_id", "event_type"))
+      .count(), "exactly one version per key born before the cutoff")
+  }
 }
