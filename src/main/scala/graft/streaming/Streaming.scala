@@ -922,6 +922,35 @@ object Streaming {
       .select(col("event_type"),
         hll_sketch_estimate(col("sk")).as("n_users_approx"))
 
+  /** Phrase gate at ingest — the streaming face of ix_phrase: each
+    * arriving doc is checked for every watch phrase ENTIRELY
+    * map-side (no postings join, no state): tokenize once with the
+    * shared hash scan, then per phrase an `exists` HOF slides its
+    * hash sequence over the doc's — consecutive-subsequence match,
+    * identical semantics to the batch anchor join. Emits one row per
+    * doc with a hit flag and count per phrase; a replay reproduces
+    * ix_phrase's n_docs/n_occ exactly (StreamingSpec).
+    */
+  def phraseFlags(docs: DataFrame, phrases: Seq[String]): DataFrame = {
+    val wh = graft.functions.Hashing.wordHashes(col("text"))
+    val flagged = phrases.zipWithIndex.foldLeft(docs.withColumn("wh", wh)) {
+      case (df, (p, i)) =>
+        val qh = graft.functions.Hashing.wordHashes(lit(p))
+        // guard: sequence(1, n) with n < 1 would DESCEND in Spark
+        df.withColumn(s"occ_$i",
+          when(size(col("wh")) >= size(qh),
+            size(filter(
+              transform(
+                sequence(lit(1), size(col("wh")) - size(qh) + 1),
+                j => slice(col("wh"), j, size(qh)) === qh),
+              hit => hit)))
+            .otherwise(lit(0)).cast("long"))
+    }
+    flagged.select(
+      col("doc_id") +: phrases.indices.flatMap(i => Seq(
+        (col(s"occ_$i") > 0).as(s"hit_$i"), col(s"occ_$i").as(s"n_occ_$i"))): _*)
+  }
+
   /** Incrementally-maintained per-DAY user sketches — the streaming
     * half of ev_active_users: arriving events update their day's HLL
     * user sketch (constant state per day), and any rolling window —

@@ -1105,6 +1105,32 @@ class StreamingSpec extends AnyFunSuite {
         s"$d: union estimate ${wauEst(d)} vs exact $e")
   }
 
+  test("streamed phrase flags replay to ix_phrase's doc and occurrence counts") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val phrases = Seq("table value", "fast scan", "agg row window")
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val mem = MemoryStream[(Long, String)]
+    val q = Streaming.phraseFlags(mem.toDF().toDF("doc_id", "text"), phrases)
+      .writeStream.outputMode("append").format("memory").queryName("pf").start()
+    try {
+      for (chunk <- docs.grouped((docs.length + 2) / 3)) {
+        mem.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val flags = spark.sql("SELECT * FROM pf")
+    assert(flags.count() == docs.length)
+    val batch = SparkEntry.queries("ix_phrase")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_docs"), r.getAs[Long]("n_occ"))).toMap
+    phrases.zipWithIndex.foreach { case (p, i) =>
+      val nDocs = flags.filter(col(s"hit_$i")).count()
+      val nOcc = flags.agg(sum(s"n_occ_$i")).collect()(0).getLong(0)
+      assert((nDocs, nOcc) == batch(p), s"$p: stream ($nDocs, $nOcc) vs batch ${batch(p)}")
+    }
+  }
+
   test("streamed frequency sketches bracket the exact shingle head after replay") {
     import spark.implicits._
     import graft.functions.FreqAgg._
