@@ -517,5 +517,89 @@ object Graph {
       .orderBy("degree")
   }
 
-  val all: Seq[Q] = Seq(pagerank, triangles, components, kcore, bfs, degreeDist)
+  private val LinkQty = 43
+  private val LinkTopK = 20
+
+  /** Link prediction by neighborhood Jaccard — the classic
+    * common-neighbors recommender over the bulk co-order graph: for
+    * every NON-adjacent pair sharing ≥2 neighbors, score
+    * |N(u)∩N(w)| / |N(u)∪N(w)| and keep the top candidates. The
+    * wedge enumeration (both neighbors paired at every common apex)
+    * is the Σd(d−1)/2 intermediate gr_triangles reports as n_wedges
+    * — bounded here by the same near-max quantity threshold that
+    * keeps the graph sparse; the ≥2-common floor then shrinks the
+    * pair frame BEFORE the degree joins and the existing-edge anti
+    * join. Top-k via the bounded-heap aggregate over ROUNDED scores
+    * with a packed-pair tiebreak, so both engines select the
+    * identical candidate set — no global sort.
+    */
+  val jaccardLinks = Q(
+    "gr_jaccard", {
+      s"""WITH li AS (
+         |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+         |  FROM lineitem WHERE l_quantity >= $LinkQty),
+         |e0 AS (SELECT DISTINCT a.p AS u, b.p AS v
+         |       FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+         |edges AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+         |deg AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY u),
+         |w AS (SELECT x.v AS a, y.v AS b, CAST(count(*) AS BIGINT) AS c
+         |      FROM edges x JOIN edges y ON x.u = y.u AND x.v < y.v
+         |      GROUP BY x.v, y.v HAVING count(*) >= 2),
+         |cand AS (
+         |  SELECT w.a, w.b, w.c, da.d AS da, db.d AS db,
+         |    round(1e-9 + w.c / CAST(da.d + db.d - w.c AS DOUBLE), 6) AS jaccard
+         |  FROM w
+         |  JOIN deg da ON da.node = w.a JOIN deg db ON db.node = w.b
+         |  WHERE NOT EXISTS (SELECT 1 FROM e0 WHERE e0.u = w.a AND e0.v = w.b)),
+         |r AS (SELECT *, CAST(row_number() OVER (
+         |    ORDER BY jaccard DESC, a, b) AS BIGINT) AS rank FROM cand)
+         |SELECT rank, a AS node_a, b AS node_b, c AS n_common,
+         |  da AS deg_a, db AS deg_b, jaccard
+         |FROM r WHERE rank <= $LinkTopK
+         |ORDER BY rank""".stripMargin
+    }) { (spark, dir) =>
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_quantity") >= LinkQty)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    val e0 = li.as("a").join(li.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("u"), col("b.p").as("v"))
+      .distinct()
+      .localCheckpoint(true) // feeds wedges, degrees AND the anti join
+    val edges = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
+    val deg = edges.groupBy(col("u").as("node")).agg(count(lit(1)).as("d"))
+    val wedges = edges.select(col("u"), col("v").as("a"))
+      .join(edges.select(col("u"), col("v").as("b")), Seq("u"))
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2)
+    val cand = wedges
+      .join(e0.select(col("u").as("a"), col("v").as("b")), Seq("a", "b"), "left_anti")
+      .join(deg.select(col("node").as("a"), col("d").as("dega")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("d").as("degb")), Seq("b"))
+      .select(col("a"), col("b"), col("c"), col("dega"), col("degb"),
+        round(lit(1e-9) +
+          col("c") / (col("dega") + col("degb") - col("c")).cast("double"),
+          6).as("jaccard"))
+    // packed pair id keeps the heap tiebreak == ORDER BY jaccard DESC, a, b
+    val top = cand
+      .agg(graft.functions.TopKAgg.topk_by_score(
+        col("jaccard"), col("a") * lit(4294967296L) + col("b"), LinkTopK).as("tk"))
+      .select(explode(col("tk")).as("t"))
+      .select(col("t.rank").as("rank"), col("t.id").as("pair"))
+    val out = cand
+      .withColumn("pair", col("a") * lit(4294967296L) + col("b"))
+      .join(broadcast(top), "pair")
+      .select(col("rank"), col("a").as("node_a"), col("b").as("node_b"),
+        col("c").as("n_common"), col("dega").as("deg_a"),
+        col("degb").as("deg_b"), col("jaccard"))
+      .orderBy("rank")
+      .localCheckpoint(true)
+    Dedup.releaseLocalCheckpoint(e0)
+    out
+  }
+
+  val all: Seq[Q] = Seq(pagerank, triangles, components, kcore, bfs, degreeDist,
+    jaccardLinks)
 }

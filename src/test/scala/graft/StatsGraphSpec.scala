@@ -111,4 +111,32 @@ class StatsGraphSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("gr_jaccard: pairs non-adjacent, scores re-derive from the driver-side graph") {
+    val rows = SparkEntry.queries("gr_jaccard")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val li = Tables.lineitem(spark, sf)
+      .filter(col("l_quantity") >= 43)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byOrder = li.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val adj = scala.collection.mutable.Map.empty[Long, Set[Long]].withDefaultValue(Set.empty)
+    byOrder.values.foreach { ps =>
+      for (u <- ps; v <- ps if u != v) adj(u) = adj(u) + v
+    }
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[Long]("node_a"), r.getAs[Long]("node_b"))
+      assert(a < b)
+      assert(!adj(a).contains(b), s"candidate ($a,$b) is already an edge")
+      val common = (adj(a) & adj(b)).size
+      assert(common == r.getAs[Long]("n_common"), s"($a,$b) common $common")
+      assert(common >= 2)
+      assert(adj(a).size == r.getAs[Long]("deg_a"))
+      assert(adj(b).size == r.getAs[Long]("deg_b"))
+      val j = common.toDouble / (adj(a).size + adj(b).size - common)
+      assert(math.abs(r.getAs[Double]("jaccard") - j) < 1e-5)
+    }
+    val js = rows.map(_.getAs[Double]("jaccard"))
+    assert(js.zip(js.tail).forall { case (x, y) => x >= y }, "not sorted by score")
+  }
 }
