@@ -1373,7 +1373,78 @@ object Ann {
       .orderBy("vec_id", "rank")
   }
 
+  /** Range-search similarity floor — on this corpus's geometry the
+    * planted near-dups score ≥ 0.3 and the random mass sits near 0,
+    * so 0.1 exercises a genuine mid-range radius (each query keeps a
+    * handful of its banded candidates). The filter compares ROUNDED
+    * cosines so the boundary decision is identical on both engines.
+    */
+  val RangeTau = 0.1
+
+  /** Range (radius) similarity search — the threshold member of the
+    * ANN family next to the top-k's: ALL corpus vectors within cosine
+    * ≥ τ of each query, not a fixed k. Same banded hyperplane-LSH
+    * candidate generation as ann_lsh (multi-band lookup, oversized
+    * buckets dropped — candidates stay bounded per query no matter
+    * how dense a cell gets), but the verify step is a simple
+    * filter — no window, no heap — so the plan is candidates →
+    * broadcast-join queries → one projection. The oracle replays the
+    * identical band + threshold logic, so recall semantics (what the
+    * bands can reach) and the radius decision are pinned together.
+    */
+  val rangeSearch = Q(
+    "ann_range",
+    s"""WITH c AS ($corpusSql),
+       |banded0 AS (
+       |  ${(0 until EmbedBands).map(b => s"SELECT vec_id, $b AS band, ${bandKeySql(b)} AS key FROM c").mkString("\n  UNION ALL\n  ")}
+       |),
+       |small AS (
+       |  SELECT band, key FROM banded0 GROUP BY band, key
+       |  HAVING count(*) <= ${Dedup.BucketCap}
+       |),
+       |banded AS (SELECT banded0.* FROM banded0 JOIN small USING (band, key)),
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+       |  FROM banded q JOIN banded c
+       |    ON q.band = c.band AND q.key = c.key AND c.vec_id != q.vec_id
+       |  WHERE q.vec_id < $NumQueries
+       |)
+       |SELECT query_id, neighbor_id, cosine FROM (
+       |  SELECT cand.query_id, cand.neighbor_id,
+       |    round(1e-9 + list_dot_product(cq.e, cc.e) / (cq.nrm * cc.nrm), 6) AS cosine
+       |  FROM cand
+       |  JOIN c cq ON cq.vec_id = cand.query_id
+       |  JOIN c cc ON cc.vec_id = cand.neighbor_id
+       |) WHERE cosine >= $RangeTau
+       |ORDER BY query_id, neighbor_id""".stripMargin) { (spark, dir) =>
+    val c = corpus(spark, dir)
+    val planes = bandPlanesFor(c.count())
+    val banded = c.select(col("vec_id"),
+      explode(array((0 until EmbedBands).map { b =>
+        struct(lit(b).as("band"), bandKeyCol(col("e"), b, planes).as("key"))
+      }: _*)).as("bk"))
+      .select(col("vec_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val capped = Dedup.dropOversizedBuckets(banded, Seq("band", "key"), Dedup.BucketCap)
+    val qb = capped.filter(col("vec_id") < NumQueries)
+      .select(col("band"), col("key"), col("vec_id").as("query_id"))
+    val cand = broadcast(qb)
+      .join(capped.select(col("band"), col("key"), col("vec_id").as("neighbor_id")),
+        Seq("band", "key"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select("query_id", "neighbor_id").distinct()
+    cand
+      .join(broadcast(c.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qn"))),
+        Seq("query_id"))
+      .join(c.select(col("vec_id").as("neighbor_id"), col("e"), col("nrm")), Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(lit(1e-9) + dotC(col("qe"), col("e")) / (col("qn") * col("nrm")), 6)
+          .as("cosine"))
+      .filter(col("cosine") >= RangeTau)
+      .orderBy("query_id", "neighbor_id")
+  }
+
   val all: Seq[Q] =
     Seq(topk, topkAgg, topkPlan, lshTopk, ivfTopk, pqTopk, ivfpqTopk, sq8Topk,
-      refresh, embedDedup, embedClusters, filteredTopk, knnJoin)
+      refresh, embedDedup, embedClusters, filteredTopk, knnJoin, rangeSearch)
 }
