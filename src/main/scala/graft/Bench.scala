@@ -176,6 +176,15 @@ object Bench {
       },
       built("kll_year_sketches", Seq("q30_kll_drift")) {
         operators.Maintain.kllYearFrames(spark, sfDir)
+      },
+      built("daily_user_sketches", Seq("ev_active_users")) {
+        operators.Events.dailyUserFrames(spark, sfDir)
+      },
+      built("scd2_history", Seq("cdc_timetravel")) {
+        operators.Cdc.scd2History(spark, sfDir)
+      },
+      built("positional_index", Seq("ix_phrase")) {
+        operators.Search.posIndex(spark, sfDir)
       }).flatten
     // deterministic name order: per-query numbers are comparable
     // run-to-run and round-to-round (Map iteration order shuffled the

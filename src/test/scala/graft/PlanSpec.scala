@@ -768,6 +768,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), "sequence mining must not self-join events")
   }
 
+
+  test("ann_knn_join scores inside the cell join and heap-reduces map-side") {
+    val p = plan("ann_knn_join")
+    assert(p.contains("partial_topk_by_score"),
+      "candidates must collapse into partial heaps before any exchange")
+    // the only candidate-keyed exchange is the |queries|-sized heap merge;
+    // the old plan materialized id pairs and re-attached arrays by SMJ
+    assert("Exchange hashpartitioning\\(va".r.findAllIn(p).size <= 1,
+      "pair rows must not be exchanged more than the heap merge")
+  }
+
   test("ix_bm25_incremental serves O(|delta|): one delta scan, standing stats cached") {
     // warm the standing-stats memo (the nightly build, billed once)
     operators.Search.bm25StatsStanding(spark, sf).count()
