@@ -649,6 +649,48 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** mm_phash_clusters — perceptual image duplicate CLUSTERS: the
+    * mm_phash_pairs edge set resolved to canonical images by the
+    * engine's one connected-components implementation (the same
+    * pointer-jump loop dd_clusters and dd_embed_clusters use) —
+    * completing the multimodal dedup symmetry (pairs → incremental
+    * probe → clusters). One row per clustered image with its
+    * canonical (cluster-minimum doc id) and cluster size; the oracle
+    * composes the pair SQL with the recursive reachability block.
+    */
+  val phashClusters = Q(
+    "mm_phash_clusters", {
+      val pq = phashPairs.oracle.get.replace("ORDER BY doc_a, doc_b", "")
+      s"""WITH RECURSIVE pq AS ($pq),
+         |edges AS (
+         |  SELECT doc_a AS u, doc_b AS v FROM pq
+         |  UNION
+         |  SELECT doc_b AS u, doc_a AS v FROM pq
+         |),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+         |)
+         |SELECT u AS doc_id, least(u, min(v)) AS canonical_id,
+         |  CAST(count(*) FILTER (WHERE v != u) + 1 AS BIGINT) AS cluster_size
+         |FROM (SELECT DISTINCT u, v FROM reach)
+         |GROUP BY u
+         |ORDER BY doc_id""".stripMargin
+    }) { (spark, dir) =>
+    val pairs = phashPairsOf(Tables.documents(spark, dir))
+      .select("doc_a", "doc_b")
+    val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      .distinct()
+    val (labels, _) = graft.operators.Dedup.connectedComponents(edges)
+    val sizes = labels.groupBy("label").agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, Seq("label"))
+      .select(col("doc").as("doc_id"), col("label").as("canonical_id"),
+        col("cluster_size"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(meta, frames, resample, image, segments, phashPairs, phashIncremental,
-    audioHash)
+    audioHash, phashClusters)
 }

@@ -530,6 +530,65 @@ object Search {
       .orderBy("phrase")
   }
 
+  private val FuzzyQueries = Seq("tabel", "spak", "windoq", "qery", "zzzz")
+
+  /** Typo-tolerant term lookup — the SymSpell deletion-neighborhood
+    * idea: instead of a Levenshtein CROSS JOIN of queries × vocabulary
+    * (the plan that dies the moment the vocabulary is real), each side
+    * expands to its 1-deletion keys (the word itself + every
+    * single-character deletion, ≤ len+1 keys) and candidates are an
+    * equi-join on those keys — any edit-distance-1 pair (substitution,
+    * insertion, deletion) shares a key, so recall at distance 1 is
+    * exact. Candidates then verify with ONE levenshtein call per
+    * (query, candidate), never per (query, vocab) pair. The vocab side
+    * is the corpus term histogram (Zipf-proofed doc-level pre-agg);
+    * its deletion-key table would be the stored index in production.
+    * Zero-match queries keep a row through the left join back.
+    */
+  val fuzzy = Q(
+    "ix_fuzzy", {
+      val words = "string_split_regex(trim(lower(text)), '\\s+')"
+      val values = FuzzyQueries.map(q => s"('$q')").mkString(", ")
+      def delKeys(e: String) =
+        s"list_transform(range(0, length($e) + 1), i -> " +
+          s"CASE WHEN i = 0 THEN $e ELSE substr($e, 1, i - 1) || substr($e, i + 1) END)"
+      s"""WITH wr AS (SELECT doc_id, unnest($words) AS w FROM documents),
+         |dc AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c FROM wr GROUP BY doc_id, w),
+         |v AS (SELECT w, CAST(sum(c) AS BIGINT) AS tf FROM dc GROUP BY w),
+         |vk AS (SELECT w, tf, unnest(${delKeys("w")}) AS k FROM v),
+         |q AS (SELECT qt FROM (VALUES $values) AS t(qt)),
+         |qk AS (SELECT qt, unnest(${delKeys("qt")}) AS k FROM q),
+         |cand AS (SELECT DISTINCT qk.qt, vk.w, vk.tf FROM qk JOIN vk USING (k)),
+         |m AS (SELECT qt, w, CAST(levenshtein(qt, w) AS INT) AS dist, tf
+         |      FROM cand WHERE levenshtein(qt, w) <= 1)
+         |SELECT q.qt AS query_term, m.w AS match, m.dist, m.tf
+         |FROM q LEFT JOIN m USING (qt)
+         |ORDER BY query_term, match""".stripMargin
+    }) { (spark, dir) =>
+    val s = spark
+    import s.implicits._
+    def delKeys(c: String) =
+      expr(s"transform(sequence(0, length($c)), i -> " +
+        s"CASE WHEN i = 0 THEN $c ELSE concat(substring($c, 1, i - 1), substring($c, i + 1, length($c))) END)")
+    val v = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      .groupBy("w").agg(sum("c").as("tf"))
+    val vk = v.select(col("w"), col("tf"), explode(delKeys("w")).as("k"))
+    val q = FuzzyQueries.toDF("qt")
+    val qk = q.select(col("qt"), explode(delKeys("qt")).as("k"))
+    val cand = vk.join(broadcast(qk), Seq("k"))
+      .select("qt", "w", "tf").distinct()
+    val m = cand
+      .withColumn("dist", levenshtein(col("qt"), col("w")).cast("int"))
+      .filter(col("dist") <= 1)
+    q.join(m, Seq("qt"), "left")
+      .select(col("qt").as("query_term"), col("w").as("match"),
+        col("dist"), col("tf"))
+      .orderBy("query_term", "match")
+  }
+
   val all: Seq[Q] = Seq(bm25, sourceSim, hybrid, sourceOverlap, bm25Incremental,
-    phrase)
+    phrase, fuzzy)
 }
