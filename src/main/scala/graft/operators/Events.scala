@@ -1134,9 +1134,67 @@ object Events {
       .orderBy("rank")
   }
 
+  /** Cohort LTV triangle — ev_retention's revenue sibling and the
+    * payback question every acquisition decision hangs on: users
+    * cohorted by FIRST-PURCHASE week, each cohort's purchase revenue
+    * accumulated over week offsets, reported as cumulative
+    * revenue-per-cohort-user (2-dp cents-exact sums, the rounding
+    * only at the division). One user-keyed aggregate finds cohorts,
+    * one (cohort, offset) aggregate collapses the corpus, and the
+    * running total is a window over that ≤ weeks² triangle — the
+    * corpus never meets a window.
+    */
+  val ltv = Q(
+    "ev_ltv",
+    """WITH p AS (
+      |  SELECT user_id, CAST(floor(epoch(ts) / 604800) AS BIGINT) AS week,
+      |    CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events WHERE event_type = 'purchase'),
+      |firsts AS (SELECT user_id, min(week) AS cohort FROM p GROUP BY user_id),
+      |sizes AS (SELECT cohort, CAST(count(*) AS BIGINT) AS n_users
+      |          FROM firsts GROUP BY cohort),
+      |cell AS (
+      |  SELECT f.cohort, p.week - f.cohort AS week_offset,
+      |    CAST(sum(p.cents) AS BIGINT) AS cents
+      |  FROM p JOIN firsts f USING (user_id)
+      |  GROUP BY f.cohort, week_offset),
+      |tri AS (
+      |  SELECT cohort, week_offset, cents,
+      |    CAST(sum(cents) OVER (PARTITION BY cohort ORDER BY week_offset
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
+      |  FROM cell)
+      |SELECT t.cohort, t.week_offset, s.n_users,
+      |  round(1e-9 + t.cents / 100.0, 2) AS revenue,
+      |  round(1e-9 + t.cum_cents / 100.0, 2) AS cum_revenue,
+      |  round(1e-9 + t.cum_cents / (100.0 * s.n_users), 4) AS ltv_per_user
+      |FROM tri t JOIN sizes s USING (cohort)
+      |ORDER BY cohort, week_offset""".stripMargin) { (spark, dir) =>
+    val p = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"),
+        floor(col("ts").cast("double") / 604800).cast("long").as("week"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val firsts = p.groupBy("user_id").agg(min("week").as("cohort"))
+    val sizes = firsts.groupBy("cohort").agg(count(lit(1)).as("n_users"))
+    val cell = p.join(firsts, Seq("user_id"))
+      .groupBy(col("cohort"), (col("week") - col("cohort")).as("week_offset"))
+      .agg(sum("cents").as("cents"))
+    val w = Window.partitionBy("cohort").orderBy("week_offset")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cell
+      .withColumn("cum_cents", sum("cents").over(w))
+      .join(sizes, Seq("cohort"))
+      .select(col("cohort"), col("week_offset"), col("n_users"),
+        round(lit(1e-9) + col("cents") / 100.0, 2).as("revenue"),
+        round(lit(1e-9) + col("cum_cents") / 100.0, 2).as("cum_revenue"),
+        round(lit(1e-9) + col("cum_cents") / (lit(100.0) * col("n_users")), 4)
+          .as("ltv_per_user"))
+      .orderBy("cohort", "week_offset")
+  }
+
   val all: Seq[Q] =
     Seq(windowAgg, sessionize, funnel, json, retention, asof, rangeJoin,
       sessionWindow, variant, windowFunnel, gapfill, attribution, pathing,
       anomaly, rfm, forecast, changepoint, activeUsers, interpolate,
-      pathsTopK)
+      pathsTopK, ltv)
 }

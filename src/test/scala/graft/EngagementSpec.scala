@@ -68,4 +68,26 @@ class EngagementSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("ev_ltv: cumulative monotone per cohort, totals reconcile with raw purchases") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("ev_ltv")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("cohort")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("week_offset"))
+      val cums = sorted.map(_.getAs[Double]("cum_revenue"))
+      assert(cums.zip(cums.tail).forall { case (a, b) => b >= a - 1e-9 })
+      assert(math.abs(cums.head - sorted.head.getAs[Double]("revenue")) < 1e-9)
+      sorted.foreach { r =>
+        assert(math.abs(r.getAs[Double]("ltv_per_user") -
+          r.getAs[Double]("cum_revenue") / r.getAs[Long]("n_users")) < 1e-3)
+      }
+    }
+    val totalLtv = rows.map(_.getAs[Double]("revenue")).sum
+    val totalRaw = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .agg(sum(round(col("value") * 100).cast("long"))).collect()(0).getLong(0) / 100.0
+    assert(math.abs(totalLtv - totalRaw) < 0.05,
+      s"triangle total $totalLtv vs raw purchases $totalRaw")
+  }
 }
