@@ -1192,9 +1192,78 @@ object Events {
       .orderBy("cohort", "week_offset")
   }
 
+  /** Cents band width for the Gini ranking's two-level prefix: user
+    * lifetime revenue spans a bounded domain, so fixed-width bands
+    * keep the cross-band frame tiny while the within-band ranking
+    * stays partitioned.
+    */
+  private val GiniBand = 500L
+
+  /** Revenue concentration — the Gini coefficient and top-decile
+    * share of per-user purchase revenue: the "how 80/20 is this
+    * business" statistic. Per-user cents are exact integers; the
+    * Gini needs each user's GLOBAL revenue rank, which is computed
+    * WITHOUT a single-partition sort via the two-level prefix (the
+    * q33_skyline pattern): a partitioned row_number within
+    * fixed-width cents bands plus cross-band count offsets from a
+    * |bands|-row broadcast. All sums (Σ rank·cents, totals, decile
+    * cut) stay integer to the end; only the two published ratios
+    * round. Gini = 2·Σ(rank·xᵢ)/(n·Σx) − (n+1)/n over ascending
+    * ranks with user-id tiebreak — ranks are a permutation either
+    * way, so the tiebreak cannot move the statistic.
+    */
+  val gini = Q(
+    "ev_gini",
+    """WITH u AS (
+      |  SELECT user_id, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+      |r AS (SELECT user_id, cents,
+      |    CAST(row_number() OVER (ORDER BY cents, user_id) AS BIGINT) AS rank
+      |  FROM u),
+      |s AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS tot,
+      |    CAST(sum(rank * cents) AS BIGINT) AS wsum FROM r),
+      |t AS (SELECT CAST(sum(cents) AS BIGINT) AS top_cents
+      |  FROM r CROSS JOIN s WHERE rank > n - n // 10)
+      |SELECT n AS n_users, round(1e-9 + tot / 100.0, 2) AS total_revenue,
+      |  round(1e-9 + 2.0 * wsum / (CAST(n AS DOUBLE) * tot) - (n + 1) / CAST(n AS DOUBLE), 6) AS gini,
+      |  round(1e-9 + top_cents / CAST(tot AS DOUBLE), 6) AS top10_share
+      |FROM s CROSS JOIN t""".stripMargin) { (spark, dir) =>
+    val u = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+      .withColumn("bkt", floor(col("cents") / lit(GiniBand)))
+    // two-level global rank: within-band row_number (partitioned) +
+    // strictly-lower-band counts (|bands| rows, broadcast)
+    val wIn = Window.partitionBy("bkt").orderBy("cents", "user_id")
+    val wBand = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = u.groupBy("bkt").agg(count(lit(1)).as("bn"))
+      .withColumn("offset", coalesce(sum("bn").over(wBand), lit(0L)))
+      .select("bkt", "offset")
+    val ranked = u
+      .withColumn("in_rank", row_number().over(wIn).cast("long"))
+      .join(broadcast(offsets), Seq("bkt"))
+      .select(col("user_id"), col("cents"),
+        (col("offset") + col("in_rank")).as("rank"))
+    val s = ranked.agg(
+      count(lit(1)).as("n"), sum("cents").as("tot"),
+      sum(col("rank") * col("cents")).as("wsum"))
+    val t = ranked.crossJoin(broadcast(s))
+      .filter(col("rank") > col("n") - expr("n div 10"))
+      .agg(sum("cents").as("top_cents"))
+    s.crossJoin(t)
+      .select(col("n").as("n_users"),
+        round(lit(1e-9) + col("tot") / 100.0, 2).as("total_revenue"),
+        round(lit(1e-9) + lit(2.0) * col("wsum") /
+          (col("n").cast("double") * col("tot")) -
+          (col("n") + 1) / col("n").cast("double"), 6).as("gini"),
+        round(lit(1e-9) + col("top_cents") / col("tot").cast("double"), 6)
+          .as("top10_share"))
+  }
+
   val all: Seq[Q] =
     Seq(windowAgg, sessionize, funnel, json, retention, asof, rangeJoin,
       sessionWindow, variant, windowFunnel, gapfill, attribution, pathing,
       anomaly, rfm, forecast, changepoint, activeUsers, interpolate,
-      pathsTopK, ltv)
+      pathsTopK, ltv, gini)
 }

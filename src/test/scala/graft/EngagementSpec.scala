@@ -90,4 +90,27 @@ class EngagementSpec extends AnyFunSuite {
     assert(math.abs(totalLtv - totalRaw) < 0.05,
       s"triangle total $totalLtv vs raw purchases $totalRaw")
   }
+
+  test("ev_gini matches a driver-side exact computation") {
+    import org.apache.spark.sql.functions._
+    val r = SparkEntry.queries("ev_gini")(spark, sf).collect()(0)
+    val cents = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(sum(round(col("value") * 100).cast("long")).as("c"),
+        first("user_id"))
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+      .sortBy(x => (x._2, x._1)).map(_._2)
+    val n = cents.length.toLong
+    val tot = cents.sum
+    val wsum = cents.zipWithIndex.map { case (c, i) => (i + 1L) * c }.sum
+    val gini = 2.0 * wsum / (n.toDouble * tot) - (n + 1) / n.toDouble
+    assert(r.getAs[Long]("n_users") == n)
+    assert(math.abs(r.getAs[Double]("gini") - gini) < 1e-5,
+      s"gini ${r.getAs[Double]("gini")} vs exact $gini")
+    val k = n / 10
+    val topShare = cents.sorted.takeRight(k.toInt).sum.toDouble / tot
+    assert(math.abs(r.getAs[Double]("top10_share") - topShare) < 1e-5)
+    assert(r.getAs[Double]("gini") >= 0.0 && r.getAs[Double]("gini") < 1.0)
+  }
 }
