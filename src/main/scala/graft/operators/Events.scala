@@ -1261,9 +1261,178 @@ object Events {
           .as("top10_share"))
   }
 
+  private val MarkovIters = 60
+  private val MarkovChannels = Seq("click", "error", "signup", "view")
+
+  /** Markov removal-effect attribution — the data-driven alternative
+    * to ev_attribution's positional rules (Anderl et al.'s
+    * absorbing-chain model): sessions become journeys
+    * START → events → CONV (first purchase) or NULL (session end,
+    * truncated at the first purchase), the journey graph's transition
+    * probabilities are estimated from counts, and each channel's
+    * credit is its REMOVAL EFFECT — how much the START→CONV
+    * absorption probability drops when every transition into that
+    * channel is redirected to NULL. Absorption probabilities come
+    * from [[MarkovIters]] fixed-point iterations of
+    * p(s) = P(s→CONV) + Σ_t P(s→t)·p(t) — a contraction, so both
+    * engines converge to the same values and the oracle unrolls the
+    * identical iterations per scenario as generated CTEs.
+    *
+    * Scale shape: the corpus collapses to the ≤(types+1)·(types+2)
+    * transition-count frame in one session-windowed pass; the solve
+    * runs on that collected bounded model state (the Classifier.train
+    * parameter posture — ~30 rows, not data), once per scenario.
+    */
+  val attribMarkov = Q(
+    "ev_attrib_markov", {
+      def iterCtes(tag: String): String =
+        (1 to MarkovIters).map { k =>
+          val prev = if (k == 1) s"i0" else s"i${tag}_${k - 1}"
+          // i0 is the shared all-zero start vector
+          s"""i${tag}_$k AS MATERIALIZED (
+             |  SELECT q.f AS s, sum(CASE WHEN q.t = 'CONV' THEN q.p
+             |    WHEN q.t = 'NULL' THEN 0
+             |    ELSE q.p * coalesce(prev.v, 0) END) AS v
+             |  FROM q_$tag q LEFT JOIN $prev prev ON prev.s = q.t
+             |  GROUP BY q.f)""".stripMargin
+        }.mkString(",\n")
+      val removalCtes = MarkovChannels.map { ch =>
+        s"""q_$ch AS MATERIALIZED (
+           |  SELECT f, CASE WHEN t = '$ch' THEN 'NULL' ELSE t END AS t, sum(p) AS p
+           |  FROM q_full GROUP BY 1, 2),
+           |${iterCtes(ch)}""".stripMargin
+      }.mkString(",\n")
+      val scenarioSelects = MarkovChannels.map { ch =>
+        s"""SELECT '$ch' AS channel,
+           |  (SELECT v FROM i${ch}_$MarkovIters WHERE s = 'START') AS removed_conv""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH e0 AS (
+         |  SELECT user_id, ts, event_id, event_type,
+         |    CASE WHEN lag(ts) OVER w IS NULL
+         |      OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS ns
+         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |e AS (
+         |  SELECT *, CAST(sum(ns) OVER (PARTITION BY user_id
+         |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+         |  FROM e0),
+         |pos AS (SELECT *, row_number() OVER (
+         |    PARTITION BY user_id, sid ORDER BY ts, event_id) AS pos FROM e),
+         |fp AS (SELECT user_id, sid, min(pos) AS ppos FROM pos
+         |  WHERE event_type = 'purchase' GROUP BY user_id, sid),
+         |tr AS (SELECT p.* FROM pos p LEFT JOIN fp USING (user_id, sid)
+         |  WHERE fp.ppos IS NULL OR p.pos <= fp.ppos),
+         |steps AS (
+         |  SELECT user_id, sid, pos,
+         |    CASE WHEN event_type = 'purchase' THEN 'CONV' ELSE event_type END AS st,
+         |    lead(CASE WHEN event_type = 'purchase' THEN 'CONV' ELSE event_type END)
+         |      OVER (PARTITION BY user_id, sid ORDER BY pos) AS nxt
+         |  FROM tr),
+         |trans AS (
+         |  SELECT 'START' AS f, st AS t FROM steps WHERE pos = 1
+         |  UNION ALL
+         |  SELECT st AS f, coalesce(nxt, 'NULL') AS t FROM steps WHERE st != 'CONV'),
+         |c AS (SELECT f, t, CAST(count(*) AS BIGINT) AS n FROM trans GROUP BY f, t),
+         |q_full AS MATERIALIZED (
+         |  SELECT f, t, n / CAST(sum(n) OVER (PARTITION BY f) AS DOUBLE) AS p FROM c),
+         |i0 AS MATERIALIZED (SELECT DISTINCT f AS s, CAST(0 AS DOUBLE) AS v FROM q_full),
+         |${iterCtes("full")},
+         |$removalCtes,
+         |full_conv AS (SELECT v FROM ifull_$MarkovIters WHERE s = 'START'),
+         |scen AS (
+         |$scenarioSelects
+         |),
+         |re AS (
+         |  SELECT channel, removed_conv,
+         |    CASE WHEN (SELECT v FROM full_conv) > 0
+         |      THEN greatest(0, 1 - removed_conv / (SELECT v FROM full_conv)) END AS eff
+         |  FROM scen),
+         |tot AS (SELECT sum(eff) AS te FROM re)
+         |SELECT channel,
+         |  round(1e-9 + (SELECT v FROM full_conv), 6) AS full_conv,
+         |  round(1e-9 + removed_conv, 6) AS removed_conv,
+         |  round(1e-9 + eff, 6) AS removal_effect,
+         |  round(1e-9 + CASE WHEN (SELECT te FROM tot) > 0
+         |    THEN eff / (SELECT te FROM tot) END, 6) AS credit
+         |FROM re
+         |ORDER BY channel""".stripMargin
+    }) { (spark, dir) =>
+    val s = spark
+    import s.implicits._
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val e = Tables.events(spark, dir)
+      .withColumn("prev_ts", lag("ts", 1).over(w))
+      .withColumn("ns",
+        when(col("prev_ts").isNull ||
+          col("ts").cast("double") - col("prev_ts").cast("double") > 1800, 1)
+          .otherwise(0))
+      .withColumn("sid",
+        sum("ns").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val wSess = Window.partitionBy("user_id", "sid").orderBy("ts", "event_id")
+    val pos = e.withColumn("pos", row_number().over(wSess))
+    val fp = pos.filter(col("event_type") === "purchase")
+      .groupBy("user_id", "sid").agg(min("pos").as("ppos"))
+    val st = when(col("event_type") === "purchase", "CONV").otherwise(col("event_type"))
+    val steps = pos.join(fp, Seq("user_id", "sid"), "left")
+      .filter(col("ppos").isNull || col("pos") <= col("ppos"))
+      .withColumn("st", st)
+      .withColumn("nxt",
+        lead("st", 1).over(Window.partitionBy("user_id", "sid").orderBy("pos")))
+    val trans = steps.filter(col("pos") === 1)
+      .select(lit("START").as("f"), col("st").as("t"))
+      .unionByName(steps.filter(col("st") =!= "CONV")
+        .select(col("st").as("f"), coalesce(col("nxt"), lit("NULL")).as("t")))
+    // bounded model state: ≤ (types+1)·(types+2) count rows — the
+    // Classifier.train parameter posture, not a data collect
+    val counts = trans.groupBy("f", "t").agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val rowSum = counts.groupBy(_._1).view.mapValues(_.map(_._3).sum.toDouble).toMap
+    val qFull = counts.map { case (f, t, n) => (f, t, n / rowSum(f)) }
+    def solve(q: Seq[(String, String, Double)]): Map[String, Double] = {
+      val states = q.map(_._1).distinct
+      var v = states.map(_ -> 0.0).toMap
+      for (_ <- 1 to MarkovIters) {
+        v = states.map { st =>
+          st -> q.filter(_._1 == st).map { case (_, t, p) =>
+            if (t == "CONV") p
+            else if (t == "NULL") 0.0
+            else p * v.getOrElse(t, 0.0)
+          }.sum
+        }.toMap
+      }
+      v
+    }
+    // an empty corpus has no START state: the oracle's scalar
+    // subqueries go NULL, so the Scala side must too, not 0.0
+    val fullConvOpt = solve(qFull.toSeq).get("START")
+    val rows = MarkovChannels.map { ch =>
+      val qr = qFull.map { case (f, t, p) =>
+        (f, if (t == ch) "NULL" else t, p) }
+        .groupBy(x => (x._1, x._2)).map { case ((f, t), xs) => (f, t, xs.map(_._3).sum) }
+        .toSeq
+      val removedOpt = solve(qr).get("START")
+      val eff: Option[Double] = (fullConvOpt, removedOpt) match {
+        case (Some(fc), Some(r)) if fc > 0 => Some(math.max(0.0, 1 - r / fc))
+        case _ => None
+      }
+      (ch, removedOpt, eff)
+    }
+    val totEff = rows.flatMap(_._3).sum
+    val out = rows.map { case (ch, removed, eff) =>
+      (ch, fullConvOpt, removed, eff,
+        eff.flatMap(e => if (totEff > 0) Some(e / totEff) else None))
+    }
+    out.toDF("channel", "fc", "rc", "eff", "cr")
+      .select(col("channel"),
+        round(lit(1e-9) + col("fc"), 6).as("full_conv"),
+        round(lit(1e-9) + col("rc"), 6).as("removed_conv"),
+        round(lit(1e-9) + col("eff"), 6).as("removal_effect"),
+        round(lit(1e-9) + col("cr"), 6).as("credit"))
+      .orderBy("channel")
+  }
+
   val all: Seq[Q] =
     Seq(windowAgg, sessionize, funnel, json, retention, asof, rangeJoin,
       sessionWindow, variant, windowFunnel, gapfill, attribution, pathing,
       anomaly, rfm, forecast, changepoint, activeUsers, interpolate,
-      pathsTopK, ltv, gini)
+      pathsTopK, ltv, gini, attribMarkov)
 }

@@ -113,4 +113,40 @@ class EngagementSpec extends AnyFunSuite {
     assert(math.abs(r.getAs[Double]("top10_share") - topShare) < 1e-5)
     assert(r.getAs[Double]("gini") >= 0.0 && r.getAs[Double]("gini") < 1.0)
   }
+
+  test("ev_attrib_markov: credits sum to 1 and an only-path channel takes all credit") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("ev_attrib_markov")(spark, sf).collect()
+    assert(rows.length == 4)
+    val credits = rows.flatMap(r => Option(r.getAs[java.lang.Double]("credit")).map(_.doubleValue))
+    assert(credits.nonEmpty)
+    assert(math.abs(credits.sum - 1.0) < 1e-4, s"credits sum to ${credits.sum}")
+    rows.foreach { r =>
+      val re = r.getAs[Double]("removal_effect")
+      assert(re >= 0.0 && re <= 1.0)
+      assert(r.getAs[Double]("removed_conv") <= r.getAs[Double]("full_conv") + 1e-9)
+    }
+    // planted chain: every conversion goes START -> click -> purchase, so
+    // removing click kills all conversion (RE = 1) while a channel that
+    // never reaches purchase (view) has RE = 0
+    val q = Seq(
+      ("START", "click", 0.5), ("START", "view", 0.5),
+      ("click", "CONV", 1.0), ("view", "NULL", 1.0))
+    def solve(qq: Seq[(String, String, Double)]): Double = {
+      val states = qq.map(_._1).distinct
+      var v = states.map(_ -> 0.0).toMap
+      for (_ <- 1 to 60) v = states.map { st =>
+        st -> qq.filter(_._1 == st).map { case (_, t, p) =>
+          if (t == "CONV") p else if (t == "NULL") 0.0 else p * v.getOrElse(t, 0.0)
+        }.sum
+      }.toMap
+      v("START")
+    }
+    val full = solve(q)
+    assert(math.abs(full - 0.5) < 1e-12)
+    val noClick = solve(q.map { case (f, t, p) => (f, if (t == "click") "NULL" else t, p) })
+    assert(noClick == 0.0)
+    val noView = solve(q.map { case (f, t, p) => (f, if (t == "view") "NULL" else t, p) })
+    assert(math.abs(noView - full) < 1e-12, "removing a dead-end channel must not change conversion")
+  }
 }
