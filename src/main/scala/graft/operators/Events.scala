@@ -1430,9 +1430,45 @@ object Events {
       .orderBy("channel")
   }
 
+  /** Seasonality profile — the day-of-week × hour-of-day load matrix
+    * with a seasonal index per cell (observed rate vs the uniform
+    * rate): the capacity/staffing view, and the baseline any anomaly
+    * detector should normalize by before alerting on a quiet Sunday.
+    * Both engines derive dow/hour from integer epoch arithmetic
+    * (1970-01-01 is a Thursday; no engine-specific dayofweek
+    * numbering reaches the output). ONE corpus aggregate to the
+    * ≤168-cell frame; the index denominator is a window over it.
+    */
+  val seasonality = Q(
+    "ev_seasonality",
+    """WITH b AS (
+      |  SELECT CAST((CAST(floor(epoch(ts) / 86400) AS BIGINT) + 4) % 7 AS BIGINT) AS dow,
+      |    CAST(floor((epoch(ts) % 86400) / 3600) AS BIGINT) AS hour,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY dow, hour)
+      |SELECT dow, hour, n,
+      |  round(1e-9 + n / CAST(sum(n) OVER () AS DOUBLE), 6) AS share,
+      |  round(1e-9 + n * 168.0 / sum(n) OVER (), 6) AS seasonal_index
+      |FROM b
+      |ORDER BY dow, hour""".stripMargin) { (spark, dir) =>
+    val b = Tables.events(spark, dir)
+      .withColumn("ep", floor(col("ts").cast("double")).cast("long"))
+      // Column `/` is double division in Spark — dow/hour need `div`
+      .select(expr("((ep div 86400) + 4) % 7").as("dow"),
+        expr("(ep % 86400) div 3600").as("hour"))
+      .groupBy("dow", "hour").agg(count(lit(1)).as("n"))
+    val wAll = Window.partitionBy()
+    b.withColumn("tot", sum("n").over(wAll))
+      .select(col("dow"), col("hour"), col("n"),
+        round(lit(1e-9) + col("n") / col("tot").cast("double"), 6).as("share"),
+        round(lit(1e-9) + col("n") * lit(168.0) / col("tot"), 6)
+          .as("seasonal_index"))
+      .orderBy("dow", "hour")
+  }
+
   val all: Seq[Q] =
     Seq(windowAgg, sessionize, funnel, json, retention, asof, rangeJoin,
       sessionWindow, variant, windowFunnel, gapfill, attribution, pathing,
       anomaly, rfm, forecast, changepoint, activeUsers, interpolate,
-      pathsTopK, ltv, gini, attribMarkov)
+      pathsTopK, ltv, gini, attribMarkov, seasonality)
 }
