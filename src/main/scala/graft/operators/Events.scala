@@ -1466,9 +1466,184 @@ object Events {
       .orderBy("dow", "hour")
   }
 
+  /** Kaplan–Meier survival estimate of user lifetime with right
+    * censoring — the churn curve a retention report draws next to
+    * ev_retention's cohort grid. Lifetime = whole days between a
+    * user's first and last event (epoch-day arithmetic, the
+    * ev_retention idiom); a user whose last event falls within 7 days
+    * of the corpus end is CENSORED at that lifetime (still alive at
+    * observation close), otherwise it is a death. The estimator is
+    * the standard product-limit S(d) = Π_{d'≤d} (1 − deaths_d'/risk_d')
+    * over event days only. Scale shape: one user-keyed hash aggregate
+    * reduces the stream to |users| rows, a second reduces those to
+    * |days| rows (bounded by the observation window, ~hundreds), and
+    * BOTH windows — the reverse-cumulative at-risk count and the
+    * running product (as exp∘Σln) — run on that bounded per-day
+    * frame, never on user rows. The zero-survival tail (everyone at
+    * risk dies on the last day) is clamped at 1e-300 before ln so
+    * both engines round it to exactly 0 instead of erroring on ln(0).
+    */
+  val survival = Q(
+    "ev_survival",
+    """WITH u AS (
+      |  SELECT user_id,
+      |    CAST(floor(epoch(max(ts)) / 86400) - floor(epoch(min(ts)) / 86400) AS BIGINT) AS day,
+      |    max(epoch(ts)) AS last_s
+      |  FROM events GROUP BY user_id),
+      |mx AS (SELECT max(epoch(ts)) AS m FROM events),
+      |perday AS (
+      |  SELECT day,
+      |    CAST(count(*) FILTER (WHERE last_s <= m - 604800) AS BIGINT) AS n_death,
+      |    CAST(count(*) FILTER (WHERE last_s > m - 604800) AS BIGINT) AS n_censor
+      |  FROM u, mx GROUP BY day),
+      |risk AS (
+      |  SELECT day, n_death, n_censor,
+      |    CAST(sum(n_death + n_censor) OVER (
+      |      ORDER BY day DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS n_risk
+      |  FROM perday)
+      |SELECT day, n_risk, n_death, n_censor,
+      |  round(1e-9 + exp(sum(ln(greatest(
+      |      1.0 - CAST(n_death AS DOUBLE) / n_risk, 1e-300))) OVER (
+      |    ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
+      |    AS survival
+      |FROM risk ORDER BY day""".stripMargin) { (spark, dir) =>
+    val ev = Tables.events(spark, dir)
+    val u = ev.groupBy("user_id")
+      .agg(
+        (floor(max(col("ts").cast("double")) / 86400) -
+          floor(min(col("ts").cast("double")) / 86400)).cast("long").as("day"),
+        max(col("ts").cast("double")).as("last_s"))
+    val mx = ev.agg(max(col("ts").cast("double")).as("m"))
+    val perday = u.crossJoin(broadcast(mx))
+      .groupBy("day")
+      .agg(
+        count(when(col("last_s") <= col("m") - 604800, 1)).as("n_death"),
+        count(when(col("last_s") > col("m") - 604800, 1)).as("n_censor"))
+    val wDesc = Window.orderBy(col("day").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAsc = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perday
+      .withColumn("n_risk", sum(col("n_death") + col("n_censor")).over(wDesc))
+      .withColumn("survival",
+        round(lit(1e-9) + exp(sum(log(greatest(
+          lit(1.0) - col("n_death").cast("double") / col("n_risk"),
+          lit(1e-300)))).over(wAsc)), 6))
+      .select("day", "n_risk", "n_death", "n_censor", "survival")
+      .orderBy("day")
+  }
+
+  /** Time-to-convert distribution: for each signup-day cohort, how
+    * long after their FIRST signup users take to their first
+    * strictly-later purchase — conversion rate plus exact quartiles
+    * of the lag in whole minutes. The duration twin of
+    * ev_windowfunnel (which gates on a fixed window; this measures
+    * the window). Shape: two type-filtered user-keyed min-aggregates
+    * chained by a user-key join (the windowless funnel idiom — no
+    * per-user history sort), then one |cohorts|-group aggregate.
+    * The exact percentile state is the converted-lag list per cohort
+    * — bounded by converters-per-day; at warehouse scale swap
+    * percentile_approx in, here exactness buys the oracle pin (the
+    * q13 posture).
+    */
+  val conversionLag = Q(
+    "ev_conversion_lag",
+    """WITH s AS (
+      |  SELECT user_id, min(epoch(ts)) AS s_ts FROM events
+      |  WHERE event_type = 'signup' GROUP BY user_id),
+      |p AS (
+      |  SELECT e.user_id, min(epoch(e.ts)) AS p_ts
+      |  FROM events e JOIN s ON e.user_id = s.user_id
+      |  WHERE e.event_type = 'purchase' AND epoch(e.ts) > s.s_ts
+      |  GROUP BY e.user_id),
+      |lags AS (
+      |  SELECT CAST(floor(s.s_ts / 86400) AS BIGINT) AS cohort_day,
+      |    CAST(floor((p.p_ts - s.s_ts) / 60) AS BIGINT) AS lag_min
+      |  FROM s LEFT JOIN p ON s.user_id = p.user_id)
+      |SELECT cohort_day,
+      |  CAST(count(*) AS BIGINT) AS n_signups,
+      |  CAST(count(lag_min) AS BIGINT) AS n_converted,
+      |  round(1e-9 + count(lag_min) / CAST(count(*) AS DOUBLE), 6) AS conv_rate,
+      |  round(1e-9 + quantile_cont(lag_min, 0.25), 4) AS p25_lag_min,
+      |  round(1e-9 + quantile_cont(lag_min, 0.5), 4) AS p50_lag_min,
+      |  round(1e-9 + quantile_cont(lag_min, 0.75), 4) AS p75_lag_min
+      |FROM lags GROUP BY cohort_day ORDER BY cohort_day""".stripMargin) { (spark, dir) =>
+    val ev = Tables.events(spark, dir)
+    val s = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(col("ts").cast("double")).as("s_ts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").cast("double").as("p_raw"))
+      .join(s, "user_id")
+      .filter(col("p_raw") > col("s_ts"))
+      .groupBy("user_id").agg(min("p_raw").as("p_ts"))
+    s.join(p, Seq("user_id"), "left")
+      .select(
+        floor(col("s_ts") / 86400).cast("long").as("cohort_day"),
+        floor((col("p_ts") - col("s_ts")) / 60).cast("long").as("lag_min"))
+      .groupBy("cohort_day")
+      .agg(
+        count(lit(1)).as("n_signups"),
+        count(col("lag_min")).as("n_converted"),
+        round(lit(1e-9) + count(col("lag_min")) / count(lit(1)).cast("double"), 6)
+          .as("conv_rate"),
+        round(lit(1e-9) + percentile(col("lag_min"), lit(0.25)), 4).as("p25_lag_min"),
+        round(lit(1e-9) + percentile(col("lag_min"), lit(0.5)), 4).as("p50_lag_min"),
+        round(lit(1e-9) + percentile(col("lag_min"), lit(0.75)), 4).as("p75_lag_min"))
+      .orderBy("cohort_day")
+  }
+
+  /** Inter-arrival statistics per event type: the gaps between a
+    * user's consecutive events of one type, reduced to mean / sd /
+    * coefficient-of-variation and the Goh–Barabási burstiness index
+    * B = (cv−1)/(cv+1) — B→−1 periodic, 0 Poisson, →1 bursty. The
+    * stream-regularity diagnostic behind ev_anomaly's rate gates.
+    * Shape: ONE lag window per (user, type) partition (the
+    * sessionize partition — thousands of small independent
+    * partitions, no global sort) feeding one |types|-row hash
+    * aggregate of constant-width moments. Ordering inside a
+    * partition is (ts, event_id) so equal-timestamp rows rank
+    * identically on both engines.
+    */
+  val interarrival = Q(
+    "ev_interarrival",
+    """WITH g AS (
+      |  SELECT event_type,
+      |    epoch(ts) - lag(epoch(ts)) OVER (
+      |      PARTITION BY user_id, event_type ORDER BY ts, event_id) AS gap_s
+      |  FROM events)
+      |SELECT event_type,
+      |  CAST(count(gap_s) AS BIGINT) AS n_gaps,
+      |  round(1e-9 + avg(gap_s), 4) AS avg_gap_s,
+      |  round(1e-9 + stddev_samp(gap_s), 4) AS sd_gap_s,
+      |  round(1e-9 + stddev_samp(gap_s) / (CASE WHEN avg(gap_s) > 0
+      |    THEN avg(gap_s) END), 6) AS cv,
+      |  round(1e-9 + (stddev_samp(gap_s) - avg(gap_s)) /
+      |    (stddev_samp(gap_s) + avg(gap_s)), 6) AS burstiness
+      |FROM g WHERE gap_s IS NOT NULL
+      |GROUP BY event_type ORDER BY event_type""".stripMargin) { (spark, dir) =>
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy("ts", "event_id")
+    val g = Tables.events(spark, dir)
+      .withColumn("gap_s",
+        col("ts").cast("double") - lag(col("ts").cast("double"), 1).over(w))
+      .filter(col("gap_s").isNotNull)
+    g.groupBy("event_type")
+      .agg(
+        count(col("gap_s")).as("n_gaps"),
+        round(lit(1e-9) + avg("gap_s"), 4).as("avg_gap_s"),
+        round(lit(1e-9) + stddev_samp(col("gap_s")), 4).as("sd_gap_s"),
+        round(lit(1e-9) + stddev_samp(col("gap_s")) /
+          when(avg("gap_s") > 0, avg("gap_s")), 6).as("cv"),
+        round(lit(1e-9) + (stddev_samp(col("gap_s")) - avg("gap_s")) /
+          (stddev_samp(col("gap_s")) + avg("gap_s")), 6).as("burstiness"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[Q] =
     Seq(windowAgg, sessionize, funnel, json, retention, asof, rangeJoin,
       sessionWindow, variant, windowFunnel, gapfill, attribution, pathing,
       anomaly, rfm, forecast, changepoint, activeUsers, interpolate,
-      pathsTopK, ltv, gini, attribMarkov, seasonality)
+      pathsTopK, ltv, gini, attribMarkov, seasonality,
+      survival, conversionLag, interarrival)
 }

@@ -146,5 +146,93 @@ object Stats {
     (out, perPrice)
   }
 
-  val all: Seq[Q] = Seq(regression, skyline)
+  /** Welch's two-sample t-test between every pair of event types on
+    * the event value — the A/B-comparison primitive a metrics layer
+    * runs after ev_variant's descriptive cut. ONE hash aggregate
+    * reduces the stream to |types| rows of sufficient statistics
+    * (n, mean, sample variance — all constant-width mergeable
+    * partials), and the pairwise frame is a self-join of that
+    * |types|-row aggregate (broadcast; never touches the event
+    * stream again). t and the Welch–Satterthwaite df derive per pair;
+    * the significance verdict is |t| > 1.96 (two-sided 5%). Guards:
+    * the standard error is NULL (not ±inf) when both variances are
+    * zero, and df is NULL when either side has n ≤ 1 — identical
+    * CASE logic on both engines so fuzz/empty inputs stay NULL-equal.
+    */
+  val ttest = Q(
+    "q35_ttest",
+    """WITH s AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |         avg(value) AS m, var_samp(value) AS v
+      |  FROM events GROUP BY event_type)
+      |SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |  a.n AS n_a, b.n AS n_b,
+      |  round(1e-9 + a.m, 4) AS mean_a, round(1e-9 + b.m, 4) AS mean_b,
+      |  round(1e-9 + (a.m - b.m) /
+      |    (CASE WHEN a.v / a.n + b.v / b.n > 0
+      |          THEN sqrt(a.v / a.n + b.v / b.n) END), 4) AS t_stat,
+      |  round(1e-9 + CASE WHEN a.n > 1 AND b.n > 1 AND a.v / a.n + b.v / b.n > 0
+      |    THEN pow(a.v / a.n + b.v / b.n, 2) /
+      |      (pow(a.v / a.n, 2) / (a.n - 1) + pow(b.v / b.n, 2) / (b.n - 1)) END, 2)
+      |    AS welch_df,
+      |  abs((a.m - b.m) / (CASE WHEN a.v / a.n + b.v / b.n > 0
+      |    THEN sqrt(a.v / a.n + b.v / b.n) END)) > 1.96 AS significant
+      |FROM s a JOIN s b ON a.event_type < b.event_type
+      |ORDER BY type_a, type_b""".stripMargin) { (spark, dir) =>
+    val s = Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), avg("value").as("m"),
+        var_samp(col("value")).as("v"))
+    val a = s.select(col("event_type").as("type_a"), col("n").as("n_a"),
+      col("m").as("m_a"), col("v").as("v_a"))
+    val b = s.select(col("event_type").as("type_b"), col("n").as("n_b"),
+      col("m").as("m_b"), col("v").as("v_b"))
+    val se2 = col("v_a") / col("n_a") + col("v_b") / col("n_b")
+    val se = when(se2 > 0, sqrt(se2))
+    val t = (col("m_a") - col("m_b")) / se
+    val df = when(col("n_a") > 1 && col("n_b") > 1 && se2 > 0,
+      pow(se2, 2) / (pow(col("v_a") / col("n_a"), 2) / (col("n_a") - 1) +
+        pow(col("v_b") / col("n_b"), 2) / (col("n_b") - 1)))
+    a.join(broadcast(b), col("type_a") < col("type_b"))
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+        round(lit(1e-9) + col("m_a"), 4).as("mean_a"),
+        round(lit(1e-9) + col("m_b"), 4).as("mean_b"),
+        round(lit(1e-9) + t, 4).as("t_stat"),
+        round(lit(1e-9) + df, 2).as("welch_df"),
+        (abs(t) > 1.96).as("significant"))
+      .orderBy("type_a", "type_b")
+  }
+
+  /** Pairwise Pearson correlation matrix across the four lineitem
+    * measures, as ONE aggregate row: all six corr() states accumulate
+    * in the same single-pass hash aggregate (each is a constant-width
+    * mergeable partial — n, means, co-moments), so the plan is a
+    * map-side-combined scan with a one-row exchange regardless of
+    * table size. The correlation-matrix scan a feature-engineering
+    * pass runs before model fitting; 6 dp behind the nudge (the
+    * cross-engine partial-sum order perturbs the 1e-13 tail only).
+    */
+  val corrMatrix = Q(
+    "q36_corr",
+    """SELECT CAST(count(*) AS BIGINT) AS n,
+      |  round(1e-9 + corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+      |  round(1e-9 + corr(l_quantity, l_discount), 6) AS corr_qty_disc,
+      |  round(1e-9 + corr(l_quantity, l_tax), 6) AS corr_qty_tax,
+      |  round(1e-9 + corr(l_extendedprice, l_discount), 6) AS corr_price_disc,
+      |  round(1e-9 + corr(l_extendedprice, l_tax), 6) AS corr_price_tax,
+      |  round(1e-9 + corr(l_discount, l_tax), 6) AS corr_disc_tax
+      |FROM lineitem""".stripMargin) { (spark, dir) =>
+    def c(x: String, y: String, nm: String) =
+      round(lit(1e-9) + corr(col(x), col(y)), 6).as(nm)
+    Tables.lineitem(spark, dir)
+      .agg(count(lit(1)).as("n"),
+        c("l_quantity", "l_extendedprice", "corr_qty_price"),
+        c("l_quantity", "l_discount", "corr_qty_disc"),
+        c("l_quantity", "l_tax", "corr_qty_tax"),
+        c("l_extendedprice", "l_discount", "corr_price_disc"),
+        c("l_extendedprice", "l_tax", "corr_price_tax"),
+        c("l_discount", "l_tax", "corr_disc_tax"))
+  }
+
+  val all: Seq[Q] = Seq(regression, skyline, ttest, corrMatrix)
 }
