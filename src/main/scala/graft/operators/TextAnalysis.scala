@@ -1393,6 +1393,125 @@ object TextAnalysis {
       .orderBy("step")
   }
 
+  /** Per-source readability profile — Flesch reading-ease on the
+    * standard proxies: words = whitespace tokens (the tx_quality
+    * split), sentences = runs of [.!?] floored at 1 (the word-bag
+    * corpus often has none — then the doc is one long "sentence" and
+    * the score is honestly low), syllables = vowel-letter runs (the
+    * textbook approximation, no per-word floor — documented, same
+    * formula both engines). Everything is a per-doc map-side regex
+    * count feeding ONE |sources|-row hash aggregate: no joins, no
+    * windows, no second scan — the cheapest possible shape, linear
+    * and embarrassingly parallel at any corpus size.
+    */
+  val readability = Q(
+    "tx_readability", {
+      val words = "string_split_regex(trim(lower(text)), '\\s+')"
+      s"""SELECT source,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  round(1e-9 + avg(n_words), 4) AS avg_words,
+         |  round(1e-9 + avg(wps), 4) AS avg_wps,
+         |  round(1e-9 + avg(spw), 6) AS avg_spw,
+         |  round(1e-9 + avg(206.835 - 1.015 * wps - 84.6 * spw), 4) AS avg_flesch
+         |FROM (
+         |  SELECT source, n_words,
+         |    n_words / ${d("greatest(n_sent, 1)")} AS wps,
+         |    n_syl / ${d("greatest(n_words, 1)")} AS spw
+         |  FROM (
+         |    SELECT source,
+         |      len($words) AS n_words,
+         |      len(regexp_extract_all(text, '[.!?]+')) AS n_sent,
+         |      len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_syl
+         |    FROM documents))
+         |GROUP BY source ORDER BY source""".stripMargin
+    }) { (spark, dir) =>
+    val nWords = size(split(trim(lower(col("text"))), "\\s+"))
+    val nSent = size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0)))
+    val nSyl = size(regexp_extract_all(lower(col("text")), lit("[aeiouy]+"), lit(0)))
+    val wps = nWords / greatest(nSent, lit(1)).cast("double")
+    val spw = nSyl / greatest(nWords, lit(1)).cast("double")
+    Tables.documents(spark, dir)
+      .select(col("source"), nWords.as("n_words"), wps.as("wps"), spw.as("spw"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(lit(1e-9) + avg("n_words"), 4).as("avg_words"),
+        round(lit(1e-9) + avg("wps"), 4).as("avg_wps"),
+        round(lit(1e-9) + avg("spw"), 6).as("avg_spw"),
+        round(lit(1e-9) + avg(lit(206.835) - lit(1.015) * col("wps") -
+          lit(84.6) * col("spw")), 4).as("avg_flesch"))
+      .orderBy("source")
+  }
+
+  /** Keyness: the terms that distinguish each source from the rest of
+    * the corpus by Dunning's log-likelihood ratio G² — the corpus-
+    * linguistics statistic behind "what is this slice about", used to
+    * audit a mix's per-source vocabulary drift. Overuse-only (the
+    * source's rate must exceed the corpus rate) with a min-count
+    * floor of 5; terms ride as the tx_topterms word hashes. G² is
+    * rounded to 6 dp BEFORE ranking so both engines rank the
+    * identical key (raw ln tails differ in the last ulp), ties break
+    * toward the smaller hash. Shape: the (source, term) count frame
+    * aggregates once; per-term corpus totals come from a second
+    * aggregate of THAT frame (never the token stream) joined back on
+    * the term key; winners come from the bounded-heap top-k aggregate
+    * — k rows per source per partition cross the exchange, the
+    * vocabulary is never globally sorted (the row_number window lives
+    * only in the oracle) — and the final detail join broadcasts the
+    * |sources|·10 winner keys.
+    */
+  val keyness = Q(
+    "tx_keyness", {
+      val whSql = Hashing.wordHashesSql("text")
+      s"""WITH tok AS (SELECT source, unnest($whSql) AS h FROM documents),
+         |sc AS (SELECT source, h, CAST(count(*) AS BIGINT) AS a FROM tok GROUP BY source, h),
+         |st AS (SELECT source, CAST(sum(a) AS BIGINT) AS src_tot FROM sc GROUP BY source),
+         |vt AS (SELECT h, CAST(sum(a) AS BIGINT) AS tf FROM sc GROUP BY h),
+         |n AS (SELECT CAST(sum(a) AS BIGINT) AS tot FROM sc),
+         |g AS (
+         |  SELECT sc.source, sc.h, sc.a, vt.tf - sc.a AS b,
+         |    round(1e-9 + 2 * (sc.a * ln(sc.a / (st.src_tot * (${d("vt.tf")} / n.tot)))
+         |      + CASE WHEN vt.tf - sc.a > 0
+         |        THEN (vt.tf - sc.a) * ln((vt.tf - sc.a) /
+         |          ((n.tot - st.src_tot) * (${d("vt.tf")} / n.tot)))
+         |        ELSE 0 END), 6) AS g2
+         |  FROM sc JOIN st USING (source) JOIN vt USING (h) CROSS JOIN n
+         |  WHERE sc.a >= 5
+         |    AND sc.a / ${d("st.src_tot")} > ${d("vt.tf")} / n.tot),
+         |r AS (SELECT source, h, a, b, g2,
+         |  CAST(row_number() OVER (PARTITION BY source ORDER BY g2 DESC, h) AS BIGINT) AS rank
+         |  FROM g)
+         |SELECT source, rank, h, a AS n_src, b AS n_rest, g2
+         |FROM r WHERE rank <= 10 ORDER BY source, rank""".stripMargin
+    }) { (spark, dir) =>
+    val sc = Tables.documents(spark, dir)
+      .select(col("source"), explode(Hashing.wordHashes(col("text"))).as("h"))
+      .groupBy("source", "h").agg(count(lit(1)).as("a"))
+    val st = sc.groupBy("source").agg(sum("a").as("src_tot"))
+    val vt = sc.groupBy("h").agg(sum("a").as("tf"))
+    val n = sc.agg(sum("a").as("tot"))
+    val rate = col("tf").cast("double") / col("tot")
+    val b = col("tf") - col("a")
+    val g = sc.join(st, "source").join(vt, "h").crossJoin(broadcast(n))
+      .filter(col("a") >= 5 &&
+        col("a") / col("src_tot").cast("double") > rate)
+      .select(col("source"), col("h"), col("a"), b.as("b"),
+        round(lit(1e-9) + lit(2) * (col("a") * log(col("a") / (col("src_tot") * rate)) +
+          when(b > 0, b * log(b / ((col("tot") - col("src_tot")) * rate)))
+            .otherwise(lit(0d))), 6).as("g2"))
+    // score = g2 (already rounded): heap keeps the highest, ties
+    // break toward the smaller hash — ORDER BY g2 DESC, h.
+    val top = g.groupBy("source")
+      .agg(graft.functions.TopKAgg.topk_by_score(col("g2"), col("h"), 10).as("tk"))
+      .select(col("source"), explode(col("tk")).as("t"))
+      .select(col("source"), col("t.rank").as("rank"), col("t.id").as("h"))
+    g.join(broadcast(top), Seq("source", "h"))
+      .select(col("source"), col("rank"), col("h"),
+        col("a").as("n_src"), col("b").as("n_rest"), col("g2"))
+      .orderBy("source", "rank")
+  }
+
   val all: Seq[Q] = Seq(tokens, quality, langid, langidClf, html, fingerprint, curate, curateClf, shard, topterms, pii,
-    entropy, pack, vocab, bpePairs, gopher, card, pmi, zipf, heaps)
+    entropy, pack, vocab, bpePairs, gopher, card, pmi, zipf, heaps,
+    readability, keyness)
 }
