@@ -597,6 +597,65 @@ object Graph {
     out
   }
 
+  private val LpaRounds = 3
+
+  /** Label propagation communities (synchronous, deterministic): each
+    * node starts as its own label; each of the 3 fixed rounds
+    * replaces a node's label with the most frequent label among its
+    * neighbors, ties toward the SMALLEST label — the deterministic
+    * variant of Raghavan et al.'s LPA (async random-order LPA is
+    * neither reproducible nor oracle-able). Fixed round count makes
+    * it an anytime community sketch, not a convergence loop. Output:
+    * community sizes. Per round the plan is edges⋈labels shuffled on
+    * the aggregation key, then ONE hash aggregate: max(struct(count,
+    * −label)) picks highest-count-then-lowest-label without a window
+    * or second pass. Each round localCheckpoints (truncating plan
+    * growth) and releases the previous snapshot — the CC loop's
+    * discipline. Oracle: 3 chained MATERIALIZED CTEs with the same
+    * argmax as a row_number. Scale: per-round cost is one edge-scale
+    * shuffle — the canonical distributed LPA; the edge frame is the
+    * memoized one-time build shared with pagerank/components.
+    */
+  val lpa = Q(
+    "gr_lpa", {
+      val rounds = (1 to LpaRounds).map { i =>
+        s"""r$i AS MATERIALIZED (
+           |  SELECT v, label FROM (
+           |    SELECT e.dst AS v, l.label, count(*) AS c,
+           |      row_number() OVER (PARTITION BY e.dst
+           |        ORDER BY count(*) DESC, l.label) AS rn
+           |    FROM edges e JOIN r${i - 1} l ON e.src = l.v
+           |    GROUP BY e.dst, l.label) WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e0 AS (
+         |  SELECT DISTINCT l_partkey AS src, l_suppkey + $SuppOffset AS dst FROM lineitem),
+         |edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
+         |r0 AS (SELECT DISTINCT src AS v, src AS label FROM edges),
+         |$rounds
+         |SELECT label, CAST(count(*) AS BIGINT) AS n_members
+         |FROM r$LpaRounds GROUP BY label ORDER BY label""".stripMargin
+    }) { (spark, dir) =>
+    val edges = edgesWithDeg(spark, dir).select("src", "dst")
+    var labels = edges.select(col("src").as("v"), col("src").as("label"))
+      .distinct()
+      .localCheckpoint(true)
+    for (_ <- 1 to LpaRounds) {
+      val next = edges.join(labels, edges("src") === labels("v"))
+        .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("c"))
+        .groupBy(col("dst").as("v"))
+        .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
+        .select(col("v"), (-col("m.nl")).as("label"))
+        .localCheckpoint(true)
+      Dedup.releaseLocalCheckpoint(labels)
+      labels = next
+    }
+    val out = labels.groupBy("label").agg(count(lit(1)).as("n_members"))
+      .orderBy("label")
+      .localCheckpoint(true)
+    Dedup.releaseLocalCheckpoint(labels)
+    out
+  }
+
   val all: Seq[Q] = Seq(pagerank, triangles, components, kcore, bfs, degreeDist,
-    jaccardLinks)
+    jaccardLinks, lpa)
 }

@@ -1288,9 +1288,52 @@ object Pipeline {
       .orderBy("c_nationkey", "c_mktsegment", "level")
   }
 
+  /** ε-differentially-private histogram release of the corpus
+    * composition — documents per (source, lang) with Laplace(1/ε)
+    * noise at ε=1 (each document lives in exactly one cell, so the
+    * histogram's L1 sensitivity is 1) and a release threshold that
+    * suppresses noised cells under 10 (the thresholded-release rule
+    * that keeps rare-cell presence itself private). The noise is
+    * DETERMINISTIC for the oracle: the uniform draw comes from the
+    * poly-hash of the cell key pushed once through the MINSTD step —
+    * exact BIGINT arithmetic both engines — then inverse-CDF'd to
+    * Laplace; a production release swaps one secret-seeded line.
+    * Shape: ONE map-side-combined hash aggregate to |cells| rows;
+    * noise is per-cell scalar math. pipe_kanon generalizes quasi-
+    * identifiers; this releases counts — the two standard disclosure
+    * postures side by side.
+    */
+  val dpRelease = Q(
+    "pipe_dp_release", {
+      val fpSql = Hashing.charFoldSql("source || '|' || lang")
+      s"""WITH g AS (
+         |  SELECT source, lang, CAST(count(*) AS BIGINT) AS c, $fpSql AS fp
+         |  FROM documents GROUP BY source, lang),
+         |n AS (
+         |  SELECT source, lang, c,
+         |    -sign(u - 0.5) * ln(1 - 2 * abs(u - 0.5)) AS lap
+         |  FROM (SELECT source, lang, c,
+         |    ((fp * 48271 + 11) % 1000000007 + 0.5) / 1000000007 AS u FROM g))
+         |SELECT source, lang,
+         |  round(1e-9 + greatest(c + lap, 0.0), 4) AS n_noised,
+         |  c + lap >= 10.0 AS released
+         |FROM n ORDER BY source, lang""".stripMargin
+    }) { (spark, dir) =>
+    val g = Tables.documents(spark, dir)
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("c"),
+        Hashing.charFold(concat(col("source"), lit("|"), col("lang"))).as("fp"))
+    val u = ((col("fp") * 48271 + 11) % 1000000007L + 0.5) / 1000000007L
+    val lap = -signum(u - 0.5) * log(lit(1.0) - lit(2.0) * abs(u - 0.5))
+    g.select(col("source"), col("lang"),
+        round(lit(1e-9) + greatest(col("c") + lap, lit(0.0)), 4).as("n_noised"),
+        (col("c") + lap >= 10.0).as("released"))
+      .orderBy("source", "lang")
+  }
+
   val all: Seq[Q] = Seq(repetition, unigramPpl, bigramPpl, decontaminate, deconBloom,
     deconShuffle, sample,
     weightedSample, holdoutSplit, splitSafe,
     mix, mixApply, e2e, e2eSem, chunk, chunkDedup, novelty, curriculum,
-    kanon)
+    kanon, dpRelease)
 }
