@@ -202,5 +202,41 @@ object DataQuality {
       .orderBy("col_name")
   }
 
-  val all: Seq[Q] = Seq(audit, profile)
+  /** Order-independent table checksum — the replication/migration
+    * reconciliation primitive: two systems each fold every row to a
+    * canonical key-column string, hash it, and SUM the hashes per
+    * slice; equal (n_rows, checksum) pairs certify the copy without
+    * moving a row. The canonical string uses integer/flag columns
+    * only (floats and timestamps render differently across engines —
+    * a real deployment pins a canonical decimal rendering; the
+    * integer subset keeps the oracle exact). Shape: ONE map-side-
+    * combined hash aggregate to |groups| rows — commutative sums make
+    * the checksum partition-order-proof, which is the whole point.
+    * The running sum rides DECIMAL(38,0) (Spark) / HUGEINT (DuckDB)
+    * so it cannot overflow before the final mod at any row count.
+    */
+  val checksum = Q(
+    "dq_checksum", {
+      val h = graft.functions.Hashing.charFoldSql(
+        "CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_partkey AS VARCHAR) || '|' || " +
+          "CAST(l_suppkey AS VARCHAR) || '|' || l_returnflag || '|' || l_linestatus")
+      s"""SELECT l_returnflag,
+         |  CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(sum($h) % 1000000007 AS BIGINT) AS checksum
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+    }) { (spark, dir) =>
+    // concat (NOT concat_ws): a NULL column must null the whole row
+    // string exactly as SQL || does, so both engines skip it in sum
+    val h = graft.functions.Hashing.charFold(concat(
+      col("l_orderkey").cast("string"), lit("|"), col("l_partkey").cast("string"),
+      lit("|"), col("l_suppkey").cast("string"), lit("|"), col("l_returnflag"),
+      lit("|"), col("l_linestatus")))
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_rows"),
+        (sum(h.cast("decimal(38,0)")) % 1000000007L).cast("long").as("checksum"))
+      .orderBy("l_returnflag")
+  }
+
+  val all: Seq[Q] = Seq(audit, profile, checksum)
 }

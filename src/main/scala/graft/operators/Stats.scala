@@ -15,6 +15,8 @@ import org.apache.spark.sql.functions._
   */
 object Stats {
 
+  private def d(x: String): String = s"CAST($x AS DOUBLE)"
+
   /** Group-wise OLS regression — price-vs-quantity trend per
     * (returnflag, linestatus): slope, intercept, R², correlation.
     * One scan, ONE hash aggregate: every regr_* aggregate is
@@ -234,5 +236,110 @@ object Stats {
         c("l_discount", "l_tax", "corr_disc_tax"))
   }
 
-  val all: Seq[Q] = Seq(regression, skyline, ttest, corrMatrix)
+  private val AssocMinPairs = 2
+  private val AssocTopK = 20
+
+  /** Market-basket association rules over order baskets: the part
+    * pairs that co-occur in the same order far above chance, ranked
+    * by lift = P(a,b)/(P(a)·P(b)) with support and both directed
+    * confidences — the classic Apriori-style co-purchase miner. The
+    * pair frame is a self-join of the distinct (order, part) basket
+    * on the order key (baskets average ~4 items, so pairs stay
+    * linear in lineitem); item and pair counts are plain hash
+    * aggregates, the |parts|-row item-count frame joins back twice
+    * on the part keys, and the final top-20 is ORDER BY + LIMIT —
+    * Spark plans TakeOrderedAndProject (per-partition heaps, no
+    * global sort). Lift is rounded to 6 dp BEFORE ranking, ties
+    * break on the pair keys, so both engines cut the identical 20.
+    */
+  val assocRules = Q(
+    "q39_assoc",
+    s"""WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       |n AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS n_orders FROM b),
+       |ic AS (SELECT p, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY p),
+       |pc AS (
+       |  SELECT a.p AS part_a, c.p AS part_b, CAST(count(*) AS BIGINT) AS n_ab
+       |  FROM b a JOIN b c ON a.o = c.o AND a.p < c.p
+       |  GROUP BY a.p, c.p HAVING count(*) >= $AssocMinPairs)
+       |SELECT part_a, part_b, n_a, n_b, n_ab, support, lift, conf_a_b, conf_b_a
+       |FROM (
+       |  SELECT pc.part_a, pc.part_b, ia.c AS n_a, ib.c AS n_b, pc.n_ab,
+       |    round(1e-9 + pc.n_ab / ${d("n.n_orders")}, 6) AS support,
+       |    round(1e-9 + pc.n_ab * ${d("n.n_orders")} / (ia.c * ${d("ib.c")}), 6) AS lift,
+       |    round(1e-9 + pc.n_ab / ${d("ia.c")}, 6) AS conf_a_b,
+       |    round(1e-9 + pc.n_ab / ${d("ib.c")}, 6) AS conf_b_a
+       |  FROM pc JOIN ic ia ON ia.p = pc.part_a JOIN ic ib ON ib.p = pc.part_b
+       |  CROSS JOIN n)
+       |ORDER BY lift DESC, part_a, part_b LIMIT $AssocTopK""".stripMargin) { (spark, dir) =>
+    val b = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val n = b.agg(countDistinct(col("o")).as("n_orders"))
+    val ic = b.groupBy("p").agg(count(lit(1)).as("c"))
+    val pc = b.as("a").join(b.as("c"),
+        col("a.o") === col("c.o") && col("a.p") < col("c.p"))
+      .groupBy(col("a.p").as("part_a"), col("c.p").as("part_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= AssocMinPairs)
+    pc.join(ic.select(col("p").as("part_a"), col("c").as("n_a")), "part_a")
+      .join(ic.select(col("p").as("part_b"), col("c").as("n_b")), "part_b")
+      .crossJoin(broadcast(n))
+      .select(col("part_a"), col("part_b"), col("n_a"), col("n_b"), col("n_ab"),
+        round(lit(1e-9) + col("n_ab") / col("n_orders").cast("double"), 6).as("support"),
+        round(lit(1e-9) + col("n_ab") * col("n_orders").cast("double") /
+          (col("n_a") * col("n_b").cast("double")), 6).as("lift"),
+        round(lit(1e-9) + col("n_ab") / col("n_a").cast("double"), 6).as("conf_a_b"),
+        round(lit(1e-9) + col("n_ab") / col("n_b").cast("double"), 6).as("conf_b_a"))
+      .orderBy(col("lift").desc, col("part_a"), col("part_b"))
+      .limit(AssocTopK)
+  }
+
+  /** Theil–Sen robust trend of daily order revenue: the median of
+    * all pairwise slopes between distinct days, with the matching
+    * median intercept — the outlier-proof twin of q32's OLS (one
+    * corrupted day moves OLS arbitrarily; Theil–Sen tolerates 29%
+    * contamination). The corpus collapses to the |days|-row daily
+    * aggregate FIRST (one keyed agg); the O(|days|²) pair self-join
+    * and both exact medians run on that bounded frame (≤ a few
+    * hundred rows per series — ~100 k pairs), never on orders rows —
+    * the ev_forecast posture: everything after the first aggregate
+    * is corpus-size-independent.
+    */
+  val theilSen = Q(
+    "q40_theil_sen",
+    """WITH daily AS (
+      |  SELECT CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) AS day,
+      |    sum(o_totalprice) AS rev
+      |  FROM orders GROUP BY day),
+      |slopes AS (
+      |  SELECT (b.rev - a.rev) / (b.day - a.day) AS s
+      |  FROM daily a JOIN daily b ON a.day < b.day),
+      |fit AS (SELECT quantile_cont(s, 0.5) AS slope FROM slopes)
+      |SELECT CAST((SELECT count(*) FROM daily) AS BIGINT) AS n_days,
+      |  round(1e-9 + fit.slope, 6) AS slope,
+      |  round(1e-9 + (SELECT quantile_cont(rev - fit.slope * day, 0.5) FROM daily), 4)
+      |    AS intercept
+      |FROM fit""".stripMargin) { (spark, dir) =>
+    // o_orderdate ships as TIMESTAMP or TIMESTAMP_NTZ across testdata
+    // generations; the session runs UTC, so the ts-cast is an identity
+    // normalization (the Tables.events posture) before epoch math.
+    val daily = Tables.orders(spark, dir)
+      .groupBy(floor(col("o_orderdate").cast("timestamp").cast("double") / 86400)
+        .cast("long").as("day"))
+      .agg(sum("o_totalprice").as("rev"))
+      .localCheckpoint(true) // bounded frame; feeds the pair join twice
+    val slope = daily.as("a").join(daily.as("b"), col("a.day") < col("b.day"))
+      .select(((col("b.rev") - col("a.rev")) / (col("b.day") - col("a.day"))).as("s"))
+      .agg(percentile(col("s"), lit(0.5)).as("slope"))
+    val out = daily.crossJoin(broadcast(slope))
+      .select(col("day"), col("rev"), col("slope"))
+      .agg(count(lit(1)).as("n_days"),
+        round(lit(1e-9) + first("slope"), 6).as("slope"),
+        round(lit(1e-9) + percentile(col("rev") - col("slope") * col("day"), lit(0.5)), 4)
+          .as("intercept"))
+      .localCheckpoint(true)
+    Dedup.releaseLocalCheckpoint(daily)
+    out
+  }
+
+  val all: Seq[Q] = Seq(regression, skyline, ttest, corrMatrix, assocRules, theilSen)
 }
