@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Engine-independent invariants for the round's statistical
+  * inference operators (q35_ttest, q36_corr, q39_assoc,
+  * q40_theil_sen, dq_checksum) — planted fixtures with known
+  * closed-form answers, plus structural properties the DuckDB
+  * oracle replay cannot distinguish from coincidence.
+  */
+class InferenceSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("q35_ttest: planted two-sample fixture reproduces the textbook Welch t") {
+    import spark.implicits._
+    // group a: 0,1,...,9 (mean 4.5, var 55/6); group b: shifted +2
+    val a = (0 until 10).map(_.toDouble)
+    val b = a.map(_ + 2.0)
+    val df = (a.map(("a", _)) ++ b.map(("b", _))).toDF("g", "v")
+    val s = df.groupBy("g").agg(count(lit(1)).as("n"), avg("v").as("m"),
+      var_samp(col("v")).as("s2")).collect().map(r =>
+      r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    val (na, ma, va) = s("a"); val (nb, mb, vb) = s("b")
+    val t = (ma - mb) / math.sqrt(va / na + vb / nb)
+    // identical variances, n=10: t = -2 / sqrt(2*var/10)
+    val expected = -2.0 / math.sqrt(2 * (55.0 / 6) / 10)
+    assert(math.abs(t - expected) < 1e-12)
+    // Welch df with equal variances and equal n collapses to 2n-2
+    val se2 = va / na + vb / nb
+    val df_w = se2 * se2 / (math.pow(va / na, 2) / (na - 1) + math.pow(vb / nb, 2) / (nb - 1))
+    assert(math.abs(df_w - 18.0) < 1e-9)
+  }
+
+  test("q35_ttest over testdata: antisymmetric in the pair and df <= n_a+n_b-2") {
+    val rows = SparkEntry.queries("q35_ttest")(spark, sf).collect()
+    assert(rows.length == 10) // C(5,2) event-type pairs
+    rows.foreach { r =>
+      val na = r.getAs[Long]("n_a"); val nb = r.getAs[Long]("n_b")
+      val dfw = r.getAs[Double]("welch_df")
+      assert(dfw <= na + nb - 2 + 1e-6, s"Welch df $dfw above pooled bound")
+      assert(dfw >= math.min(na, nb) - 1 - 1e-6, s"Welch df $dfw below min-side bound")
+      val sig = r.getAs[Boolean]("significant")
+      assert(sig == (math.abs(r.getAs[Double]("t_stat")) > 1.96) ||
+        math.abs(math.abs(r.getAs[Double]("t_stat")) - 1.96) < 1e-3)
+    }
+  }
+
+  test("q36_corr: all correlations in [-1,1]; corr(x,x)=1 sanity") {
+    val r = SparkEntry.queries("q36_corr")(spark, sf).collect()(0)
+    Seq("corr_qty_price", "corr_qty_disc", "corr_qty_tax",
+      "corr_price_disc", "corr_price_tax", "corr_disc_tax").foreach { c =>
+      val v = r.getAs[Double](c)
+      assert(v >= -1.0 - 1e-9 && v <= 1.0 + 1e-9, s"$c = $v out of range")
+    }
+    val self = Tables.lineitem(spark, sf)
+      .agg(corr(col("l_quantity"), col("l_quantity"))).collect()(0).getDouble(0)
+    assert(math.abs(self - 1.0) < 1e-12)
+  }
+
+  test("q39_assoc: lift/support/confidence agree with a brute-force recount") {
+    val rows = SparkEntry.queries("q39_assoc")(spark, sf).collect()
+    assert(rows.length == 20)
+    val baskets = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nOrders = baskets.map(_._1).distinct.length.toDouble
+    val itemC = baskets.groupBy(_._2).view.mapValues(_.length).toMap
+    val byOrder = baskets.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val pairC = byOrder.values.flatMap(ps =>
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j)))
+      .groupBy(identity).view.mapValues(_.size).toMap
+    rows.foreach { r =>
+      val pa = r.getAs[Long]("part_a"); val pb = r.getAs[Long]("part_b")
+      val nab = pairC((pa, pb))
+      assert(nab == r.getAs[Long]("n_ab"))
+      assert(itemC(pa) == r.getAs[Long]("n_a") && itemC(pb) == r.getAs[Long]("n_b"))
+      val lift = nab * nOrders / (itemC(pa).toDouble * itemC(pb))
+      assert(math.abs(lift - r.getAs[Double]("lift")) < 1e-4)
+      assert(r.getAs[Double]("conf_a_b") <= 1 + 1e-9 && r.getAs[Double]("conf_b_a") <= 1 + 1e-9)
+    }
+    // ranked by lift descending
+    val lifts = rows.map(_.getAs[Double]("lift"))
+    assert(lifts.zip(lifts.tail).forall { case (x, y) => x >= y })
+  }
+
+  test("q40_theil_sen: planted line with one gross outlier still recovers the slope") {
+    import spark.implicits._
+    // y = 7x + 100 over 30 days, day 15 corrupted by +1e6
+    val pts = (0 until 30).map(d => (d.toLong, 7.0 * d + 100 + (if (d == 15) 1e6 else 0)))
+    val daily = pts.toDF("day", "rev")
+    val slopes = daily.as("a").join(daily.as("b"), col("a.day") < col("b.day"))
+      .select(((col("b.rev") - col("a.rev")) / (col("b.day") - col("a.day"))).as("s"))
+    val slope = slopes.agg(percentile(col("s"), lit(0.5))).collect()(0).getDouble(0)
+    assert(math.abs(slope - 7.0) < 1e-9, s"Theil-Sen slope $slope != 7 despite outlier")
+    val intercept = daily.select(percentile(col("rev") - lit(slope) * col("day"), lit(0.5)))
+      .collect()(0).getDouble(0)
+    assert(math.abs(intercept - 100.0) < 1e-9)
+  }
+
+  test("q40_theil_sen over testdata returns one finite fit row") {
+    val r = SparkEntry.queries("q40_theil_sen")(spark, sf).collect()
+    assert(r.length == 1)
+    assert(r(0).getAs[Long]("n_days") > 0)
+    assert(!r(0).isNullAt(r(0).fieldIndex("slope")))
+  }
+
+  test("dq_checksum is partition-order invariant and detects a one-row change") {
+    val base = SparkEntry.queries("dq_checksum")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("n_rows"), r.getAs[Long]("checksum")))
+    // recompute from a differently-partitioned scan: same checksums
+    val h = graft.functions.Hashing.charFold(concat(
+      col("l_orderkey").cast("string"), lit("|"), col("l_partkey").cast("string"),
+      lit("|"), col("l_suppkey").cast("string"), lit("|"), col("l_returnflag"),
+      lit("|"), col("l_linestatus")))
+    val re = Tables.lineitem(spark, sf).repartition(7)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), (sum(h.cast("decimal(38,0)")) % 1000000007L)
+        .cast("long").as("ck"))
+      .collect().map(r => (r.getString(0), r.getAs[Long]("n"), r.getAs[Long]("ck")))
+      .sortBy(_._1)
+    assert(base.sortBy(_._1).toSeq == re.toSeq)
+    // perturb one key: the affected group's checksum must move
+    val perturbed = Tables.lineitem(spark, sf)
+      .withColumn("l_orderkey",
+        when(monotonically_increasing_id() === 0, col("l_orderkey") + 1)
+          .otherwise(col("l_orderkey")))
+    val h2 = graft.functions.Hashing.charFold(concat(
+      col("l_orderkey").cast("string"), lit("|"), col("l_partkey").cast("string"),
+      lit("|"), col("l_suppkey").cast("string"), lit("|"), col("l_returnflag"),
+      lit("|"), col("l_linestatus")))
+    val pert = perturbed.groupBy("l_returnflag")
+      .agg((sum(h2.cast("decimal(38,0)")) % 1000000007L).cast("long").as("ck"))
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("ck")).toMap
+    val baseMap = base.map(t => t._1 -> t._3).toMap
+    assert(pert.exists { case (k, v) => baseMap(k) != v },
+      "single-row perturbation left every group checksum unchanged")
+  }
+}
