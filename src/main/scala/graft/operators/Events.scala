@@ -1508,13 +1508,16 @@ object Events {
       |    ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
       |    AS survival
       |FROM risk ORDER BY day""".stripMargin) { (spark, dir) =>
-    val ev = Tables.events(spark, dir)
-    val u = ev.groupBy("user_id")
+    // ONE corpus scan: the per-user aggregate is checkpointed and the
+    // corpus max derives from its last_s column (max of per-user
+    // maxes), instead of a second events pass
+    val u = Tables.events(spark, dir).groupBy("user_id")
       .agg(
         (floor(max(col("ts").cast("double")) / 86400) -
           floor(min(col("ts").cast("double")) / 86400)).cast("long").as("day"),
         max(col("ts").cast("double")).as("last_s"))
-    val mx = ev.agg(max(col("ts").cast("double")).as("m"))
+      .localCheckpoint(true)
+    val mx = u.agg(max(col("last_s")).as("m"))
     val perday = u.crossJoin(broadcast(mx))
       .groupBy("day")
       .agg(
@@ -1524,7 +1527,7 @@ object Events {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAsc = Window.orderBy("day")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    perday
+    val out = perday
       .withColumn("n_risk", sum(col("n_death") + col("n_censor")).over(wDesc))
       .withColumn("survival",
         round(lit(1e-9) + exp(sum(log(greatest(
@@ -1532,6 +1535,9 @@ object Events {
           lit(1e-300)))).over(wAsc)), 6))
       .select("day", "n_risk", "n_death", "n_censor", "survival")
       .orderBy("day")
+      .localCheckpoint(true)
+    Dedup.releaseLocalCheckpoint(u)
+    out
   }
 
   /** Time-to-convert distribution: for each signup-day cohort, how

@@ -271,16 +271,23 @@ object Stats {
        |  FROM pc JOIN ic ia ON ia.p = pc.part_a JOIN ic ib ON ib.p = pc.part_b
        |  CROSS JOIN n)
        |ORDER BY lift DESC, part_a, part_b LIMIT $AssocTopK""".stripMargin) { (spark, dir) =>
+    // the basket frame feeds FIVE consumers (both pair-join sides,
+    // both item-count joins, the order total) — checkpoint it once so
+    // the corpus is scanned and de-duplicated exactly once, not five
+    // times (branch-specific filters defeat exchange reuse otherwise)
     val b = Tables.lineitem(spark, dir)
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      .localCheckpoint(true)
     val n = b.agg(countDistinct(col("o")).as("n_orders"))
     val ic = b.groupBy("p").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
     val pc = b.as("a").join(b.as("c"),
         col("a.o") === col("c.o") && col("a.p") < col("c.p"))
       .groupBy(col("a.p").as("part_a"), col("c.p").as("part_b"))
       .agg(count(lit(1)).as("n_ab"))
       .filter(col("n_ab") >= AssocMinPairs)
-    pc.join(ic.select(col("p").as("part_a"), col("c").as("n_a")), "part_a")
+    val out = pc
+      .join(ic.select(col("p").as("part_a"), col("c").as("n_a")), "part_a")
       .join(ic.select(col("p").as("part_b"), col("c").as("n_b")), "part_b")
       .crossJoin(broadcast(n))
       .select(col("part_a"), col("part_b"), col("n_a"), col("n_b"), col("n_ab"),
@@ -291,6 +298,10 @@ object Stats {
         round(lit(1e-9) + col("n_ab") / col("n_b").cast("double"), 6).as("conf_b_a"))
       .orderBy(col("lift").desc, col("part_a"), col("part_b"))
       .limit(AssocTopK)
+      .localCheckpoint(true)
+    Dedup.releaseLocalCheckpoint(b)
+    Dedup.releaseLocalCheckpoint(ic)
+    out
   }
 
   /** Theil–Sen robust trend of daily order revenue: the median of

@@ -1484,9 +1484,14 @@ object TextAnalysis {
          |SELECT source, rank, h, a AS n_src, b AS n_rest, g2
          |FROM r WHERE rank <= 10 ORDER BY source, rank""".stripMargin
     }) { (spark, dir) =>
+    // the (source, term) count frame feeds FOUR consumers (itself,
+    // the per-source totals, the per-term totals, the corpus total) —
+    // checkpoint it once so the corpus tokenize+explode runs exactly
+    // once; everything downstream is vocabulary-scale
     val sc = Tables.documents(spark, dir)
       .select(col("source"), explode(Hashing.wordHashes(col("text"))).as("h"))
       .groupBy("source", "h").agg(count(lit(1)).as("a"))
+      .localCheckpoint(true)
     val st = sc.groupBy("source").agg(sum("a").as("src_tot"))
     val vt = sc.groupBy("h").agg(sum("a").as("tf"))
     val n = sc.agg(sum("a").as("tot"))
@@ -1505,10 +1510,13 @@ object TextAnalysis {
       .agg(graft.functions.TopKAgg.topk_by_score(col("g2"), col("h"), 10).as("tk"))
       .select(col("source"), explode(col("tk")).as("t"))
       .select(col("source"), col("t.rank").as("rank"), col("t.id").as("h"))
-    g.join(broadcast(top), Seq("source", "h"))
+    val out = g.join(broadcast(top), Seq("source", "h"))
       .select(col("source"), col("rank"), col("h"),
         col("a").as("n_src"), col("b").as("n_rest"), col("g2"))
       .orderBy("source", "rank")
+      .localCheckpoint(true)
+    graft.operators.Dedup.releaseLocalCheckpoint(sc)
+    out
   }
 
   val all: Seq[Q] = Seq(tokens, quality, langid, langidClf, html, fingerprint, curate, curateClf, shard, topterms, pii,
