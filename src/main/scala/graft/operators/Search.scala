@@ -589,6 +589,46 @@ object Search {
       .orderBy("query_term", "match")
   }
 
+  private val SnippetCtx = 20
+
+  /** Keyword-in-context snippets — the search-result rendering step:
+    * for each query term, every matching doc returns the 1-based
+    * match position and a ±20-char context window around the FIRST
+    * occurrence (instr/strpos agree on 1-based first-match in both
+    * engines; the window clamps at the string start the same way).
+    * Map-only over the corpus — one projection per term unioned
+    * before the scan, no joins, no aggregates; the term list is a
+    * query-time constant exactly as in ix_bm25. Limited to the first
+    * 40 matches per term by doc_id (ORDER BY + LIMIT →
+    * TakeOrderedAndProject) so result pages stay bounded.
+    */
+  val snippet = Q(
+    "ix_snippet", {
+      val perTerm = terms.map { t =>
+        s"""SELECT doc_id, '$t' AS term,
+           |  CAST(strpos(lower(text), '$t') AS BIGINT) AS pos,
+           |  substring(lower(text), CAST(greatest(strpos(lower(text), '$t') - $SnippetCtx, 1) AS INT),
+           |    ${2 * SnippetCtx} + length('$t')) AS snippet
+           |FROM documents WHERE strpos(lower(text), '$t') > 0""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""SELECT doc_id, term, pos, snippet FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+         |  FROM ($perTerm)) WHERE rn <= 40
+         |ORDER BY term, doc_id""".stripMargin
+    }) { (spark, dir) =>
+    val docs = Tables.documents(spark, dir)
+    val hits = terms.map { t =>
+      val pos = instr(lower(col("text")), t)
+      docs.filter(pos > 0).select(
+        col("doc_id"), lit(t).as("term"), pos.cast("long").as("pos"),
+        lower(col("text")).substr(
+          greatest(pos - SnippetCtx, lit(1)).cast("int"),
+          lit(2 * SnippetCtx + t.length)).as("snippet"))
+        .orderBy("doc_id").limit(40)
+    }.reduce(_ unionByName _)
+    hits.orderBy("term", "doc_id")
+  }
+
   val all: Seq[Q] = Seq(bm25, sourceSim, hybrid, sourceOverlap, bm25Incremental,
-    phrase, fuzzy)
+    phrase, fuzzy, snippet)
 }

