@@ -114,7 +114,7 @@ object Bench {
       built("pruned_layout", Seq("q18_partition_prune", "q22_dpp")) {
         operators.Layout.ensureLineitemByYear(spark, sfDir)
       },
-      built("pagerank_edges", Seq("gr_pagerank")) {
+      built("pagerank_edges", Seq("gr_pagerank", "gr_lpa")) {
         operators.Graph.edgesWithDeg(spark, sfDir)
       },
       built("ivf_index", Seq("ann_ivf", "ann_ivfpq")) {
@@ -182,6 +182,9 @@ object Bench {
       },
       built("scd2_history", Seq("cdc_timetravel")) {
         operators.Cdc.scd2History(spark, sfDir)
+      },
+      built("audience_sketches", Seq("q38_hll_intersect")) {
+        operators.Maintain.audienceFrames(spark, sfDir)
       },
       built("positional_index", Seq("ix_phrase")) {
         operators.Search.posIndex(spark, sfDir)
