@@ -335,5 +335,50 @@ object Distribution {
       .orderBy("source")
   }
 
-  val all: Seq[Q] = Seq(setOps, histogram, driftPsi, outliers, outliersSketch)
+  /** Exact percentiles from a bounded-VALUE-DOMAIN histogram — the
+    * 100 TB path for exact order statistics that q13's percentile()
+    * cannot take (its per-group state buffers every value; this
+    * one's state is bounded by the value domain — l_quantity has 50
+    * distinct values at ANY corpus size). One hash aggregate to the
+    * ≤\|flags\|×\|domain\| histogram, a cumulative window over that
+    * bounded frame, and the percentile is the smallest value whose
+    * cumulative count reaches ⌈p·n⌉ — the discrete (lower) percentile
+    * definition spelled out identically in both engines (no
+    * quantile_disc semantics dependence). This is how a warehouse
+    * serves exact medians over low-cardinality measures at any scale.
+    */
+  val medianHist = Q(
+    "q41_median_hist",
+    """WITH h AS (
+      |  SELECT l_returnflag, l_quantity AS q, CAST(count(*) AS BIGINT) AS c
+      |  FROM lineitem GROUP BY l_returnflag, l_quantity),
+      |cum AS (
+      |  SELECT l_returnflag, q, c,
+      |    sum(c) OVER (PARTITION BY l_returnflag ORDER BY q
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    sum(c) OVER (PARTITION BY l_returnflag) AS n
+      |  FROM h)
+      |SELECT l_returnflag, CAST(max(n) AS BIGINT) AS n,
+      |  min(CASE WHEN cum >= CAST(ceil(0.5 * n) AS BIGINT) THEN q END) AS median_qty,
+      |  min(CASE WHEN cum >= CAST(ceil(0.9 * n) AS BIGINT) THEN q END) AS p90_qty
+      |FROM cum GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (spark, dir) =>
+    val h = Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"), col("l_quantity").as("q"))
+      .agg(count(lit(1)).as("c"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy("l_returnflag").orderBy("q")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy("l_returnflag")
+    h.withColumn("cum", sum("c").over(wCum))
+      .withColumn("n", sum("c").over(wAll))
+      .groupBy("l_returnflag")
+      .agg(max("n").as("n"),
+        min(when(col("cum") >= ceil(lit(0.5) * col("n")), col("q"))).as("median_qty"),
+        min(when(col("cum") >= ceil(lit(0.9) * col("n")), col("q"))).as("p90_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  val all: Seq[Q] = Seq(setOps, histogram, driftPsi, outliers, outliersSketch,
+    medianHist)
 }

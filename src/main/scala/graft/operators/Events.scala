@@ -1646,10 +1646,65 @@ object Events {
       .orderBy("event_type")
   }
 
+  private val SloTarget = 0.25 // error-share objective the burn normalizes by
+
+  /** Multi-window SLO burn-rate alert (the SRE-workbook pattern): the
+    * error share per hourly bucket, normalized by the SLO target into
+    * a burn rate, rolled over a 6 h short window AND a 24 h long
+    * window — an alert fires only when BOTH exceed 1 (fast-burn
+    * confirmation without flapping on single-bucket spikes). The
+    * rolling sums use RANGE frames on the integer hour index, so
+    * missing buckets correctly shrink the window rather than being
+    * skipped. Reported per day: bucket count, max of each rounded
+    * burn, alert count. Shape: ONE keyed aggregate collapses events
+    * to the per-hour frame (bounded by the time domain, not the
+    * corpus); every window and the daily rollup run on that bounded
+    * frame. The alert comparison uses the raw quotient of identical
+    * integer counts, so both engines decide identically even at
+    * burn = 1.0 exactly.
+    */
+  val sloBurn = Q(
+    "ev_slo_burn",
+    s"""WITH hb AS (
+       |  SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h,
+       |    CAST(count(*) AS BIGINT) AS n,
+       |    CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS n_err
+       |  FROM events GROUP BY h),
+       |burn AS (
+       |  SELECT h, n, n_err,
+       |    (sum(n_err) OVER w6) / (CAST(sum(n) OVER w6 AS DOUBLE) * $SloTarget) AS b_short,
+       |    (sum(n_err) OVER w24) / (CAST(sum(n) OVER w24 AS DOUBLE) * $SloTarget) AS b_long
+       |  FROM hb
+       |  WINDOW w6 AS (ORDER BY h RANGE BETWEEN 5 PRECEDING AND CURRENT ROW),
+       |    w24 AS (ORDER BY h RANGE BETWEEN 23 PRECEDING AND CURRENT ROW))
+       |SELECT CAST(floor(h / 24) AS BIGINT) AS day,
+       |  CAST(count(*) AS BIGINT) AS n_hours,
+       |  CAST(sum(n) AS BIGINT) AS n_events,
+       |  round(1e-9 + max(b_short), 4) AS max_burn_short,
+       |  round(1e-9 + max(b_long), 4) AS max_burn_long,
+       |  CAST(count(*) FILTER (WHERE b_short >= 1 AND b_long >= 1) AS BIGINT) AS n_alerts
+       |FROM burn GROUP BY day ORDER BY day""".stripMargin) { (spark, dir) =>
+    val hb = Tables.events(spark, dir)
+      .groupBy(floor(col("ts").cast("double") / 3600).cast("long").as("h"))
+      .agg(count(lit(1)).as("n"),
+        count(when(col("event_type") === "error", 1)).as("n_err"))
+    def w(preceding: Long) = Window.orderBy("h").rangeBetween(-preceding, 0)
+    val bShort = sum("n_err").over(w(5)) / (sum("n").over(w(5)).cast("double") * SloTarget)
+    val bLong = sum("n_err").over(w(23)) / (sum("n").over(w(23)).cast("double") * SloTarget)
+    hb.withColumn("b_short", bShort).withColumn("b_long", bLong)
+      .groupBy(floor(col("h") / 24).cast("long").as("day"))
+      .agg(count(lit(1)).as("n_hours"),
+        sum("n").as("n_events"),
+        round(lit(1e-9) + max("b_short"), 4).as("max_burn_short"),
+        round(lit(1e-9) + max("b_long"), 4).as("max_burn_long"),
+        count(when(col("b_short") >= 1 && col("b_long") >= 1, 1)).as("n_alerts"))
+      .orderBy("day")
+  }
+
   val all: Seq[Q] =
     Seq(windowAgg, sessionize, funnel, json, retention, asof, rangeJoin,
       sessionWindow, variant, windowFunnel, gapfill, attribution, pathing,
       anomaly, rfm, forecast, changepoint, activeUsers, interpolate,
       pathsTopK, ltv, gini, attribMarkov, seasonality,
-      survival, conversionLag, interarrival)
+      survival, conversionLag, interarrival, sloBurn)
 }

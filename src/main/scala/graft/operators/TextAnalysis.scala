@@ -1575,7 +1575,38 @@ object TextAnalysis {
     out
   }
 
+  /** Language-ID confusion matrix against the corpus ground-truth
+    * lang column — the model-eval artifact that sits between
+    * tx_langid (heuristic) and production: per (true, predicted)
+    * cell the count, the per-true-language recall share, and the
+    * diagonal flag. ONE map-only prediction pass (the shared
+    * heuristic expression) into a ≤\|langs\|²-row aggregate; the
+    * recall window runs on that bounded matrix frame only.
+    */
+  val langidConfusion = Q(
+    "tx_langid_confusion",
+    s"""WITH pred AS (
+       |  SELECT lang AS true_lang, $heurCaseSql AS pred_lang
+       |  FROM (${heurHitsSql("documents")})),
+       |m AS (SELECT true_lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+       |  FROM pred GROUP BY true_lang, pred_lang)
+       |SELECT true_lang, pred_lang, n,
+       |  round(1e-9 + n / CAST(sum(n) OVER (PARTITION BY true_lang) AS DOUBLE), 6)
+       |    AS recall_share,
+       |  true_lang = pred_lang AS correct
+       |FROM m ORDER BY true_lang, pred_lang""".stripMargin) { (spark, dir) =>
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("true_lang")
+    Tables.documents(spark, dir)
+      .select(col("lang").as("true_lang"), predLangExpr.as("pred_lang"))
+      .groupBy("true_lang", "pred_lang").agg(count(lit(1)).as("n"))
+      .select(col("true_lang"), col("pred_lang"), col("n"),
+        round(lit(1e-9) + col("n") / sum("n").over(w).cast("double"), 6)
+          .as("recall_share"),
+        (col("true_lang") === col("pred_lang")).as("correct"))
+      .orderBy("true_lang", "pred_lang")
+  }
+
   val all: Seq[Q] = Seq(tokens, quality, langid, langidClf, html, fingerprint, curate, curateClf, shard, topterms, pii,
     entropy, pack, vocab, bpePairs, gopher, card, pmi, zipf, heaps,
-    readability, keyness, jsd)
+    readability, keyness, jsd, langidConfusion)
 }

@@ -105,6 +105,59 @@ class InferenceSpec extends AnyFunSuite {
     assert(!r(0).isNullAt(r(0).fieldIndex("slope")))
   }
 
+  test("q41_median_hist: histogram percentiles equal the sorted-array definition") {
+    val rows = SparkEntry.queries("q41_median_hist")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byFlag = Tables.lineitem(spark, sf)
+      .select("l_returnflag", "l_quantity").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    rows.foreach { r =>
+      val vs = byFlag(r.getString(0))
+      assert(r.getAs[Long]("n") == vs.length)
+      // smallest value whose cumulative count reaches ceil(p*n)
+      def disc(p: Double) = vs(math.ceil(p * vs.length).toInt - 1)
+      assert(r.getAs[Double]("median_qty") == disc(0.5))
+      assert(r.getAs[Double]("p90_qty") == disc(0.9))
+    }
+  }
+
+  test("ev_slo_burn: burn rates reconcile with a planted all-error hour") {
+    import spark.implicits._
+    // 24 planted hours: hour 23 is 100% errors, others clean
+    val hb = (0 until 24).map(h => (h.toLong, 100L, if (h == 23) 100L else 0L))
+      .toDF("h", "n", "n_err")
+    def w(p: Long) = org.apache.spark.sql.expressions.Window
+      .orderBy("h").rangeBetween(-p, 0)
+    val burn = hb
+      .withColumn("b_short", sum("n_err").over(w(5)) / (sum("n").over(w(5)).cast("double") * 0.25))
+      .withColumn("b_long", sum("n_err").over(w(23)) / (sum("n").over(w(23)).cast("double") * 0.25))
+      .filter(col("h") === 23).collect()(0)
+    // short window: 100/600 errors -> burn (1/6)/0.25 = 2/3; long: 100/2400 -> 1/6
+    assert(math.abs(burn.getAs[Double]("b_short") - 2.0 / 3) < 1e-12)
+    assert(math.abs(burn.getAs[Double]("b_long") - 1.0 / 6) < 1e-12)
+    val rows = SparkEntry.queries("ev_slo_burn")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_alerts") <= r.getAs[Long]("n_hours"))
+      assert(r.getAs[Double]("max_burn_long") <= r.getAs[Double]("max_burn_short") + 4.0,
+        "long-window burn cannot wildly exceed short on smooth data")
+    }
+  }
+
+  test("tx_langid_confusion: recall shares sum to 1 per true language") {
+    val rows = SparkEntry.queries("tx_langid_confusion")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (lang, rs) =>
+      val tot = rs.map(_.getAs[Double]("recall_share")).sum
+      assert(math.abs(tot - 1.0) < 1e-3, s"$lang recall shares sum to $tot")
+    }
+    // overall accuracy must beat chance (20%) on the 5-lang corpus
+    val n = rows.map(_.getAs[Long]("n")).sum.toDouble
+    val correct = rows.filter(_.getAs[Boolean]("correct")).map(_.getAs[Long]("n")).sum
+    assert(correct / n > 0.2, s"heuristic accuracy ${correct / n} not above chance")
+  }
+
   test("dq_checksum is partition-order invariant and detects a one-row change") {
     val base = SparkEntry.queries("dq_checksum")(spark, sf).collect()
       .map(r => (r.getString(0), r.getAs[Long]("n_rows"), r.getAs[Long]("checksum")))
