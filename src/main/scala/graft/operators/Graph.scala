@@ -656,6 +656,108 @@ object Graph {
     out
   }
 
+  /** Degree assortativity — the Pearson correlation of endpoint
+    * degrees across edges (Newman 2002): positive = hubs attach to
+    * hubs, negative = hub-and-spoke. One number diagnosing the
+    * co-purchase graph's mixing structure next to gr_degree_dist's
+    * marginal. Serves ENTIRELY from the memoized pagerank edge build:
+    * the degree frame re-aggregates the cached edges, joins back on
+    * both endpoints (the corpus is never rescanned), and the corr
+    * aggregate is one constant-width-partial pass over the edge list.
+    * Both edge directions are present, so the corr over directed rows
+    * IS the undirected assortativity (each unordered edge contributes
+    * its (du,dv) and (dv,du) pair — exactly Newman's symmetrized sum).
+    */
+  val assortativity = Q(
+    "gr_assortativity",
+    s"""WITH e0 AS (
+       |  SELECT DISTINCT l_partkey AS src, l_suppkey + $SuppOffset AS dst FROM lineitem),
+       |edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
+       |deg AS (SELECT src AS v, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY src)
+       |SELECT CAST(count(*) AS BIGINT) AS n_edges,
+       |  round(1e-9 + avg(a.d), 4) AS avg_src_deg,
+       |  round(1e-9 + corr(a.d, b.d), 6) AS assortativity
+       |FROM edges e JOIN deg a ON e.src = a.v JOIN deg b ON e.dst = b.v""".stripMargin) {
+    (spark, dir) =>
+    val edges = edgesWithDeg(spark, dir).select("src", "dst")
+    val deg = edges.groupBy(col("src").as("v")).agg(count(lit(1)).as("d"))
+    edges
+      .join(deg.select(col("v").as("src"), col("d").as("d_src")), "src")
+      .join(deg.select(col("v").as("dst"), col("d").as("d_dst")), "dst")
+      .agg(count(lit(1)).as("n_edges"),
+        round(lit(1e-9) + avg("d_src"), 4).as("avg_src_deg"),
+        round(lit(1e-9) + corr(col("d_src"), col("d_dst")), 6).as("assortativity"))
+  }
+
+  private val ClosenessSeeds = 4
+  private val ClosenessMaxHops = 6
+
+  /** Harmonic closeness centrality from K deterministic seeds (the K
+    * smallest node ids — sampled-source centrality, the standard
+    * tractable estimator; exact all-pairs closeness is O(V·E)): per
+    * seed, multi-source BFS to 6 hops, then H(s) = Σ_v 1/d(s,v) plus
+    * reach count and mean distance. The frontier carries (seed, node)
+    * pairs — at most K·\|V\| rows across ALL rounds combined — and
+    * follows gr_bfs's loop discipline exactly: only each new frontier
+    * checkpoints, the visited set stays a lazy union of those cached
+    * frames, broadcast under the pagerank node cap, early exit on an
+    * empty frontier. Oracle: one recursive CTE from the K-seed frame
+    * whose UNION dedups (seed, node, dist) triples.
+    */
+  val closeness = Q(
+    "gr_closeness",
+    s"""WITH RECURSIVE e0 AS (
+       |  SELECT DISTINCT l_partkey AS src, l_suppkey + $SuppOffset AS dst FROM lineitem),
+       |edges AS MATERIALIZED (SELECT src AS u, dst AS v FROM e0
+       |  UNION ALL SELECT dst AS u, src AS v FROM e0),
+       |seeds AS (SELECT u AS s FROM (SELECT DISTINCT u FROM edges ORDER BY u LIMIT $ClosenessSeeds)),
+       |walk(seed, node, dist) AS (
+       |  SELECT s, s, 0 FROM seeds
+       |  UNION
+       |  SELECT w.seed, e.v, w.dist + 1 FROM walk w
+       |  JOIN edges e ON e.u = w.node WHERE w.dist < $ClosenessMaxHops),
+       |best AS (SELECT seed, node, min(dist) AS dist FROM walk GROUP BY seed, node)
+       |SELECT seed,
+       |  CAST(count(*) - 1 AS BIGINT) AS n_reached,
+       |  round(1e-9 + sum(CASE WHEN dist > 0 THEN 1.0 / dist ELSE 0 END), 6) AS harmonic,
+       |  round(1e-9 + avg(CASE WHEN dist > 0 THEN CAST(dist AS DOUBLE) END), 4) AS avg_dist
+       |FROM best GROUP BY seed ORDER BY seed""".stripMargin) { (spark, dir) =>
+    val edges = edgesWithDeg(spark, dir).select(col("src").as("u"), col("dst").as("v"))
+    val seeds = edges.select(col("u")).distinct()
+      .orderBy("u").limit(ClosenessSeeds)
+    val seedFrame = seeds
+      .select(col("u").as("seed"), col("u").as("node"), lit(0).as("dist"))
+      .localCheckpoint(true)
+    var frontiers = Vector(seedFrame)
+    var hop = 0
+    var exhausted = false
+    while (hop < ClosenessMaxHops && !exhausted) {
+      val visited = frontiers.map(_.select("seed", "node")).reduce(_ union _)
+      val next = edges
+        .join(broadcast(frontiers.last.select(col("seed"), col("node").as("u"))), "u")
+        .select(col("seed"), col("v").as("node")).distinct()
+        .join(broadcast(visited), Seq("seed", "node"), "left_anti")
+        .select(col("seed"), col("node"), lit(hop + 1).as("dist"))
+        .localCheckpoint(false)
+      if (next.isEmpty) {
+        exhausted = true
+        Dedup.releaseLocalCheckpoint(next)
+      } else frontiers :+= next
+      hop += 1
+    }
+    val out = frontiers.reduce(_ union _)
+      .groupBy("seed")
+      .agg((count(lit(1)) - 1).as("n_reached"),
+        round(lit(1e-9) + sum(when(col("dist") > 0, lit(1.0) / col("dist"))
+          .otherwise(lit(0d))), 6).as("harmonic"),
+        round(lit(1e-9) + avg(when(col("dist") > 0, col("dist").cast("double"))), 4)
+          .as("avg_dist"))
+      .orderBy("seed")
+      .localCheckpoint(true)
+    frontiers.foreach(Dedup.releaseLocalCheckpoint)
+    out
+  }
+
   val all: Seq[Q] = Seq(pagerank, triangles, components, kcore, bfs, degreeDist,
-    jaccardLinks, lpa)
+    jaccardLinks, lpa, assortativity, closeness)
 }

@@ -352,5 +352,51 @@ object Stats {
     out
   }
 
-  val all: Seq[Q] = Seq(regression, skyline, ttest, corrMatrix, assocRules, theilSen)
+  /** Contribution analysis — the two-level share decomposition a
+    * revenue report opens with: nation revenue as a share of its
+    * region, region revenue as a share of the total. One fact scan
+    * joined to the broadcast dimension chain (customer is the only
+    * shuffled join — on its key, the classic star shape), ONE
+    * (region, nation) hash aggregate, and both share windows run on
+    * that ≤\|nations\|-row frame. Revenue sums in raw doubles on both
+    * engines; shares rounded 6 dp behind the nudge.
+    */
+  val contribution = Q(
+    "q42_contribution",
+    """WITH f AS (
+      |  SELECT r.r_name, n.n_name,
+      |    CAST(count(*) AS BIGINT) AS n_orders, sum(o.o_totalprice) AS rev
+      |  FROM orders o
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |  JOIN region r ON n.n_regionkey = r.r_regionkey
+      |  GROUP BY r.r_name, n.n_name)
+      |SELECT r_name, n_name, n_orders,
+      |  round(1e-9 + rev, 2) AS revenue,
+      |  round(1e-9 + rev / sum(rev) OVER (PARTITION BY r_name), 6) AS share_of_region,
+      |  round(1e-9 + sum(rev) OVER (PARTITION BY r_name) / sum(rev) OVER (), 6)
+      |    AS region_share_of_total
+      |FROM f ORDER BY r_name, n_name""".stripMargin) { (spark, dir) =>
+    val f = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(count(lit(1)).as("n_orders"), sum("o_totalprice").as("rev"))
+    val wRegion = Window.partitionBy("r_name")
+    val wAll = Window.partitionBy()
+    f.select(col("r_name"), col("n_name"), col("n_orders"),
+        round(lit(1e-9) + col("rev"), 2).as("revenue"),
+        round(lit(1e-9) + col("rev") / sum("rev").over(wRegion), 6)
+          .as("share_of_region"),
+        round(lit(1e-9) + sum("rev").over(wRegion) / sum("rev").over(wAll), 6)
+          .as("region_share_of_total"))
+      .orderBy("r_name", "n_name")
+  }
+
+  val all: Seq[Q] = Seq(regression, skyline, ttest, corrMatrix, assocRules, theilSen,
+    contribution)
 }

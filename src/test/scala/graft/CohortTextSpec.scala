@@ -146,6 +146,59 @@ class CohortTextSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("n_members")).sum == nV)
   }
 
+  test("gr_assortativity: planted star graph is maximally disassortative") {
+    import spark.implicits._
+    // star: hub 1 connected to leaves 2..9 (bidirectional)
+    val e0 = (2L to 9L).map(l => (1L, l)).toDF("src", "dst")
+    val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+    val deg = edges.groupBy(col("src").as("v")).agg(count(lit(1)).as("d"))
+    val r = edges
+      .join(deg.select(col("v").as("src"), col("d").as("d_src")), "src")
+      .join(deg.select(col("v").as("dst"), col("d").as("d_dst")), "dst")
+      .agg(corr(col("d_src"), col("d_dst"))).collect()(0).getDouble(0)
+    assert(r < -0.99, s"star assortativity $r should be -1")
+    val row = SparkEntry.queries("gr_assortativity")(spark, sf).collect()(0)
+    val a = row.getAs[Double]("assortativity")
+    assert(a >= -1.0 - 1e-9 && a <= 1.0 + 1e-9)
+  }
+
+  test("gr_closeness: harmonic centrality matches a driver-side BFS replay") {
+    val rows = SparkEntry.queries("gr_closeness")(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 4)
+    val adj = graft.operators.Graph.edgesWithDeg(spark, sf)
+      .select("src", "dst").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    rows.foreach { r =>
+      val seed = r.getLong(0)
+      // bounded BFS replay
+      var dist = Map(seed -> 0)
+      var frontier = Seq(seed)
+      for (d <- 1 to 6) {
+        frontier = frontier.flatMap(n => adj.getOrElse(n, Array.empty[Long])).distinct
+          .filterNot(n => dist.contains(n))
+        dist ++= frontier.map(_ -> d)
+      }
+      val harmonic = dist.values.filter(_ > 0).map(1.0 / _).sum
+      assert(r.getAs[Long]("n_reached") == dist.size - 1)
+      assert(math.abs(r.getAs[Double]("harmonic") - harmonic) < 1e-4,
+        s"seed $seed harmonic ${r.getAs[Double]("harmonic")} vs replay $harmonic")
+    }
+  }
+
+  test("q42_contribution: shares sum to 1 within each region and overall") {
+    val rows = SparkEntry.queries("q42_contribution")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (region, rs) =>
+      val s = rs.map(_.getAs[Double]("share_of_region")).sum
+      assert(math.abs(s - 1.0) < 1e-3, s"$region nation shares sum to $s")
+    }
+    val regionShares = rows.map(r =>
+      r.getString(0) -> r.getAs[Double]("region_share_of_total")).distinct
+    val tot = regionShares.map(_._2).sum
+    assert(math.abs(tot - 1.0) < 1e-3, s"region shares sum to $tot")
+  }
+
   test("q38_hll_intersect: exact intersections bounded by min side; estimates pass") {
     val rows = SparkEntry.queries("q38_hll_intersect")(spark, sf).collect()
     assert(rows.length == 10)
