@@ -304,51 +304,53 @@ object Stats {
     out
   }
 
-  /** Theil–Sen robust trend of daily order revenue: the median of
-    * all pairwise slopes between distinct days, with the matching
+  /** Theil–Sen robust trend of weekly order revenue: the median of
+    * all pairwise slopes between distinct weeks, with the matching
     * median intercept — the outlier-proof twin of q32's OLS (one
-    * corrupted day moves OLS arbitrarily; Theil–Sen tolerates 29%
-    * contamination). The corpus collapses to the |days|-row daily
-    * aggregate FIRST (one keyed agg); the O(|days|²) pair self-join
-    * and both exact medians run on that bounded frame (≤ a few
-    * hundred rows per series — ~100 k pairs), never on orders rows —
-    * the ev_forecast posture: everything after the first aggregate
-    * is corpus-size-independent.
+    * corrupted period moves OLS arbitrarily; Theil–Sen tolerates 29%
+    * contamination). WEEKLY granularity by design: the series frame
+    * is bounded by the time domain (~365 weeks over the TPC-H date
+    * range) so the O(|weeks|²) pair self-join stays ≤ ~70 k rows and
+    * the exact medians stay trivial AT ANY CORPUS SIZE — the daily
+    * variant's 3.3 M-pair single-group percentile measured 10 s at
+    * sf0.1 and only grows with the date span. Corpus collapses to the
+    * checkpointed weekly aggregate first; everything after is
+    * corpus-size-independent (the ev_forecast posture).
     */
   val theilSen = Q(
     "q40_theil_sen",
-    """WITH daily AS (
-      |  SELECT CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) AS day,
+    """WITH weekly AS (
+      |  SELECT CAST(floor(epoch(o_orderdate) / 604800) AS BIGINT) AS week,
       |    sum(o_totalprice) AS rev
-      |  FROM orders GROUP BY day),
+      |  FROM orders GROUP BY week),
       |slopes AS (
-      |  SELECT (b.rev - a.rev) / (b.day - a.day) AS s
-      |  FROM daily a JOIN daily b ON a.day < b.day),
+      |  SELECT (b.rev - a.rev) / (b.week - a.week) AS s
+      |  FROM weekly a JOIN weekly b ON a.week < b.week),
       |fit AS (SELECT quantile_cont(s, 0.5) AS slope FROM slopes)
-      |SELECT CAST((SELECT count(*) FROM daily) AS BIGINT) AS n_days,
+      |SELECT CAST((SELECT count(*) FROM weekly) AS BIGINT) AS n_weeks,
       |  round(1e-9 + fit.slope, 6) AS slope,
-      |  round(1e-9 + (SELECT quantile_cont(rev - fit.slope * day, 0.5) FROM daily), 4)
+      |  round(1e-9 + (SELECT quantile_cont(rev - fit.slope * week, 0.5) FROM weekly), 4)
       |    AS intercept
       |FROM fit""".stripMargin) { (spark, dir) =>
     // o_orderdate ships as TIMESTAMP or TIMESTAMP_NTZ across testdata
     // generations; the session runs UTC, so the ts-cast is an identity
     // normalization (the Tables.events posture) before epoch math.
-    val daily = Tables.orders(spark, dir)
-      .groupBy(floor(col("o_orderdate").cast("timestamp").cast("double") / 86400)
-        .cast("long").as("day"))
+    val weekly = Tables.orders(spark, dir)
+      .groupBy(floor(col("o_orderdate").cast("timestamp").cast("double") / 604800)
+        .cast("long").as("week"))
       .agg(sum("o_totalprice").as("rev"))
       .localCheckpoint(true) // bounded frame; feeds the pair join twice
-    val slope = daily.as("a").join(daily.as("b"), col("a.day") < col("b.day"))
-      .select(((col("b.rev") - col("a.rev")) / (col("b.day") - col("a.day"))).as("s"))
+    val slope = weekly.as("a").join(weekly.as("b"), col("a.week") < col("b.week"))
+      .select(((col("b.rev") - col("a.rev")) / (col("b.week") - col("a.week"))).as("s"))
       .agg(percentile(col("s"), lit(0.5)).as("slope"))
-    val out = daily.crossJoin(broadcast(slope))
-      .select(col("day"), col("rev"), col("slope"))
-      .agg(count(lit(1)).as("n_days"),
+    val out = weekly.crossJoin(broadcast(slope))
+      .select(col("week"), col("rev"), col("slope"))
+      .agg(count(lit(1)).as("n_weeks"),
         round(lit(1e-9) + first("slope"), 6).as("slope"),
-        round(lit(1e-9) + percentile(col("rev") - col("slope") * col("day"), lit(0.5)), 4)
+        round(lit(1e-9) + percentile(col("rev") - col("slope") * col("week"), lit(0.5)), 4)
           .as("intercept"))
       .localCheckpoint(true)
-    Dedup.releaseLocalCheckpoint(daily)
+    Dedup.releaseLocalCheckpoint(weekly)
     out
   }
 

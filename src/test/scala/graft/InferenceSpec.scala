@@ -101,7 +101,7 @@ class InferenceSpec extends AnyFunSuite {
   test("q40_theil_sen over testdata returns one finite fit row") {
     val r = SparkEntry.queries("q40_theil_sen")(spark, sf).collect()
     assert(r.length == 1)
-    assert(r(0).getAs[Long]("n_days") > 0)
+    assert(r(0).getAs[Long]("n_weeks") > 0)
     assert(!r(0).isNullAt(r(0).fieldIndex("slope")))
   }
 
