@@ -319,10 +319,14 @@ object Dedup {
     // parallelism so a large graph keeps full width. coalesce() is
     // narrow — no extra shuffle is introduced.
     val spark = edges.sparkSession
-    val nEdges = edges.count()
+    // checkpoint the edge frame ONCE: every round runs several jobs
+    // over it (neighbor-min + the convergence count), and a caller's
+    // lazy union/distinct lineage would otherwise re-shuffle per job
+    val e = edges.localCheckpoint(true)
+    val nEdges = e.count()
     val parts = math.max(1L, math.min(
       spark.sessionState.conf.numShufflePartitions.toLong, nEdges / 10000L)).toInt
-    var labels = edges.select(col("u").as("doc")).distinct()
+    var labels = e.select(col("u").as("doc")).distinct()
       .coalesce(parts)
       .withColumn("label", col("doc")).cache()
     var prevCheckpoint: DataFrame = null
@@ -332,7 +336,7 @@ object Dedup {
       if (rounds >= maxRounds)
         throw new IllegalStateException(
           s"connectedComponents: still $changed labels changing after $maxRounds rounds")
-      val neighborMin = edges
+      val neighborMin = e
         .join(labels.select(col("doc").as("v"), col("label").as("vlabel")), Seq("v"))
         .groupBy("u").agg(min("vlabel").as("nmin"))
       val stepped = labels
@@ -341,13 +345,31 @@ object Dedup {
           least(col("label"), coalesce(col("nmin"), col("label"))).as("l1"))
         .coalesce(parts)
         .cache()
-      // pointer jump: follow my new label to ITS new label
-      val jump = stepped.select(col("doc").as("jdoc"), col("l1").as("l2"))
-      val next = stepped.join(jump, col("l1") === col("jdoc"), "left")
-        .select(col("doc"), col("old"),
-          least(col("l1"), coalesce(col("l2"), col("l1"))).as("label"))
-        .coalesce(parts) // pin the checkpoint width to the graph size
-        .localCheckpoint(false) // lazy: the count below materializes it
+      // ITERATED pointer jumps (path halving): follow my label to its
+      // label, repeatedly. A single jump per round compresses paths by
+      // only a constant factor — on a long min-label chain (the sf1
+      // phash graph: hamming-space chains hundreds of hops long) the
+      // min then CRAWLS and the loop hits maxRounds; three jumps per
+      // round give ~8× compression per round, restoring the
+      // logarithmic convergence the loop was designed around. Each
+      // jump is a self-join of the |V|-row frame off the round's
+      // cached base — bounded plan depth, no intra-round checkpoint.
+      var cur = stepped.select(col("doc"), col("old"), col("l1").as("label"))
+      for (_ <- 1 to 3) {
+        val jump = cur.select(col("doc").as("jdoc"), col("label").as("l2"))
+        cur = cur.join(jump, cur("label") === jump("jdoc"), "left")
+          .select(col("doc"), col("old"),
+            least(col("label"), coalesce(col("l2"), col("label"))).as("label"))
+      }
+      // fresh (stats-stripped) checkpoint: the plain Dataset
+      // localCheckpoint inherits the round plan's Statistics, whose
+      // sizeInBytes COMPOUNDS through the per-round self-joins until
+      // stats estimation itself goes exponential (see
+      // Bridge.freshLocalCheckpoint) — this was mm_phash_clusters'
+      // sf1 failure: 50 rounds at 33 s/round, killed in explainString
+      val next = org.apache.spark.sql.graftbridge.Bridge.freshLocalCheckpoint(
+        cur.coalesce(parts), // pin the checkpoint width to the graph size
+        eager = false) // lazy: the count below materializes it
       changed = next.filter(col("label") =!= col("old")).count()
       stepped.unpersist()
       labels.unpersist()
@@ -359,6 +381,7 @@ object Dedup {
       labels = next.select("doc", "label")
       rounds += 1
     }
+    releaseLocalCheckpoint(e)
     (labels, rounds)
   }
 
