@@ -636,11 +636,18 @@ object Graph {
          |FROM r$LpaRounds GROUP BY label ORDER BY label""".stripMargin
     }) { (spark, dir) =>
     val edges = edgesWithDeg(spark, dir).select("src", "dst")
+    // labels ≤ |V| rows of two longs: under the pagerank broadcast
+    // node cap the per-round join replicates labels to the cached
+    // edge partitions instead of exchanging the edge list (the sf10
+    // leg measured 80 GB of per-round sort-join spill without this);
+    // past the cap the plain shuffled join takes over.
+    val bcast = nodeCount(spark, dir) <= BroadcastNodeCap
     var labels = edges.select(col("src").as("v"), col("src").as("label"))
       .distinct()
       .localCheckpoint(true)
     for (_ <- 1 to LpaRounds) {
-      val next = edges.join(labels, edges("src") === labels("v"))
+      val lab = if (bcast) broadcast(labels) else labels
+      val next = edges.join(lab, edges("src") === lab("v"))
         .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("c"))
         .groupBy(col("dst").as("v"))
         .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))

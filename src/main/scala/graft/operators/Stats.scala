@@ -242,15 +242,20 @@ object Stats {
   /** Market-basket association rules over order baskets: the part
     * pairs that co-occur in the same order far above chance, ranked
     * by lift = P(a,b)/(P(a)·P(b)) with support and both directed
-    * confidences — the classic Apriori-style co-purchase miner. The
-    * pair frame is a self-join of the distinct (order, part) basket
-    * on the order key (baskets average ~4 items, so pairs stay
-    * linear in lineitem); item and pair counts are plain hash
-    * aggregates, the |parts|-row item-count frame joins back twice
-    * on the part keys, and the final top-20 is ORDER BY + LIMIT —
-    * Spark plans TakeOrderedAndProject (per-partition heaps, no
-    * global sort). Lift is rounded to 6 dp BEFORE ranking, ties
-    * break on the pair keys, so both engines cut the identical 20.
+    * confidences — the classic Apriori-style co-purchase miner.
+    * Baskets collapse to per-order sorted part-set ARRAYS in one
+    * keyed aggregate (per-group state = the ~4-part basket, never a
+    * corpus-scale distinct); pairs synthesize MAP-SIDE from each
+    * array via nested transform/slice HOFs (≤ k²/2 rows per basket —
+    * linear in lineitem), item counts explode the same persisted
+    * frame, the |parts|-row item-count frame joins back twice on the
+    * part keys, and the final top-20 is ORDER BY + LIMIT — Spark
+    * plans TakeOrderedAndProject (per-partition heaps, no global
+    * sort). Lift is rounded to 6 dp BEFORE ranking, ties break on
+    * the pair keys, so both engines cut the identical 20. (The
+    * original basket-self-join + eager-checkpoint formulation died
+    * in the sf10 leg: a 60 M-group exact distinct hit
+    * AGGREGATE_OUT_OF_MEMORY under 32-way task concurrency.)
     */
   val assocRules = Q(
     "q39_assoc",
@@ -271,22 +276,31 @@ object Stats {
        |  FROM pc JOIN ic ia ON ia.p = pc.part_a JOIN ic ib ON ib.p = pc.part_b
        |  CROSS JOIN n)
        |ORDER BY lift DESC, part_a, part_b LIMIT $AssocTopK""".stripMargin) { (spark, dir) =>
-    // the basket frame feeds FIVE consumers (both pair-join sides,
-    // both item-count joins, the order total) — checkpoint it once so
-    // the corpus is scanned and de-duplicated exactly once, not five
-    // times (branch-specific filters defeat exchange reuse otherwise)
-    val b = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-      .localCheckpoint(true)
-    val n = b.agg(countDistinct(col("o")).as("n_orders"))
-    val ic = b.groupBy("p").agg(count(lit(1)).as("c"))
-      .localCheckpoint(true)
-    val pc = b.as("a").join(b.as("c"),
-        col("a.o") === col("c.o") && col("a.p") < col("c.p"))
-      .groupBy(col("a.p").as("part_a"), col("c.p").as("part_b"))
+    // ONE keyed aggregate collapses lineitem to per-order sorted
+    // part-set ARRAYS (state per group = the basket, ~4 parts) —
+    // this frame is the only corpus-scale pass and feeds all three
+    // consumers (order total, item counts, pair synthesis). Pairs
+    // explode MAP-SIDE from each array (≤ k²/2 rows per basket,
+    // linear overall), so no corpus-scale self-join and no
+    // 60 M-group exact distinct exists anywhere in the plan — the
+    // earlier distinct+checkpoint formulation died in the sf10 leg
+    // with AGGREGATE_OUT_OF_MEMORY inside the 32-way distinct.
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val arr = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .groupBy("o").agg(sort_array(collect_set(col("p"))).as("ps"))
+      .persist(lvl)
+    val n = arr.agg(count(lit(1)).as("n_orders"))
+    val ic = arr.select(explode(col("ps")).as("p"))
+      .groupBy("p").agg(count(lit(1)).as("c"))
+    val pc = arr.select(explode(expr(
+        """flatten(transform(ps, (x, i) ->
+          |  transform(slice(ps, i + 2, size(ps)), y -> struct(x AS pa, y AS pb))))"""
+          .stripMargin)).as("pr"))
+      .groupBy(col("pr.pa").as("part_a"), col("pr.pb").as("part_b"))
       .agg(count(lit(1)).as("n_ab"))
       .filter(col("n_ab") >= AssocMinPairs)
-    val out = pc
+    val out0 = pc
       .join(ic.select(col("p").as("part_a"), col("c").as("n_a")), "part_a")
       .join(ic.select(col("p").as("part_b"), col("c").as("n_b")), "part_b")
       .crossJoin(broadcast(n))
@@ -299,9 +313,8 @@ object Stats {
       .orderBy(col("lift").desc, col("part_a"), col("part_b"))
       .limit(AssocTopK)
       .localCheckpoint(true)
-    Dedup.releaseLocalCheckpoint(b)
-    Dedup.releaseLocalCheckpoint(ic)
-    out
+    arr.unpersist(false)
+    out0
   }
 
   /** Theil–Sen robust trend of weekly order revenue: the median of
