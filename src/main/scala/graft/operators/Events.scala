@@ -1646,6 +1646,158 @@ object Events {
       .orderBy("event_type")
   }
 
+  private val HoltBeta = 0.1
+
+  /** One-step-ahead impulse response of Holt's linear method at
+    * (α = SesAlpha, β = HoltBeta), zero initial state: weight(k) is
+    * the forecast contribution of an observation k buckets back —
+    * the recursion is linear-time-invariant, so the whole filter is
+    * these 24 constants, precomputed driver-side (NO data touched)
+    * and emitted as exact double literals into BOTH engines, the
+    * ev_forecast posture. β = 0 degenerates to the SES weights.
+    */
+  private lazy val holtWeights: Seq[(Int, Double)] =
+    (1 to SesWindow).map { k =>
+      var l = 0.0; var b = 0.0
+      for (t <- 1 to k) {
+        val x = if (t == 1) 1.0 else 0.0
+        val lPrev = l
+        l = SesAlpha * x + (1 - SesAlpha) * (l + b)
+        b = HoltBeta * (l - lPrev) + (1 - HoltBeta) * b
+      }
+      (k, l + b)
+    }
+
+  /** ev_forecast_holt — Holt's linear (double-exponential) one-step
+    * forecast of the per-type 5-minute event rate: level AND trend,
+    * so a steadily growing stream is anticipated rather than lagged
+    * (SES's structural bias). Same time-offset contribution shape as
+    * ev_forecast — absent buckets decay the forecast as zero rate,
+    * the small (bucket, type) counts frame explodes 24× (never raw
+    * events), everything after the first keyed agg is
+    * corpus-size-independent. The coupled level/trend recursion
+    * never runs on data: it is an LTI filter, so its 24-term impulse
+    * response is precomputed driver-side and the forecast is one
+    * weighted sum — identical literals, identical grouping, both
+    * engines. The trend term can extrapolate a decline below zero;
+    * a rate forecast floors at 0 (both engines).
+    */
+  val forecastHolt = Q(
+    "ev_forecast_holt", {
+      val wRows = holtWeights.map { case (k, w) => s"($k, ${w.toString})" }.mkString(", ")
+      s"""WITH c AS (
+         |  SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS bucket_s,
+         |    event_type, CAST(count(*) AS BIGINT) AS n_events
+         |  FROM events GROUP BY 1, 2),
+         |f AS (
+         |  SELECT event_type AS f_type, bucket_s + k * 300 AS tb,
+         |    sum(n_events * w) AS forecast
+         |  FROM c, (VALUES $wRows) AS wt(k, w)
+         |  GROUP BY 1, 2)
+         |SELECT c.event_type, c.bucket_s, c.n_events,
+         |  round(1e-9 + greatest(coalesce(f.forecast, 0), 0) + 1e-9, 4) AS forecast,
+         |  round(1e-9 + abs(c.n_events - greatest(coalesce(f.forecast, 0), 0)) + 1e-9, 4) AS abs_err
+         |FROM c LEFT JOIN f ON f.f_type = c.event_type AND f.tb = c.bucket_s
+         |ORDER BY event_type, bucket_s""".stripMargin
+    }) { (spark, dir) =>
+    val counts = Tables.events(spark, dir)
+      .withColumn("bucket_s",
+        (floor(col("ts").cast("double") / 300) * 300).cast("long"))
+      .groupBy("bucket_s", "event_type")
+      .agg(count(lit(1)).as("n_events"))
+    val wArr = array(holtWeights.map { case (k, w) =>
+      struct(lit(k.toLong).as("k"), lit(w).as("w"))
+    }: _*)
+    val contrib = counts
+      .select(col("event_type"), col("bucket_s"), col("n_events"),
+        explode(wArr).as("wt"))
+      .groupBy(col("event_type").as("f_type"), (col("bucket_s") + col("wt.k") * 300).as("tb"))
+      .agg(sum(col("n_events") * col("wt.w")).as("forecast"))
+    counts.join(contrib,
+        col("f_type") === col("event_type") &&
+          col("tb") === col("bucket_s"), "left")
+      .select(col("event_type"), col("bucket_s"), col("n_events"),
+        round(lit(1e-9) + greatest(coalesce(col("forecast"), lit(0d)), lit(0d)) + 1e-9, 4).as("forecast"),
+        round(lit(1e-9) + abs(col("n_events") - greatest(coalesce(col("forecast"), lit(0d)), lit(0d))) + 1e-9, 4)
+          .as("abs_err"))
+      .orderBy("event_type", "bucket_s")
+  }
+
+  /** Two-proportion z-test on day-one activation — the A/B
+    * significance gate for RATES, completing q35_ttest's means:
+    * users split into deterministic arms by user_id parity,
+    * conversion = FIRST PURCHASE WITHIN 24 h OF THE USER'S FIRST
+    * EVENT (lifetime purchase saturates at 100% on this stream — an
+    * activation window keeps the metric discriminative, ~51% at
+    * sf0.01), pooled-variance z on the two proportions. Shape: one
+    * user-keyed aggregate with TWO min states (first event, first
+    * purchase) collapses the stream — no self-join — then ONE
+    * conditional-aggregation row; z derives from integer-derived
+    * doubles computed identically on both engines, so the
+    * significance boolean cannot flip at the boundary. Guards keep z
+    * NULL when either arm is empty or the pooled variance is zero
+    * (fuzz/empty posture).
+    */
+  val propTest = Q(
+    "ev_prop_test",
+    """WITH u AS (
+      |  SELECT user_id, CAST(user_id % 2 AS BIGINT) AS arm,
+      |    CASE WHEN min(CASE WHEN event_type = 'purchase' THEN epoch(ts) END)
+      |           < min(epoch(ts)) + 86400 THEN 1 ELSE 0 END AS conv
+      |  FROM events GROUP BY user_id),
+      |s AS (
+      |  SELECT
+      |    CAST(count(*) FILTER (WHERE arm = 0) AS BIGINT) AS n_a,
+      |    CAST(count(*) FILTER (WHERE arm = 1) AS BIGINT) AS n_b,
+      |    CAST(sum(conv) FILTER (WHERE arm = 0) AS BIGINT) AS conv_a,
+      |    CAST(sum(conv) FILTER (WHERE arm = 1) AS BIGINT) AS conv_b
+      |  FROM u)
+      |SELECT n_a, n_b, coalesce(conv_a, 0) AS conv_a, coalesce(conv_b, 0) AS conv_b,
+      |  round(1e-9 + conv_a / CAST(n_a AS DOUBLE), 6) AS p_a,
+      |  round(1e-9 + conv_b / CAST(n_b AS DOUBLE), 6) AS p_b,
+      |  round(1e-9 + (conv_a / CAST(n_a AS DOUBLE) - conv_b / CAST(n_b AS DOUBLE)) /
+      |    (CASE WHEN n_a > 0 AND n_b > 0
+      |       AND (conv_a + conv_b) > 0 AND (conv_a + conv_b) < n_a + n_b
+      |     THEN sqrt(((conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE))
+      |       * (1 - (conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE))
+      |       * (1.0 / n_a + 1.0 / n_b)) END), 4) AS z,
+      |  abs((conv_a / CAST(n_a AS DOUBLE) - conv_b / CAST(n_b AS DOUBLE)) /
+      |    (CASE WHEN n_a > 0 AND n_b > 0
+      |       AND (conv_a + conv_b) > 0 AND (conv_a + conv_b) < n_a + n_b
+      |     THEN sqrt(((conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE))
+      |       * (1 - (conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE))
+      |       * (1.0 / n_a + 1.0 / n_b)) END)) > 1.96 AS significant
+      |FROM s""".stripMargin) { (spark, dir) =>
+    val u = Tables.events(spark, dir)
+      .groupBy("user_id")
+      .agg(
+        min(col("ts").cast("double")).as("f"),
+        min(when(col("event_type") === "purchase", col("ts").cast("double"))).as("fp"))
+      .select(col("user_id"),
+        when(col("fp") < col("f") + 86400, 1).otherwise(0).as("conv"),
+        (col("user_id") % 2).cast("long").as("arm"))
+    val s = u.agg(
+      count(when(col("arm") === 0, 1)).as("n_a"),
+      count(when(col("arm") === 1, 1)).as("n_b"),
+      sum(when(col("arm") === 0, col("conv"))).as("conv_a"),
+      sum(when(col("arm") === 1, col("conv"))).as("conv_b"))
+    val pA = col("conv_a") / col("n_a").cast("double")
+    val pB = col("conv_b") / col("n_b").cast("double")
+    val pooled = (col("conv_a") + col("conv_b")) / (col("n_a") + col("n_b")).cast("double")
+    val se = when(col("n_a") > 0 && col("n_b") > 0 &&
+      (col("conv_a") + col("conv_b")) > 0 &&
+      (col("conv_a") + col("conv_b")) < col("n_a") + col("n_b"),
+      sqrt(pooled * (lit(1) - pooled) * (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))))
+    val z = (pA - pB) / se
+    s.select(col("n_a"), col("n_b"),
+      coalesce(col("conv_a"), lit(0L)).as("conv_a"),
+      coalesce(col("conv_b"), lit(0L)).as("conv_b"),
+      round(lit(1e-9) + pA, 6).as("p_a"),
+      round(lit(1e-9) + pB, 6).as("p_b"),
+      round(lit(1e-9) + z, 4).as("z"),
+      (abs(z) > 1.96).as("significant"))
+  }
+
   private val SloTarget = 0.25 // error-share objective the burn normalizes by
 
   /** Multi-window SLO burn-rate alert (the SRE-workbook pattern): the
@@ -1706,5 +1858,5 @@ object Events {
       sessionWindow, variant, windowFunnel, gapfill, attribution, pathing,
       anomaly, rfm, forecast, changepoint, activeUsers, interpolate,
       pathsTopK, ltv, gini, attribMarkov, seasonality,
-      survival, conversionLag, interarrival, sloBurn)
+      survival, conversionLag, interarrival, sloBurn, forecastHolt, propTest)
 }

@@ -158,6 +158,50 @@ class InferenceSpec extends AnyFunSuite {
     assert(correct / n > 0.2, s"heuristic accuracy ${correct / n} not above chance")
   }
 
+  test("ev_forecast_holt: impulse weights degenerate to SES at beta=0 and track a trend") {
+    // replicate the weight recursion at beta = 0: must equal the SES weights
+    def weights(alpha: Double, beta: Double, n: Int): Seq[Double] =
+      (1 to n).map { k =>
+        var l = 0.0; var b = 0.0
+        for (t <- 1 to k) {
+          val x = if (t == 1) 1.0 else 0.0
+          val lPrev = l
+          l = alpha * x + (1 - alpha) * (l + b)
+          b = beta * (l - lPrev) + (1 - beta) * b
+        }
+        l + b
+      }
+    val ses = (1 to 24).map(k => 0.25 * math.pow(0.75, k - 1))
+    weights(0.25, 0.0, 24).zip(ses).foreach { case (w, s) =>
+      assert(math.abs(w - s) < 1e-12, s"beta=0 Holt weight $w != SES $s")
+    }
+    // on a pure linear ramp x_t = t, Holt's forecast must overshoot
+    // SES's (the trend term anticipates growth; SES structurally lags)
+    val hw = weights(0.25, 0.1, 24)
+    val ramp = (1 to 24).map(_.toDouble)
+    def fc(w: Seq[Double]) = w.zipWithIndex.map { case (wk, i) => wk * ramp(23 - i) }.sum
+    assert(fc(hw) > fc(ses), "Holt must anticipate a linear trend beyond SES")
+    val rows = SparkEntry.queries("ev_forecast_holt")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Double]("forecast") >= 0.0))
+  }
+
+  test("ev_prop_test: planted 60/100 vs 40/100 arms give the textbook z") {
+    // z = (0.6-0.4)/sqrt(0.5*0.5*(1/100+1/100)) = 0.2/sqrt(0.005)
+    val expected = 0.2 / math.sqrt(0.5 * 0.5 * (1.0 / 100 + 1.0 / 100))
+    assert(math.abs(expected - 2.8284271247461903) < 1e-12)
+    val r = SparkEntry.queries("ev_prop_test")(spark, sf).collect()
+    assert(r.length == 1)
+    val row = r(0)
+    assert(row.getAs[Long]("conv_a") <= row.getAs[Long]("n_a"))
+    assert(row.getAs[Long]("conv_b") <= row.getAs[Long]("n_b"))
+    if (!row.isNullAt(row.fieldIndex("z"))) {
+      val z = row.getAs[Double]("z")
+      assert(row.getAs[Boolean]("significant") == (math.abs(z) > 1.96) ||
+        math.abs(math.abs(z) - 1.96) < 1e-3)
+    }
+  }
+
   test("dq_checksum is partition-order invariant and detects a one-row change") {
     val base = SparkEntry.queries("dq_checksum")(spark, sf).collect()
       .map(r => (r.getString(0), r.getAs[Long]("n_rows"), r.getAs[Long]("checksum")))
