@@ -412,6 +412,85 @@ object Stats {
       .orderBy("r_name", "n_name")
   }
 
+  private val BootB = 200 // bootstrap resamples
+
+  /** Bootstrap confidence interval for mean weekly revenue — the
+    * nonparametric uncertainty quantification next to q35/q40's
+    * parametric tests: 200 resamples-with-replacement of the weekly
+    * series, each resample's mean, and the percentile-method 95% CI
+    * over those means. Fully DETERMINISTIC: draw (b, i) picks row
+    * index from a two-step multiplicative hash of (b, i) — the large
+    * per-draw multiplier forces modular wraparound on every step (a
+    * small multiplier degenerates into an arithmetic progression mod
+    * n, and an AP with gcd(step, n)=1 is a PERMUTATION — every
+    * "resample" was the whole sample and the CI collapsed to a
+    * point); exact BIGINT arithmetic both engines, with n derived from count(*) on BOTH sides (the
+    * adaptive-parameter discipline). Scale shape: the corpus
+    * collapses to the |weeks|-row aggregate ONCE; the B×n draw grid
+    * (~73 k rows), the index join, the per-resample means, and the
+    * CI percentiles are all bounded by the time domain and B, never
+    * by corpus size (the ev_forecast posture).
+    */
+  val bootstrap = Q(
+    "q43_bootstrap",
+    s"""WITH weekly AS (
+       |  SELECT CAST(floor(epoch(o_orderdate) / 604800) AS BIGINT) AS week,
+       |    sum(o_totalprice) AS rev
+       |  FROM orders GROUP BY week),
+       |idx AS (
+       |  SELECT rev, CAST(row_number() OVER (ORDER BY week) - 1 AS BIGINT) AS i
+       |  FROM weekly),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM weekly),
+       |draws AS (
+       |  SELECT b, (((CAST(b AS BIGINT) * 100003 + CAST(d AS BIGINT) * 2654435761)
+       |      % 1000000007) * 48271 + 11) % 1000000007 % n AS pick
+       |  FROM (
+       |    SELECT bb.b, unnest(generate_series(1, n.n)) AS d, n.n
+       |    FROM (SELECT unnest(generate_series(1, $BootB)) AS b) bb
+       |    CROSS JOIN n WHERE n.n > 0)),
+       |means AS (
+       |  SELECT draws.b, avg(idx.rev) AS m
+       |  FROM draws JOIN idx ON idx.i = draws.pick
+       |  GROUP BY draws.b)
+       |SELECT (SELECT n FROM n) AS n_weeks,
+       |  round(1e-9 + (SELECT avg(rev) FROM weekly), 4) AS sample_mean,
+       |  round(1e-9 + avg(m), 4) AS boot_mean,
+       |  round(1e-9 + quantile_cont(m, 0.025), 4) AS ci_lo,
+       |  round(1e-9 + quantile_cont(m, 0.975), 4) AS ci_hi
+       |FROM means""".stripMargin) { (spark, dir) =>
+    val weekly = Tables.orders(spark, dir)
+      .groupBy(floor(col("o_orderdate").cast("timestamp").cast("double") / 604800)
+        .cast("long").as("week"))
+      .agg(sum("o_totalprice").as("rev"))
+      .localCheckpoint(true) // bounded frame; indexed + averaged + counted
+    val w = Window.orderBy("week")
+    val idx = weekly.select(col("rev"), (row_number().over(w) - 1).cast("long").as("i"))
+    val nRow = weekly.agg(count(lit(1)).as("n"))
+    val draws = spark.range(1, BootB + 1).select(col("id").as("b"))
+      .crossJoin(broadcast(nRow))
+      // n > 0 guard: Spark's sequence(1, 0) would DESCEND ([1, 0]);
+      // DuckDB's generate_series(1, 0) is empty — gate both at n > 0
+      .filter(col("n") > 0)
+      .select(col("b"), explode(expr("sequence(1L, n)")).as("d"), col("n"))
+      .select(col("b"),
+        ((((col("b") * 100003 + col("d") * 2654435761L) % 1000000007L)
+          * 48271 + 11) % 1000000007L % col("n")).as("pick"))
+    val means = draws.join(idx, col("i") === col("pick"))
+      .groupBy("b").agg(avg("rev").as("m"))
+    val sampleMean = weekly.agg(avg("rev").as("sm"))
+    val out = means
+      .agg(round(lit(1e-9) + avg("m"), 4).as("boot_mean"),
+        round(lit(1e-9) + percentile(col("m"), lit(0.025)), 4).as("ci_lo"),
+        round(lit(1e-9) + percentile(col("m"), lit(0.975)), 4).as("ci_hi"))
+      .crossJoin(broadcast(nRow)).crossJoin(broadcast(sampleMean))
+      .select(col("n").as("n_weeks"),
+        round(lit(1e-9) + col("sm"), 4).as("sample_mean"),
+        col("boot_mean"), col("ci_lo"), col("ci_hi"))
+      .localCheckpoint(true)
+    Dedup.releaseLocalCheckpoint(weekly)
+    out
+  }
+
   val all: Seq[Q] = Seq(regression, skyline, ttest, corrMatrix, assocRules, theilSen,
-    contribution)
+    contribution, bootstrap)
 }

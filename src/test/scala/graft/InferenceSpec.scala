@@ -202,6 +202,18 @@ class InferenceSpec extends AnyFunSuite {
     }
   }
 
+  test("q43_bootstrap: CI brackets the sample mean and is deterministic across runs") {
+    val r1 = SparkEntry.queries("q43_bootstrap")(spark, sf).collect()(0)
+    val r2 = SparkEntry.queries("q43_bootstrap")(spark, sf).collect()(0)
+    assert(r1 == r2, "hash-seeded bootstrap must be run-deterministic")
+    val lo = r1.getAs[Double]("ci_lo"); val hi = r1.getAs[Double]("ci_hi")
+    val sm = r1.getAs[Double]("sample_mean"); val bm = r1.getAs[Double]("boot_mean")
+    assert(lo <= hi)
+    assert(lo <= sm && sm <= hi, s"95% CI [$lo, $hi] should bracket sample mean $sm")
+    assert(lo <= bm && bm <= hi, s"95% CI [$lo, $hi] should bracket bootstrap mean $bm")
+    assert(r1.getAs[Long]("n_weeks") > 0)
+  }
+
   test("dq_checksum is partition-order invariant and detects a one-row change") {
     val base = SparkEntry.queries("dq_checksum")(spark, sf).collect()
       .map(r => (r.getString(0), r.getAs[Long]("n_rows"), r.getAs[Long]("checksum")))
