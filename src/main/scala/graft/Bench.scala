@@ -114,7 +114,8 @@ object Bench {
       built("pruned_layout", Seq("q18_partition_prune", "q22_dpp")) {
         operators.Layout.ensureLineitemByYear(spark, sfDir)
       },
-      built("pagerank_edges", Seq("gr_pagerank", "gr_lpa")) {
+      built("pagerank_edges",
+        Seq("gr_pagerank", "gr_lpa", "gr_assortativity", "gr_closeness")) {
         operators.Graph.edgesWithDeg(spark, sfDir)
       },
       built("ivf_index", Seq("ann_ivf", "ann_ivfpq")) {
@@ -167,6 +168,10 @@ object Bench {
       },
       built("base_cluster_labels", Seq("dd_clusters_incremental")) {
         operators.Dedup.baseClusterLabels(spark, sfDir)
+      },
+      built("phash_table",
+        Seq("mm_phash_pairs", "mm_phash_clusters", "mm_phash_incremental")) {
+        operators.Multimodal.phashTable(spark, sfDir)
       },
       built("phash_corpus_index", Seq("mm_phash_incremental")) {
         operators.Multimodal.phashCorpusChunkIndex(spark, sfDir)

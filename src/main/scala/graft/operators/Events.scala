@@ -1625,7 +1625,8 @@ object Events {
       |  round(1e-9 + stddev_samp(gap_s) / (CASE WHEN avg(gap_s) > 0
       |    THEN avg(gap_s) END), 6) AS cv,
       |  round(1e-9 + (stddev_samp(gap_s) - avg(gap_s)) /
-      |    (stddev_samp(gap_s) + avg(gap_s)), 6) AS burstiness
+      |    (CASE WHEN stddev_samp(gap_s) + avg(gap_s) > 0
+      |      THEN stddev_samp(gap_s) + avg(gap_s) END), 6) AS burstiness
       |FROM g WHERE gap_s IS NOT NULL
       |GROUP BY event_type ORDER BY event_type""".stripMargin) { (spark, dir) =>
     val w = Window.partitionBy("user_id", "event_type")
@@ -1642,7 +1643,8 @@ object Events {
         round(lit(1e-9) + stddev_samp(col("gap_s")) /
           when(avg("gap_s") > 0, avg("gap_s")), 6).as("cv"),
         round(lit(1e-9) + (stddev_samp(col("gap_s")) - avg("gap_s")) /
-          (stddev_samp(col("gap_s")) + avg("gap_s")), 6).as("burstiness"))
+          when(stddev_samp(col("gap_s")) + avg("gap_s") > 0,
+            stddev_samp(col("gap_s")) + avg("gap_s")), 6).as("burstiness"))
       .orderBy("event_type")
   }
 

@@ -707,7 +707,8 @@ object Graph {
     * pairs — at most K·\|V\| rows across ALL rounds combined — and
     * follows gr_bfs's loop discipline exactly: only each new frontier
     * checkpoints, the visited set stays a lazy union of those cached
-    * frames, broadcast under the pagerank node cap, early exit on an
+    * frames, broadcast under the pagerank node cap divided by the
+    * K-seed multiplier (shuffled joins past it), early exit on an
     * empty frontier. Oracle: one recursive CTE from the K-seed frame
     * whose UNION dedups (seed, node, dist) triples.
     */
@@ -730,6 +731,12 @@ object Graph {
        |  round(1e-9 + avg(CASE WHEN dist > 0 THEN CAST(dist AS DOUBLE) END), 4) AS avg_dist
        |FROM best GROUP BY seed ORDER BY seed""".stripMargin) { (spark, dir) =>
     val edges = edgesWithDeg(spark, dir).select(col("src").as("u"), col("dst").as("v"))
+    // the frontier/visited frames carry up to K·|V| (seed, node) pairs —
+    // K× the gr_bfs broadcast, so the node cap is tightened by the seed
+    // multiplier before the driver ships them; past it, shuffled joins
+    val bcast = nodeCount(spark, dir) <= BroadcastNodeCap / ClosenessSeeds
+    def maybeBroadcast(df: org.apache.spark.sql.DataFrame) =
+      if (bcast) broadcast(df) else df
     val seeds = edges.select(col("u")).distinct()
       .orderBy("u").limit(ClosenessSeeds)
     val seedFrame = seeds
@@ -741,9 +748,9 @@ object Graph {
     while (hop < ClosenessMaxHops && !exhausted) {
       val visited = frontiers.map(_.select("seed", "node")).reduce(_ union _)
       val next = edges
-        .join(broadcast(frontiers.last.select(col("seed"), col("node").as("u"))), "u")
+        .join(maybeBroadcast(frontiers.last.select(col("seed"), col("node").as("u"))), "u")
         .select(col("seed"), col("v").as("node")).distinct()
-        .join(broadcast(visited), Seq("seed", "node"), "left_anti")
+        .join(maybeBroadcast(visited), Seq("seed", "node"), "left_anti")
         .select(col("seed"), col("node"), lit(hop + 1).as("dist"))
         .localCheckpoint(false)
       if (next.isEmpty) {

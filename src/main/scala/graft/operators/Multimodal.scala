@@ -372,16 +372,36 @@ object Multimodal {
         col("ck.chunk").as("chunk"), col("ck.key").as("key"))
   }
 
+  /** One-time billed perceptual-hash TABLE of the corpus — the
+    * (doc_id, dhash) frame every mm_phash query serves from. At 100 TB
+    * the dHash is an ingest-time column written next to the image
+    * bytes, not something each query re-derives by re-synthesizing and
+    * re-parsing the corpus; this memo is that column's in-session
+    * stand-in (the IVF-centroid / postings / SCD2-history build
+    * discipline). Fixed-width rows (two longs), so the persisted frame
+    * is tiny relative to the corpus at any SF.
+    */
+  private[graft] def phashTable(spark: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame =
+    graft.SessionMemo.frames(spark, s"multimodal.phashTable:$dir") {
+      val ph = phashOf(Tables.documents(spark, dir).select("doc_id", "text"))
+        .select("doc_id", "dhash")
+        .persist()
+      ph.count()
+      Seq(ph)
+    }.head
+
   /** One-time standing perceptual-hash chunk index of the corpus —
     * the STATIC side of streaming image dedup (Streaming.phashDedup):
     * capped chunk rows carrying each corpus doc's dHash, persisted
-    * per (session, dir) like the MinHash band index.
+    * per (session, dir) like the MinHash band index. Derived from the
+    * billed [[phashTable]], so the corpus is hashed at most once per
+    * session no matter which phash artifacts a run touches.
     */
   private[graft] def phashChunkIndex(spark: org.apache.spark.sql.SparkSession, dir: String)
       : org.apache.spark.sql.DataFrame =
     graft.SessionMemo.frames(spark, s"multimodal.phashChunkIndex:$dir") {
-      val ph = phashOf(Tables.documents(spark, dir).select("doc_id", "text"))
-        .select("doc_id", "dhash")
+      val ph = phashTable(spark, dir)
       val idx = Dedup.dropOversizedBuckets(phashChunks(ph), Seq("chunk", "key"), Dedup.BucketCap)
         .select(col("chunk"), col("key"),
           col("doc_id").as("corpus_id"), col("dhash").as("h_c"))
@@ -390,31 +410,57 @@ object Multimodal {
       Seq(idx)
     }.head
 
-  private[graft] def phashPairsOf(docs: org.apache.spark.sql.DataFrame)
+  /** Banded Hamming pair join over a (doc_id, dhash) frame — the
+    * shared serve body of mm_phash_pairs/clusters. Expects `ph`
+    * already persisted (the memoized [[phashTable]], or the caller's
+    * cache); this body never touches raw documents.
+    */
+  /** The DECLARATIVE pair plan (no materialization) — split out so
+    * the PlanSpec pin can assert the serve path reads only the memoized
+    * hash table before the localCheckpoint hides the lineage.
+    */
+  private[graft] def phashPairsPlanOf(ph: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    // fixed-width (doc_id, dhash) cached: the cap aggregation and both
-    // self-join sides otherwise re-run the synth+parse pipeline (and
-    // re-codegen its 120-read expression) once each — the simhashDf
-    // pattern, shared by CacheManager plan dedup
-    val ph = phashOf(docs).select("doc_id", "dhash").cache()
     val chunked = Dedup.dropOversizedBuckets(phashChunks(ph), Seq("chunk", "key"), Dedup.BucketCap)
     val a = chunked.select(col("chunk"), col("key"),
       col("doc_id").as("doc_a"), col("dhash").as("ha"))
     val b = chunked.select(col("chunk"), col("key"),
       col("doc_id").as("doc_b"), col("dhash").as("hb"))
-    // materialize the (small) pair set eagerly, then RELEASE the
-    // per-call hash cache — a bench/session running many pair queries
-    // must not accumulate one corpus-hash cache per invocation; the
-    // checkpoint's blocks self-clean once the returned frame is GC'd
-    val pairs = a.join(b, Seq("chunk", "key")).filter(col("doc_a") < col("doc_b"))
+    a.join(b, Seq("chunk", "key")).filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= PhashHammingMax)
-      .localCheckpoint(true)
+  }
+
+  private[graft] def phashPairsOfHashes(ph: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    // materialize the (small) pair set eagerly — downstream consumers
+    // (the CC loop) iterate over it, and a localCheckpoint's blocks
+    // self-clean once the returned frame is GC'd
+    phashPairsPlanOf(ph).localCheckpoint(true)
+
+  /** Pairs over an arbitrary (doc_id, text) frame (the planted-pair
+    * spec's entry): hash per-call, cache the fixed-width hash frame
+    * for the join's two sides, release it once pairs materialize.
+    * Registered queries use [[phashPairsFromTable]] instead — the
+    * stored-column serve path.
+    */
+  private[graft] def phashPairsOf(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val ph = phashOf(docs).select("doc_id", "dhash").cache()
+    val pairs = phashPairsOfHashes(ph)
     ph.unpersist(blocking = false)
     pairs
   }
+
+  /** The registered pair serve path: banded join over the memoized
+    * [[phashTable]] — no document scan, no per-call hashing.
+    */
+  private[graft] def phashPairsFromTable(
+      spark: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame =
+    phashPairsOfHashes(phashTable(spark, dir))
 
   /** mm_phash_pairs — perceptual image near-duplicate pairs, closing
     * the multimodal half of the dedup story: dHash (horizontal
@@ -445,7 +491,7 @@ object Multimodal {
        |    ON a.chunk = b.chunk AND a.key = b.key AND a.doc_id < b.doc_id
        |) WHERE hamming <= $PhashHammingMax
        |ORDER BY doc_a, doc_b""".stripMargin) { (spark, dir) =>
-    phashPairsOf(Tables.documents(spark, dir)).orderBy("doc_a", "doc_b")
+    phashPairsFromTable(spark, dir).orderBy("doc_a", "doc_b")
   }
 
   /** mm_phash_incremental — the multimodal member of the incremental
@@ -487,9 +533,11 @@ object Multimodal {
        |LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin) { (spark, dir) =>
     val idx = phashCorpusChunkIndex(spark, dir)
-    val delta = Tables.documents(spark, dir).filter(col("doc_id") % 10 >= 8)
-    val dChunks = phashChunks(phashOf(delta.select("doc_id", "text"))
-      .select("doc_id", "dhash"))
+    // delta hashes read from the stored column, not recomputed — at
+    // ingest the dHash arrives with the batch; here the table memo IS
+    // that ingest-time column for both splits
+    val delta = phashTable(spark, dir).filter(col("doc_id") % 10 >= 8)
+    val dChunks = phashChunks(delta)
     val best = dChunks.join(idx, Seq("chunk", "key"))
       .select(col("doc_id"), col("corpus_id"),
         bit_count(col("dhash").bitwiseXOR(col("h_c"))).cast("long").as("hamming"))
@@ -515,9 +563,7 @@ object Multimodal {
       spark: org.apache.spark.sql.SparkSession, dir: String)
       : org.apache.spark.sql.DataFrame =
     graft.SessionMemo.frames(spark, s"multimodal.phashCorpusChunkIndex:$dir") {
-      val ph = phashOf(Tables.documents(spark, dir)
-        .filter(col("doc_id") % 10 < 8).select("doc_id", "text"))
-        .select("doc_id", "dhash")
+      val ph = phashTable(spark, dir).filter(col("doc_id") % 10 < 8)
       val idx = Dedup.dropOversizedBuckets(phashChunks(ph), Seq("chunk", "key"), Dedup.BucketCap)
         .select(col("chunk"), col("key"),
           col("doc_id").as("corpus_id"), col("dhash").as("h_c"))
@@ -678,7 +724,7 @@ object Multimodal {
          |GROUP BY u
          |ORDER BY doc_id""".stripMargin
     }) { (spark, dir) =>
-    val pairs = phashPairsOf(Tables.documents(spark, dir))
+    val pairs = phashPairsFromTable(spark, dir)
       .select("doc_a", "doc_b")
     val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
       .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))

@@ -815,4 +815,29 @@ class PlanSpec extends AnyFunSuite {
     assert(rows.forall(_.getAs[Long]("doc_id") % 10 >= 8),
       "only delta docs may appear in the incremental ranking")
   }
+
+  test("mm_phash serve path reads the stored hash table, never raw documents") {
+    // warm the billed one-time build (the ingest-time dHash column)
+    operators.Multimodal.phashTable(spark, sf).count()
+    // assert on the declarative pair plan — the registered query's
+    // localCheckpoint would hide the lineage behind a LogicalRDD
+    val qe = operators.Multimodal
+      .phashPairsPlanOf(operators.Multimodal.phashTable(spark, sf))
+      .queryExecution
+    val live = qe.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation => l
+    }
+    assert(live.isEmpty, "pair serve must not rescan any base table")
+    val cached = qe.optimizedPlan.collect {
+      case m: org.apache.spark.sql.execution.columnar.InMemoryRelation => m
+    }
+    assert(cached.nonEmpty, "pair serve must read the memoized (doc_id, dhash) table")
+    // the incremental probe's delta side is the same stored column
+    val inc = operators.Multimodal.phashTable(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("doc_id") % 10 >= 8)
+      .queryExecution
+    assert(inc.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation => l
+    }.isEmpty, "delta hashes must come from the stored column, not a rescan")
+  }
 }
