@@ -114,6 +114,9 @@ object Bench {
       built("pruned_layout", Seq("q18_partition_prune", "q22_dpp")) {
         operators.Layout.ensureLineitemByYear(spark, sfDir)
       },
+      built("zorder_layout", Seq("q44_zorder_read")) {
+        operators.Layout.ensureLineitemZorder(spark, sfDir)
+      },
       built("pagerank_edges",
         Seq("gr_pagerank", "gr_lpa", "gr_assortativity", "gr_closeness")) {
         operators.Graph.edgesWithDeg(spark, sfDir)

@@ -246,5 +246,107 @@ object Layout {
           shiftleft(shiftright(sx, i).bitwiseAND(lit(1L)), 2 * i + 1))
     }.reduce(_ + _)
 
-  val all: Seq[Q] = Seq(partitionPrune, dppJoin, zorder)
+  /** One-time memoized global key bounds — the grid normalization the
+    * z-layout build AND its readers share (a production table keeps
+    * these in layout metadata; a 1-row frame stands in). Persisted so
+    * serve-time candidate-bucket math never rescans the corpus.
+    */
+  private[graft] def zorderBounds(spark: SparkSession, dir: String): DataFrame =
+    graft.SessionMemo.frames(spark, s"layout.zorderBounds:$dir") {
+      val b = Tables.lineitem(spark, dir).agg(
+        min("l_partkey").as("minp"), max("l_partkey").as("maxp"),
+        min("l_suppkey").as("mins"), max("l_suppkey").as("maxs")).persist()
+      b.count()
+      Seq(b)
+    }.head
+
+  /** The one-time z-order LAYOUT build for [[zorderRead]]: lineitem's
+    * pruned projection written hive-partitioned by the 6-bit z bucket
+    * (64 directories; file-level z clustering at production volume —
+    * this is Delta/Iceberg OPTIMIZE ZORDER with the bucket as the
+    * skipping unit). q31_zorder REPORTS the rectangles; this build
+    * makes them a physical read path.
+    */
+  def ensureLineitemZorder(spark: SparkSession, dir: String): String = {
+    val table = s"graft_li_zorder_${Tables.tableTag(dir)}"
+    ensurePartitioned(spark, {
+      Tables.lineitem(spark, dir)
+        .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount"))
+        .crossJoin(broadcast(zorderBounds(spark, dir)))
+        .withColumn("px", expr(s"((l_partkey - minp) * ${1 << ZBits}) div (maxp - minp + 1)"))
+        .withColumn("sx", expr(s"((l_suppkey - mins) * ${1 << ZBits}) div (maxs - mins + 1)"))
+        .withColumn("zbucket", shiftright(zValue(col("px"), col("sx")), 2 * ZBits - 6))
+        .drop("px", "sx", "minp", "maxp", "mins", "maxs")
+    }, table, "zbucket", dir)
+    table
+  }
+
+  /** The part key [[zorderRead]] probes — exists at every SF (part
+    * keys are dense from 1; the smallest corpus has 200).
+    */
+  private val ZReadKey = 100L
+
+  /** The candidate z buckets for a point predicate on l_partkey — the
+    * 8-bucket strip: the key fixes px's top 3 bits (bucket bits 0, 2,
+    * 4 under the interleave), the supplier dimension's 3 bits range
+    * free. Driver-side integer math on the memoized 1-row bounds.
+    */
+  private def zStripBuckets(spark: SparkSession, dir: String, k: Long): Seq[Long] = {
+    val b = zorderBounds(spark, dir).collect()(0)
+    if (b.isNullAt(0)) Seq.empty
+    else {
+      val minp = b.getLong(0); val maxp = b.getLong(1)
+      val px = ((k - minp) * (1L << ZBits)) / (maxp - minp + 1)
+      val pxPart = ((px >> 13) & 1) + (((px >> 14) & 1) << 2) + (((px >> 15) & 1) << 4)
+      (0 until 8).map { m =>
+        pxPart + ((m & 1L) << 1) + (((m >> 1) & 1L) << 3) + (((m >> 2) & 1L) << 5)
+      }
+    }
+  }
+
+  /** The pruned strip read (pre-aggregation) — split out so LayoutSpec
+    * can assert the scan's partition filters and file-set shrink.
+    */
+  private[graft] def zorderStrip(spark: SparkSession, dir: String): DataFrame = {
+    val table = ensureLineitemZorder(spark, dir)
+    val cand = zStripBuckets(spark, dir, ZReadKey)
+    val stripped =
+      if (cand.isEmpty) spark.table(table).filter(lit(false))
+      else spark.table(table).filter(col("zbucket").isin(cand: _*))
+    stripped.filter(col("l_partkey") === ZReadKey)
+  }
+
+  /** q44_zorder_read — the SERVE half of the z-order story: a point
+    * query on one clustering key reads the z-partitioned layout
+    * through the candidate-bucket strip (≤ 8 of 64 directories listed
+    * — static partition pruning from driver-side Morton math on the
+    * stored bounds), with the row predicate pushed into the surviving
+    * parquet scans. q31_zorder pinned the rectangles; this query is
+    * the file-skipping read they exist for. The oracle states the
+    * identical semantics as a flat row filter — the bucket strip is
+    * a pure superset of the key's rows by construction, so the
+    * layouts agree exactly.
+    */
+  val zorderRead = Q(
+    "q44_zorder_read",
+    s"""SELECT l_suppkey,
+       |  CAST(count(*) AS BIGINT) AS n_items,
+       |  round(1e-9 + sum(l_quantity), 2) AS sum_qty,
+       |  round(1e-9 + sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       |FROM lineitem
+       |WHERE l_partkey = $ZReadKey
+       |GROUP BY l_suppkey
+       |ORDER BY l_suppkey""".stripMargin) { (spark, dir) =>
+    zorderStrip(spark, dir)
+      .groupBy("l_suppkey")
+      .agg(
+        count(lit(1)).as("n_items"),
+        round(lit(1e-9) + sum("l_quantity"), 2).as("sum_qty"),
+        round(lit(1e-9) + sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+      .orderBy("l_suppkey")
+  }
+
+  val all: Seq[Q] = Seq(partitionPrune, dppJoin, zorder, zorderRead)
 }

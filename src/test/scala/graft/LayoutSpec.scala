@@ -71,6 +71,43 @@ class LayoutSpec extends AnyFunSuite {
     assert(pruned.toSeq == flat.toSeq)
   }
 
+  test("q44_zorder_read lists only the candidate strip of the z-layout") {
+    val df = operators.Layout.zorderStrip(spark, sf)
+    val scans = df.queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty, "expected a file scan over the z-partitioned table")
+    val scan = scans.head
+    assert(scan.partitionFilters.exists(_.references.map(_.name).exists(_ == "zbucket")),
+      s"zbucket missing from partitionFilters: ${scan.partitionFilters}")
+    // the catalog hands the scan an already-pruned file index — the
+    // strip touches at most 8 of the 64 z buckets (one px strip)
+    val prunedDirs = scan.relation.location.listFiles(Nil, Nil).size
+    assert(prunedDirs <= 8, s"strip read $prunedDirs partitions, expected <= 8")
+    val table = operators.Layout.ensureLineitemZorder(spark, sf)
+    val totalDirs = spark.table(table).queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec => s
+    }.head.relation.location.listFiles(Nil, Nil).size
+    assert(prunedDirs < totalDirs,
+      s"no file skipping: strip listed $prunedDirs of $totalDirs partitions")
+    // the row predicate reaches the surviving parquet scans
+    assert(scan.metadata.get("PushedFilters").exists(_.contains("EqualTo(l_partkey")),
+      s"point predicate not pushed: ${scan.metadata.get("PushedFilters")}")
+    // and the strip really is a superset of the key's rows
+    import org.apache.spark.sql.functions._
+    val viaStrip = SparkEntry.queries("q44_zorder_read")(spark, sf).collect()
+    val flat = Tables.lineitem(spark, sf).filter(col("l_partkey") === 100)
+      .groupBy("l_suppkey")
+      .agg(
+        count(lit(1)).as("n_items"),
+        round(lit(1e-9) + sum("l_quantity"), 2).as("sum_qty"),
+        round(lit(1e-9) + sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+      .orderBy("l_suppkey").collect()
+    assert(viaStrip.nonEmpty, "probe key must exist at every SF")
+    assert(viaStrip.toSeq == flat.toSeq)
+  }
+
   test("q31_zorder buckets are tight rectangles: point filters touch one strip") {
     val rows = SparkEntry.queries("q31_zorder")(spark, sf).collect()
     assert(rows.length > 8, s"expected a populated z-grid, got ${rows.length} buckets")

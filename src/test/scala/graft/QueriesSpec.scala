@@ -34,9 +34,35 @@ class QueriesSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  /** The WindowExec warning class, closed permanently: a Window with
+    * no partition spec single-partition-sorts its whole input, which
+    * is only acceptable over a frame already collapsed to a bounded
+    * key domain (types/bands/days/hours). Assert every unpartitioned
+    * window in every registered query sits above an Aggregate (or a
+    * literal/limit-bounded frame) — a refactor that slides one onto a
+    * corpus-sized frame fails here, at every SF.
+    */
+  private def assertBoundedUnpartitionedWindows(
+      df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    df.queryExecution.optimizedPlan.foreach {
+      case w: Window if w.partitionSpec.isEmpty =>
+        val bounded = w.child.collectFirst {
+          case a: Aggregate => a
+          case l: LocalRelation => l
+          case g: GlobalLimit => g
+        }.isDefined
+        assert(bounded,
+          s"$name: unpartitioned window over a potentially corpus-sized frame:\n$w")
+      case _ => ()
+    }
+  }
+
   for (q <- SparkEntry.registry) {
     test(s"${q.name} runs and returns rows at sf0.001") {
-      assert(q.fn(spark, sf).count() > 0)
+      val df = q.fn(spark, sf)
+      assert(df.count() > 0)
+      assertBoundedUnpartitionedWindows(df, q.name)
     }
   }
 
