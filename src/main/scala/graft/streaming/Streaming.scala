@@ -512,6 +512,60 @@ object Streaming {
       }
   }
 
+  /** Watermark-delayed EVENT-TIME REORDERING BUFFER — the stage that
+    * makes the order-dependent operators' in-order contract
+    * ([[shard]]/[[asof]]/[[scd2]]/[[attribution]] fail loudly on a
+    * key regression) hold BY CONSTRUCTION over a production
+    * out-of-order stream: per user, arriving events are held in state
+    * and released only once STRICTLY below the watermark, so any
+    * on-time row still in flight has ts ≥ watermark and released keys
+    * never regress; equal-timestamp rows sit on the same side of the
+    * strict cutoff and always release together, and the downstream
+    * operator's own per-micro-batch sort then restores the exact
+    * (ts, side, event_id) order within each release. Rows later than
+    * the watermark delay are late by the standard contract and fall
+    * outside the guarantee — the same rows every watermarked stateful
+    * operator drops. State per user is bounded by delay × arrival
+    * rate (the watermark horizon), independent of stream length;
+    * EventTimeTimeout re-fires idle groups so a quiet user's ripe
+    * rows still release. Chained stateful operators (this buffer
+    * feeding asof/scd2, all Append) are the Spark-native composition;
+    * by construction every released row is OLDER than the watermark,
+    * so Spark's global-watermark correctness check flags the chain —
+    * correctly for watermark-driven consumers, vacuously here because
+    * every downstream machine in this file is watermark-agnostic
+    * (NoTimeout, processes all rows): run the chain with
+    * spark.sql.streaming.statefulOperator.checkCorrectness.enabled
+    * = false, and never compose [[reorder]] with an operator that
+    * drops below-watermark input. StreamingSpec replays a
+    * deliberately jitter-shuffled stream through reorder→asof and
+    * reorder→scd2 and pins equality with batch.
+    */
+  def reorder(events: Dataset[Event], delay: String = "10 minutes"): Dataset[Event] = {
+    import events.sparkSession.implicits._
+    def us(t: Timestamp): Long = t.getTime * 1000L + (t.getNanos % 1000000L) / 1000L
+    events
+      .withWatermark("ts", delay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Array[Event], Event](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: Long, rows: Iterator[Event], state: GroupState[Array[Event]]) =>
+          val held = state.getOption.getOrElse(Array.empty[Event]) ++ rows
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (ripe, keep) = held.partition(e => us(e.ts) < wmUs)
+          if (keep.isEmpty) state.remove()
+          else {
+            state.update(keep)
+            // re-fire once the watermark passes the oldest held row
+            val oldestMs = keep.iterator.map(e => us(e.ts) / 1000L).min
+            state.setTimeoutTimestamp(
+              math.max(oldestMs + 1, state.getCurrentWatermarkMs() + 1))
+          }
+          ripe.sortBy(e => (us(e.ts), if (e.event_type == "purchase") 0 else 1,
+            e.event_id)).iterator
+      }
+  }
+
   /** Streaming as-of join: each arriving purchase answered with the
     * latest strictly-earlier same-user click — the batch ev_asof rule
     * applied at ingest. State is TWO longs per user (the best click's
@@ -526,8 +580,9 @@ object Streaming {
     * exact sort key, which is what makes "strictly earlier" hold
     * without a separate filter). The state carries the high-water
     * key and FAILS LOUDLY on regression rather than silently
-    * diverging from batch. Cross-validated against ev_asof in
-    * StreamingSpec.
+    * diverging from batch; feeding the stream through [[reorder]]
+    * satisfies the contract by construction on out-of-order input.
+    * Cross-validated against ev_asof in StreamingSpec.
     */
   def asof(events: Dataset[Event]): Dataset[AsofOut] = {
     import events.sparkSession.implicits._

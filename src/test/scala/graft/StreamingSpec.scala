@@ -1446,4 +1446,95 @@ class StreamingSpec extends AnyFunSuite {
       .sortBy(_._1).toSeq
     assert(got == want, s"streamed checksum diverged from batch:\n$got\n$want")
   }
+
+  /** The events corpus, DELIBERATELY disordered: each event's arrival
+    * slot is its timestamp plus a deterministic per-event jitter of up
+    * to `jitterUs` — bounded disorder, the production shape a
+    * watermark covers (the reorder delay must exceed the jitter).
+    * A far-future sentinel for a phantom user closes the replay by
+    * pushing the watermark past every real event, flushing the buffer.
+    */
+  private def jitterShuffledEvents(jitterUs: Long): Array[Streaming.Event] = {
+    def us(t: java.sql.Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos % 1000000L) / 1000L
+    val all = eventsBatch
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Streaming.Event](org.apache.spark.sql.Encoders.product[Streaming.Event])
+      .collect()
+    val shuffled = all.sortBy(e =>
+      (us(e.ts) + java.lang.Long.hashCode(e.event_id * 2654435761L).abs % jitterUs,
+        e.event_id))
+    val maxUs = all.iterator.map(e => us(e.ts)).max
+    val sentinel = Streaming.Event(Long.MinValue,
+      new java.sql.Timestamp(maxUs / 1000L + 3600L * 1000L), -1L, "sentinel", 0.0)
+    shuffled :+ sentinel
+  }
+
+  /** Run `body` with Spark's global-watermark chain check disabled —
+    * reorder's releases are below-watermark BY DESIGN and its
+    * downstream machines are watermark-agnostic (see [[Streaming.reorder]]).
+    */
+  private def withReorderChainAllowed[A](body: => A): A = {
+    val key = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("reorder→asof on a jitter-shuffled stream still equals batch ev_asof") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    withReorderChainAllowed {
+    // 5-minute disorder under a 10-minute reorder delay
+    val feed = jitterShuffledEvents(5L * 60 * 1000000)
+    val mem = MemoryStream[Streaming.Event]
+    val q = Streaming.asof(Streaming.reorder(mem.toDS()))
+      .writeStream.outputMode("append").format("memory").queryName("re_asof").start()
+    try {
+      for (chunk <- feed.grouped((feed.length + 7) / 8)) {
+        mem.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val got = spark.sql("SELECT * FROM re_asof")
+    val want = operators.Events.asof.fn(spark, sf)
+    assert(got.count() == want.count() && got.count() > 0,
+      s"row counts diverged: stream ${got.count()} vs batch ${want.count()}")
+    assert(got.exceptAll(want).count() == 0)
+    assert(want.exceptAll(got).count() == 0)
+    }
+  }
+
+  test("reorder→scd2 on a jitter-shuffled stream closes exactly batch cdc_scd2's versions") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    withReorderChainAllowed {
+    val feed = jitterShuffledEvents(5L * 60 * 1000000)
+    val mem = MemoryStream[Streaming.Event]
+    val q = Streaming.scd2(Streaming.reorder(mem.toDS()))
+      .writeStream.outputMode("append").format("memory").queryName("re_scd2").start()
+    try {
+      for (chunk <- feed.grouped((feed.length + 7) / 8)) {
+        mem.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val got = spark.sql("SELECT * FROM re_scd2").collect()
+      .filter(_.getLong(0) >= 0) // drop any sentinel-keyed rows
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)) ->
+        ((r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    val batch = SparkEntry.queries("cdc_scd2")(spark, sf).collect()
+    val want = batch.filter(!_.getAs[Boolean]("is_current"))
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type"),
+        r.getAs[Int]("version")) ->
+        ((r.getAs[Long]("valid_from_us"), r.getAs[Long]("valid_to_us"),
+          r.getAs[Double]("value")))).toMap
+    assert(got.nonEmpty && got == want,
+      s"closed-version sets differ: stream ${got.size} vs batch ${want.size}")
+    }
+  }
 }
