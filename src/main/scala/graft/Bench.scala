@@ -163,6 +163,9 @@ object Bench {
       built("bpe_merges", Seq("tx_bpe_train", "tx_bpe_encode")) {
         operators.Tokenizer.bpeFrames(spark, sfDir)
       },
+      built("bpe_bytes_merges", Seq("tx_bpe_train_bytes", "tx_bpe_encode_bytes")) {
+        operators.Tokenizer.bpeBytesFrames(spark, sfDir)
+      },
       built("ivf_base_index", Seq("ann_refresh")) {
         operators.Ann.baseIvfIndex(spark, sfDir)
       },

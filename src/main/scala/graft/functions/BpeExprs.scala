@@ -34,6 +34,31 @@ object BpeKernels {
     out.result()
   }
 
+  private val HexDigits = "0123456789ABCDEF".toCharArray
+
+  /** Split a string into per-BYTE symbols of its UTF-8 encoding, each
+    * rendered as a 2-digit uppercase hex string — the byte-level BPE
+    * alphabet (GPT-2 family: any UTF-8 input survives tokenization
+    * because the base alphabet is the 256 bytes, not code points).
+    * Hex-string symbols keep concat/compare semantics identical in
+    * both engines; the oracle derives the same list via
+    * hex(encode(word)). The empty string yields [""] (one empty
+    * element), mirroring codePointSplit.
+    */
+  def byteSplit(s: UTF8String): Array[UTF8String] = {
+    val bytes = s.getBytes
+    if (bytes.isEmpty) return Array(UTF8String.EMPTY_UTF8)
+    val out = new Array[UTF8String](bytes.length)
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xff
+      out(i) = UTF8String.fromString(
+        new String(Array(HexDigits(b >> 4), HexDigits(b & 0xf))))
+      i += 1
+    }
+    out
+  }
+
   /** One BPE merge application: replace adjacent (l, r) symbol pairs
     * with l+r, greedy left-to-right, non-overlapping (a merged symbol
     * never participates as the LEFT side of another merge in the same
@@ -99,6 +124,20 @@ case class CodePointSplitExpr(child: Expression) extends UnaryExpression {
   override def prettyName: String = "codepoint_split"
 }
 
+/** array<string> of 2-hex-digit per-UTF-8-byte strings ('' → ['']). */
+case class ByteSplitExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(
+      BpeKernels.byteSplit(input.asInstanceOf[UTF8String])
+        .asInstanceOf[Array[AnyRef]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = new ${BpeGen.GAD}(${BpeGen.K}.byteSplit($c));")
+  override protected def withNewChildInternal(c: Expression): ByteSplitExpr = copy(c)
+  override def prettyName: String = "byte_split"
+}
+
 /** One greedy BPE merge pass of pair (l, r) over a symbol array. */
 case class BpeApplyExpr(first: Expression, second: Expression, third: Expression)
     extends TernaryExpression {
@@ -130,6 +169,8 @@ case class LinearMarginExpr(child: Expression, d: Int) extends UnaryExpression {
 object BpeExprs {
   def codepoint_split(c: Column): Column =
     Bridge.column(CodePointSplitExpr(Bridge.expression(c)))
+  def byte_split(c: Column): Column =
+    Bridge.column(ByteSplitExpr(Bridge.expression(c)))
   def bpe_apply(syms: Column, l: Column, r: Column): Column =
     Bridge.column(BpeApplyExpr(
       Bridge.expression(syms), Bridge.expression(l), Bridge.expression(r)))

@@ -79,13 +79,27 @@ object Tokenizer {
       trainLoop(spark, vocab0(spark, dir))
     }
 
-  /** The merge loop over any (word, cnt) vocabulary frame — shared by
-    * the batch build and the streamed-vocabulary cross-validation
-    * (StreamingSpec trains from the incrementally maintained vocab
-    * and must get the identical merge table).
+  /** Memoized BYTE-LEVEL train — the identical merge loop over the
+    * 256-byte base alphabet (2-hex-digit symbols) instead of code
+    * points: the GPT-2-family construction, so ANY UTF-8 input
+    * tokenizes (no unknown-symbol path; a multi-byte code point is
+    * just 2-4 base symbols the merges may or may not rejoin).
     */
-  private[graft] def trainLoop(spark: SparkSession, vocabCounts: DataFrame): Seq[DataFrame] = {
-      val v0 = vocabCounts.withColumn("syms", BpeExprs.codepoint_split(col("word")))
+  def bpeBytesFrames(spark: SparkSession, dir: String): Seq[DataFrame] =
+    graft.SessionMemo.frames(spark, s"tokenizer.bpeBytes:$dir") {
+      trainLoop(spark, vocab0(spark, dir), BpeExprs.byte_split)
+    }
+
+  /** The merge loop over any (word, cnt) vocabulary frame — shared by
+    * the batch build (code-point and byte alphabets, via `symsOf`)
+    * and the streamed-vocabulary cross-validation (StreamingSpec
+    * trains from the incrementally maintained vocab and must get the
+    * identical merge table).
+    */
+  private[graft] def trainLoop(spark: SparkSession, vocabCounts: DataFrame,
+      symsOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        BpeExprs.codepoint_split): Seq[DataFrame] = {
+      val v0 = vocabCounts.withColumn("syms", symsOf(col("word")))
       val nVocab = v0.count()
       val parts = math.max(1L, math.min(
         spark.sessionState.conf.numShufflePartitions.toLong, nVocab / 20000L)).toInt
@@ -154,10 +168,18 @@ object Tokenizer {
     * semantics of BpeKernels.bpeApply (a struct accumulator would be
     * cleaner but DuckDB list_reduce drops struct list fields).
     */
-  private def bpeCteSql(k: Int): String = {
+  /** DuckDB rendering of the byte alphabet: hex(encode(word)) is the
+    * 2-digit-per-byte uppercase hex string, sliced into pairs — the
+    * exact strings ByteSplitExpr emits.
+    */
+  private val byteSymsSql =
+    "list_transform(generate_series(1, CAST(octet_length(encode(word)) AS INT)), " +
+      "i -> substr(hex(encode(word)), 2 * i - 1, 2))"
+
+  private def bpeCteSql(k: Int, symsSql: String = "string_split(word, '')"): String = {
     val v0 =
       s"""v0 AS (
-         |  SELECT word, CAST(count(*) AS BIGINT) AS cnt, string_split(word, '') AS syms
+         |  SELECT word, CAST(count(*) AS BIGINT) AS cnt, $symsSql AS syms
          |  FROM (SELECT unnest($tokSql) AS word FROM documents)
          |  WHERE word <> '' GROUP BY word)""".stripMargin
     val rounds = (1 to k).map { t =>
@@ -252,5 +274,76 @@ object Tokenizer {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(bpeTrain, bpeEncode)
+  /** tx_bpe_train_bytes — the byte-level merge table: identical loop,
+    * 256-byte base alphabet. On ASCII-only corpora it degenerates to
+    * the code-point table up to symbol spelling; on multilingual/fuzz
+    * input it is the construction that cannot hit an unknown symbol.
+    * Hash-checked against the macro-expanded byte-alphabet oracle and
+    * pinned against the in-JVM reference BPE on multi-byte fixtures
+    * (TokenizerSpec).
+    */
+  val bpeTrainBytes = Q(
+    "tx_bpe_train_bytes", {
+      val union = (1 to MergeRounds).map(t => s"SELECT * FROM m$t").mkString(" UNION ALL ")
+      s"""WITH ${bpeCteSql(MergeRounds, byteSymsSql)}
+         |SELECT rank, lhs, rhs, merged, pair_count FROM ($union)
+         |ORDER BY rank""".stripMargin
+    }) { (spark, dir) =>
+    bpeBytesFrames(spark, dir).head.orderBy("rank")
+  }
+
+  /** tx_bpe_encode_bytes — encode the corpus with the byte-level
+    * tokenizer: per-doc word, UTF-8 byte and BPE-token counts +
+    * compression ratio (tokens per byte — the fertility statistic a
+    * byte-level tokenizer is judged on). Same Zipf-collapsed join
+    * shape as tx_bpe_encode; the vocabulary side serves from the
+    * memoized byte-level train state.
+    */
+  val bpeEncodeBytes = Q(
+    "tx_bpe_encode_bytes", {
+      val wh = Hashing.wordHashesSql("text")
+      val whWord = Hashing.charFoldSql("word")
+      s"""WITH ${bpeCteSql(MergeRounds, byteSymsSql)},
+         |vh AS (
+         |  SELECT h, min(n_sym) AS n_sym, min(n_byte) AS n_byte
+         |  FROM (SELECT $whWord AS h, CAST(len(syms) AS BIGINT) AS n_sym,
+         |      CAST(octet_length(encode(word)) AS BIGINT) AS n_byte FROM v$MergeRounds)
+         |  GROUP BY h),
+         |dw AS (
+         |  SELECT doc_id, source, h, CAST(count(*) AS BIGINT) AS c
+         |  FROM (SELECT doc_id, source, unnest($wh) AS h FROM documents)
+         |  WHERE h <> 0 GROUP BY doc_id, source, h)
+         |SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+         |  CAST(sum(c) AS BIGINT) AS n_words,
+         |  CAST(sum(c * n_byte) AS BIGINT) AS n_bytes,
+         |  CAST(sum(c * n_sym) AS BIGINT) AS n_tokens,
+         |  round(1e-9 + sum(c * n_sym) / CAST(sum(c * n_byte) AS DOUBLE) + 1e-9, 6) AS bpe_ratio
+         |FROM dw JOIN vh USING (h)
+         |GROUP BY doc_id, source
+         |ORDER BY doc_id""".stripMargin
+    }) { (spark, dir) =>
+    val vocabK = bpeBytesFrames(spark, dir)(1)
+    val vh = vocabK
+      .select(Hashing.charFold(col("word")).as("h"),
+        size(col("syms")).cast("long").as("n_sym"),
+        octet_length(col("word")).cast("long").as("n_byte"))
+      .groupBy("h").agg(min("n_sym").as("n_sym"), min("n_byte").as("n_byte"))
+    val dw = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        explode(Hashing.wordHashes(col("text"))).as("h"))
+      .filter(col("h") =!= 0)
+      .groupBy("doc_id", "source", "h").agg(count(lit(1)).as("c"))
+    dw.join(vh, "h")
+      .groupBy("doc_id", "source")
+      .agg(sum("c").as("n_words"),
+        sum(col("c") * col("n_byte")).as("n_bytes"),
+        sum(col("c") * col("n_sym")).as("n_tokens"))
+      .select(col("doc_id").cast("long").as("doc_id"), col("source"),
+        col("n_words"), col("n_bytes"), col("n_tokens"),
+        round(lit(1e-9) + col("n_tokens") / col("n_bytes").cast("double") + 1e-9, 6)
+          .as("bpe_ratio"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(bpeTrain, bpeEncode, bpeTrainBytes, bpeEncodeBytes)
 }

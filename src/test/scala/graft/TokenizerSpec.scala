@@ -58,10 +58,14 @@ class TokenizerSpec extends AnyFunSuite {
     * then lexicographic — which equals UTF-8 byte order for every
     * BMP code point).
     */
-  private def referenceBpe(vocab: Map[String, Long], rounds: Int)
+  private def byteSyms(s: String): Vector[String] =
+    s.getBytes("UTF-8").toVector.map(b => f"${b & 0xff}%02X")
+
+  private def referenceBpe(vocab: Map[String, Long], rounds: Int,
+      split: String => Vector[String] = codePoints)
       : Seq[(String, String, Long)] = {
     var v: Map[Vector[String], Long] = vocab.groupMapReduce {
-      case (w, _) => codePoints(w)
+      case (w, _) => split(w)
     }(_._2)(_ + _)
     val out = Seq.newBuilder[(String, String, Long)]
     for (_ <- 1 to rounds) {
@@ -88,6 +92,69 @@ class TokenizerSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val want = referenceBpe(vocab, operators.Tokenizer.MergeRounds)
     assert(got == want, s"spark: $got\nreference: $want")
+  }
+
+  test("byteSplit renders the exact UTF-8 byte hex pairs") {
+    import graft.functions.BpeKernels.byteSplit
+    import org.apache.spark.unsafe.types.UTF8String
+    def bs(s: String): Seq[String] =
+      byteSplit(UTF8String.fromString(s)).map(_.toString).toSeq
+    assert(bs("ab") == Seq("61", "62"))
+    assert(bs("é") == Seq("C3", "A9"))        // 2-byte code point
+    assert(bs("日") == Seq("E6", "97", "A5")) // 3-byte code point
+    assert(bs("🙂") == Seq("F0", "9F", "99", "82")) // astral, 4 bytes
+    assert(bs("") == Seq(""))
+    // and it always equals the in-JVM reference spelling
+    for (s <- Seq("héllo", "日本語", "mixed🙂ascii", "á"))
+      assert(bs(s) == byteSyms(s))
+  }
+
+  test("tx_bpe_train_bytes equals the byte-level reference BPE on the real vocab") {
+    val got = SparkEntry.queries("tx_bpe_train_bytes")(spark, sf).collect()
+      .sortBy(_.getAs[Long]("rank"))
+      .map(r => (r.getAs[String]("lhs"), r.getAs[String]("rhs"), r.getAs[Long]("pair_count")))
+      .toSeq
+    val vocab = spark.read.parquet(s"$sf/documents.parquet")
+      .select(explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
+      .filter(col("w") =!= "").groupBy("w").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = referenceBpe(vocab, operators.Tokenizer.MergeRounds, byteSyms)
+    assert(got == want, s"spark: $got\nreference: $want")
+  }
+
+  test("byte-level BPE on a multilingual fixture matches the reference (any UTF-8 survives)") {
+    import spark.implicits._
+    // multi-byte code points throughout: accents, CJK, an astral emoji
+    val words = Seq("héllo" -> 5L, "héllo," -> 3L, "日本語" -> 4L,
+      "日本" -> 2L, "🙂🙂" -> 2L, "naïve" -> 3L)
+    val Seq(merges, vK) = operators.Tokenizer.trainLoop(
+      spark, words.toDF("word", "cnt"), graft.functions.BpeExprs.byte_split)
+    val got = merges.collect().sortBy(_.getAs[Long]("rank"))
+      .map(r => (r.getAs[String]("lhs"), r.getAs[String]("rhs"), r.getAs[Long]("pair_count")))
+      .toSeq
+    val want = referenceBpe(words.toMap, operators.Tokenizer.MergeRounds, byteSyms)
+    assert(got == want, s"spark: $got\nreference: $want")
+    // no unknown-symbol path: every word's final symbols re-concatenate
+    // to its full hex spelling — nothing was dropped or mangled
+    for (r <- vK.collect()) {
+      val word = r.getAs[String]("word")
+      val syms = r.getSeq[String](r.fieldIndex("syms"))
+      assert(syms.mkString == byteSyms(word).mkString,
+        s"$word: ${syms.mkString("|")} != byte spelling")
+    }
+  }
+
+  test("tx_bpe_encode_bytes arithmetic: words ≤ tokens ≤ bytes, ratio in (0, 1]") {
+    val rows = SparkEntry.queries("tx_bpe_encode_bytes")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (w, t, b) = (r.getAs[Long]("n_words"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("n_bytes"))
+      assert(w <= t && t <= b, s"$r violates words<=tokens<=bytes")
+      val ratio = r.getAs[Double]("bpe_ratio")
+      assert(ratio > 0 && ratio <= 1.0 + 1e-9, s"ratio out of range: $r")
+    }
+    assert(rows.exists(r => r.getAs[Long]("n_tokens") < r.getAs[Long]("n_bytes")))
   }
 
   test("merge pair counts are non-increasing in rank (BPE invariant)") {
