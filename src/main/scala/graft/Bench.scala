@@ -118,7 +118,8 @@ object Bench {
         operators.Layout.ensureLineitemZorder(spark, sfDir)
       },
       built("pagerank_edges",
-        Seq("gr_pagerank", "gr_lpa", "gr_assortativity", "gr_closeness")) {
+        Seq("gr_pagerank", "gr_lpa", "gr_assortativity", "gr_closeness",
+          "gr_betweenness")) {
         operators.Graph.edgesWithDeg(spark, sfDir)
       },
       built("ivf_index", Seq("ann_ivf", "ann_ivfpq")) {

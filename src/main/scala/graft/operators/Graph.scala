@@ -772,6 +772,126 @@ object Graph {
     out
   }
 
+  private val BetwMaxHops = 4
+
+  /** Sampled betweenness centrality (Brandes 2001 from the same K
+    * deterministic seeds as gr_closeness, depth-bounded at 4 hops) —
+    * completing the centrality family (degree → pagerank → closeness
+    * → betweenness). Forward: the multi-source frontier BFS carrying
+    * (seed, node, σ) where σ sums shortest-path counts over incoming
+    * previous-frontier edges — integer path counts, engine-exact.
+    * Backward: Brandes' dependency accumulation level by level,
+    * δ(u) = Σ_{u→v, v one level deeper} σ(u)/σ(v) · (1 + δ(v)), and
+    * betweenness(v) = Σ over seeds and levels ≥ 1 of δ — the standard
+    * tractable estimator (exact betweenness is O(V·E)). Every frame
+    * is (seed, node)-sized (≤ K·|V| rows), per-level localCheckpoint
+    * with release, broadcasts gated by the seed-divided node cap —
+    * gr_closeness's loop discipline plus a backward pass over the
+    * SAME stored level frames. Oracle: the identical forward levels
+    * and backward recurrences macro-expanded as chained CTEs (the
+    * pagerank unroll discipline); only rounded positive nodes emit.
+    * Driver-side Brandes replay pinned in GraphSpec.
+    */
+  val betweenness = Q(
+    "gr_betweenness", {
+      val fwd = (1 to BetwMaxHops).map { d =>
+        s"""f$d AS (
+           |  SELECT f.seed, e.dst AS node, CAST(sum(f.sigma) AS BIGINT) AS sigma
+           |  FROM f${d - 1} f JOIN edges e ON e.src = f.node
+           |  WHERE NOT EXISTS (SELECT 1 FROM vis${d - 1} v
+           |    WHERE v.seed = f.seed AND v.node = e.dst)
+           |  GROUP BY f.seed, e.dst),
+           |vis$d AS (SELECT seed, node FROM vis${d - 1}
+           |  UNION ALL SELECT seed, node FROM f$d)""".stripMargin
+      }.mkString(",\n")
+      val back = (BetwMaxHops - 1 to 0 by -1).map { d =>
+        s"""d$d AS (
+           |  SELECT f.seed, f.node, f.sigma,
+           |    coalesce(sum(CAST(f.sigma AS DOUBLE) / n.sigma * (1 + n.delta)), 0)
+           |      AS delta
+           |  FROM f$d f JOIN edges e ON e.src = f.node
+           |  LEFT JOIN d${d + 1} n ON n.seed = f.seed AND n.node = e.dst
+           |  GROUP BY f.seed, f.node, f.sigma)""".stripMargin
+      }.mkString(",\n")
+      val levels = (1 to BetwMaxHops).map(d => s"SELECT node, delta FROM d$d")
+        .mkString(" UNION ALL ")
+      s"""WITH e0 AS (
+         |  SELECT DISTINCT l_partkey AS src, l_suppkey + $SuppOffset AS dst FROM lineitem),
+         |edges AS MATERIALIZED (SELECT src, dst FROM e0
+         |  UNION ALL SELECT dst AS src, src AS dst FROM e0),
+         |seeds AS (SELECT u AS s FROM (SELECT DISTINCT src AS u FROM edges ORDER BY u LIMIT $ClosenessSeeds)),
+         |f0 AS (SELECT s AS seed, s AS node, CAST(1 AS BIGINT) AS sigma FROM seeds),
+         |vis0 AS (SELECT seed, node FROM f0),
+         |$fwd,
+         |d$BetwMaxHops AS (
+         |  SELECT seed, node, sigma, CAST(0 AS DOUBLE) AS delta FROM f$BetwMaxHops),
+         |$back
+         |SELECT node, round(1e-9 + sum(delta), 6) AS betweenness
+         |FROM ($levels)
+         |GROUP BY node
+         |HAVING round(1e-9 + sum(delta), 6) > 0
+         |ORDER BY node""".stripMargin
+    }) { (spark, dir) =>
+    val edges = edgesWithDeg(spark, dir).select(col("src").as("u"), col("dst").as("v"))
+    val bcast = nodeCount(spark, dir) <= BroadcastNodeCap / ClosenessSeeds
+    def maybeBroadcast(df: org.apache.spark.sql.DataFrame) =
+      if (bcast) broadcast(df) else df
+    val seeds = edges.select(col("u")).distinct()
+      .orderBy("u").limit(ClosenessSeeds)
+    val f0 = seeds
+      .select(col("u").as("seed"), col("u").as("node"), lit(1L).as("sigma"))
+      .localCheckpoint(true)
+    // forward: per level, σ sums over incoming previous-frontier edges
+    var fs = Vector(f0)
+    var hop = 0
+    var exhausted = false
+    while (hop < BetwMaxHops && !exhausted) {
+      val visited = fs.map(_.select("seed", "node")).reduce(_ union _)
+      val next = edges
+        .join(maybeBroadcast(fs.last.select(col("seed"), col("node").as("u"),
+          col("sigma"))), "u")
+        .groupBy(col("seed"), col("v").as("node"))
+        .agg(sum("sigma").as("sigma"))
+        .join(maybeBroadcast(visited), Seq("seed", "node"), "left_anti")
+        .localCheckpoint(false)
+      if (next.isEmpty) {
+        exhausted = true
+        Dedup.releaseLocalCheckpoint(next)
+      } else fs :+= next
+      hop += 1
+    }
+    val depth = fs.length - 1
+    // backward: Brandes dependency accumulation over the stored levels
+    var deltas = Vector(fs(depth)
+      .select(col("seed"), col("node"), col("sigma"), lit(0.0).as("delta"))
+      .localCheckpoint(true))
+    for (d <- depth - 1 to 0 by -1) {
+      val deeper = deltas.head.select(col("seed"), col("node").as("v"),
+        col("sigma").as("sig_v"), col("delta").as("delta_v"))
+      val dd = fs(d).select(col("seed"), col("node").as("u"), col("sigma"))
+        .join(edges, "u")
+        .join(maybeBroadcast(deeper), Seq("seed", "v"), "left")
+        .groupBy(col("seed"), col("u").as("node"), col("sigma"))
+        .agg(coalesce(sum(col("sigma").cast("double") / col("sig_v") *
+          (lit(1.0) + col("delta_v"))), lit(0.0)).as("delta"))
+        .localCheckpoint(true)
+      deltas +:= dd
+    }
+    val out = deltas.drop(1) // level 0 is the seed itself — excluded
+      .map(_.select("node", "delta")).reduceOption(_ union _) match {
+      case Some(levels) =>
+        levels.groupBy("node")
+          .agg(round(lit(1e-9) + sum("delta"), 6).as("betweenness"))
+          .filter(col("betweenness") > 0)
+          .orderBy("node")
+          .localCheckpoint(true)
+      case None =>
+        f0.select(col("node"), lit(0.0).as("betweenness")).filter(lit(false))
+    }
+    (fs ++ deltas).foreach(Dedup.releaseLocalCheckpoint)
+    out
+  }
+
   val all: Seq[Q] = Seq(pagerank, triangles, components, kcore, bfs, degreeDist,
-    jaccardLinks, lpa, assortativity, closeness)
+    jaccardLinks, lpa, assortativity, closeness, betweenness)
 }

@@ -71,4 +71,57 @@ class GraphSpec extends AnyFunSuite {
     val nRawPass = rawDeg.filter(col("d") >= 2).count()
     assert(rows.length <= nRawPass)
   }
+
+  test("gr_betweenness equals a driver-side Brandes replay from the same seeds") {
+    // plain-Scala bounded-depth Brandes over the collected edge list —
+    // the independent pin next to the macro-expanded SQL oracle
+    val edges = operators.Graph.edgesWithDeg(spark, sf)
+      .select("src", "dst").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2).toVector).toMap
+    val seeds = edges.map(_._1).distinct.sorted.take(4)
+    val maxHops = 4
+    val acc = scala.collection.mutable.Map.empty[Long, Double].withDefaultValue(0.0)
+    for (s <- seeds) {
+      // forward: level frontiers with path counts
+      val sigma = scala.collection.mutable.Map(s -> 1L)
+      val level = scala.collection.mutable.Map(s -> 0)
+      var frontier = Vector(s)
+      val levels = scala.collection.mutable.ArrayBuffer(frontier)
+      for (d <- 1 to maxHops) {
+        val next = scala.collection.mutable.LinkedHashMap.empty[Long, Long]
+        for (u <- frontier; v <- adj.getOrElse(u, Vector.empty)
+             if !level.contains(v) || level(v) == d)
+          if (!level.contains(v)) { level(v) = d; next(v) = sigma(u) }
+          else next(v) = next(v) + sigma(u)
+        frontier = next.keys.toVector
+        next.foreach { case (v, c) => sigma(v) = c }
+        levels += frontier
+      }
+      // backward: dependency accumulation
+      val delta = scala.collection.mutable.Map.empty[Long, Double].withDefaultValue(0.0)
+      for (d <- maxHops - 1 to 0 by -1; u <- levels(d)) {
+        var acc0 = 0.0
+        for (v <- adj.getOrElse(u, Vector.empty) if level.get(v).contains(d + 1))
+          acc0 += sigma(u).toDouble / sigma(v) * (1 + delta(v))
+        delta(u) = acc0
+        if (d >= 1) acc(u) = acc(u) + acc0
+      }
+      // depth-level nodes contribute their (zero) delta too — matches
+      // the engine's inclusion of the deepest level
+      for (u <- levels(maxHops)) acc(u) = acc(u) + 0.0
+    }
+    val want = acc.toSeq
+      .map { case (n, b) => n -> BigDecimal(1e-9 + b).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble }
+      .filter(_._2 > 0).toMap
+    val got = SparkEntry.queries("gr_betweenness")(spark, sf).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Double]("betweenness")).toMap
+    assert(got.nonEmpty, "betweenness must be non-trivial on the co-purchase graph")
+    assert(got.keySet == want.keySet,
+      s"node sets differ: extra ${(got.keySet -- want.keySet).take(5)}, " +
+        s"missing ${(want.keySet -- got.keySet).take(5)}")
+    for ((n, b) <- want)
+      assert(math.abs(got(n) - b) <= 2e-6, s"node $n: got ${got(n)}, want $b")
+  }
 }
