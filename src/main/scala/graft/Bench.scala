@@ -200,6 +200,9 @@ object Bench {
       },
       built("positional_index", Seq("ix_phrase")) {
         operators.Search.posIndex(spark, sfDir)
+      },
+      built("clf_trained_weights", Seq("clf_score_trained")) {
+        operators.Classifier.trainedWeights(spark, sfDir)
       }).flatten
     // deterministic name order: per-query numbers are comparable
     // run-to-run and round-to-round (Map iteration order shuffled the

@@ -256,5 +256,137 @@ object Classifier {
 
   private def d(x: String): String = s"CAST($x AS DOUBLE)"
 
-  val all: Seq[Q] = Seq(score, calibration)
+  private val ClfScale = 1048576L
+
+  private def yCol: org.apache.spark.sql.Column = {
+    val words = split(trim(lower(col("text"))), "\\s+")
+    val nStop = size(filter(words,
+      w => Seq("the", "a", "of", "to", "and", "in", "is", "it", "that", "for")
+        .map(w === _).reduce(_ || _)))
+    (nStop / greatest(size(words), lit(1)).cast("double") >= 0.065).cast("int")
+  }
+
+  private val ySql: String = {
+    val words = "string_split_regex(trim(lower(text)), '\\s+')"
+    val sw = Seq("the", "a", "of", "to", "and", "in", "is", "it", "that", "for")
+      .map(s => s"'$s'").mkString("(", ", ", ")")
+    s"""CASE WHEN len(list_filter($words, x -> x IN $sw))
+       |  / ${d(s"greatest(len($words), 1)")} >= 0.065 THEN 1 ELSE 0 END""".stripMargin
+  }
+
+  /** The STORED trained-weights artifact for [[scoreTrained]]: the
+    * D-row integer weight vector learned from the train split
+    * (doc_id % 10 < 8) — w(j) is the floor-scaled difference of
+    * Laplace-smoothed class-conditional bucket frequencies under the
+    * stopword-gate distill label, i.e. the naive-Bayes linear
+    * discriminator in frequency space (the tx_langid_clf discipline
+    * binarized). Pure BIGINT arithmetic end to end, so the margin a
+    * deployment computes from the broadcast artifact is bit-exact on
+    * any engine. Memoized + persisted: the nightly training job,
+    * billed once under Bench's builds. Classifier.train remains the
+    * GD trainer the spec verifies; this artifact is the count-based
+    * closed form whose inference an oracle can replay exactly.
+    */
+  def trainedWeights(spark: SparkSession, dir: String): DataFrame =
+    graft.SessionMemo.frames(spark, s"classifier.trainedWeights:$dir") {
+      val docs = Tables.documents(spark, dir)
+      val seedCnt = docs.filter(col("doc_id") % 10 < 8)
+        .select(yCol.as("y"), explode(Hashing.wordHashes(col("text"))).as("h"))
+        .groupBy(col("y"), pmod(col("h"), lit(D.toLong)).as("j"))
+        .agg(count(lit(1)).as("c"))
+      val byJ = seedCnt.groupBy("j").agg(
+        max(when(col("y") === 1, col("c"))).as("c1"),
+        max(when(col("y") === 0, col("c"))).as("c0"))
+      val totRow = seedCnt.groupBy("y").agg(sum("c").as("t")).agg(
+        max(when(col("y") === 1, col("t"))).as("t1"),
+        max(when(col("y") === 0, col("t"))).as("t0"))
+      val ww = spark.range(D).select(col("id").as("j"))
+        .join(byJ, Seq("j"), "left")
+        .crossJoin(broadcast(totRow))
+        .select(col("j"), expr(
+          s"((coalesce(c1, 0L) + 1L) * $ClfScale) div (coalesce(t1, 0L) + $D) " +
+            s"- ((coalesce(c0, 0L) + 1L) * $ClfScale) div (coalesce(t0, 0L) + $D)")
+          .as("w"))
+        .persist()
+      ww.count()
+      Seq(ww)
+    }.head
+
+  /** clf_score_trained — inference under the STORED trained weights:
+    * every document's integer margin Σ w(h mod D) from the broadcast
+    * D-row artifact, normalized score, flag, and agreement with the
+    * heuristic label it was distilled from (the deployment eval
+    * column). Serve shape: map-side bucket collapse of the token
+    * stream, one broadcast join against the artifact, one doc-keyed
+    * partial aggregate — at 100 TB the weight table is trained once
+    * nightly and broadcast, the same plan. The oracle recomputes the
+    * identical weights from the train split in pure BIGINT SQL and
+    * hash-checks trained-artifact inference end-to-end.
+    */
+  val scoreTrained = Q(
+    "clf_score_trained", {
+      val wh = Hashing.wordHashesSql("text")
+      s"""WITH seedcnt AS (
+         |  SELECT y, j, CAST(count(*) AS BIGINT) AS c FROM (
+         |    SELECT $ySql AS y, unnest($wh) % $D AS j
+         |    FROM documents WHERE doc_id % 10 < 8)
+         |  GROUP BY y, j),
+         |byj AS (
+         |  SELECT j, max(CASE WHEN y = 1 THEN c END) AS c1,
+         |    max(CASE WHEN y = 0 THEN c END) AS c0
+         |  FROM seedcnt GROUP BY j),
+         |tot AS (
+         |  SELECT max(CASE WHEN y = 1 THEN t END) AS t1,
+         |    max(CASE WHEN y = 0 THEN t END) AS t0
+         |  FROM (SELECT y, CAST(sum(c) AS BIGINT) AS t FROM seedcnt GROUP BY y)),
+         |ww AS (
+         |  SELECT g.j,
+         |    ((COALESCE(b.c1, 0) + 1) * $ClfScale) // (COALESCE(t.t1, 0) + $D)
+         |      - ((COALESCE(b.c0, 0) + 1) * $ClfScale) // (COALESCE(t.t0, 0) + $D) AS w
+         |  FROM (SELECT unnest(range($D)) AS j) g
+         |  LEFT JOIN byj b ON b.j = g.j
+         |  CROSS JOIN tot t),
+         |tok AS (
+         |  SELECT doc_id, unnest($wh) % $D AS j FROM documents),
+         |m AS (
+         |  SELECT doc_id, CAST(sum(w) AS BIGINT) AS margin
+         |  FROM tok JOIN ww USING (j) GROUP BY doc_id),
+         |base AS (
+         |  SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+         |    CAST(len($wh) AS BIGINT) AS n_tokens, $ySql AS y
+         |  FROM documents)
+         |SELECT b.doc_id, b.source, b.n_tokens,
+         |  COALESCE(m.margin, 0) AS margin,
+         |  CASE WHEN b.n_tokens > 0 THEN
+         |    round(1e-9 + COALESCE(m.margin, 0) / (b.n_tokens * $ClfScale.0) + 1e-9, 6)
+         |  END AS score,
+         |  COALESCE(m.margin, 0) > 0 AS flagged,
+         |  b.y = 1 AS heur_flag,
+         |  (COALESCE(m.margin, 0) > 0) = (b.y = 1) AS agree
+         |FROM base b LEFT JOIN m ON m.doc_id = b.doc_id
+         |ORDER BY b.doc_id""".stripMargin
+    }) { (spark, dir) =>
+    val ww = trainedWeights(spark, dir)
+    val docs = Tables.documents(spark, dir)
+    val wh = Hashing.wordHashes(col("text"))
+    val tok = docs
+      .select(col("doc_id"), explode(wh).as("h"))
+      .select(col("doc_id"), pmod(col("h"), lit(D.toLong)).as("j"))
+    val m = tok.join(broadcast(ww), Seq("j"))
+      .groupBy("doc_id").agg(sum("w").as("margin"))
+    docs.select(col("doc_id").cast("long").as("doc_id"), col("source"),
+        size(wh).cast("long").as("n_tokens"), yCol.as("y"))
+      .join(m, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        coalesce(col("margin"), lit(0L)).as("margin"),
+        when(col("n_tokens") > 0,
+          round(lit(1e-9) + coalesce(col("margin"), lit(0L)) /
+            (col("n_tokens") * lit(ClfScale.toDouble)) + 1e-9, 6)).as("score"),
+        (coalesce(col("margin"), lit(0L)) > 0).as("flagged"),
+        (col("y") === 1).as("heur_flag"),
+        ((coalesce(col("margin"), lit(0L)) > 0) === (col("y") === 1)).as("agree"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(score, calibration, scoreTrained)
 }

@@ -233,6 +233,38 @@ class TokenizerSpec extends AnyFunSuite {
     assert(acc == 1.0, f"separable fixture must be fully learned, got $acc%.3f")
   }
 
+  test("clf_score_trained: stored artifact beats majority class on the held-out split") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("clf_score_trained")(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // flags come from the learned margin, not a constant
+    assert(rows.exists(_.getAs[Boolean]("flagged")) &&
+      rows.exists(!_.getAs[Boolean]("flagged")))
+    // out-of-sample: held-out (doc_id % 10 >= 8) agreement with the
+    // distill label must beat always-predicting the majority class —
+    // the weights actually learned the gate, they don't parrot a prior
+    val held = rows.filter(_.getAs[Long]("doc_id") % 10 >= 8)
+    val agree = held.count(_.getAs[Boolean]("agree")).toDouble / held.length
+    val posShare = rows.count(_.getAs[Boolean]("heur_flag")).toDouble / rows.length
+    val majority = math.max(posShare, 1 - posShare)
+    assert(agree > majority,
+      s"held-out agreement $agree does not beat majority $majority")
+    // and the weights really are the stored artifact: a margin
+    // recomputed from the memoized frame matches the query's column
+    val ww = operators.Classifier.trainedWeights(spark, sf).collect()
+      .map(r => r.getAs[Long]("j") -> r.getAs[Long]("w")).toMap
+    val docs = Tables.documents(spark, sf).select(col("doc_id").cast("long"),
+      graft.functions.Hashing.wordHashes(col("text"))).collect()
+    val byDoc = docs.map { r =>
+      val hs = r.getSeq[Long](1)
+      r.getLong(0) -> hs.map(h => ww(((h % 256) + 256) % 256)).sum
+    }.toMap
+    for (r <- rows)
+      assert(r.getAs[Long]("margin") == byDoc(r.getAs[Long]("doc_id")),
+        s"doc ${r.getAs[Long]("doc_id")}: margin mismatch vs stored weights")
+  }
+
   test("clf_calibration bins partition the corpus and carry valid rates") {
     val rows = SparkEntry.queries("clf_calibration")(spark, sf).collect()
     assert(rows.nonEmpty && rows.length <= 10)
