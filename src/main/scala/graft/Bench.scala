@@ -203,6 +203,21 @@ object Bench {
       },
       built("clf_trained_weights", Seq("clf_score_trained")) {
         operators.Classifier.trainedWeights(spark, sfDir)
+      },
+      built("coorder_edges_40", Seq("gr_triangles")) {
+        operators.Graph.coOrderEdges(spark, sfDir, 40)
+      },
+      built("coorder_edges_42", Seq("gr_bfs")) {
+        operators.Graph.coOrderEdges(spark, sfDir, 42)
+      },
+      built("coorder_edges_43", Seq("gr_jaccard")) {
+        operators.Graph.coOrderEdges(spark, sfDir, 43)
+      },
+      built("coorder_edges_45", Seq("gr_kcore")) {
+        operators.Graph.coOrderEdges(spark, sfDir, 45)
+      },
+      built("coorder_edges_49", Seq("gr_components")) {
+        operators.Graph.coOrderEdges(spark, sfDir, 49)
       }).flatten
     // deterministic name order: per-query numbers are comparable
     // run-to-run and round-to-round (Map iteration order shuffled the
