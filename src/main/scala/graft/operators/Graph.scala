@@ -729,45 +729,67 @@ object Graph {
        |  round(1e-9 + avg(CASE WHEN dist > 0 THEN CAST(dist AS DOUBLE) END), 4) AS avg_dist
        |FROM best GROUP BY seed ORDER BY seed""".stripMargin) { (spark, dir) =>
     val edges = edgesWithDeg(spark, dir).select(col("src").as("u"), col("dst").as("v"))
-    // the frontier/visited frames carry up to K·|V| (seed, node) pairs —
-    // K× the gr_bfs broadcast, so the node cap is tightened by the seed
-    // multiplier before the driver ships them; past it, shuffled joins
-    val bcast = nodeCount(spark, dir) <= BroadcastNodeCap / ClosenessSeeds
+    // MASK frames: one row per node carrying the bit set of the seeds
+    // whose BFS wave sits on it — |V| rows (never K·|V| pairs), so the
+    // standard node cap governs the broadcast legitimately at any K
+    // (the principled fix for the K-seed driver-memory concern: shrink
+    // the frame, don't just gate it).
+    val bcast = nodeCount(spark, dir) <= BroadcastNodeCap
     def maybeBroadcast(df: org.apache.spark.sql.DataFrame) =
       if (bcast) broadcast(df) else df
-    val seeds = edges.select(col("u")).distinct()
-      .orderBy("u").limit(ClosenessSeeds)
-    val seedFrame = seeds
-      .select(col("u").as("seed"), col("u").as("node"), lit(0).as("dist"))
-      .localCheckpoint(true)
-    var frontiers = Vector(seedFrame)
-    var hop = 0
-    var exhausted = false
-    while (hop < ClosenessMaxHops && !exhausted) {
-      val visited = frontiers.map(_.select("seed", "node")).reduce(_ union _)
-      val next = edges
-        .join(maybeBroadcast(frontiers.last.select(col("seed"), col("node").as("u"))), "u")
-        .select(col("seed"), col("v").as("node")).distinct()
-        .join(maybeBroadcast(visited), Seq("seed", "node"), "left_anti")
-        .select(col("seed"), col("node"), lit(hop + 1).as("dist"))
-        .localCheckpoint(false)
-      if (next.isEmpty) {
-        exhausted = true
-        Dedup.releaseLocalCheckpoint(next)
-      } else frontiers :+= next
-      hop += 1
+    // 4 bounded rows of model state (the gr_bfs 1-row seed agg,
+    // pluralized) — each seed owns one mask bit
+    val seedIds = edges.select(col("u")).distinct()
+      .orderBy("u").limit(ClosenessSeeds).collect().map(_.getLong(0)).toSeq
+    val s = spark
+    import s.implicits._
+    if (seedIds.isEmpty) {
+      Seq.empty[(Long, Long, Double, Double)]
+        .toDF("seed", "n_reached", "harmonic", "avg_dist")
+    } else {
+      val f0 = seedIds.zipWithIndex.map { case (sd, i) => (sd, 1L << i) }
+        .toDF("node", "mask").localCheckpoint(true)
+      var frontiers = Vector((f0, 0))
+      var hop = 0
+      var exhausted = false
+      while (hop < ClosenessMaxHops && !exhausted) {
+        val visited = frontiers.map(_._1.select("node", "mask")).reduce(_ union _)
+          .groupBy("node").agg(bit_or(col("mask")).as("vm"))
+        val next = edges
+          .join(maybeBroadcast(frontiers.last._1
+            .select(col("node").as("u"), col("mask"))), "u")
+          .groupBy(col("v").as("node")).agg(bit_or(col("mask")).as("nm"))
+          .join(maybeBroadcast(visited), Seq("node"), "left")
+          .select(col("node"),
+            col("nm").bitwiseAND(bitwise_not(coalesce(col("vm"), lit(0L)))).as("mask"))
+          .filter(col("mask") =!= 0)
+          .localCheckpoint(false)
+        if (next.isEmpty) {
+          exhausted = true
+          Dedup.releaseLocalCheckpoint(next)
+        } else frontiers :+= ((next, hop + 1))
+        hop += 1
+      }
+      // unpack masks to (seed, dist) rows only for the final bounded agg
+      val seedArr = array(seedIds.indices.map { i =>
+        when(col("mask").bitwiseAND(lit(1L << i)) =!= 0, lit(seedIds(i)))
+      }: _*)
+      val perSeed = frontiers.map { case (f, d) =>
+        f.select(lit(d).as("dist"),
+          explode(filter(seedArr, x => x.isNotNull)).as("seed"))
+      }.reduce(_ union _)
+      val out = perSeed
+        .groupBy("seed")
+        .agg((count(lit(1)) - 1).as("n_reached"),
+          round(lit(1e-9) + sum(when(col("dist") > 0, lit(1.0) / col("dist"))
+            .otherwise(lit(0d))), 6).as("harmonic"),
+          round(lit(1e-9) + avg(when(col("dist") > 0, col("dist").cast("double"))), 4)
+            .as("avg_dist"))
+        .orderBy("seed")
+        .localCheckpoint(true)
+      frontiers.foreach(f => Dedup.releaseLocalCheckpoint(f._1))
+      out
     }
-    val out = frontiers.reduce(_ union _)
-      .groupBy("seed")
-      .agg((count(lit(1)) - 1).as("n_reached"),
-        round(lit(1e-9) + sum(when(col("dist") > 0, lit(1.0) / col("dist"))
-          .otherwise(lit(0d))), 6).as("harmonic"),
-        round(lit(1e-9) + avg(when(col("dist") > 0, col("dist").cast("double"))), 4)
-          .as("avg_dist"))
-      .orderBy("seed")
-      .localCheckpoint(true)
-    frontiers.foreach(Dedup.releaseLocalCheckpoint)
-    out
   }
 
   private val BetwMaxHops = 4
@@ -831,64 +853,101 @@ object Graph {
          |ORDER BY node""".stripMargin
     }) { (spark, dir) =>
     val edges = edgesWithDeg(spark, dir).select(col("src").as("u"), col("dst").as("v"))
-    val bcast = nodeCount(spark, dir) <= BroadcastNodeCap / ClosenessSeeds
+    // COLUMN-PER-SEED frames (the gr_closeness mask discipline with
+    // path counts): one row per node carrying K sigma columns — |V|
+    // rows, never K·|V| pairs, so the standard node cap governs every
+    // broadcast legitimately at any K.
+    val bcast = nodeCount(spark, dir) <= BroadcastNodeCap
     def maybeBroadcast(df: org.apache.spark.sql.DataFrame) =
       if (bcast) broadcast(df) else df
-    val seeds = edges.select(col("u")).distinct()
-      .orderBy("u").limit(ClosenessSeeds)
-    val f0 = seeds
-      .select(col("u").as("seed"), col("u").as("node"), lit(1L).as("sigma"))
-      .localCheckpoint(true)
-    // forward: per level, σ sums over incoming previous-frontier edges
-    var fs = Vector(f0)
-    var hop = 0
-    var exhausted = false
-    while (hop < BetwMaxHops && !exhausted) {
-      val visited = fs.map(_.select("seed", "node")).reduce(_ union _)
-      val next = edges
-        .join(maybeBroadcast(fs.last.select(col("seed"), col("node").as("u"),
-          col("sigma"))), "u")
-        .groupBy(col("seed"), col("v").as("node"))
-        .agg(sum("sigma").as("sigma"))
-        .join(maybeBroadcast(visited), Seq("seed", "node"), "left_anti")
-        .localCheckpoint(false)
-      if (next.isEmpty) {
-        exhausted = true
-        Dedup.releaseLocalCheckpoint(next)
-      } else fs :+= next
-      hop += 1
-    }
-    val depth = fs.length - 1
-    // backward: Brandes dependency accumulation over the stored levels
-    var deltas = Vector(fs(depth)
-      .select(col("seed"), col("node"), col("sigma"), lit(0.0).as("delta"))
-      .localCheckpoint(true))
-    for (d <- depth - 1 to 0 by -1) {
-      val deeper = deltas.head.select(col("seed"), col("node").as("v"),
-        col("sigma").as("sig_v"), col("delta").as("delta_v"))
-      val dd = fs(d).select(col("seed"), col("node").as("u"), col("sigma"))
-        .join(edges, "u")
-        .join(maybeBroadcast(deeper), Seq("seed", "v"), "left")
-        .groupBy(col("seed"), col("u").as("node"), col("sigma"))
-        .agg(coalesce(sum(col("sigma").cast("double") / col("sig_v") *
-          (lit(1.0) + col("delta_v"))), lit(0.0)).as("delta"))
+    val seedIds = edges.select(col("u")).distinct()
+      .orderBy("u").limit(ClosenessSeeds).collect().map(_.getLong(0)).toSeq
+    val k = seedIds.length
+    val s = spark
+    import s.implicits._
+    if (seedIds.isEmpty) {
+      Seq.empty[(Long, Double)].toDF("node", "betweenness")
+    } else {
+      val sigCols = (0 until k).map(i => s"s$i")
+      val f0 = seedIds.zipWithIndex.map { case (sd, i) =>
+        (sd, (0 until k).map(j => if (i == j) 1L else 0L))
+      }.toDF("node", "sv")
+        .select(col("node") +: (0 until k).map(i =>
+          element_at(col("sv"), i + 1).as(s"s$i")): _*)
         .localCheckpoint(true)
-      deltas +:= dd
-    }
-    val out = deltas.drop(1) // level 0 is the seed itself — excluded
-      .map(_.select("node", "delta")).reduceOption(_ union _) match {
-      case Some(levels) =>
-        levels.groupBy("node")
-          .agg(round(lit(1e-9) + sum("delta"), 6).as("betweenness"))
-          .filter(col("betweenness") > 0)
-          .orderBy("node")
+      // forward: per level, each seed's σ sums over incoming
+      // previous-level edges; the visited MASK (bit i = seed i already
+      // reached the node) zeroes re-entries
+      var fs = Vector(f0)
+      var hop = 0
+      var exhausted = false
+      def maskOf(f: DataFrame): DataFrame = f.select(col("node"),
+        (0 until k).map(i => when(col(s"s$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+          .reduce(_.bitwiseOR(_)).as("mask"))
+      while (hop < BetwMaxHops && !exhausted) {
+        val visited = fs.map(maskOf).reduce(_ union _)
+          .groupBy("node").agg(bit_or(col("mask")).as("vm"))
+        val next = edges
+          .join(maybeBroadcast(fs.last.select(col("node").as("u") +:
+            sigCols.map(col): _*)), "u")
+          .groupBy(col("v").as("node"))
+          .agg(sum(s"s0").as("n0"), sigCols.drop(1).zipWithIndex.map {
+            case (c, i) => sum(c).as(s"n${i + 1}") }: _*)
+          .join(maybeBroadcast(visited), Seq("node"), "left")
+          .select(col("node") +: (0 until k).map { i =>
+            when(coalesce(col("vm"), lit(0L)).bitwiseAND(lit(1L << i)) =!= 0, lit(0L))
+              .otherwise(col(s"n$i")).as(s"s$i")
+          }: _*)
+          .filter((0 until k).map(i => col(s"s$i") > 0).reduce(_ || _))
+          .localCheckpoint(false)
+        if (next.isEmpty) {
+          exhausted = true
+          Dedup.releaseLocalCheckpoint(next)
+        } else fs :+= next
+        hop += 1
+      }
+      val depth = fs.length - 1
+      // backward: Brandes dependency accumulation per seed column over
+      // the same stored level frames
+      var deltas = Vector(fs(depth)
+        .select(col("node") +: (sigCols.map(col) ++
+          (0 until k).map(i => lit(0.0).as(s"d$i"))): _*)
+        .localCheckpoint(true))
+      for (d <- depth - 1 to 0 by -1) {
+        val deeper = deltas.head.select(col("node").as("v") +:
+          ((0 until k).map(i => col(s"s$i").as(s"t$i")) ++
+            (0 until k).map(i => col(s"d$i").as(s"e$i"))): _*)
+        val dd = fs(d).select(col("node").as("u") +: sigCols.map(col): _*)
+          .join(edges, "u")
+          .join(maybeBroadcast(deeper), Seq("v"), "left")
+          .groupBy(col("u").as("node") +: sigCols.map(col): _*)
+          .agg(
+            deltaAgg(0), (1 until k).map(deltaAgg): _*)
           .localCheckpoint(true)
-      case None =>
-        f0.select(col("node"), lit(0.0).as("betweenness")).filter(lit(false))
+        deltas +:= dd
+      }
+      val out = deltas.drop(1) // level 0 is the seed itself — excluded
+        .map(_.select(col("node"),
+          (0 until k).map(i => col(s"d$i")).reduce(_ + _).as("delta")))
+        .reduce(_ union _)
+        .groupBy("node")
+        .agg(round(lit(1e-9) + sum("delta"), 6).as("betweenness"))
+        .filter(col("betweenness") > 0)
+        .orderBy("node")
+        .localCheckpoint(true)
+      (fs ++ deltas).foreach(Dedup.releaseLocalCheckpoint)
+      out
     }
-    (fs ++ deltas).foreach(Dedup.releaseLocalCheckpoint)
-    out
   }
+
+  /** One seed's backward-accumulation aggregate: u at level d (s_i>0)
+    * collects σ_u/σ_v·(1+δ_v) over deeper neighbors on the same
+    * seed's tree (t_i>0); empty sums coalesce to 0.
+    */
+  private def deltaAgg(i: Int): org.apache.spark.sql.Column =
+    coalesce(sum(when(col(s"t$i") > 0 && col(s"s$i") > 0,
+      col(s"s$i").cast("double") / col(s"t$i") * (lit(1.0) + col(s"e$i")))),
+      lit(0.0)).as(s"d$i")
 
   val all: Seq[Q] = Seq(pagerank, triangles, components, kcore, bfs, degreeDist,
     jaccardLinks, lpa, assortativity, closeness, betweenness)
