@@ -604,10 +604,19 @@ class PlanSpec extends AnyFunSuite {
   test("gr_triangles orients edges by (deg, id) tuples and reuses the edge exchange") {
     val p = finalPlan("gr_triangles")
     assert(!p.contains("CartesianProduct"))
-    assert(p.contains("struct(du"),
+    // the orientation expression lives inside materialized query
+    // stages whose subtrees the AQE final-plan print elides — assert
+    // it on the optimized logical plan
+    val lp = SparkEntry.queries("gr_triangles")(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    assert(lp.contains("struct(du"),
       "orientation must be the cross-engine (deg, id) struct comparison")
-    assert(p.contains("ReusedExchange"),
-      "edge/degree pipelines feed five consumers — reuse, not recompute")
+    // five consumers of the edge list must share one materialization:
+    // either reused exchanges (per-call build) or, since the edge list
+    // became a memoized one-time build, the cached table itself
+    assert(p.contains("ReusedExchange") || p.contains("TableCacheQueryStage") ||
+      p.contains("InMemoryTableScan"),
+      "edge/degree pipelines feed five consumers — serve from the cached edge build, not recompute")
     assert(!p.contains("Window"))
   }
 
