@@ -520,11 +520,14 @@ object Dedup {
     val chunked = dropOversizedBuckets(chunked0, Seq("chunk", "key"), BucketCap)
     val a = chunked.select(col("chunk"), col("key"), col("doc_id").as("doc_a"), col("simhash").as("sha"))
     val b = chunked.select(col("chunk"), col("key"), col("doc_id").as("doc_b"), col("simhash").as("shb"))
+    // hamming filter before the dedup exchange (map-side bit_count;
+    // hamming is a function of the pair, so the reorder is exact) —
+    // the distinct shuffles only matching pairs, not every candidate
     a.join(b, Seq("chunk", "key")).filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         bit_count(col("sha").bitwiseXOR(col("shb"))).cast("long").as("hamming"))
-      .distinct()
       .filter(col("hamming") <= 1)
+      .distinct()
       .orderBy("doc_a", "doc_b")
   }
 

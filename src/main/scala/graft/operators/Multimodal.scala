@@ -426,11 +426,16 @@ object Multimodal {
       col("doc_id").as("doc_a"), col("dhash").as("ha"))
     val b = chunked.select(col("chunk"), col("key"),
       col("doc_id").as("doc_b"), col("dhash").as("hb"))
+    // Hamming filter BEFORE the dedup exchange: bit_count is map-side
+    // and hamming is a function of the pair, so filter-then-distinct
+    // equals distinct-then-filter — but the distinct now shuffles only
+    // matching pairs instead of every banded candidate (the sf10 leg
+    // measured 561 M candidate rows through the old distinct).
     a.join(b, Seq("chunk", "key")).filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long").as("hamming"))
-      .distinct()
       .filter(col("hamming") <= PhashHammingMax)
+      .distinct()
   }
 
   private[graft] def phashPairsOfHashes(ph: org.apache.spark.sql.DataFrame)
@@ -541,8 +546,8 @@ object Multimodal {
     val best = dChunks.join(idx, Seq("chunk", "key"))
       .select(col("doc_id"), col("corpus_id"),
         bit_count(col("dhash").bitwiseXOR(col("h_c"))).cast("long").as("hamming"))
-      .distinct()
       .filter(col("hamming") <= PhashHammingMax)
+      .distinct()
       .groupBy("doc_id")
       .agg(min(struct(col("hamming"), col("corpus_id"))).as("b"))
       .select(col("doc_id"), col("b.corpus_id").as("best_corpus_id"),
@@ -724,15 +729,54 @@ object Multimodal {
          |GROUP BY u
          |ORDER BY doc_id""".stripMargin
     }) { (spark, dir) =>
-    val pairs = phashPairsFromTable(spark, dir)
-      .select("doc_a", "doc_b")
-    val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
-      .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+    // HASH-LEVEL CONTRACTION — exactly the doc-level semantics, on a
+    // graph |distinct hashes| big instead of |pairs| big: docs sharing
+    // a dhash have IDENTICAL bucket membership (the 3 chunk keys are
+    // functions of the hash), so a group either survives the cap as a
+    // whole (a hamming-0 clique → one representative node) or drops as
+    // a whole, and cross-hash connectivity only needs one edge per
+    // (hash, hash) pair. The sf10 leg measured 560 M doc-level pair
+    // rows feeding the CC loop; the contracted graph is thousands of
+    // nodes. Cluster membership, canonical (min doc = min rep, since
+    // each rep is its group's min) and sizes expand back by one
+    // hash-keyed join against the stored table.
+    val ph = phashTable(spark, dir)
+    val groups = ph.groupBy("dhash")
+      .agg(min("doc_id").as("rep"), count(lit(1)).as("cnt"))
+    val gchunks = phashChunks(groups.select(col("rep").as("doc_id"), col("dhash")))
+      .select("dhash", "chunk", "key")
+      .join(groups, "dhash")
+    // the cap counts DOCS per bucket (the doc-level rule): sum of
+    // group sizes, not distinct hashes
+    val small = gchunks.groupBy("chunk", "key").agg(sum("cnt").as("bc"))
+      .filter(col("bc") <= Dedup.BucketCap).select("chunk", "key")
+    val kept = gchunks.join(small, Seq("chunk", "key"))
+    val aSide = kept.select(col("chunk"), col("key"),
+      col("dhash").as("ha"), col("rep").as("rep_a"))
+    val bSide = kept.select(col("chunk"), col("key"),
+      col("dhash").as("hb"), col("rep").as("rep_b"))
+    val cross = aSide.join(bSide, Seq("chunk", "key"))
+      .filter(col("ha") < col("hb"))
+      .filter(bit_count(col("ha").bitwiseXOR(col("hb"))) <= PhashHammingMax)
+      .select("rep_a", "rep_b")
       .distinct()
+      .localCheckpoint(true)
+    // a surviving group of >= 2 docs is in the graph even with no
+    // cross-hash match (its docs pair with each other at hamming 0)
+    val selfConnected = kept.filter(col("cnt") >= 2).select("rep").distinct()
+    val edges = cross.select(col("rep_a").as("u"), col("rep_b").as("v"))
+      .union(cross.select(col("rep_b").as("u"), col("rep_a").as("v")))
     val (labels, _) = graft.operators.Dedup.connectedComponents(edges)
-    val sizes = labels.groupBy("label").agg(count(lit(1)).as("cluster_size"))
-    labels.join(sizes, Seq("label"))
-      .select(col("doc").as("doc_id"), col("label").as("canonical_id"),
+    val repLabels = labels.select(col("doc").as("rep"), col("label"))
+      .union(selfConnected
+        .join(labels.select(col("doc").as("rep")), Seq("rep"), "left_anti")
+        .select(col("rep"), col("rep").as("label")))
+    val docLabels = ph
+      .join(groups.join(repLabels, "rep").select("dhash", "label"), "dhash")
+      .select(col("doc_id"), col("label"))
+    val sizes = docLabels.groupBy("label").agg(count(lit(1)).as("cluster_size"))
+    docLabels.join(sizes, Seq("label"))
+      .select(col("doc_id"), col("label").as("canonical_id"),
         col("cluster_size"))
       .orderBy("doc_id")
   }
