@@ -182,6 +182,17 @@ object Graph {
     * Bench's builds; queries time their iterations/joins over the
     * persisted fixed-width frame. Rows are distinct by construction
     * (the one-direction pair set has u < v).
+    *
+    * FOOTPRINT (recorded decision): a session touching all five
+    * co-order graphs holds five \|E\|-scale MEMORY_AND_DISK caches
+    * concurrently. That is the intended build-once/serve-many shape —
+    * storage blocks are evictable under the unified memory manager
+    * and spill to disk, so the bound is disk, not heap; releasing a
+    * graph between queries would instead push the corpus self-join
+    * back INTO the next timed serve. A long-lived app cycling graphs
+    * it no longer queries sheds one explicitly via
+    * [[graft.SessionMemo.release]] (and the 64-entry LRU reclaims the
+    * oldest under many-dir churn).
     */
   private[graft] def coOrderEdges(spark: SparkSession, dir: String, qty: Int): DataFrame =
     graft.SessionMemo.frames(spark, s"graph.coOrderEdges:$qty:$dir") {
@@ -713,9 +724,10 @@ object Graph {
     * pairs — at most K·\|V\| rows across ALL rounds combined — and
     * follows gr_bfs's loop discipline exactly: only each new frontier
     * checkpoints, the visited set stays a lazy union of those cached
-    * frames, broadcast under the pagerank node cap divided by the
-    * K-seed multiplier (shuffled joins past it), early exit on an
-    * empty frontier. Oracle: one recursive CTE from the K-seed frame
+    * frames, broadcast under the PLAIN pagerank node cap — legitimate
+    * because the mask frames are one row per node of two longs,
+    * exactly the cap's 16-byte design point, whatever K is (shuffled
+    * joins past it) — early exit on an empty frontier. Oracle: one recursive CTE from the K-seed frame
     * whose UNION dedups (seed, node, dist) triples.
     */
   val closeness = Q(
@@ -812,8 +824,11 @@ object Graph {
     * δ(u) = Σ_{u→v, v one level deeper} σ(u)/σ(v) · (1 + δ(v)), and
     * betweenness(v) = Σ over seeds and levels ≥ 1 of δ — the standard
     * tractable estimator (exact betweenness is O(V·E)). Every frame
-    * is (seed, node)-sized (≤ K·|V| rows), per-level localCheckpoint
-    * with release, broadcasts gated by the seed-divided node cap —
+    * is ONE ROW PER NODE with a σ (and δ) column per seed — ≤ \|V\|
+    * rows of (2K+1)×8-byte width, never K·\|V\| pairs — per-level
+    * localCheckpoint with release, broadcasts gated by the node cap
+    * SCALED DOWN by the row-width ratio (the cap's 128 MB budget
+    * assumes 16-byte rows; these are wider, so fewer nodes qualify) —
     * gr_closeness's loop discipline plus a backward pass over the
     * SAME stored level frames. Oracle: the identical forward levels
     * and backward recurrences macro-expanded as chained CTEs (the
@@ -861,16 +876,20 @@ object Graph {
          |ORDER BY node""".stripMargin
     }) { (spark, dir) =>
     val edges = edgesWithDeg(spark, dir).select(col("src").as("u"), col("dst").as("v"))
-    // COLUMN-PER-SEED frames (the gr_closeness mask discipline with
-    // path counts): one row per node carrying K sigma columns — |V|
-    // rows, never K·|V| pairs, so the standard node cap governs every
-    // broadcast legitimately at any K.
-    val bcast = nodeCount(spark, dir) <= BroadcastNodeCap
-    def maybeBroadcast(df: org.apache.spark.sql.DataFrame) =
-      if (bcast) broadcast(df) else df
     val seedIds = edges.select(col("u")).distinct()
       .orderBy("u").limit(ClosenessSeeds).collect().map(_.getLong(0)).toSeq
     val k = seedIds.length
+    // COLUMN-PER-SEED frames (the gr_closeness mask discipline with
+    // path counts): one row per node carrying K sigma columns — |V|
+    // rows, never K·|V| pairs. Unlike closeness's 16-byte mask rows,
+    // though, the widest broadcast frame here (backward pass: node +
+    // K sigmas + K deltas) is (2K+1)×8 bytes — so the node cap scales
+    // down by that width ratio to hold the same ~128 MB broadcast
+    // budget at any K.
+    val bcast = nodeCount(spark, dir) <=
+      BroadcastNodeCap * 2 / (2L * math.max(k, 1) + 1)
+    def maybeBroadcast(df: org.apache.spark.sql.DataFrame) =
+      if (bcast) broadcast(df) else df
     val s = spark
     import s.implicits._
     if (seedIds.isEmpty) {

@@ -523,9 +523,12 @@ object Streaming {
     * strict cutoff and always release together, and the downstream
     * operator's own per-micro-batch sort then restores the exact
     * (ts, side, event_id) order within each release. Rows later than
-    * the watermark delay are late by the standard contract and fall
-    * outside the guarantee — the same rows every watermarked stateful
-    * operator drops. State per user is bounded by delay × arrival
+    * the watermark delay (ts already below the watermark at arrival)
+    * are DROPPED here, the same policy as every built-in watermarked
+    * stateful operator — flatMapGroupsWithState does not filter late
+    * input itself, and admitting such a row would release it after
+    * higher-keyed rows and trip the downstream fail-loud order
+    * checks. State per user is bounded by delay × arrival
     * rate (the watermark horizon), independent of stream length;
     * EventTimeTimeout re-fires idle groups so a quiet user's ripe
     * rows still release. Chained stateful operators (this buffer
@@ -550,8 +553,18 @@ object Streaming {
       .flatMapGroupsWithState[Array[Event], Event](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (_: Long, rows: Iterator[Event], state: GroupState[Array[Event]]) =>
-          val held = state.getOption.getOrElse(Array.empty[Event]) ++ rows
           val wmUs = state.getCurrentWatermarkMs() * 1000L
+          // Rows already BELOW the watermark at arrival are late by
+          // more than the delay: DROP them here, exactly as every
+          // built-in watermarked stateful operator does. Admitting
+          // one would make it instantly ripe and emit it AFTER
+          // higher-keyed rows already released — the downstream
+          // fail-loud in-order checks would kill the whole chain on
+          // a production-shaped late tail. (flatMapGroupsWithState
+          // itself never filters late input; this is the operator's
+          // own responsibility.)
+          val held = state.getOption.getOrElse(Array.empty[Event]) ++
+            rows.filter(e => us(e.ts) >= wmUs)
           val (ripe, keep) = held.partition(e => us(e.ts) < wmUs)
           if (keep.isEmpty) state.remove()
           else {

@@ -47,12 +47,19 @@ class QueriesSpec extends AnyFunSuite {
     import org.apache.spark.sql.catalyst.plans.logical._
     df.queryExecution.optimizedPlan.foreach {
       case w: Window if w.partitionSpec.isEmpty =>
-        val bounded = w.child.collectFirst {
-          case a: Aggregate => a
-          case l: LocalRelation => l
-          case g: GlobalLimit => g
-        }.isDefined
-        assert(bounded,
+        // The bound must certify the frame FEEDING the window: walk
+        // the direct input chain through unary nodes, and through a
+        // join only if BOTH sides are themselves bounded — the old
+        // collectFirst accepted an Aggregate anywhere in the subtree,
+        // so an unpartitioned window over a corpus-sized join whose
+        // distant input contained an aggregate slipped the guard.
+        def boundedChain(p: LogicalPlan): Boolean = p match {
+          case _: Aggregate | _: LocalRelation | _: GlobalLimit => true
+          case j: Join => boundedChain(j.left) && boundedChain(j.right)
+          case u: UnaryNode => boundedChain(u.child)
+          case _ => false
+        }
+        assert(boundedChain(w.child),
           s"$name: unpartitioned window over a potentially corpus-sized frame:\n$w")
       case _ => ()
     }

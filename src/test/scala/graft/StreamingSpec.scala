@@ -1509,6 +1509,39 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("reorder drops rows later than the watermark delay instead of mis-releasing them") {
+    // A row whose ts is ALREADY below the watermark at arrival is
+    // late by more than the delay. flatMapGroupsWithState does not
+    // filter late input, so without reorder's own arrival-time drop
+    // the row would partition as instantly ripe and be emitted AFTER
+    // higher-keyed rows already released — the downstream asof/scd2
+    // fail-loud checks would then kill the chain on a production
+    // late tail. The contract is the built-in one: drop it.
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+    val mem = MemoryStream[Streaming.Event]
+    val q = Streaming.reorder(mem.toDS())
+      .writeStream.outputMode("append").format("memory").queryName("re_drop").start()
+    try {
+      mem.addData(Streaming.Event(1, ts(600), 7L, "click", 1.0),
+        Streaming.Event(2, ts(605), 7L, "purchase", 2.0))
+      q.processAllAvailable()
+      // sentinel pushes the watermark to 1190 min and flushes user 7
+      mem.addData(Streaming.Event(3, ts(1200), 8L, "sentinel", 0.0))
+      q.processAllAvailable()
+      // arrives with ts(606) << watermark: must be dropped at arrival
+      mem.addData(Streaming.Event(4, ts(606), 7L, "click", 3.0))
+      q.processAllAvailable()
+      mem.addData(Streaming.Event(5, ts(1800), 8L, "sentinel", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = spark.sql("SELECT event_id FROM re_drop").collect().map(_.getLong(0)).toSet
+    assert(ids.contains(1L) && ids.contains(2L), s"on-time rows must flush, got $ids")
+    assert(!ids.contains(4L),
+      "a row older than the watermark delay must be dropped at arrival, not released out of order")
+  }
+
   test("reorder→scd2 on a jitter-shuffled stream closes exactly batch cdc_scd2's versions") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
