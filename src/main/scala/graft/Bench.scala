@@ -209,6 +209,9 @@ object Bench {
       built("clf_trained_weights", Seq("clf_score_trained")) {
         operators.Classifier.trainedWeights(spark, sfDir)
       },
+      built("table_stats", Seq("dq_stats")) {
+        operators.DataQuality.tableStats(spark, sfDir)
+      },
       built("coorder_edges_40", Seq("gr_triangles")) {
         operators.Graph.coOrderEdges(spark, sfDir, 40)
       },

@@ -238,5 +238,165 @@ object DataQuality {
       .orderBy("l_returnflag")
   }
 
-  val all: Seq[Q] = Seq(audit, profile, checksum)
+  // ═══════ ANALYZE surface: stored table/column statistics (CBO inputs) ═══════
+
+  /** The analyzed columns: (table, column, Spark ordinal SQL, DuckDB
+    * ordinal SQL). Every column reduces to a BIGINT ordinal (keys as
+    * themselves, money/quantity in cents via round-then-cast, dates
+    * as floor(epoch)) so min/max/histogram math is INTEGER on both
+    * engines — no FP bucket-boundary divergence by construction.
+    */
+  private val StatsCols: Seq[(String, String, String, String)] = {
+    def cents(c: String) = (s"CAST(round($c * 100) AS BIGINT)",
+      s"CAST(round($c * 100) AS BIGINT)")
+    def date(c: String) = (
+      s"CAST(floor(CAST(CAST($c AS TIMESTAMP) AS DOUBLE)) AS BIGINT)",
+      s"CAST(floor(epoch($c)) AS BIGINT)")
+    Seq(
+      ("lineitem", "l_orderkey", "l_orderkey", "l_orderkey"),
+      ("lineitem", "l_partkey", "l_partkey", "l_partkey"),
+      ("lineitem", "l_suppkey", "l_suppkey", "l_suppkey"),
+      ("lineitem", "l_quantity", cents("l_quantity")._1, cents("l_quantity")._2),
+      ("lineitem", "l_extendedprice",
+        cents("l_extendedprice")._1, cents("l_extendedprice")._2),
+      ("lineitem", "l_shipdate", date("l_shipdate")._1, date("l_shipdate")._2),
+      ("orders", "o_orderkey", "o_orderkey", "o_orderkey"),
+      ("orders", "o_custkey", "o_custkey", "o_custkey"),
+      ("orders", "o_totalprice",
+        cents("o_totalprice")._1, cents("o_totalprice")._2),
+      ("orders", "o_orderdate", date("o_orderdate")._1, date("o_orderdate")._2))
+  }
+
+  private val HistBuckets = 8
+  private val ZeroHist = Seq.fill(HistBuckets)("0").mkString("|")
+
+  /** One-time ANALYZE build — the warehouse statistics store the
+    * optimizer reads instead of file sizes: per analyzed column,
+    * rows / nulls / exact NDV (+ an HLL estimate the serve row
+    * tolerance-checks) / min / max, and an 8-bucket equi-width
+    * histogram over the BIGINT ordinal domain. Two corpus passes per
+    * table, the classic ANALYZE shape: pass 1 is ONE aggregate row
+    * (count/NDV/min/max for every column — adding a column adds
+    * aggregate slots, not scans), pass 2 stacks the ordinals
+    * map-side, joins the broadcast per-column [min,max] frame, and
+    * collapses to ≤ cols×8 bucket counts via partial aggregation.
+    * The result is a ≤\|columns\|-row frame memoized like any index
+    * build; [[statsRowCounts]] exposes it driver-side as the CBO
+    * input for join planning (a catalog read, not a data read).
+    */
+  private[graft] def tableStats(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    graft.SessionMemo.frames(spark, s"dq.stats:$dir") {
+      val perTable = StatsCols.groupBy(_._1).toSeq.sortBy(_._1).map {
+        case (tname, colsAll) =>
+          val cols = colsAll.map { case (_, cn, sOrd, _) => (cn, sOrd) }
+          val df = if (tname == "lineitem") Tables.lineitem(spark, dir)
+                   else Tables.orders(spark, dir)
+          // pass 1: one aggregate row over the table
+          val aggs = cols.flatMap { case (cn, ord) =>
+            val v = expr(ord)
+            Seq(count(v).as(s"cnt_$cn"),
+              countDistinct(v).as(s"ndv_$cn"),
+              approx_count_distinct(v, 0.02).as(s"andv_$cn"),
+              min(v).as(s"mn_$cn"), max(v).as(s"mx_$cn"))
+          }
+          val row1 = df.agg(count(lit(1)).as("n_rows"), aggs: _*)
+            .localCheckpoint(true) // 1 row; fans out to per-column rows
+          val perCol = cols.map { case (cn, _) =>
+            row1.select(lit(tname).as("table_name"), lit(cn).as("column_name"),
+              col("n_rows"), (col("n_rows") - col(s"cnt_$cn")).as("n_nulls"),
+              col(s"ndv_$cn").as("ndv"), col(s"andv_$cn").as("ndv_approx"),
+              col(s"mn_$cn").cast("long").as("min_v"),
+              col(s"mx_$cn").cast("long").as("max_v"))
+          }.reduce(_ union _)
+          // pass 2: equi-width histogram per column, integer math only
+          val stackExpr = s"stack(${cols.size}, " +
+            cols.map { case (cn, ord) => s"'$cn', CAST(($ord) AS BIGINT)" }
+              .mkString(", ") + ") AS (column_name, v)"
+          val mm = perCol.select(col("column_name"),
+            col("min_v").as("mn"), col("max_v").as("mx"))
+          val hist = df.selectExpr(stackExpr).filter(col("v").isNotNull)
+            .join(broadcast(mm), "column_name")
+            .selectExpr("column_name",
+              s"least((v - mn) div ((mx - mn) div $HistBuckets + 1), ${HistBuckets - 1}) AS bk")
+            .groupBy("column_name", "bk").agg(count(lit(1)).as("c"))
+            .groupBy("column_name")
+            .agg(map_from_entries(collect_list(struct(col("bk"), col("c")))).as("m"))
+            .selectExpr("column_name",
+              s"array_join(transform(sequence(0, ${HistBuckets - 1}), " +
+                "g -> CAST(coalesce(element_at(m, CAST(g AS BIGINT)), 0) AS STRING)), '|') AS hist")
+          perCol.join(hist, Seq("column_name"), "left")
+            .select(col("table_name"), col("column_name"), col("n_rows"),
+              col("n_nulls"), col("ndv"),
+              col("min_v"), col("max_v"),
+              coalesce(col("hist"), lit(ZeroHist)).as("hist"),
+              (col("ndv") === 0 ||
+                abs(col("ndv_approx") - col("ndv")) <= lit(0.1) * col("ndv"))
+                .as("ndv_ok"))
+      }
+      val stats = perTable.reduce(_ union _)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      stats.count()
+      Seq(stats)
+    }.head
+
+  /** Serve the stored statistics — the `ANALYZE TABLE` result a user
+    * (or the planner) reads. The oracle recomputes every statistic
+    * from the raw tables in SQL, so the hash match independently
+    * checks the two-pass build; the HLL estimate ships only as the
+    * tolerance boolean (exact NDV is the value column, the sketch
+    * registry discipline).
+    */
+  val stats = Q(
+    "dq_stats", {
+      val blocks = StatsCols.map { case (t, cn, _, dOrd) =>
+        s"""s_$cn AS (SELECT $dOrd AS v FROM $t),
+           |m_$cn AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(count(v) AS BIGINT) AS n_nonnull,
+           |  CAST(count(DISTINCT v) AS BIGINT) AS ndv,
+           |  min(v) AS mn, max(v) AS mx FROM s_$cn),
+           |h_$cn AS (SELECT string_agg(CAST(coalesce(c, 0) AS VARCHAR), '|' ORDER BY g) AS hist
+           |  FROM range($HistBuckets) r(g) LEFT JOIN (
+           |    SELECT least((v - mn) // ((mx - mn) // $HistBuckets + 1), ${HistBuckets - 1}) AS bk,
+           |      count(*) AS c
+           |    FROM s_$cn, m_$cn WHERE v IS NOT NULL GROUP BY 1) b ON b.bk = r.g)"""
+          .stripMargin
+      }.mkString(",\n")
+      val selects = StatsCols.map { case (t, cn, _, _) =>
+        s"""SELECT '$t' AS table_name, '$cn' AS column_name, n_rows,
+           |  n_rows - n_nonnull AS n_nulls, ndv, mn AS min_v, mx AS max_v, hist,
+           |  TRUE AS ndv_ok
+           |FROM m_$cn, h_$cn""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"WITH\n$blocks\n$selects\nORDER BY table_name, column_name"
+    }) { (spark, dir) =>
+    tableStats(spark, dir).orderBy("table_name", "column_name")
+  }
+
+  /** Driver-side CBO input: stored per-table row counts (a catalog
+    * read of the ≤\|columns\|-row stats frame, not a data scan).
+    */
+  def statsRowCounts(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Map[String, Long] =
+    tableStats(spark, dir).select("table_name", "n_rows").distinct()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  /** Broadcast cap in ROWS estimated from stats (~64 MB at 16-byte
+    * key rows): the join side whose STATISTICS say it fits broadcasts
+    * regardless of what its compressed file size suggests — the CBO
+    * decision AQE can only make after a shuffle already started.
+    */
+  val StatsBroadcastRowCap = 4000000L
+
+  /** Stats-driven broadcast: the decision comes from the stats map
+    * (so a stale/fake entry flips the plan — pinned in PlanSpec), not
+    * from Spark's file-size estimate.
+    */
+  def broadcastByStats(statsMap: Map[String, Long], table: String,
+      df: DataFrame): DataFrame =
+    if (statsMap.getOrElse(table, Long.MaxValue) <= StatsBroadcastRowCap)
+      broadcast(df)
+    else df
+
+  val all: Seq[Q] = Seq(audit, profile, checksum, stats)
 }

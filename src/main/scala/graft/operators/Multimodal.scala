@@ -781,6 +781,131 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  // ═══════ real-format headers: JPEG (SOF0 scan) + PNG (IHDR + CRC) ═══════
+
+  /** Big-endian encoders (network byte order — JPEG/PNG synthesis). */
+  private def be32(v: Column): Column = unhex(lpad(hex(v.cast("long")), 8, "0"))
+  private def be16(v: Column): Column = unhex(lpad(hex(v.cast("long")), 4, "0"))
+
+  /** Big-endian reader (1-based byte offset). */
+  private def rdbe32(p: Column, off: Int): Column =
+    conv(hex(substring(p, off, 4)), 16, 10).cast("long")
+
+  // SOF0 component specs: (id, sampling, quant-table) per component
+  private val JpegComps3 = "012200021101031101"
+  private val JpegComps1 = "011100"
+
+  /** Minimal structurally-real JPEG: SOI → APP0/JFIF → a COM segment
+    * whose LENGTH VARIES per doc (so the parser must walk marker
+    * segments, not read a fixed offset) → SOF0 carrying the geometry
+    * → EOI. Printable-ASCII COM data keeps 0xFF out of segment
+    * payloads, so the SOF0 marker scan is unambiguous (real decoders
+    * rely on the same byte-stuffing guarantee inside entropy data).
+    */
+  private def jpegPayload: Column = {
+    val nf = when(col("doc_id") % 4 === 0, lit(3L)).otherwise(lit(1L))
+    val comLen = (lit(1L) + col("doc_id") % 40).cast("long")
+    val comData = expr("rpad('', CAST(1 + doc_id % 40 AS INT), '.')").cast("binary")
+    concat(
+      unhex(lit("FFD8")),
+      unhex(lit("FFE0")), be16(lit(16L)), unhex(lit("4A46494600")),
+      unhex(lit("0101")), unhex(lit("00")), be16(lit(72L)), be16(lit(72L)),
+      unhex(lit("0000")),
+      unhex(lit("FFFE")), be16(comLen + 2), comData,
+      unhex(lit("FFC0")), be16(lit(8L) + lit(3L) * nf), unhex(lit("08")),
+      be16(lit(9L) + col("doc_id") % 17), be16(lit(16L) + col("doc_id") % 31),
+      unhex(lpad(hex(nf), 2, "0")),
+      unhex(when(nf === 3, lit(JpegComps3)).otherwise(lit(JpegComps1))),
+      unhex(lit("FFD9")))
+  }
+
+  /** Minimal structurally-real PNG: 8-byte signature, IHDR with a
+    * REAL CRC-32 over its type+data (Spark's crc32 — the parser
+    * recomputes and verifies it), an IDAT chunk carrying the text
+    * bytes, and IEND with the canonical constant CRC.
+    */
+  private def pngPayload: Column = {
+    val colorType = when(col("doc_id") % 4 === 1, lit(0L)).otherwise(lit(2L))
+    val ihdrBody = concat(bin("IHDR"),
+      be32(lit(16L) + col("doc_id") % 31), be32(lit(9L) + col("doc_id") % 17),
+      unhex(lit("08")), unhex(lpad(hex(colorType), 2, "0")), unhex(lit("000000")))
+    val idatData = col("text").cast("binary")
+    val idatBody = concat(bin("IDAT"), idatData)
+    concat(
+      unhex(lit("89504E470D0A1A0A")),
+      be32(lit(13L)), ihdrBody, be32(crc32(ihdrBody)),
+      be32(octet_length(idatData).cast("long")), idatBody, be32(crc32(idatBody)),
+      be32(lit(0L)), bin("IEND"), unhex(lit("AE426082")))
+  }
+
+  /** Mixed-format image header parse — the shape a crawl pipeline
+    * actually meets: each doc's payload is a minimal-but-structural
+    * JPEG (even doc_id) or PNG (odd), the parser DETECTS the format
+    * from the magic bytes and dispatches; JPEG geometry comes from a
+    * marker SCAN to SOF0 across a variable-length COM segment (fixed
+    * offsets would mis-read any real file), PNG geometry from IHDR's
+    * fixed layout plus a recomputed-CRC-32 integrity check. The
+    * oracle derives every field arithmetically from doc_id without
+    * touching bytes (the mm_meta discipline: the hash match is an
+    * independent check of the byte-level parser). Map-only at any
+    * scale — one projection over the blob column, no shuffle.
+    */
+  val codecMeta = Q(
+    "mm_codec_meta",
+    """SELECT doc_id,
+      |  CASE WHEN doc_id % 2 = 0 THEN 'JPEG' ELSE 'PNG' END AS format,
+      |  CAST(CASE WHEN doc_id % 2 = 0
+      |    THEN 36 + (1 + doc_id % 40) + 3 * (CASE WHEN doc_id % 4 = 0 THEN 3 ELSE 1 END)
+      |    ELSE 57 + octet_length(encode(text)) END AS BIGINT) AS n_bytes,
+      |  CAST(16 + doc_id % 31 AS BIGINT) AS width,
+      |  CAST(9 + doc_id % 17 AS BIGINT) AS height,
+      |  CAST(8 AS BIGINT) AS bit_depth,
+      |  CAST(CASE WHEN doc_id % 2 = 0 THEN (CASE WHEN doc_id % 4 = 0 THEN 3 ELSE 1 END)
+      |       WHEN doc_id % 4 = 1 THEN 1 ELSE 3 END AS BIGINT) AS n_channels,
+      |  round(1e-9 + (16 + doc_id % 31) / CAST(9 + doc_id % 17 AS DOUBLE), 6) AS aspect,
+      |  TRUE AS header_ok
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    val p = col("payload")
+    val hx = hex(p)
+    val isJpeg = substring(hx, 1, 4) === "FFD8"
+    // JPEG: walk to the SOF0 marker, read big-endian fields relative
+    // to it (hex-char offsets: marker 4, length 4, precision 2,
+    // height 4, width 4, Nf 2)
+    val mpos = instr(hx, "FFC0")
+    def hexAt(off: Column, len: Int): Column =
+      conv(hx.substr(off, lit(len)), 16, 10).cast("long")
+    val jH = hexAt(mpos + 10, 4)
+    val jW = hexAt(mpos + 14, 4)
+    val jDepth = hexAt(mpos + 8, 2)
+    val jNf = hexAt(mpos + 18, 2)
+    val jOk = isJpeg && hx.substr(length(hx) - 3, lit(4)) === "FFD9" && mpos > 0
+    // PNG: IHDR is fixed-layout behind the signature; verify the
+    // stored CRC-32 by recomputing it over the parsed type+data range
+    val pW = rdbe32(p, 17)
+    val pH = rdbe32(p, 21)
+    val pDepth = conv(hex(substring(p, 25, 1)), 16, 10).cast("long")
+    val pColor = conv(hex(substring(p, 26, 1)), 16, 10).cast("long")
+    val pChan = when(pColor === 0, lit(1L)).when(pColor === 2, lit(3L))
+      .when(pColor === 6, lit(4L)).otherwise(lit(0L))
+    val pOk = substring(hx, 1, 16) === "89504E470D0A1A0A" &&
+      crc32(substring(p, 13, 17)) === rdbe32(p, 30)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        when(col("doc_id") % 2 === 0, jpegPayload).otherwise(pngPayload).as("payload"))
+      .select(col("doc_id"),
+        when(isJpeg, lit("JPEG")).otherwise(lit("PNG")).as("format"),
+        octet_length(p).cast("long").as("n_bytes"),
+        when(isJpeg, jW).otherwise(pW).as("width"),
+        when(isJpeg, jH).otherwise(pH).as("height"),
+        when(isJpeg, jDepth).otherwise(pDepth).as("bit_depth"),
+        when(isJpeg, jNf).otherwise(pChan).as("n_channels"),
+        round(lit(1e-9) + when(isJpeg, jW).otherwise(pW) /
+          when(isJpeg, jH).otherwise(pH).cast("double"), 6).as("aspect"),
+        when(isJpeg, jOk).otherwise(pOk).as("header_ok"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(meta, frames, resample, image, segments, phashPairs, phashIncremental,
-    audioHash, phashClusters)
+    audioHash, phashClusters, codecMeta)
 }

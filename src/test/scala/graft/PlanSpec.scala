@@ -484,6 +484,34 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), "first/last touch must be min/max-struct aggs")
   }
 
+  test("table stats drive the broadcast decision (CBO input), not file sizes") {
+    // With Spark's own size-estimate broadcasting disabled, the ONLY
+    // broadcast path is the stats-driven hint: real stats say orders
+    // fits → BroadcastHashJoin; a fake stats entry claiming 100M rows
+    // flips the SAME join to sort-merge. The decision demonstrably
+    // comes from the stored statistics, not the parquet footprint —
+    // the join-order/strategy lever AQE can only pull after a shuffle
+    // has already started.
+    import org.apache.spark.sql.functions.col
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try {
+      val stats = operators.DataQuality.statsRowCounts(spark, sf)
+      assert(stats.contains("orders") && stats("orders") > 0)
+      def join(m: Map[String, Long]) = Tables.lineitem(spark, sf)
+        .join(operators.DataQuality.broadcastByStats(m, "orders",
+          Tables.orders(spark, sf)), col("l_orderkey") === col("o_orderkey"))
+        .queryExecution.sparkPlan.toString
+      val withStats = join(stats)
+      assert(withStats.contains("BroadcastHashJoin"),
+        "stats say orders fits: the join must broadcast despite the disabled size estimate")
+      val fake = join(stats.updated("orders", 100000000L))
+      assert(!fake.contains("BroadcastHashJoin") && fake.contains("SortMergeJoin"),
+        "stats say orders is huge: the same join must fall back to sort-merge")
+    } finally spark.conf.set(key, prev)
+  }
+
   test("gr_assortativity is ONE broadcast join over the cached edge build") {
     // d_src rides the build's outdeg column for free; only the
     // |V|-row d_dst frame joins — broadcast under the node cap. The
