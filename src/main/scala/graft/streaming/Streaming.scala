@@ -633,6 +633,86 @@ object Streaming {
       }
   }
 
+  /** Two-sided as-of input row: side 0 = purchase, 1 = click. */
+  final case class AsofIn(side: Int, event_id: Long, ts: Timestamp, user_id: Long)
+
+  /** STREAM-STREAM as-of join — purchases AND clicks both arrive
+    * live, each out-of-order within the watermark delay, and no
+    * in-order contract is required (unlike [[asof]], which needs
+    * [[reorder]] in front): each purchase is answered with the
+    * latest strictly-earlier same-user click once the watermark
+    * PROVES the answer complete. Correctness argument: a purchase at
+    * p releases only when watermark > p; every qualifying click has
+    * ts < p < watermark, and a click that late would be dropped at
+    * arrival — so all qualifying clicks are already in state, exactly
+    * the interval join's eviction-is-completeness argument applied to
+    * the asymmetric as-of predicate. State per user is bounded by the
+    * watermark horizon: pending purchases within the delay, plus the
+    * click buffer COMPACTED to clicks ≥ watermark + the single best
+    * (max (ts, id)) below it — the only below-watermark click any
+    * future purchase can ever answer with. Ties follow the batch
+    * rule: equal-timestamp clicks do NOT qualify (strictly earlier),
+    * and among equal-timestamp qualifying clicks the largest
+    * event_id wins. Replay-pinned against batch ev_asof in
+    * StreamingSpec under jitter-shuffled two-stream input.
+    */
+  def asofStream(purchases: Dataset[Event], clicks: Dataset[Event],
+      delay: String = "10 minutes"): Dataset[AsofOut] = {
+    val s = purchases.sparkSession
+    import s.implicits._
+    def us(t: Timestamp): Long = t.getTime * 1000L + (t.getNanos % 1000000L) / 1000L
+    // watermark EACH side before the union: the global watermark is
+    // then the MIN across sides (Spark's default multi-watermark
+    // policy), so a fast click stream cannot outrun the purchase
+    // stream and late-drop its rows — watermarking the unioned stream
+    // instead would track the FASTEST side and did exactly that under
+    // two-stream quantile skew in the replay spec
+    val both = purchases.map(e => AsofIn(0, e.event_id, e.ts, e.user_id))
+      .withWatermark("ts", delay)
+      .unionByName(clicks.map(e => AsofIn(1, e.event_id, e.ts, e.user_id))
+        .withWatermark("ts", delay))
+    both.groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Array[(Long, Long)], Array[(Long, Long)]), AsofOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[AsofIn],
+            state: GroupState[(Array[(Long, Long)], Array[(Long, Long)])]) =>
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          var (pend, clk) = state.getOption
+            .getOrElse((Array.empty[(Long, Long)], Array.empty[(Long, Long)]))
+          // reorder's late policy: a row already below the watermark
+          // can no longer be answered/complete — drop at arrival
+          val fresh = rows.filter(r => us(r.ts) >= wmUs).toArray
+          pend ++= fresh.iterator.filter(_.side == 0)
+            .map(r => (us(r.ts), r.event_id))
+          clk ++= fresh.iterator.filter(_.side == 1)
+            .map(r => (us(r.ts), r.event_id))
+          val (ripe, hold) = pend.partition(_._1 < wmUs)
+          val out = ripe.sorted.map { case (pUs, pId) =>
+            val q = clk.filter(_._1 < pUs)
+            if (q.isEmpty) AsofOut(pId, uid, None, None)
+            else { val (cUs, cId) = q.max; AsofOut(pId, uid, Some(cId), Some(pUs - cUs)) }
+          }
+          val below = clk.filter(_._1 < wmUs)
+          val keepClk = clk.filter(_._1 >= wmUs) ++
+            (if (below.isEmpty) Array.empty[(Long, Long)] else Array(below.max))
+          if (hold.isEmpty && keepClk.isEmpty) state.remove()
+          else {
+            state.update((hold, keepClk))
+            // re-fire only while something still ripens: a held
+            // purchase, or an uncompacted click — the lone
+            // below-watermark best never needs another wake-up
+            val pendingUs = hold.map(_._1) ++
+              keepClk.map(_._1).filter(_ >= wmUs)
+            if (pendingUs.nonEmpty) {
+              val oldest = pendingUs.min
+              state.setTimeoutTimestamp(
+                math.max(oldest / 1000L + 1, state.getCurrentWatermarkMs() + 1))
+            }
+          }
+          out.iterator
+      }
+  }
+
   /** Streaming repeated-substring scan: each arriving doc is gram-
     * exploded MAP-ONLY with the exact batch projection
     * (Dedup.spanGrams), joined stream-static against the memoized

@@ -1509,6 +1509,42 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("stream-stream asof: two live jitter-shuffled streams equal batch ev_asof") {
+    // Unlike reorder→asof (one unioned in-order stream), BOTH sides
+    // arrive as separate live streams, each disordered within the
+    // watermark delay, and the operator needs no in-order contract:
+    // the watermark itself proves each purchase's answer complete.
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val feed = jitterShuffledEvents(5L * 60 * 1000000)
+    // per-side watermarks take the MIN across sides, so BOTH streams
+    // need a far-future sentinel to flush held purchases; the
+    // purchase-side phantom row is filtered from the comparison below
+    val sentinel = feed.last
+    val purchases = feed.filter(e => e.event_type == "purchase") :+
+      sentinel.copy(event_id = Long.MinValue + 1, user_id = -2L)
+    val clicks = feed.filter(e => e.event_type == "click" || e.event_type == "sentinel")
+    val memP = MemoryStream[Streaming.Event]
+    val memC = MemoryStream[Streaming.Event]
+    val q = Streaming.asofStream(memP.toDS(), memC.toDS())
+      .writeStream.outputMode("append").format("memory").queryName("ss_asof").start()
+    try {
+      val pChunks = purchases.grouped((purchases.length + 7) / 8).toSeq
+      val cChunks = clicks.grouped((clicks.length + 7) / 8).toSeq
+      for (i <- 0 until math.max(pChunks.length, cChunks.length)) {
+        if (i < pChunks.length) memP.addData(pChunks(i).toIndexedSeq)
+        if (i < cChunks.length) memC.addData(cChunks(i).toIndexedSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val got = spark.sql("SELECT * FROM ss_asof WHERE user_id >= 0")
+    val want = operators.Events.asof.fn(spark, sf)
+    assert(got.count() == want.count() && got.count() > 0,
+      s"row counts diverged: stream ${got.count()} vs batch ${want.count()}")
+    assert(got.exceptAll(want).count() == 0)
+    assert(want.exceptAll(got).count() == 0)
+  }
+
   test("reorder drops rows later than the watermark delay instead of mis-releasing them") {
     // A row whose ts is ALREADY below the watermark at arrival is
     // late by more than the delay. flatMapGroupsWithState does not
