@@ -127,7 +127,7 @@ object Bench {
           "gr_betweenness")) {
         operators.Graph.edgesWithDeg(spark, sfDir)
       },
-      built("ivf_index", Seq("ann_ivf", "ann_ivfpq")) {
+      built("ivf_index", Seq("ann_ivf", "ann_ivfpq", "ann_knn_join")) {
         operators.Ann.ivfIndex(spark, sfDir)
       },
       built("pq_index", Seq("ann_pq", "ann_ivfpq")) {

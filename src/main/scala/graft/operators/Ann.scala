@@ -1309,17 +1309,19 @@ object Ann {
     * Scale shape: the join shuffles on the CELL key, so per-cell work
     * is bounded by cell size (≈√N under the √N-nlist sizing; the
     * ann_refresh resplit flags are the production guard against cells
-    * outgrowing that). Each vector PROBES its top-4 cells (the
+    * outgrowing that). Each vector PROBES its top-12 cells (the
     * ann_ivf nprobe knob applied to the join side — single-probe
-    * measured only 0.21 recall@3 on this geometry, 4 probes ≈ 0.6;
-    * AnnRecallSpec pins the floor against the exact in-JVM kNN), so
-    * candidate volume is ≈ 4·N·√N instead of the all-pairs N²; the
-    * per-vector top-3 rides the bounded-heap aggregate, so the
-    * post-join shuffle is O(N·k) rows, never the candidate set.
-    * Vectors whose probed cells hold no other member legitimately
-    * emit no row (both engines agree).
+    * measured only 0.21 recall@3 on this geometry, 4 probes ≈ 0.6,
+    * 8 probes 0.75, 12 probes the AnnRecallSpec-pinned ≥ 0.75 floor a SemDeDup user
+    * needs; AnnRecallSpec pins the floor against the exact in-JVM
+    * kNN), so candidate volume is ≈ 12·cap·N — linear in N under the
+    * per-cell cap — instead of the all-pairs N²; the per-vector
+    * top-3 rides the bounded-heap aggregate, so the post-join
+    * shuffle is O(N·k) rows, never the candidate set. Vectors whose
+    * probed cells hold no other member legitimately emit no row
+    * (both engines agree).
     */
-  private val KnnJoinProbe = 4
+  private val KnnJoinProbe = 12
 
   /** Per-cell JOIN-side membership cap for the kNN join: with
     * nlist = √N every cell holds ≈√N members, so uncapped candidates

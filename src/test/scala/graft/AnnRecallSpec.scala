@@ -182,8 +182,9 @@ class AnnRecallSpec extends AnyFunSuite {
       val cs = sorted.map(_.getAs[Double]("cosine"))
       assert(cs.zip(cs.tail).forall { case (a, b) => a >= b - 1e-9 })
     }
-    // measured recall vs the exact in-JVM kNN join (single-probe IVF
-    // cells trade recall for the N·√N bound — pin the floor)
+    // measured recall vs the exact in-JVM kNN join (12 probed cells
+    // under the per-cell cap keep candidates linear in N — pin the
+    // floor a SemDeDup-style consumer needs)
     import org.apache.spark.sql.functions._
     val vecs = operators.Ann.corpus(spark, sf)
       .select(col("vec_id"), col("e"), col("nrm")).collect()
@@ -198,6 +199,7 @@ class AnnRecallSpec extends AnyFunSuite {
       .map { case (v, rs) => v -> rs.map(_.getAs[Long]("neighbor_id")).toSet }
     val hits = got.map { case (v, ns) => (ns & exact(v)).size }.sum.toDouble
     val recall = hits / (exact.size * 3)
-    assert(recall >= 0.45, f"single-probe kNN-join recall $recall%.3f below floor")
+    info(f"kNN-join recall@3 vs exact: $recall%.3f")
+    assert(recall >= 0.75, f"12-probe kNN-join recall $recall%.3f below floor")
   }
 }
