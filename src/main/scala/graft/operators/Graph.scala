@@ -813,6 +813,10 @@ object Graph {
   }
 
   private val BetwMaxHops = 4
+  // Byte budget for the betweenness level-frame broadcasts (rows are
+  // (2K+1)×8 bytes wide, so the node bound = budget / width shrinks
+  // as K grows — the width-aware form of BroadcastNodeCap).
+  private val BetwBroadcastBytes = 256L << 20
 
   /** Sampled betweenness centrality (Brandes 2001 from the same K
     * deterministic seeds as gr_closeness, depth-bounded at 4 hops) —
@@ -826,9 +830,10 @@ object Graph {
     * tractable estimator (exact betweenness is O(V·E)). Every frame
     * is ONE ROW PER NODE with a σ (and δ) column per seed — ≤ \|V\|
     * rows of (2K+1)×8-byte width, never K·\|V\| pairs — per-level
-    * localCheckpoint with release, broadcasts gated by the node cap
-    * SCALED DOWN by the row-width ratio (the cap's 128 MB budget
-    * assumes 16-byte rows; these are wider, so fewer nodes qualify) —
+    * localCheckpoint with release, broadcasts gated by an explicit
+    * BYTE budget over the actual row width (so the admitted node
+    * count shrinks as K grows, instead of assuming the pagerank
+    * cap's 16-byte rows) —
     * gr_closeness's loop discipline plus a backward pass over the
     * SAME stored level frames. Oracle: the identical forward levels
     * and backward recurrences macro-expanded as chained CTEs (the
@@ -883,11 +888,16 @@ object Graph {
     // path counts): one row per node carrying K sigma columns — |V|
     // rows, never K·|V| pairs. Unlike closeness's 16-byte mask rows,
     // though, the widest broadcast frame here (backward pass: node +
-    // K sigmas + K deltas) is (2K+1)×8 bytes — so the node cap scales
-    // down by that width ratio to hold the same ~128 MB broadcast
-    // budget at any K.
-    val bcast = nodeCount(spark, dir) <=
-      BroadcastNodeCap * 2 / (2L * math.max(k, 1) + 1)
+    // K sigmas + K deltas) is (2K+1)×8 bytes — so the gate is a BYTE
+    // budget that scales the admitted node count down with K instead
+    // of assuming the pagerank cap's 16-byte rows. Budget 256 MB, 2×
+    // the pagerank cap's implied 128 MB: exactly one level frame is
+    // live at a time here (per-level checkpoint + release) vs
+    // pagerank's rank/edge co-residency, and at the default K=4 this
+    // keeps the measured sf10 broadcast plan (2.1 M nodes × 72 B =
+    // 151 MB) while K=20 would drop to shuffled joins at 0.9 M nodes.
+    val bcast =
+      nodeCount(spark, dir) * (2L * math.max(k, 1) + 1) * 8L <= BetwBroadcastBytes
     def maybeBroadcast(df: org.apache.spark.sql.DataFrame) =
       if (bcast) broadcast(df) else df
     val s = spark
