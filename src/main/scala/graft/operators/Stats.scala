@@ -271,7 +271,14 @@ object Stats {
     * keys, so both engines cut the identical 20. (The original
     * basket-self-join + eager-checkpoint formulation died in the
     * sf10 leg: a 60 M-group exact distinct hit
-    * AGGREGATE_OUT_OF_MEMORY under 32-way task concurrency.)
+    * AGGREGATE_OUT_OF_MEMORY under 32-way task concurrency. A
+    * prune-before-collapse variant — distinct (o,p) pair frame
+    * persisted, baskets collected only from frequent items — was
+    * MEASURED SLOWER at sf10: 43.9 s / 180 M shuffle rows vs this
+    * form's 22.9 s / 105 M cold, because the explicit pair distinct
+    * plus the order-count distinct cost more than the fused
+    * collect_set whose map side already dedups; recorded so it isn't
+    * retried.)
     */
   val assocRules = Q(
     "q39_assoc",
