@@ -407,5 +407,40 @@ object DataQuality {
       broadcast(df)
     else df
 
+  /** Histogram-driven selectivity estimate for a range predicate
+    * [lo, hi] on an analyzed column's BIGINT ordinal — the OTHER read
+    * the stored stats exist for (the broadcast decision reads row
+    * counts; filter-selectivity estimation reads the histograms):
+    * full buckets inside the range count whole, the two boundary
+    * buckets interpolate linearly (uniform-within-bucket, the classic
+    * equi-width assumption). Driver-side catalog read of ONE stats
+    * row; accuracy pinned against the actual fraction in
+    * ProfileDiagSpec.
+    */
+  def estimateRangeSelectivity(spark: org.apache.spark.sql.SparkSession,
+      dir: String, table: String, column: String, lo: Long, hi: Long): Double = {
+    val r = tableStats(spark, dir)
+      .filter(col("table_name") === table && col("column_name") === column)
+      .collect().headOption
+      .getOrElse(throw new IllegalArgumentException(
+        s"no stats for $table.$column — run the ANALYZE build first"))
+    val nonNull = r.getAs[Long]("n_rows") - r.getAs[Long]("n_nulls")
+    if (nonNull == 0) return 0.0
+    val mn = r.getAs[Long]("min_v"); val mx = r.getAs[Long]("max_v")
+    val w = (mx - mn) / HistBuckets + 1
+    val counts = r.getAs[String]("hist").split('|').map(_.toLong)
+    val total = counts.sum.toDouble
+    if (total == 0) return 0.0
+    val covered = counts.zipWithIndex.map { case (c, b) =>
+      val bLo = mn + b * w
+      // the last bucket also absorbs the least(...) clamp overflow
+      val bHi = if (b == HistBuckets - 1) mx else bLo + w - 1
+      val oLo = math.max(bLo, lo); val oHi = math.min(bHi, hi)
+      if (oHi < oLo) 0.0
+      else c * ((oHi - oLo + 1).toDouble / (bHi - bLo + 1).toDouble)
+    }.sum
+    covered / total
+  }
+
   val all: Seq[Q] = Seq(audit, profile, checksum, stats)
 }

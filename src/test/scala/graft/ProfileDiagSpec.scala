@@ -47,6 +47,29 @@ class ProfileDiagSpec extends AnyFunSuite {
     assert(direct.getAs[Long]("t") == rows.head.getAs[Long]("n_tokens"))
   }
 
+  test("dq_stats histograms estimate range selectivity within 5 points") {
+    // the stored 8-bucket equi-width histograms must be USABLE CBO
+    // inputs: estimate P(10 <= l_quantity <= 25) (cents ordinal
+    // 1000..2500) and P(o_totalprice <= 50000.00) from the stats
+    // alone, compare against the actual fractions
+    import org.apache.spark.sql.functions.col
+    val estQ = operators.DataQuality.estimateRangeSelectivity(
+      spark, sf, "lineitem", "l_quantity", 1000L, 2500L)
+    val li = Tables.lineitem(spark, sf)
+    val actQ = li.filter(col("l_quantity") >= 10 && col("l_quantity") <= 25)
+      .count().toDouble / li.count()
+    info(f"l_quantity in [10,25]: est $estQ%.4f vs actual $actQ%.4f")
+    assert(math.abs(estQ - actQ) <= 0.05,
+      f"histogram estimate $estQ%.4f off actual $actQ%.4f by more than 5 points")
+    val estP = operators.DataQuality.estimateRangeSelectivity(
+      spark, sf, "orders", "o_totalprice", Long.MinValue / 2, 5000000L)
+    val o = Tables.orders(spark, sf)
+    val actP = o.filter(col("o_totalprice") <= 50000.0).count().toDouble / o.count()
+    info(f"o_totalprice <= 50000: est $estP%.4f vs actual $actP%.4f")
+    assert(math.abs(estP - actP) <= 0.05,
+      f"histogram estimate $estP%.4f off actual $actP%.4f by more than 5 points")
+  }
+
   test("gr_degree_dist: histogram sums to the node count, degrees positive") {
     val rows = SparkEntry.queries("gr_degree_dist")(spark, sf).collect()
     assert(rows.nonEmpty)
