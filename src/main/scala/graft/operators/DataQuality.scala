@@ -264,7 +264,12 @@ object DataQuality {
       ("orders", "o_custkey", "o_custkey", "o_custkey"),
       ("orders", "o_totalprice",
         cents("o_totalprice")._1, cents("o_totalprice")._2),
-      ("orders", "o_orderdate", date("o_orderdate")._1, date("o_orderdate")._2))
+      ("orders", "o_orderdate", date("o_orderdate")._1, date("o_orderdate")._2),
+      // the text corpus: doc length is the distribution every curation
+      // gate keys on (q21/tx_gopher/pipe_curate thresholds)
+      ("documents", "doc_id", "doc_id", "doc_id"),
+      ("documents", "n_chars",
+        "CAST(n_chars AS BIGINT)", "CAST(n_chars AS BIGINT)"))
   }
 
   private val HistBuckets = 8
@@ -290,8 +295,11 @@ object DataQuality {
       val perTable = StatsCols.groupBy(_._1).toSeq.sortBy(_._1).map {
         case (tname, colsAll) =>
           val cols = colsAll.map { case (_, cn, sOrd, _) => (cn, sOrd) }
-          val df = if (tname == "lineitem") Tables.lineitem(spark, dir)
-                   else Tables.orders(spark, dir)
+          val df = tname match {
+            case "lineitem" => Tables.lineitem(spark, dir)
+            case "documents" => Tables.documents(spark, dir)
+            case _ => Tables.orders(spark, dir)
+          }
           // pass 1: one aggregate row over the table. The HLL
           // estimates run in a SEPARATE aggregate joined back to the
           // exact row — the q9_approx lesson: a sketch fused into the
