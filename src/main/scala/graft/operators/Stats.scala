@@ -311,8 +311,16 @@ object Stats {
     // earlier distinct+checkpoint formulation died in the sf10 leg
     // with AGGREGATE_OUT_OF_MEMORY inside the 32-way distinct.
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // the basket collapse is the one ARRAY-state aggregate in the
+    // plan: repartition its input 4× finer than the session default
+    // so each task's ObjectHashAggregate map holds 4× fewer
+    // ArrayBuffer groups before spilling (the groupBy reuses the
+    // forced partitioning — still exactly one exchange); scalar aggs
+    // elsewhere keep the coarser default
+    val basketParts = spark.sparkContext.defaultParallelism * 4
     val arr = Tables.lineitem(spark, dir)
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .repartition(basketParts, col("o"))
       .groupBy("o").agg(sort_array(collect_set(col("p"))).as("ps"))
       .persist(lvl)
     val n = arr.agg(count(lit(1)).as("n_orders"))
