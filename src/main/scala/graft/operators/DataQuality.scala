@@ -450,5 +450,166 @@ object DataQuality {
     covered / total
   }
 
-  val all: Seq[Q] = Seq(audit, profile, checksum, stats)
+  // ═══════ stats drift: ANALYZE snapshot diff (standing vs delta) ═══════
+
+  /** The drift-watched columns: (table, column, slice-key, Spark
+    * ordinal, DuckDB ordinal) — the money/date/length distributions
+    * the curation and join-planning decisions key on. Slices follow
+    * the repo-wide standing/delta convention (key % 10 < 8 standing).
+    */
+  private val DiffCols: Seq[(String, String, String, String, String)] = Seq(
+    ("lineitem", "l_quantity", "l_orderkey",
+      "CAST(round(l_quantity * 100) AS BIGINT)",
+      "CAST(round(l_quantity * 100) AS BIGINT)"),
+    ("lineitem", "l_extendedprice", "l_orderkey",
+      "CAST(round(l_extendedprice * 100) AS BIGINT)",
+      "CAST(round(l_extendedprice * 100) AS BIGINT)"),
+    ("lineitem", "l_shipdate", "l_orderkey",
+      "CAST(floor(CAST(CAST(l_shipdate AS TIMESTAMP) AS DOUBLE)) AS BIGINT)",
+      "CAST(floor(epoch(l_shipdate)) AS BIGINT)"),
+    ("orders", "o_totalprice", "o_orderkey",
+      "CAST(round(o_totalprice * 100) AS BIGINT)",
+      "CAST(round(o_totalprice * 100) AS BIGINT)"),
+    ("documents", "n_chars", "doc_id",
+      "CAST(n_chars AS BIGINT)", "CAST(n_chars AS BIGINT)"))
+
+  /** JSD drift flag floor — two same-distribution slices measure
+    * ≈0 here; a shifted delta batch clears it decisively.
+    */
+  private val DriftJsdFloor = 0.02
+
+  /** ANALYZE-snapshot drift — the statistics diff a warehouse runs
+    * when a delta batch lands: per watched column, the standing slice
+    * (key % 10 < 8) vs the delta batch (key % 10 ≥ 8) compared on
+    * row/NDV/null counts, range widening (does the delta step outside
+    * the standing [min,max] — the partition-prune invalidator), and
+    * Jensen-Shannon divergence between the two slices' 8-bucket
+    * histograms over the COMBINED integer-ordinal domain. This is the
+    * read side of dq_stats' store: detect that yesterday's statistics
+    * no longer describe today's table before the optimizer (or a
+    * curation gate) trusts them. ma_drift_psi watches one declared
+    * column; this sweeps the analyzed set with the dq_stats
+    * machinery.
+    *
+    * Scale shape: the classic two-pass ANALYZE, once per table, both
+    * slices in the SAME scans (conditional aggregate slots keyed by
+    * the slice bit, the dq_stats pass-1 shape); the histogram pass
+    * stacks ordinals map-side, joins the broadcast ≤\|cols\|-row
+    * combined-range frame, and partially aggregates to ≤ cols×2×8
+    * bucket counts. JSD then runs on a ≤ cols×8-row frame. Nothing
+    * keyed by a data value ever shuffles.
+    */
+  val statsDiff = Q(
+    "dq_stats_diff", {
+      val blocks = DiffCols.map { case (t, cn, key, _, dOrd) =>
+        s"""s_$cn AS (SELECT $dOrd AS v,
+           |    CASE WHEN $key % 10 < 8 THEN 0 ELSE 1 END AS sl FROM $t),
+           |m_$cn AS (SELECT
+           |    CAST(count(CASE WHEN sl = 0 THEN v END) AS BIGINT) AS n_std,
+           |    CAST(count(CASE WHEN sl = 1 THEN v END) AS BIGINT) AS n_dlt,
+           |    CAST(sum(CASE WHEN sl = 0 AND v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_std,
+           |    CAST(sum(CASE WHEN sl = 1 AND v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_dlt,
+           |    CAST(count(DISTINCT CASE WHEN sl = 0 THEN v END) AS BIGINT) AS ndv_std,
+           |    CAST(count(DISTINCT CASE WHEN sl = 1 THEN v END) AS BIGINT) AS ndv_dlt,
+           |    min(CASE WHEN sl = 0 THEN v END) AS mn_std,
+           |    max(CASE WHEN sl = 0 THEN v END) AS mx_std,
+           |    min(CASE WHEN sl = 1 THEN v END) AS mn_dlt,
+           |    max(CASE WHEN sl = 1 THEN v END) AS mx_dlt,
+           |    min(v) AS mn, max(v) AS mx
+           |  FROM s_$cn HAVING count(*) > 0),
+           |h_$cn AS (
+           |  SELECT least((v - mn) // ((mx - mn) // $HistBuckets + 1), ${HistBuckets - 1}) AS bk,
+           |    CAST(sum(CASE WHEN sl = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS c_std,
+           |    CAST(sum(CASE WHEN sl = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS c_dlt
+           |  FROM s_$cn, m_$cn WHERE v IS NOT NULL GROUP BY 1),
+           |j_$cn AS (
+           |  SELECT coalesce(sum(
+           |      CASE WHEN c_std > 0 THEN 0.5 * (c_std / m.n_std)
+           |        * log2(2 * (c_std / m.n_std)
+           |          / (c_std / m.n_std + c_dlt / m.n_dlt)) ELSE 0 END
+           |      + CASE WHEN c_dlt > 0 THEN 0.5 * (c_dlt / m.n_dlt)
+           |        * log2(2 * (c_dlt / m.n_dlt)
+           |          / (c_std / m.n_std + c_dlt / m.n_dlt)) ELSE 0 END), 0) AS jsd
+           |  FROM h_$cn, m_$cn m WHERE m.n_std > 0 AND m.n_dlt > 0)"""
+          .stripMargin
+      }.mkString(",\n")
+      val selects = DiffCols.map { case (t, cn, _, _, _) =>
+        s"""SELECT '$t' AS table_name, '$cn' AS column_name,
+           |  n_std, n_dlt, null_std, null_dlt, ndv_std, ndv_dlt,
+           |  CASE WHEN n_std > 0 AND n_dlt > 0
+           |    THEN mn_dlt < mn_std OR mx_dlt > mx_std END AS range_widened,
+           |  CASE WHEN n_std > 0 AND n_dlt > 0
+           |    THEN round(1e-9 + (SELECT jsd FROM j_$cn), 6) END AS jsd,
+           |  CASE WHEN n_std > 0 AND n_dlt > 0
+           |    THEN round(1e-9 + (SELECT jsd FROM j_$cn), 6) > $DriftJsdFloor
+           |  END AS drifted
+           |FROM m_$cn""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"WITH\n$blocks\n$selects\nORDER BY table_name, column_name"
+    }) { (spark, dir) =>
+    val perTable = DiffCols.groupBy(_._1).toSeq.sortBy(_._1).map {
+      case (tname, colsAll) =>
+        val key = colsAll.head._3
+        val cols = colsAll.map { case (_, cn, _, sOrd, _) => (cn, sOrd) }
+        val df = tname match {
+          case "lineitem" => Tables.lineitem(spark, dir)
+          case "documents" => Tables.documents(spark, dir)
+          case _ => Tables.orders(spark, dir)
+        }
+        val stackExpr = s"stack(${cols.size}, " +
+          cols.map { case (cn, ord) => s"'$cn', CAST(($ord) AS BIGINT)" }
+            .mkString(", ") + ") AS (column_name, v)"
+        val stacked = df
+          .withColumn("sl", when(expr(key) % 10 < 8, 0).otherwise(1))
+          .select(col("sl"), expr(stackExpr))
+        def sliceV(s: Int) = when(col("sl") === s, col("v"))
+        // pass 1: per-slice counts/NDV/min/max + the combined range,
+        // one grouped aggregate (slices are conditional slots)
+        val m = stacked.groupBy("column_name").agg(
+          count(sliceV(0)).as("n_std"), count(sliceV(1)).as("n_dlt"),
+          sum(when(col("sl") === 0 && col("v").isNull, 1L).otherwise(0L)).as("null_std"),
+          sum(when(col("sl") === 1 && col("v").isNull, 1L).otherwise(0L)).as("null_dlt"),
+          countDistinct(sliceV(0)).as("ndv_std"),
+          countDistinct(sliceV(1)).as("ndv_dlt"),
+          min(sliceV(0)).as("mn_std"), max(sliceV(0)).as("mx_std"),
+          min(sliceV(1)).as("mn_dlt"), max(sliceV(1)).as("mx_dlt"),
+          min("v").as("mn"), max("v").as("mx"))
+          .localCheckpoint(true) // ≤|cols| rows; reused by the bucket pass
+        // pass 2: per-slice histogram over the combined range → JSD
+        val buckets = stacked.filter(col("v").isNotNull)
+          .join(broadcast(m.select(col("column_name"), col("mn"), col("mx"))),
+            "column_name")
+          .selectExpr("column_name", "sl",
+            s"least((v - mn) div ((mx - mn) div $HistBuckets + 1), ${HistBuckets - 1}) AS bk")
+          .groupBy("column_name", "bk")
+          .agg(sum(when(col("sl") === 0, 1L).otherwise(0L)).cast("double").as("c_std"),
+            sum(when(col("sl") === 1, 1L).otherwise(0L)).cast("double").as("c_dlt"))
+        val pTerm = col("c_std") / col("n_std")
+        val qTerm = col("c_dlt") / col("n_dlt")
+        val jsd = buckets
+          .join(broadcast(m.select(col("column_name"), col("n_std"), col("n_dlt"))
+            .filter(col("n_std") > 0 && col("n_dlt") > 0)), "column_name")
+          .groupBy("column_name")
+          .agg(coalesce(sum(
+            when(col("c_std") > 0,
+              lit(0.5) * pTerm * log2(lit(2) * pTerm / (pTerm + qTerm))).otherwise(0d)
+              + when(col("c_dlt") > 0,
+                lit(0.5) * qTerm * log2(lit(2) * qTerm / (pTerm + qTerm))).otherwise(0d)),
+            lit(0d)).as("jsd"))
+        val bothSlices = col("n_std") > 0 && col("n_dlt") > 0
+        m.join(jsd, Seq("column_name"), "left")
+          .select(lit(tname).as("table_name"), col("column_name"),
+            col("n_std"), col("n_dlt"), col("null_std"), col("null_dlt"),
+            col("ndv_std"), col("ndv_dlt"),
+            when(bothSlices, col("mn_dlt") < col("mn_std") || col("mx_dlt") > col("mx_std"))
+              .as("range_widened"),
+            when(bothSlices, round(lit(1e-9) + coalesce(col("jsd"), lit(0d)), 6)).as("jsd"),
+            when(bothSlices,
+              round(lit(1e-9) + coalesce(col("jsd"), lit(0d)), 6) > DriftJsdFloor)
+              .as("drifted"))
+    }
+    perTable.reduce(_ unionByName _).orderBy("table_name", "column_name")
+  }
+
+  val all: Seq[Q] = Seq(audit, profile, checksum, stats, statsDiff)
 }

@@ -1855,10 +1855,100 @@ object Events {
       .orderBy("day")
   }
 
+  private val SeqWindowUs = 259200000000L // 72 h
+
+  /** CEP sequence match with NEGATION — the pattern ev_windowfunnel's
+    * monotone step-counting cannot express: `signup FOLLOWED BY
+    * purchase within 72 h, with NO error event in between` (MATCH_
+    * RECOGNIZE's `A (^C)* B` shape). The negative condition is what
+    * makes this a complex-event pattern: the funnel family only asks
+    * "did B happen after A", never "did C NOT happen between them".
+    *
+    * Plan: one running per-user error counter (window over (ts,
+    * event_id) — rows strictly BEFORE the current row, so an error AT
+    * the purchase row doesn't poison its own match) turns the
+    * negation into an integer equality: the first purchase within the
+    * window is CLEAN iff its preceding-error count equals the
+    * signup's. Every signup occurrence anchors independently
+    * (MATCH_RECOGNIZE AFTER MATCH SKIP TO NEXT ROW semantics).
+    *
+    * Scale shape: the counter window and both joins are keyed by
+    * user_id — the partitioning every sessionization op in this file
+    * already shuffles on, carried through min_by/first-purchase
+    * selection; output is one summary row. At 100 TB this is the
+    * ev_windowfunnel cost plus one integer column.
+    */
+  val sequenceMatch = Q(
+    "ev_sequence",
+    s"""WITH e AS (
+       |  SELECT user_id, event_type, epoch_us(ts) AS us,
+       |    sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) OVER (
+       |      PARTITION BY user_id ORDER BY ts, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS err_before
+       |  FROM events),
+       |s AS (SELECT user_id, us AS t1, coalesce(err_before, 0) AS e1
+       |      FROM e WHERE event_type = 'signup'),
+       |p AS (SELECT user_id, us AS tp, coalesce(err_before, 0) AS ep
+       |      FROM e WHERE event_type = 'purchase'),
+       |first_p AS (
+       |  -- e2 = err count before the FIRST in-window purchase: err_before
+       |  -- is nondecreasing in event order, so min(ep) over the window IS
+       |  -- the first purchase's counter — no arg_min tie-break needed
+       |  SELECT s.user_id, s.t1, s.e1, min(p.tp) AS t2, min(p.ep) AS e2
+       |  FROM s LEFT JOIN p ON p.user_id = s.user_id
+       |    AND p.tp > s.t1 AND p.tp <= s.t1 + $SeqWindowUs
+       |  GROUP BY s.user_id, s.t1, s.e1)
+       |SELECT
+       |  CAST(count(*) AS BIGINT) AS n_anchors,
+       |  CAST(count(t2) AS BIGINT) AS n_completed,
+       |  CAST(sum(CASE WHEN t2 IS NOT NULL AND e2 = e1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_clean,
+       |  CAST(sum(CASE WHEN t2 IS NOT NULL AND e2 > e1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_blocked,
+       |  round(1e-9 + sum(CASE WHEN t2 IS NOT NULL AND e2 = e1 THEN 1 ELSE 0 END)
+       |    / CAST(count(*) AS DOUBLE), 6) AS clean_rate,
+       |  round(1e-9 + avg(CASE WHEN e2 = e1
+       |    THEN (t2 - t1) / 3600000000.0 END), 4) AS avg_hours_clean
+       |FROM first_p""".stripMargin) { (spark, dir) =>
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("err_before",
+        coalesce(sum(when(col("event_type") === "error", 1L).otherwise(0L)).over(w),
+          lit(0L)))
+    val s = e.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("us").as("t1"), col("err_before").as("e1"))
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("us").as("tp"), col("err_before").as("ep"))
+    val firstP = s.join(p,
+        col("user_id") === col("pu") && col("tp") > col("t1") &&
+          col("tp") <= col("t1") + lit(SeqWindowUs), "left")
+      .groupBy("user_id", "t1", "e1")
+      // min(ep) == the first in-window purchase's counter (err_before is
+      // nondecreasing in event order) — avoids min_by's tie nondeterminism
+      .agg(min("tp").as("t2"), min("ep").as("e2"))
+    firstP.agg(
+      count(lit(1)).as("n_anchors"),
+      count(col("t2")).as("n_completed"),
+      sum(when(col("t2").isNotNull && col("e2") === col("e1"), 1L).otherwise(0L))
+        .as("n_clean"),
+      sum(when(col("t2").isNotNull && col("e2") > col("e1"), 1L).otherwise(0L))
+        .as("n_blocked"),
+      round(lit(1e-9) +
+        sum(when(col("t2").isNotNull && col("e2") === col("e1"), 1L).otherwise(0L)) /
+          count(lit(1)).cast("double"), 6).as("clean_rate"),
+      round(lit(1e-9) +
+        avg(when(col("e2") === col("e1"), (col("t2") - col("t1")) / lit(3600000000.0))),
+        4).as("avg_hours_clean"))
+  }
+
   val all: Seq[Q] =
     Seq(windowAgg, sessionize, funnel, json, retention, asof, rangeJoin,
       sessionWindow, variant, windowFunnel, gapfill, attribution, pathing,
       anomaly, rfm, forecast, changepoint, activeUsers, interpolate,
       pathsTopK, ltv, gini, attribMarkov, seasonality,
-      survival, conversionLag, interarrival, sloBurn, forecastHolt, propTest)
+      survival, conversionLag, interarrival, sloBurn, forecastHolt, propTest,
+      sequenceMatch)
 }

@@ -986,6 +986,87 @@ object Graph {
       col(s"s$i").cast("double") / col(s"t$i") * (lit(1.0) + col(s"e$i")))),
       lit(0.0)).as(s"d$i")
 
+  private val PprIters = 6
+  private val PprSeeds = 4
+
+  /** Per-seed teleport mass: the 0.15 restart probability split over
+    * the 4 seeds. 0.0375 parses to the identical double in both
+    * engines (one literal, no arithmetic to order-diverge).
+    */
+  private val PprTele = 0.0375
+
+  /** Personalized PageRank from the 4 smallest node ids — TrustRank's
+    * seed-propagation shape (Gyöngyi et al.): restart mass returns to
+    * a trusted SEED SET instead of uniformly, so rank measures
+    * proximity-weighted reachability from the seeds — the
+    * crawl-corpus trust/quality weight a pipeline derives from a
+    * whitelist, and the graph-local relevance score global
+    * gr_pagerank cannot express (its stationary mass is
+    * seed-agnostic). 6 damped iterations:
+    *   r' = 0.15·χ_S/\|S\| + 0.85·Σ r/outdeg
+    * over the SAME memoized bidirectional edge build as pagerank —
+    * no new corpus scan, no new edge cache.
+    *
+    * Plan shape: gr_pagerank's exactly — ranks stay a FULL \|V\|-row
+    * frame (seeds 0.25, rest 0.0: the flow aggregate then emits every
+    * node each round since in-degree ≥ 1, so the teleport term is a
+    * map-side isin over the 4 driver-collected seed ids and no
+    * union/re-aggregation ever breaks the in-place dst partitioning),
+    * per-iteration zero exchanges on the broadcast path, lazy
+    * localCheckpoint per round. The sparse-frontier alternative
+    * (carry only nonzero ranks) was REJECTED: re-injecting teleport
+    * rows for flow-less seeds needs a full-outer join that cannot
+    * broadcast, costing a \|V\|-row exchange per iteration — more
+    * than the zeros cost.
+    */
+  val ppr = Q(
+    "gr_ppr", {
+      val iters = (1 to PprIters).map { i =>
+        s"""r$i AS (SELECT e2.dst AS node,
+           |  (CASE WHEN e2.dst IN (SELECT node FROM sd) THEN CAST($PprTele AS DOUBLE)
+           |    ELSE CAST(0 AS DOUBLE) END)
+           |  + CAST($Damping AS DOUBLE) * sum(r.rank / e2.outdeg) AS rank
+           |  FROM e2 JOIN r${i - 1} r ON e2.src = r.node GROUP BY e2.dst)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e0 AS (
+         |  SELECT DISTINCT l_partkey AS src, l_suppkey + $SuppOffset AS dst FROM lineitem
+         |),
+         |edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
+         |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM edges GROUP BY src),
+         |e2 AS (SELECT e.src, e.dst, d.outdeg FROM edges e JOIN deg d ON e.src = d.src),
+         |sd AS (SELECT src AS node FROM (SELECT DISTINCT src FROM deg ORDER BY src LIMIT $PprSeeds)),
+         |r0 AS (SELECT src AS node,
+         |  CASE WHEN src IN (SELECT node FROM sd) THEN CAST(0.25 AS DOUBLE)
+         |    ELSE CAST(0 AS DOUBLE) END AS rank FROM deg),
+         |$iters
+         |SELECT node, round(1e-9 + rank, 6) AS rank
+         |FROM r$PprIters
+         |ORDER BY node""".stripMargin
+    }) { (spark, dir) =>
+    val e2 = edgesWithDeg(spark, dir)
+    val broadcastRanks = nodeCount(spark, dir) <= BroadcastNodeCap
+    // 4 bounded rows of model state (the closeness seed convention)
+    val seedIds = e2.select(col("src")).distinct()
+      .orderBy("src").limit(PprSeeds).collect().map(_.getLong(0)).toSeq
+    var ranks: DataFrame = e2.select(col("src").as("node")).distinct()
+      .select(col("node"),
+        when(col("node").isin(seedIds: _*), lit(0.25)).otherwise(lit(0.0)).as("rank"))
+    for (it <- 1 to PprIters) {
+      val prev = ranks.withColumnRenamed("node", "src")
+      val joined =
+        if (broadcastRanks) e2.join(broadcast(prev), "src")
+        else e2.join(prev.hint("SHUFFLE_HASH"), "src")
+      val next = joined
+        .groupBy("dst")
+        .agg((when(col("dst").isin(seedIds: _*), lit(PprTele)).otherwise(lit(0.0))
+          + lit(Damping) * sum(col("rank") / col("outdeg"))).as("rank"))
+        .select(col("dst").as("node"), col("rank"))
+      ranks = if (broadcastRanks && it < PprIters) next.localCheckpoint(false) else next
+    }
+    ranks.select(col("node"), round(lit(1e-9) + col("rank"), 6).as("rank"))
+      .orderBy("node")
+  }
+
   val all: Seq[Q] = Seq(pagerank, triangles, components, kcore, bfs, degreeDist,
-    jaccardLinks, lpa, assortativity, closeness, betweenness)
+    jaccardLinks, lpa, assortativity, closeness, betweenness, ppr)
 }

@@ -307,6 +307,103 @@ object Pipeline {
       .withColumn("high_ppl2", col("bits") >= highPpl2Bits)
   }
 
+  // ═══════════════ Kneser-Ney bigram perplexity ═══════════════
+
+  /** Absolute discount (the standard 0.75) and the high-surprisal
+    * flag threshold for the KN-smoothed scorer.
+    */
+  private val knDiscount = 0.75
+  private val highKnBits = 5.0
+
+  /** Interpolated Kneser-Ney bigram perplexity — the principled-
+    * smoothing companion to tx_bigram_ppl's stupid backoff: instead
+    * of an untuned 0.4 backoff weight, probability mass is moved by
+    * ABSOLUTE DISCOUNT (D = 0.75 off every seen bigram) and the
+    * lower-order distribution is the CONTINUATION probability
+    * (how many distinct contexts a word follows, not how often it
+    * occurs — the "San Francisco" correction: 'Francisco' is frequent
+    * but predictable, so KN scores it low as a novel continuation).
+    *   seen prev:   S(c|p) = max(b(p,c)-D, 0)/cp(p)
+    *                        + D·nf(p)/cp(p) · pcont(c)
+    *   unseen prev: S(c|p) = pcont(c)
+    * with pcont(c) = np(c)/B, np = distinct predecessors of c,
+    * B = distinct training bigrams, and the 0.5 pseudo-count for a
+    * word never seen as a continuation (the tx_bigram_ppl unseen
+    * convention). Trained on the same doc_id % 2 = 0 half; scores
+    * every doc, so the discount/continuation paths are exercised on
+    * genuinely unseen bigrams.
+    *
+    * Scale shape: identical to tx_bigram_ppl — (doc_id, pack)
+    * histograms before any pack-keyed join (Zipf discipline), all
+    * three LM tables derive from ONE training bigram table (cp/nf
+    * group by prev, np by continuation — no extra corpus pass), the
+    * grand total is a 1-row broadcast, and no LM table is broadcast
+    * by hint (beyond driver reach at 100 TB).
+    */
+  val knPpl = Q(
+    "tx_ppl_kn", {
+      val whSql = Hashing.wordHashesSql("text")
+      val bpSql = Hashing.bigramPacksSql("wh")
+      val P = Hashing.P
+      s"""WITH wh AS (SELECT doc_id, $whSql AS wh FROM documents),
+         |bpr AS (SELECT doc_id, unnest($bpSql) AS bp FROM wh),
+         |dc AS (SELECT doc_id, bp, CAST(count(*) AS BIGINT) AS c FROM bpr GROUP BY doc_id, bp),
+         |tb AS (SELECT bp, CAST(sum(c) AS BIGINT) AS bcnt FROM dc
+         |  WHERE doc_id % $lmTrainMod = 0 GROUP BY bp),
+         |pv AS (SELECT bp // $P AS ph, CAST(sum(bcnt) AS BIGINT) AS cp,
+         |  CAST(count(*) AS BIGINT) AS nf FROM tb GROUP BY 1),
+         |ct AS (SELECT bp % $P AS ch, CAST(count(*) AS BIGINT) AS np FROM tb GROUP BY 1),
+         |bt AS (SELECT CAST(count(*) AS DOUBLE) AS b_total FROM tb),
+         |sc AS (SELECT doc_id, bp, c, bp // $P AS ph, bp % $P AS ch FROM dc),
+         |j AS (SELECT doc_id, c,
+         |   CASE WHEN pv.cp IS NOT NULL THEN
+         |     greatest(coalesce(tb.bcnt, 0) - $knDiscount, 0) / pv.cp
+         |       + $knDiscount * pv.nf / pv.cp
+         |         * (coalesce(ct.np, $unseenCount) / b_total)
+         |   ELSE coalesce(ct.np, $unseenCount) / b_total END AS s
+         |   FROM sc LEFT JOIN tb USING (bp)
+         |     LEFT JOIN pv ON sc.ph = pv.ph
+         |     LEFT JOIN ct ON sc.ch = ct.ch
+         |     CROSS JOIN bt),
+         |d AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+         |   round(1e-9 + sum(c * -log2(s)) / sum(c) + 1e-9, 6) AS bits FROM j GROUP BY doc_id)
+         |SELECT doc_id, n_bigrams, bits, bits >= $highKnBits AS high_ppl_kn
+         |FROM d ORDER BY doc_id""".stripMargin
+    }) { (spark, dir) =>
+    val P = Hashing.P
+    val docCounts = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(Hashing.bigramPacks(Hashing.wordHashes(col("text")))).as("bp"))
+      .groupBy("doc_id", "bp").agg(count(lit(1)).as("c"))
+    val tb = docCounts.filter(col("doc_id") % lmTrainMod === 0)
+      .groupBy("bp").agg(sum("c").as("bcnt"))
+    val pv = tb.groupBy(expr(s"bp div ${P}L").as("ph"))
+      .agg(sum("bcnt").as("cp"), count(lit(1)).as("nf"))
+    val ct = tb.groupBy(pmod(col("bp"), lit(P)).as("ch"))
+      .agg(count(lit(1)).as("np"))
+    val bt = tb.agg(count(lit(1)).cast("double").as("b_total"))
+    val pcont = coalesce(col("np"), lit(unseenCount)) / col("b_total")
+    val s = when(col("cp").isNotNull,
+      greatest(coalesce(col("bcnt"), lit(0L)) - knDiscount, lit(0d)) / col("cp")
+        + lit(knDiscount) * col("nf") / col("cp") * pcont)
+      .otherwise(pcont)
+    docCounts
+      .withColumn("ph", expr(s"bp div ${P}L"))
+      .withColumn("ch", pmod(col("bp"), lit(P)))
+      .join(tb, Seq("bp"), "left")
+      .join(pv, Seq("ph"), "left")
+      .join(ct, Seq("ch"), "left")
+      .crossJoin(broadcast(bt))
+      .withColumn("s", s)
+      .groupBy("doc_id")
+      .agg(
+        sum("c").as("n_bigrams"),
+        round(lit(1e-9) + sum(col("c") * -log2(col("s"))) / sum("c") + 1e-9, 6).as("bits"))
+      .select(col("doc_id"), col("n_bigrams"), col("bits"),
+        (col("bits") >= highKnBits).as("high_ppl_kn"))
+      .orderBy("doc_id")
+  }
+
   // ═══════════════ benchmark decontamination ═══════════════
 
   /** Eval-set membership: every 10th doc (doc_id % 10 = 3) stands in
@@ -1331,7 +1428,7 @@ object Pipeline {
       .orderBy("source", "lang")
   }
 
-  val all: Seq[Q] = Seq(repetition, unigramPpl, bigramPpl, decontaminate, deconBloom,
+  val all: Seq[Q] = Seq(repetition, unigramPpl, bigramPpl, knPpl, decontaminate, deconBloom,
     deconShuffle, sample,
     weightedSample, holdoutSplit, splitSafe,
     mix, mixApply, e2e, e2eSem, chunk, chunkDedup, novelty, curriculum,

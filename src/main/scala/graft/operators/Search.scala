@@ -629,6 +629,115 @@ object Search {
     hits.orderBy("term", "doc_id")
   }
 
+  // ═══════════════ retrieval quality evaluation ═══════════════
+
+  private val EvalQueries = 50
+  private val EvalK = 10
+
+  /** IDCG lookup for binary relevance: with m relevant items
+    * available, the ideal top-[[EvalK]] page puts them first, so
+    * IDCG(m) = Σ_{i=1..min(m,k)} 1/log2(i+1). Computed ONCE here and
+    * embedded as literals in BOTH engines (Scala shortest-roundtrip
+    * doubles parse back bit-exact), so neither engine re-derives the
+    * discount curve with its own float summation order.
+    */
+  private val IdcgTable: Seq[(Int, Double)] =
+    (0 to EvalK).map(m => m -> (1 to m).map(i => 1.0 / (math.log(i + 1) / math.log(2))).sum)
+
+  /** Retrieval-quality evaluation — NDCG@10 / MRR / recall@10 of the
+    * exact cosine retriever, judged against the embedding corpus's
+    * own topic labels (a neighbor is relevant iff it carries the
+    * query's label — the standard labeled-corpus protocol, and the
+    * eval harness any retrieval-backed curation step needs before it
+    * trusts ann_* output: benchmark_eval for search). 50 queries, one
+    * metrics row each; r_total is how many relevant neighbors exist
+    * at all (the recall denominator), and queries whose label has no
+    * other member report NULL ndcg/recall rather than a fake 0.
+    *
+    * Scale shape: the 50-query frame broadcasts; scoring is map-only
+    * over the corpus into the bounded-heap top-k aggregate (shuffle
+    * O(queries·k), never a window over candidates — the ann_topk_agg
+    * plan); neighbor labels attach by broadcasting the ≤ queries×k
+    * winner frame back against the corpus scan, and per-label
+    * relevant totals are a \|labels\|-row broadcast. At 100 TB the
+    * eval costs one corpus pass + k·queries rows of bookkeeping.
+    */
+  val eval = Q(
+    "ix_eval", {
+      val idcgValues = IdcgTable.map { case (m, v) => s"($m, CAST($v AS DOUBLE))" }.mkString(", ")
+      s"""WITH c AS (SELECT * FROM (
+         |    SELECT vec_id, label, e, sqrt(list_dot_product(e, e)) AS nrm
+         |    FROM (SELECT vec_id, CAST(label AS BIGINT) AS label,
+         |          CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+         |  ) WHERE nrm > 0),
+         |q AS (SELECT vec_id AS query_id, label AS qlabel, e AS qe, nrm AS qn
+         |      FROM c WHERE vec_id < $EvalQueries),
+         |lt AS (SELECT label, CAST(count(*) AS BIGINT) AS cnt FROM c GROUP BY label),
+         |idcg(m, idcg) AS (VALUES $idcgValues),
+         |top AS (
+         |  SELECT query_id, qlabel, c.label AS nlabel,
+         |    CAST(row_number() OVER (PARTITION BY q.query_id
+         |      ORDER BY list_dot_product(qe, e) / (qn * nrm) DESC, c.vec_id) AS BIGINT) AS rank
+         |  FROM q, c WHERE c.vec_id != q.query_id
+         |  QUALIFY rank <= $EvalK),
+         |m AS (
+         |  SELECT query_id, qlabel,
+         |    CAST(sum(CASE WHEN nlabel = qlabel THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+         |    sum(CASE WHEN nlabel = qlabel THEN 1.0 / log2(rank + 1) ELSE 0 END) AS dcg,
+         |    min(CASE WHEN nlabel = qlabel THEN rank END) AS minr
+         |  FROM top GROUP BY query_id, qlabel)
+         |SELECT m.query_id, m.qlabel AS label, lt.cnt - 1 AS r_total, m.hits,
+         |  round(1e-9 + coalesce(CAST(1 AS DOUBLE) / minr, 0), 6) AS mrr,
+         |  CASE WHEN lt.cnt - 1 > 0
+         |    THEN round(1e-9 + dcg / idcg.idcg, 6) END AS ndcg,
+         |  CASE WHEN lt.cnt - 1 > 0
+         |    THEN round(1e-9 + hits / CAST(lt.cnt - 1 AS DOUBLE), 6) END AS recall
+         |FROM m JOIN lt ON lt.label = m.qlabel
+         |JOIN idcg ON idcg.m = least(lt.cnt - 1, $EvalK)
+         |ORDER BY query_id""".stripMargin
+    }) { (spark, dir) =>
+    import graft.functions.TopKAgg
+    val c = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        transform(col("embedding"), x => x.cast("double")).as("e"))
+      .withColumn("nrm", sqrt(dotC(col("e"), col("e"))))
+      .filter(col("nrm") > 0d)
+    val q = c.filter(col("vec_id") < EvalQueries)
+      .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+        col("e").as("qe"), col("nrm").as("qn"))
+    val top = broadcast(q).join(c, col("vec_id") =!= col("query_id"))
+      .withColumn("cos_raw", dotC(col("qe"), col("e")) / (col("qn") * col("nrm")))
+      .groupBy("query_id", "qlabel")
+      .agg(TopKAgg.topk_by_score(col("cos_raw"), col("vec_id"), EvalK).as("tk"))
+      .select(col("query_id"), col("qlabel"), explode(col("tk")).as("t"))
+      .select(col("query_id"), col("qlabel"),
+        col("t.id").as("nid"), col("t.rank").as("rank"))
+    // neighbor labels: broadcast the ≤ queries×k winners back onto the
+    // corpus scan — map-only, no keyed exchange over the corpus
+    val labeled = c.select(col("vec_id").as("nid"), col("label").as("nlabel"))
+      .join(broadcast(top), "nid")
+    val lt = c.groupBy("label").agg(count(lit(1)).as("cnt"))
+      .select(col("label").as("qlabel"), col("cnt"))
+    val idcgMap = typedLit(IdcgTable.map { case (m, v) => m.toLong -> v }.toMap)
+    val rel = (col("nlabel") === col("qlabel")).cast("int")
+    labeled.groupBy("query_id", "qlabel")
+      .agg(
+        sum(rel).cast("long").as("hits"),
+        sum(when(rel === 1, lit(1.0) / log2(col("rank") + 1)).otherwise(0d)).as("dcg"),
+        min(when(rel === 1, col("rank"))).as("minr"))
+      .join(broadcast(lt), "qlabel")
+      .withColumn("r_total", col("cnt") - 1)
+      .withColumn("idcg", element_at(idcgMap, least(col("r_total"), lit(EvalK.toLong))))
+      .select(col("query_id"), col("qlabel").as("label"), col("r_total"),
+        col("hits"),
+        round(lit(1e-9) + coalesce(lit(1.0) / col("minr"), lit(0d)), 6).as("mrr"),
+        when(col("r_total") > 0,
+          round(lit(1e-9) + col("dcg") / col("idcg"), 6)).as("ndcg"),
+        when(col("r_total") > 0,
+          round(lit(1e-9) + col("hits") / (col("cnt") - lit(1.0)), 6)).as("recall"))
+      .orderBy("query_id")
+  }
+
   val all: Seq[Q] = Seq(bm25, sourceSim, hybrid, sourceOverlap, bm25Incremental,
-    phrase, fuzzy, snippet)
+    phrase, fuzzy, snippet, eval)
 }
