@@ -491,13 +491,20 @@ object DataQuality {
     * column; this sweeps the analyzed set with the dq_stats
     * machinery.
     *
-    * Scale shape: the classic two-pass ANALYZE, once per table, both
-    * slices in the SAME scans (conditional aggregate slots keyed by
-    * the slice bit, the dq_stats pass-1 shape); the histogram pass
-    * stacks ordinals map-side, joins the broadcast ≤\|cols\|-row
-    * combined-range frame, and partially aggregates to ≤ cols×2×8
-    * bucket counts. JSD then runs on a ≤ cols×8-row frame. Nothing
-    * keyed by a data value ever shuffles.
+    * Scale shape: ONE scan per table into a compact (column, slice,
+    * value, count) frequency frame — the Zipf discipline one level up
+    * from dq_stats' two passes: the keyed aggregate's map-side
+    * combine collapses duplicate ordinals per partition, so the
+    * exchange carries Σ per-slice NDV rows, not \|rows\|×\|cols\|,
+    * and BOTH the per-slice stats (NDV = a row count over the
+    * distinct frame — no countDistinct Expand multiplying the scan)
+    * and the bucket histograms (bucket sums weighted by the stored
+    * counts against the broadcast combined-range frame) derive from
+    * that one checkpointed frame. The dq_stats build keeps its
+    * two-pass shape because its exact-NDV slots ride a 1-row
+    * aggregate; here the two slices would Expand the stack ×3, which
+    * at 100 TB is the difference between one shuffle of the value
+    * histogram and three of the corpus.
     */
   val statsDiff = Q(
     "dq_stats_diff", {
@@ -559,31 +566,41 @@ object DataQuality {
         val stackExpr = s"stack(${cols.size}, " +
           cols.map { case (cn, ord) => s"'$cn', CAST(($ord) AS BIGINT)" }
             .mkString(", ") + ") AS (column_name, v)"
-        val stacked = df
+        // ONE table scan → compact per-slice value histogram; map-side
+        // combine bounds the exchange by Σ per-slice NDV, not |rows|
+        val freq = df
           .withColumn("sl", when(expr(key) % 10 < 8, 0).otherwise(1))
           .select(col("sl"), expr(stackExpr))
+          .groupBy("column_name", "sl", "v").agg(count(lit(1)).as("cnt"))
+          .localCheckpoint(true) // reused by the stats AND bucket passes
+        def sliceRows(s: Int) = when(col("sl") === s && col("v").isNotNull, 1L)
+        def sliceCnt(s: Int) =
+          when(col("sl") === s && col("v").isNotNull, col("cnt")).otherwise(0L)
         def sliceV(s: Int) = when(col("sl") === s, col("v"))
-        // pass 1: per-slice counts/NDV/min/max + the combined range,
-        // one grouped aggregate (slices are conditional slots)
-        val m = stacked.groupBy("column_name").agg(
-          count(sliceV(0)).as("n_std"), count(sliceV(1)).as("n_dlt"),
-          sum(when(col("sl") === 0 && col("v").isNull, 1L).otherwise(0L)).as("null_std"),
-          sum(when(col("sl") === 1 && col("v").isNull, 1L).otherwise(0L)).as("null_dlt"),
-          countDistinct(sliceV(0)).as("ndv_std"),
-          countDistinct(sliceV(1)).as("ndv_dlt"),
+        // per-slice stats off the distinct frame: NDV is a plain
+        // conditional row count (rows are distinct (col, sl, v) by
+        // construction), counts re-weight by the stored frequencies
+        val m = freq.groupBy("column_name").agg(
+          sum(sliceCnt(0)).as("n_std"), sum(sliceCnt(1)).as("n_dlt"),
+          coalesce(sum(when(col("sl") === 0 && col("v").isNull, col("cnt"))), lit(0L))
+            .as("null_std"),
+          coalesce(sum(when(col("sl") === 1 && col("v").isNull, col("cnt"))), lit(0L))
+            .as("null_dlt"),
+          count(sliceRows(0)).as("ndv_std"), count(sliceRows(1)).as("ndv_dlt"),
           min(sliceV(0)).as("mn_std"), max(sliceV(0)).as("mx_std"),
           min(sliceV(1)).as("mn_dlt"), max(sliceV(1)).as("mx_dlt"),
           min("v").as("mn"), max("v").as("mx"))
           .localCheckpoint(true) // ≤|cols| rows; reused by the bucket pass
-        // pass 2: per-slice histogram over the combined range → JSD
-        val buckets = stacked.filter(col("v").isNotNull)
+        // per-slice histogram over the combined range → JSD, weighted
+        // by the stored counts — no second table scan
+        val buckets = freq.filter(col("v").isNotNull)
           .join(broadcast(m.select(col("column_name"), col("mn"), col("mx"))),
             "column_name")
-          .selectExpr("column_name", "sl",
+          .selectExpr("column_name", "sl", "cnt",
             s"least((v - mn) div ((mx - mn) div $HistBuckets + 1), ${HistBuckets - 1}) AS bk")
           .groupBy("column_name", "bk")
-          .agg(sum(when(col("sl") === 0, 1L).otherwise(0L)).cast("double").as("c_std"),
-            sum(when(col("sl") === 1, 1L).otherwise(0L)).cast("double").as("c_dlt"))
+          .agg(sum(when(col("sl") === 0, col("cnt")).otherwise(0L)).cast("double").as("c_std"),
+            sum(when(col("sl") === 1, col("cnt")).otherwise(0L)).cast("double").as("c_dlt"))
         val pTerm = col("c_std") / col("n_std")
         val qTerm = col("c_dlt") / col("n_dlt")
         val jsd = buckets

@@ -1855,7 +1855,9 @@ object Events {
       .orderBy("day")
   }
 
-  private val SeqWindowUs = 259200000000L // 72 h
+  // 72 h; shared with Streaming.sequenceMatch so the batch query and
+  // the stream twin cannot disagree on the pattern window
+  private[graft] val SeqWindowUs = 259200000000L
 
   /** CEP sequence match with NEGATION — the pattern ev_windowfunnel's
     * monotone step-counting cannot express: `signup FOLLOWED BY

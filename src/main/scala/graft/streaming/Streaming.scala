@@ -1444,4 +1444,79 @@ object Streaming {
       }
       .toDF()
   }
+
+  final case class SeqMatchOut(user_id: Long, anchor_id: Long, t1_us: Long,
+      outcome: String, t2_us: Option[Long], errs_between: Long)
+
+  /** CEP sequence match at ingest — the streaming twin of batch
+    * ev_sequence (`signup FOLLOWED BY purchase within 72 h with NO
+    * error between`): per-user state is the running error counter
+    * plus the OPEN anchors (signup time, error count at anchor,
+    * anchor id). An arriving purchase completes every open anchor it
+    * is the FIRST in-window purchase for — outcome 'clean' when the
+    * counters match (zero errors between), 'blocked' otherwise, with
+    * the error delta reported; any arrival past an anchor's window
+    * EXPIRES it ('expired' — final the moment the watermark of
+    * in-order replay passes t1+72 h, so append mode is sound).
+    * Anchors still open at stream end stay in state, unemitted — the
+    * stream has not yet learned their outcome (batch counts them as
+    * incomplete; the spec reconciles the two views exactly).
+    *
+    * State is bounded by the window: expiry evicts every anchor
+    * within 72 h of event time, so a user carries at most their 72-h
+    * signup rate. CONTRACT — in-order replay per user on
+    * (ts, event_id) (the batch counter's exact order; use [[reorder]]
+    * upstream for out-of-order sources), enforced fail-loud like
+    * [[asof]]/[[scd2]]. Window length is the SAME constant as the
+    * batch query (operators.Events.SeqWindowUs). Cross-validated
+    * against ev_sequence's aggregate in StreamingSpec.
+    */
+  def sequenceMatch(events: Dataset[Event]): Dataset[SeqMatchOut] = {
+    import events.sparkSession.implicits._
+    val winUs = graft.operators.Events.SeqWindowUs
+    def micros(e: Event): Long =
+      e.ts.getTime * 1000L + (e.ts.getNanos % 1000000L) / 1000L
+    events
+      .filter(e => e.event_type == "signup" || e.event_type == "purchase" ||
+        e.event_type == "error")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(List[(Long, Long, Long)], Long, Long, Long), SeqMatchOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Event],
+         state: GroupState[(List[(Long, Long, Long)], Long, Long, Long)]) =>
+          // (open anchors (t1, e1, id) newest-first, errCount, hiUs, hiId)
+          var (anchors, errs, hiUs, hiId) = state.getOption
+            .getOrElse((List.empty[(Long, Long, Long)], 0L, Long.MinValue, Long.MinValue))
+          val out = Seq.newBuilder[SeqMatchOut]
+          for (e <- rows.toSeq.sortBy(e => (micros(e), e.event_id))) {
+            val u = micros(e)
+            if (u < hiUs || (u == hiUs && e.event_id <= hiId))
+              throw new IllegalStateException(
+                s"Streaming.sequenceMatch: event ${e.event_id} of user $userId arrived " +
+                  s"after ($hiUs, $hiId) — in-order replay precondition violated")
+            hiUs = u; hiId = e.event_id
+            // expire first: in-order means no future purchase can land ≤ u,
+            // so an anchor whose window closed strictly before u is final
+            val (expired, live) = anchors.partition { case (t1, _, _) => u > t1 + winUs }
+            for ((t1, _, id) <- expired)
+              out += SeqMatchOut(userId, id, t1, "expired", None, 0L)
+            anchors = live
+            e.event_type match {
+              case "error" => errs += 1
+              case "purchase" =>
+                // this purchase is the FIRST in-window one for every
+                // still-open anchor with t1 < u (strict — batch's tp > t1)
+                val (done, stillOpen) = anchors.partition { case (t1, _, _) => t1 < u }
+                for ((t1, e1, id) <- done)
+                  out += SeqMatchOut(userId, id, t1,
+                    if (errs == e1) "clean" else "blocked", Some(u), errs - e1)
+                anchors = stillOpen
+              case _ => // signup: open a new anchor
+                anchors = (u, errs, e.event_id) :: anchors
+            }
+          }
+          state.update((anchors, errs, hiUs, hiId))
+          out.result().iterator
+      }
+  }
 }

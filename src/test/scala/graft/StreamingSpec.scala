@@ -732,6 +732,51 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty && got == want)
   }
 
+  test("streaming sequenceMatch reconciles with batch ev_sequence on an in-order replay") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    def us(t: java.sql.Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos % 1000000L) / 1000L
+    val all = eventsBatch
+      .select("event_id", "ts", "user_id", "event_type", "value").as[Event]
+      .collect()
+      .sortBy(e => (us(e.ts), e.event_id))
+    val mem = MemoryStream[Event]
+    val q = Streaming.sequenceMatch(mem.toDS())
+      .writeStream.outputMode("append").format("memory").queryName("seqm").start()
+    try {
+      for (chunk <- all.grouped((all.length + 2) / 3)) {
+        mem.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val out = spark.sql("SELECT * FROM seqm").as[Streaming.SeqMatchOut].collect()
+    val batch = SparkEntry.queries("ev_sequence")(spark, sf).collect().head
+    val clean = out.count(_.outcome == "clean").toLong
+    val blocked = out.count(_.outcome == "blocked").toLong
+    val expired = out.count(_.outcome == "expired").toLong
+    // completions are FINAL the moment they happen — append-mode counts
+    // must equal batch's exactly
+    assert(clean == batch.getAs[Long]("n_clean"))
+    assert(blocked == batch.getAs[Long]("n_blocked"))
+    assert(clean + blocked == batch.getAs[Long]("n_completed"))
+    assert(clean > 0 && blocked > 0, "the corpus must exercise both outcomes")
+    // anchors the stream has decided ≤ anchors batch saw; the gap is
+    // exactly the anchors still OPEN in state at stream end (outcome
+    // not yet learnable in append mode)
+    assert(clean + blocked + expired <= batch.getAs[Long]("n_anchors"))
+    // a blocked match reports a positive error delta; clean reports 0
+    assert(out.filter(_.outcome == "blocked").forall(_.errs_between > 0))
+    assert(out.filter(_.outcome == "clean").forall(_.errs_between == 0))
+    // mean clean latency equals the batch aggregate (same rounding)
+    val cleanHours = out.filter(_.outcome == "clean")
+      .map(o => (o.t2_us.get - o.t1_us) / 3600000000.0)
+    val streamAvg = BigDecimal(1e-9 + cleanHours.sum / cleanHours.length)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(streamAvg - batch.getAs[Double]("avg_hours_clean")) < 2e-4,
+      s"stream $streamAvg vs batch ${batch.getAs[Double]("avg_hours_clean")}")
+  }
+
   test("streaming attribution reproduces batch ev_attribution on an in-order replay") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
