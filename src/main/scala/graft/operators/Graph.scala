@@ -1067,6 +1067,81 @@ object Graph {
       .orderBy("node")
   }
 
+  private val HitsIters = 5
+
+  /** HITS hubs & authorities (Kleinberg) on the DIRECTED bipartite
+    * co-purchase graph — parts point at the suppliers that stock
+    * them, so hubs are parts whose suppliers are authoritative and
+    * authorities are suppliers stocked by strong hubs: the mutual
+    * recursion PageRank's single stationary score cannot express
+    * (gr_pagerank ranks one symmetrized quantity; HITS separates the
+    * two ROLES of the bipartite graph). 5 rounds of
+    *   a = Eᵀh / ‖Eᵀh‖₂,  h = Ea / ‖Ea‖₂.
+    *
+    * Plan shape: serves ENTIRELY from the memoized BIDIRECTIONAL
+    * edge cache — the p→s rows drive the authority step and the s→p
+    * rows ARE the transpose, so BOTH half-steps aggregate on the
+    * cache's dst partitioning IN PLACE under a broadcast of the
+    * |V|-row score frame (the gr_pagerank zero-exchange trick, twice
+    * per round); the L2 norm is a 1-row broadcast. Per-round lazy
+    * localCheckpoint keeps the composed plan one-round deep. Only
+    * FINAL scores round (6 dp); the per-round norm divisions drift
+    * ~1e-15 across engines' partial-sum orders, far under the nudge.
+    */
+  val hits = Q(
+    "gr_hits", {
+      val rounds = (1 to HitsIters).map { i =>
+        s"""a${i}r AS MATERIALIZED (SELECT e.s AS node, sum(h${i - 1}.x) AS x
+           |  FROM e0 e JOIN h${i - 1} ON h${i - 1}.node = e.p GROUP BY e.s),
+           |a${i}n AS (SELECT sqrt(sum(x * x)) AS nm FROM a${i}r),
+           |a$i AS MATERIALIZED (SELECT node, x / nm AS x FROM a${i}r, a${i}n),
+           |h${i}r AS MATERIALIZED (SELECT e.p AS node, sum(a$i.x) AS x
+           |  FROM e0 e JOIN a$i ON a$i.node = e.s GROUP BY e.p),
+           |h${i}n AS (SELECT sqrt(sum(x * x)) AS nm FROM h${i}r),
+           |h$i AS MATERIALIZED (SELECT node, x / nm AS x FROM h${i}r, h${i}n)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e0 AS MATERIALIZED (
+         |  SELECT DISTINCT l_partkey AS p, l_suppkey + $SuppOffset AS s FROM lineitem
+         |),
+         |h0 AS MATERIALIZED (SELECT DISTINCT p AS node, CAST(1 AS DOUBLE) AS x FROM e0),
+         |$rounds
+         |SELECT node, kind, round(1e-9 + x, 6) AS score FROM (
+         |  SELECT node, 'hub' AS kind, x FROM h$HitsIters
+         |  UNION ALL
+         |  SELECT node, 'authority' AS kind, x FROM a$HitsIters)
+         |ORDER BY kind, node""".stripMargin
+    }) { (spark, dir) =>
+    val e2 = edgesWithDeg(spark, dir)
+    val bcast = nodeCount(spark, dir) <= BroadcastNodeCap
+    def maybeB(df: DataFrame) = if (bcast) broadcast(df) else df.hint("SHUFFLE_HASH")
+    // the cache's two directions: p→s rows drive a = Eᵀh (group by the
+    // supplier dst), s→p rows drive h = Ea (group by the part dst) —
+    // both aggregations land on the cache's own dst partitioning
+    val fwd = e2.filter(col("src") < SuppOffset).select(col("src").as("p"), col("dst").as("s"))
+    val rev = e2.filter(col("src") >= SuppOffset).select(col("src").as("s"), col("dst").as("p"))
+    def normalize(raw: DataFrame): DataFrame = {
+      val nm = raw.agg(sqrt(sum(col("x") * col("x"))).as("nm"))
+      raw.crossJoin(broadcast(nm)).select(col("node"), (col("x") / col("nm")).as("x"))
+    }
+    var h: DataFrame = fwd.select(col("p").as("node")).distinct()
+      .select(col("node"), lit(1.0).as("x"))
+    var a: DataFrame = null
+    for (it <- 1 to HitsIters) {
+      val aRaw = fwd.join(maybeB(h.withColumnRenamed("node", "p")), "p")
+        .groupBy(col("s").as("node")).agg(sum("x").as("x"))
+      a = normalize(aRaw)
+      if (it < HitsIters) a = a.localCheckpoint(false)
+      val hRaw = rev.join(maybeB(a.withColumnRenamed("node", "s")), "s")
+        .groupBy(col("p").as("node")).agg(sum("x").as("x"))
+      h = normalize(hRaw)
+      if (it < HitsIters) h = h.localCheckpoint(false)
+    }
+    h.select(col("node"), lit("hub").as("kind"), col("x"))
+      .unionByName(a.select(col("node"), lit("authority").as("kind"), col("x")))
+      .select(col("node"), col("kind"), round(lit(1e-9) + col("x"), 6).as("score"))
+      .orderBy("kind", "node")
+  }
+
   val all: Seq[Q] = Seq(pagerank, triangles, components, kcore, bfs, degreeDist,
-    jaccardLinks, lpa, assortativity, closeness, betweenness, ppr)
+    jaccardLinks, lpa, assortativity, closeness, betweenness, ppr, hits)
 }

@@ -536,6 +536,84 @@ object Stats {
     out
   }
 
+  /** Mann–Kendall trend TEST on weekly order revenue — the
+    * significance companion to q40's Theil–Sen estimator (q40 says
+    * how steep; this says whether a monotone trend exists at all,
+    * with no distribution assumption): S = Σ_{i<j} sign(rev_j −
+    * rev_i) over week-ordered pairs, tie-corrected variance
+    * [n(n−1)(2n+5) − Σ t(t−1)(2t+5)]/18, continuity-corrected
+    * z = (S ∓ 1)/√Var, verdict at ±1.96. The verdict compares the
+    * ROUNDED z so both engines decide identically; degenerate series
+    * (n < 2, or all-tied ⇒ Var = 0) report NULL z and verdict rather
+    * than a fake no-trend.
+    *
+    * Scale shape: the q40 discipline exactly — the corpus collapses
+    * to the ≤\|weeks\|-row aggregate first (one keyed exchange), so
+    * the O(weeks²) sign-pair join is ≤ ~70 k rows AT ANY CORPUS SIZE
+    * and every downstream frame is 1-row.
+    */
+  val trendTest = Q(
+    "ev_trend_test",
+    """WITH weekly AS (
+      |  SELECT CAST(floor(epoch(o_orderdate) / 604800) AS BIGINT) AS week,
+      |    round(1e-9 + sum(o_totalprice), 2) AS rev
+      |  FROM orders GROUP BY week),
+      |pairs AS (
+      |  SELECT CASE WHEN b.rev > a.rev THEN 1 WHEN b.rev < a.rev THEN -1 ELSE 0 END AS sg
+      |  FROM weekly a JOIN weekly b ON a.week < b.week),
+      |s AS (SELECT CAST(coalesce(sum(sg), 0) AS BIGINT) AS s_stat FROM pairs),
+      |nw AS (SELECT CAST(count(*) AS BIGINT) AS n FROM weekly),
+      |ties AS (SELECT CAST(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT) AS tc
+      |  FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM weekly GROUP BY rev
+      |        HAVING count(*) > 1)),
+      |v AS (SELECT (n * (n - 1) * (2 * n + 5) - tc) / 18.0 AS var_s FROM nw, ties),
+      |zc AS (SELECT CASE WHEN var_s > 0 THEN
+      |    round(1e-9 + (s_stat - CASE WHEN s_stat > 0 THEN 1
+      |      WHEN s_stat < 0 THEN -1 ELSE 0 END) / sqrt(var_s), 4) END AS z
+      |  FROM s, v)
+      |SELECT nw.n AS n_weeks, s.s_stat, round(1e-9 + v.var_s, 4) AS var_s, zc.z,
+      |  CASE WHEN zc.z IS NULL THEN NULL
+      |    WHEN zc.z > 1.96 THEN 'increasing'
+      |    WHEN zc.z < -1.96 THEN 'decreasing'
+      |    ELSE 'no_trend' END AS trend
+      |FROM nw, s, v, zc""".stripMargin) { (spark, dir) =>
+    val weekly = Tables.orders(spark, dir)
+      .groupBy(floor(col("o_orderdate").cast("timestamp").cast("double") / 604800)
+        .cast("long").as("week"))
+      // 2-dp round BEFORE the sign/tie comparisons: S and the tie groups
+      // are DISCRETE in rev, and mathematically-equal multi-row sums can
+      // drift a bit between engines' partial-sum orders — cents are the
+      // natural grain and the 1e-9 nudge is the house boundary rule
+      .agg(round(lit(1e-9) + sum("o_totalprice"), 2).as("rev"))
+      .localCheckpoint(true) // bounded frame; feeds the pair join twice + ties
+    val sg = when(col("b.rev") > col("a.rev"), 1L)
+      .when(col("b.rev") < col("a.rev"), -1L).otherwise(0L)
+    val s = weekly.as("a").join(weekly.as("b"), col("a.week") < col("b.week"))
+      .select(sg.as("sg"))
+      .agg(coalesce(sum("sg"), lit(0L)).as("s_stat"))
+    val nw = weekly.agg(count(lit(1)).as("n"))
+    val ties = weekly.groupBy("rev").agg(count(lit(1)).as("t"))
+      .filter(col("t") > 1)
+      .agg(coalesce(sum(col("t") * (col("t") - 1) * (lit(2) * col("t") + 5)), lit(0L))
+        .as("tc"))
+    val out = nw.crossJoin(s).crossJoin(ties)
+      .withColumn("var_s",
+        (col("n") * (col("n") - 1) * (lit(2) * col("n") + 5) - col("tc")) / 18.0)
+      .withColumn("z", when(col("var_s") > 0,
+        round(lit(1e-9) + (col("s_stat") -
+          when(col("s_stat") > 0, 1L).when(col("s_stat") < 0, -1L).otherwise(0L)) /
+          sqrt(col("var_s")), 4)))
+      .select(col("n").as("n_weeks"), col("s_stat"),
+        round(lit(1e-9) + col("var_s"), 4).as("var_s"), col("z"),
+        when(col("z").isNull, lit(null).cast("string"))
+          .when(col("z") > 1.96, "increasing")
+          .when(col("z") < -1.96, "decreasing")
+          .otherwise("no_trend").as("trend"))
+      .localCheckpoint(true)
+    Dedup.releaseLocalCheckpoint(weekly)
+    out
+  }
+
   val all: Seq[Q] = Seq(regression, skyline, ttest, corrMatrix, assocRules, theilSen,
-    contribution, bootstrap)
+    contribution, bootstrap, trendTest)
 }
