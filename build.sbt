@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Bench/Verify handshake: forked stdout passes through UNPREFIXED (no
+// "[info] ") and the "[success] Total time" banner is suppressed, so the
+// final stdout line of `sbt "runMain graft.Bench"` is Bench's own summary
+// JSON — the line the driver scrapes (BENCH_r12.json shipped parsed:null
+// because the banner trailed it).
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -127,6 +127,9 @@ object Bench {
           "gr_betweenness")) {
         operators.Graph.edgesWithDeg(spark, sfDir)
       },
+      built("pagerank_incr_base", Seq("gr_pagerank_incremental")) {
+        operators.Graph.prIncrFrames(spark, sfDir)
+      },
       built("ivf_index", Seq("ann_ivf", "ann_ivfpq", "ann_knn_join")) {
         operators.Ann.ivfIndex(spark, sfDir)
       },

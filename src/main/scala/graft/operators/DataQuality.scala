@@ -614,7 +614,11 @@ object DataQuality {
                 lit(0.5) * qTerm * log2(lit(2) * qTerm / (pTerm + qTerm))).otherwise(0d)),
             lit(0d)).as("jsd"))
         val bothSlices = col("n_std") > 0 && col("n_dlt") > 0
-        m.join(jsd, Seq("column_name"), "left")
+        // materialize the ≤|cols|-row result, then RELEASE the freq/m
+        // checkpoints — otherwise 6 frames across 3 tables hold executor
+        // block storage for the session lifetime (the Stats.trendTest
+        // release discipline)
+        val result = m.join(jsd, Seq("column_name"), "left")
           .select(lit(tname).as("table_name"), col("column_name"),
             col("n_std"), col("n_dlt"), col("null_std"), col("null_dlt"),
             col("ndv_std"), col("ndv_dlt"),
@@ -624,6 +628,10 @@ object DataQuality {
             when(bothSlices,
               round(lit(1e-9) + coalesce(col("jsd"), lit(0d)), 6) > DriftJsdFloor)
               .as("drifted"))
+          .localCheckpoint(true)
+        Dedup.releaseLocalCheckpoint(freq)
+        Dedup.releaseLocalCheckpoint(m)
+        result
     }
     perTable.reduce(_ unionByName _).orderBy("table_name", "column_name")
   }

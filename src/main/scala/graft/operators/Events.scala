@@ -1055,8 +1055,12 @@ object Events {
         explode(sequence(col("lo"), col("hi"), lit(300L))).as("bucket_s"))
     val wPrev = Window.partitionBy("event_type").orderBy("bucket_s")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wNext = Window.partitionBy("event_type").orderBy("bucket_s")
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    // Backward fill via a DESC-ordered RUNNING frame: Spark's
+    // (currentRow -> unboundedFollowing) frame re-evaluates the aggregate
+    // per row (O(rows^2) per partition); the descending running frame is
+    // the same O(n) incremental machinery the forward fill uses.
+    val wNext = Window.partitionBy("event_type").orderBy(col("bucket_s").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val obsT = when(col("av").isNotNull, col("bucket_s"))
     grid
       .join(b, col("event_type") === col("b_type") && col("bucket_s") === col("b_bucket"),
@@ -1065,8 +1069,8 @@ object Events {
         coalesce(col("n"), lit(0L)).as("n"), col("av"))
       .withColumn("pv", last(col("av"), ignoreNulls = true).over(wPrev))
       .withColumn("pt", last(obsT, ignoreNulls = true).over(wPrev))
-      .withColumn("nv", first(col("av"), ignoreNulls = true).over(wNext))
-      .withColumn("nt", first(obsT, ignoreNulls = true).over(wNext))
+      .withColumn("nv", last(col("av"), ignoreNulls = true).over(wNext))
+      .withColumn("nt", last(obsT, ignoreNulls = true).over(wNext))
       .select(col("event_type"), col("bucket_s"), col("n"),
         round(lit(1e-9) +
           when(col("av").isNotNull, col("av"))
@@ -1883,23 +1887,26 @@ object Events {
   val sequenceMatch = Q(
     "ev_sequence",
     s"""WITH e AS (
-       |  SELECT user_id, event_type, epoch_us(ts) AS us,
+       |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
        |    sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) OVER (
        |      PARTITION BY user_id ORDER BY ts, event_id
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS err_before
        |  FROM events),
-       |s AS (SELECT user_id, us AS t1, coalesce(err_before, 0) AS e1
+       |s AS (SELECT user_id, event_id, us AS t1, coalesce(err_before, 0) AS e1
        |      FROM e WHERE event_type = 'signup'),
        |p AS (SELECT user_id, us AS tp, coalesce(err_before, 0) AS ep
        |      FROM e WHERE event_type = 'purchase'),
        |first_p AS (
        |  -- e2 = err count before the FIRST in-window purchase: err_before
        |  -- is nondecreasing in event order, so min(ep) over the window IS
-       |  -- the first purchase's counter — no arg_min tie-break needed
-       |  SELECT s.user_id, s.t1, s.e1, min(p.tp) AS t2, min(p.ep) AS e2
+       |  -- the first purchase's counter — no arg_min tie-break needed.
+       |  -- event_id in the key: each signup OCCURRENCE anchors
+       |  -- independently (SKIP TO NEXT ROW), even exact-duplicate rows.
+       |  SELECT s.user_id, s.event_id, s.t1, s.e1,
+       |    min(p.tp) AS t2, min(p.ep) AS e2
        |  FROM s LEFT JOIN p ON p.user_id = s.user_id
        |    AND p.tp > s.t1 AND p.tp <= s.t1 + $SeqWindowUs
-       |  GROUP BY s.user_id, s.t1, s.e1)
+       |  GROUP BY s.user_id, s.event_id, s.t1, s.e1)
        |SELECT
        |  CAST(count(*) AS BIGINT) AS n_anchors,
        |  CAST(count(t2) AS BIGINT) AS n_completed,
@@ -1921,13 +1928,14 @@ object Events {
         coalesce(sum(when(col("event_type") === "error", 1L).otherwise(0L)).over(w),
           lit(0L)))
     val s = e.filter(col("event_type") === "signup")
-      .select(col("user_id"), col("us").as("t1"), col("err_before").as("e1"))
+      .select(col("user_id"), col("event_id"),
+        col("us").as("t1"), col("err_before").as("e1"))
     val p = e.filter(col("event_type") === "purchase")
       .select(col("user_id").as("pu"), col("us").as("tp"), col("err_before").as("ep"))
     val firstP = s.join(p,
         col("user_id") === col("pu") && col("tp") > col("t1") &&
           col("tp") <= col("t1") + lit(SeqWindowUs), "left")
-      .groupBy("user_id", "t1", "e1")
+      .groupBy("user_id", "event_id", "t1", "e1")
       // min(ep) == the first in-window purchase's counter (err_before is
       // nondecreasing in event order) — avoids min_by's tie nondeterminism
       .agg(min("tp").as("t2"), min("ep").as("e2"))
