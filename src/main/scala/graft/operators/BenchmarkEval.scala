@@ -172,7 +172,7 @@ object BenchmarkEval {
        |  '  [dli] 相似度: ' || printf('%.4f', dli_similarity + 1e-9) || ' (阈值: 0.8)' AS summary
        |FROM audit
        |ORDER BY model_a, model_b""".stripMargin) { (spark, dir) =>
-    Style.audit.fn(spark, dir)
+    Style.auditDf(spark, dir)
       .select(col("model_a"), col("model_b"),
         concat(
           lit("审计对象: "), col("model_a"), lit(" vs "), col("model_b"), lit("\n"),

@@ -771,11 +771,25 @@ object Multimodal {
       .union(selfConnected
         .join(labels.select(col("doc").as("rep")), Seq("rep"), "left_anti")
         .select(col("rep"), col("rep").as("label")))
-    val docLabels = ph
-      .join(groups.join(repLabels, "rep").select("dhash", "label"), "dhash")
-      .select(col("doc_id"), col("label"))
-    val sizes = docLabels.groupBy("label").agg(count(lit(1)).as("cluster_size"))
-    docLabels.join(sizes, Seq("label"))
+    // Expand at the HASH level, not the doc level: cluster size is the
+    // sum of member-group doc counts (groups already carries cnt), so
+    // sizes come from the |hashes|-scale frame and the doc table joins
+    // the finished (dhash, label, cluster_size) map ONCE. The previous
+    // shape joined docs → labels, re-aggregated the doc frame for
+    // sizes, and joined docs AGAIN — two doc-scale shuffles and a
+    // doc-scale aggregation that the hash-level contraction (the whole
+    // point of this operator) had already made unnecessary.
+    val hashLabels = groups.join(repLabels, "rep")
+      .select(col("dhash"), col("label"), col("cnt"))
+    // cluster_size via a label-partitioned window sum on the hash
+    // frame: one hash-scale exchange, no separate aggregate + join
+    // back (and no broadcast of the cluster-size frame, whose row
+    // count is unbounded at scale — one row per duplicate cluster)
+    val sized = hashLabels
+      .withColumn("cluster_size",
+        sum("cnt").over(org.apache.spark.sql.expressions.Window.partitionBy("label")))
+      .select("dhash", "label", "cluster_size")
+    ph.join(sized, "dhash")
       .select(col("doc_id"), col("label").as("canonical_id"),
         col("cluster_size"))
       .orderBy("doc_id")

@@ -250,7 +250,7 @@ object Report {
       .agg(array_join(transform(array_sort(collect_list(col("s"))), x => x.getField("line")), "; ")
         .as("dist_str"))
 
-    val audit = Style.audit.fn(spark, dir)
+    val audit = Style.auditDf(spark, dir)
       .select("model_a", "model_b", "llmmap_similarity", "dli_similarity", "verdict", "confidence")
     val pc = Style.probeConsistency.fn(spark, dir)
       .select("model_a", "model_b", "n_probes", "n_consistent")
@@ -278,6 +278,14 @@ object Report {
       .withColumn("votes",
         when(col("llmmap_similarity") >= 0.85, 1).otherwise(0)
           + when(col("dli_similarity") >= 0.80, 1).otherwise(0))
+      // |pairs|-row barrier: the report projection below is a huge
+      // expression tree over this tiny frame, and every ACTION on the
+      // un-truncated plan re-walks the full upstream (fingerprint +
+      // audit + detected pipelines) through analysis, cache lookup and
+      // optimization — measured 1.7 s per count at sf0.1 with all
+      // leaf caches warm. The eager checkpoint pays the upstream once
+      // and leaves a 190-row LogicalRDD under the projection.
+      .localCheckpoint(true)
 
     val llm4 = format_string("%.4f", col("llmmap_similarity") + lit(1e-9))
     val featLines = displayFeatures.map { case (k, label, fmt) =>
@@ -402,7 +410,7 @@ object Report {
         .otherwise("无法确定"),
       lit("\\n  [llmmap] 相似度: "), f4(col("llmmap_similarity")), lit(" (阈值: 0.85)"),
       lit("\\n  [dli] 相似度: "), f4(col("dli_similarity")), lit(" (阈值: 0.8)"))
-    Style.audit.fn(spark, dir)
+    Style.auditDf(spark, dir)
       .select(col("model_a"), col("model_b"), concat(
         lit("{\"model_a\": \""), col("model_a"),
         lit("\", \"model_b\": \""), col("model_b"),

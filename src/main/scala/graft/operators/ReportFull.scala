@@ -368,7 +368,7 @@ object ReportFull {
     // ---- Spark plan ----
     Q("ma_report_full", sql) { (spark, dir) =>
       val nl = lit("\n")
-      val audit = Style.audit.fn(spark, dir)
+      val audit = Style.auditDf(spark, dir)
         .select("model_a", "model_b", "llmmap_similarity", "dli_similarity", "verdict", "confidence")
       val base = Report.pairsDf(spark, dir).join(audit, Seq("model_a", "model_b"))
       val pairKeys = base.select("model_a", "model_b")
@@ -426,6 +426,14 @@ object ReportFull {
         .withColumn("e5", when(col("pct") > 50d, 1).otherwise(0))
         .withColumn("d1", when(col("chars_diff") > 200d, 1).otherwise(0))
         .withColumn("d2", when(col("sent_diff") > 3d, 1).otherwise(0))
+        // |pairs|-row barrier before the six-section report projection
+        // — same rationale as ma_report: every action on the
+        // un-truncated plan re-walked the full probe/audit/fingerprint
+        // upstream through analysis + cache lookup + optimization
+        // (measured 7.0 s per count at sf0.1 with warm leaf caches);
+        // the eager checkpoint runs it once and leaves a 190-row
+        // LogicalRDD under the giant concat.
+        .localCheckpoint(true)
 
       val sim4 = format_string("%.4f", col("llmmap_similarity") + lit(1e-9))
       val dli4 = format_string("%.4f", col("dli_similarity") + lit(1e-9))
@@ -574,7 +582,7 @@ object ReportFull {
          |FROM audit
          |ORDER BY model_a, model_b""".stripMargin) { (spark, dir) =>
       val nlC = lit("\n")
-      Style.audit.fn(spark, dir)
+      Style.auditDf(spark, dir)
         .select(col("model_a"), col("model_b"), concat(
           lit(head),
           lit("| 教师模型 (Teacher) | "), col("model_a"), lit(" |\n| 学生模型 (Student) | "),

@@ -161,9 +161,15 @@ object Style {
     // an exclusive prefix COUNT plus one, via the shared two-pass
     // primitive (bounded in-bucket windows + broadcast bucket offsets;
     // order-identical to the single-window formulation).
+    // CACHED like scoresDf: every consumer self-joins this frame on
+    // probe_idx (both probe-consistency queries, ma_report's dist and
+    // pc legs, ma_report_full's probe rows), so one action otherwise
+    // re-runs the argmax + prefix-sum pipeline up to FOUR times — the
+    // frame is |docs| narrow rows, the same cache class as scoresDf.
     ScalePrim.exclusivePrefixSum(best, "source", "doc_id", lit(1L), probeBucketSize)
       .withColumn("probe_idx", (col("prefix") + 1).cast("int"))
       .select("source", "family", "probe_idx")
+      .cache()
   }
 
   // ═══════════════ queries ═══════════════
@@ -260,20 +266,12 @@ object Style {
   /** Combined audit verdict per model pair: majority vote over the
     * llmmap and DLI comparisons (engine.py:294-306).
     */
-  val audit = Q(
-    "ma_audit",
-    s"""WITH llm AS (${Audit.fpCompare.oracle.get.replace("ORDER BY model_a, model_b", "")}),
-       |dli AS (${Audit.dliCompare.oracle.get.replace("ORDER BY model_a, model_b", "")})
-       |SELECT l.model_a, l.model_b,
-       |  l.similarity AS llmmap_similarity,
-       |  x.similarity AS dli_similarity,
-       |  round(1e-9 + (l.similarity + x.similarity) / 2, 7) AS avg_similarity,
-       |  CASE WHEN CAST(l.is_derived AS INT) + CAST(x.is_derived AS INT) > 1 THEN 'likely_derived'
-       |    WHEN (l.similarity + x.similarity) / 2 < ${d("0.5")} THEN 'independent'
-       |    ELSE 'inconclusive' END AS verdict,
-       |  round(1e-9 + least(abs((l.similarity + x.similarity) / 2 - ${d("0.85")}) / ${d("0.15")}, ${d("1")}), 6) AS confidence
-       |FROM llm l JOIN dli x ON l.model_a = x.model_a AND l.model_b = x.model_b
-       |ORDER BY l.model_a, l.model_b""".stripMargin) { (spark, dir) =>
+  /** Cached audit verdict frame — |models|² fixed-width rows consumed
+    * by SIX queries (ma_audit and the whole report family); the cache
+    * means the fpCompare/dliCompare join pipeline executes once per
+    * session instead of once per consumer action.
+    */
+  private[operators] def auditDf(spark: SparkSession, dir: String): DataFrame = {
     val llm = Audit.fpCompare.fn(spark, dir)
       .select(col("model_a"), col("model_b"),
         col("similarity").as("llmmap_similarity"), col("is_derived").as("llm_derived"))
@@ -290,7 +288,24 @@ object Style {
           .when(avgSim < 0.5, "independent")
           .otherwise("inconclusive").as("verdict"),
         round(lit(1e-9) + least(abs(avgSim - 0.85) / 0.15, lit(1d)), 6).as("confidence"))
-      .orderBy("model_a", "model_b")
+      .cache()
+  }
+
+  val audit = Q(
+    "ma_audit",
+    s"""WITH llm AS (${Audit.fpCompare.oracle.get.replace("ORDER BY model_a, model_b", "")}),
+       |dli AS (${Audit.dliCompare.oracle.get.replace("ORDER BY model_a, model_b", "")})
+       |SELECT l.model_a, l.model_b,
+       |  l.similarity AS llmmap_similarity,
+       |  x.similarity AS dli_similarity,
+       |  round(1e-9 + (l.similarity + x.similarity) / 2, 7) AS avg_similarity,
+       |  CASE WHEN CAST(l.is_derived AS INT) + CAST(x.is_derived AS INT) > 1 THEN 'likely_derived'
+       |    WHEN (l.similarity + x.similarity) / 2 < ${d("0.5")} THEN 'independent'
+       |    ELSE 'inconclusive' END AS verdict,
+       |  round(1e-9 + least(abs((l.similarity + x.similarity) / 2 - ${d("0.85")}) / ${d("0.15")}, ${d("1")}), 6) AS confidence
+       |FROM llm l JOIN dli x ON l.model_a = x.model_a AND l.model_b = x.model_b
+       |ORDER BY l.model_a, l.model_b""".stripMargin) { (spark, dir) =>
+    auditDf(spark, dir).orderBy("model_a", "model_b")
   }
 
   /** Detection confusion matrix: predicted family counts per source
