@@ -191,6 +191,9 @@ object Bench {
       built("phash_corpus_index", Seq("mm_phash_incremental")) {
         operators.Multimodal.phashCorpusChunkIndex(spark, sfDir)
       },
+      built("phash_rep_edges", Seq("mm_phash_clusters")) {
+        operators.Multimodal.phashRepEdges(spark, sfDir)
+      },
       built("outlier_kll_sketches", Seq("tx_outliers_sketch")) {
         operators.Distribution.outlierKllFrames(spark, sfDir)
       },

@@ -322,10 +322,29 @@ object Dedup {
     // checkpoint the edge frame ONCE: every round runs several jobs
     // over it (neighbor-min + the convergence count), and a caller's
     // lazy union/distinct lineage would otherwise re-shuffle per job
-    val e = edges.localCheckpoint(true)
-    val nEdges = e.count()
+    val e0 = edges.localCheckpoint(true)
+    val nEdges = e0.count()
     val parts = math.max(1L, math.min(
       spark.sessionState.conf.numShufflePartitions.toLong, nEdges / 10000L)).toInt
+    // coalesce the EDGE frame to the graph-sized width too (narrow, on
+    // the checkpoint's blocks): the labels frame was already sized to
+    // the graph, but every round's neighbor-min join still launched one
+    // near-empty task per checkpoint partition on the edge side — on a
+    // few-hundred-edge graph (mm_phash_clusters' contracted reps) that
+    // fixed cost was ~0.6 s/round × 9 rounds while the actual join work
+    // is microseconds
+    val e = if (e0.rdd.getNumPartitions > parts) e0.coalesce(parts) else e0
+    // Broadcast the |V|-row label frames when the graph is small
+    // (checkpointed frames carry no stats, so auto-broadcast never
+    // fires on them): every round's plan otherwise holds ~13 tiny
+    // exchanges (neighbor-min join + agg, stepped join, 4 jump
+    // self-joins × 2 sides) and AQE executes each as its own
+    // sequential stage-job — ~0.6 s/round of pure scheduling on a
+    // 364-edge graph. The gate is edge count ≤ 4 M (labels ≤ 8 M
+    // 16-byte rows, the Graph.BroadcastNodeCap budget class); past it
+    // the shuffled shape takes over unchanged.
+    val bcastLabels = nEdges <= 4000000L
+    def side(d: DataFrame): DataFrame = if (bcastLabels) broadcast(d) else d
     var labels = e.select(col("u").as("doc")).distinct()
       .coalesce(parts)
       .withColumn("label", col("doc")).cache()
@@ -337,10 +356,10 @@ object Dedup {
         throw new IllegalStateException(
           s"connectedComponents: still $changed labels changing after $maxRounds rounds")
       val neighborMin = e
-        .join(labels.select(col("doc").as("v"), col("label").as("vlabel")), Seq("v"))
+        .join(side(labels.select(col("doc").as("v"), col("label").as("vlabel"))), Seq("v"))
         .groupBy("u").agg(min("vlabel").as("nmin"))
       val stepped = labels
-        .join(neighborMin.select(col("u").as("doc"), col("nmin")), Seq("doc"), "left")
+        .join(side(neighborMin.select(col("u").as("doc"), col("nmin"))), Seq("doc"), "left")
         .select(col("doc"), col("label").as("old"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("l1"))
         .coalesce(parts)
@@ -349,14 +368,18 @@ object Dedup {
       // label, repeatedly. A single jump per round compresses paths by
       // only a constant factor — on a long min-label chain (the sf1
       // phash graph: hamming-space chains hundreds of hops long) the
-      // min then CRAWLS and the loop hits maxRounds; three jumps per
-      // round give ~8× compression per round, restoring the
-      // logarithmic convergence the loop was designed around. Each
-      // jump is a self-join of the |V|-row frame off the round's
-      // cached base — bounded plan depth, no intra-round checkpoint.
+      // min then CRAWLS and the loop hits maxRounds. TWO jumps per
+      // round is the measured sweet spot: each extra jump adds one
+      // self-join (one broadcast-build job / exchange pair) to EVERY
+      // round, while rounds shrink only logarithmically — on a
+      // 300-node chain jumps 1/2/4 converge in 9/5/4 rounds, and on
+      // the phash rep graph (min-FLOW-limited, not distance-limited)
+      // the round count is 9 at every jump setting, so the extra
+      // jumps were pure per-round overhead (measured 4.8 s vs 3.4 s
+      // per CC call at sf0.1).
       var cur = stepped.select(col("doc"), col("old"), col("l1").as("label"))
-      for (_ <- 1 to 3) {
-        val jump = cur.select(col("doc").as("jdoc"), col("label").as("l2"))
+      for (_ <- 1 to 2) {
+        val jump = side(cur.select(col("doc").as("jdoc"), col("label").as("l2")))
         cur = cur.join(jump, cur("label") === jump("jdoc"), "left")
           .select(col("doc"), col("old"),
             least(col("label"), coalesce(col("l2"), col("label"))).as("label"))
@@ -381,7 +404,7 @@ object Dedup {
       labels = next.select("doc", "label")
       rounds += 1
     }
-    releaseLocalCheckpoint(e)
+    releaseLocalCheckpoint(e0)
     (labels, rounds)
   }
 

@@ -359,10 +359,16 @@ object Graph {
     val edges = coOrderEdges(spark, dir, CoreQty)
     // Round 1 in closed form: a0 is EVERY node, so the double
     // endpoint semi-join is the identity and the first peel is a bare
-    // degree filter — one aggregation, no joins.
+    // degree filter — one aggregation, no joins. The checkpoint keeps
+    // (node, d): at the FIXPOINT round the peel's degree aggregate IS
+    // the output core_deg (equal alive counts under a monotone peel
+    // mean an identical alive set, so that round's d was computed over
+    // exactly the final subgraph) — serving from it deletes the
+    // former separate output pass (2 broadcast builds + a third
+    // edge-cache aggregation after the loop).
     var alive = edges.groupBy(col("u")).agg(count(lit(1)).as("d"))
       .filter(col("d") >= CoreK)
-      .select(col("u").as("node"))
+      .select(col("u").as("node"), col("d"))
       .localCheckpoint(false)
     var nAlive = alive.count()
     val useBroadcast = nAlive <= BroadcastNodeCap
@@ -381,30 +387,39 @@ object Graph {
         .join(side(alive.select(col("node").as("v"))), "v")
         .groupBy("u").agg(count(lit(1)).as("d"))
         .filter(col("d") >= CoreK)
-        .select(col("u").as("node"))
+        .select(col("u").as("node"), col("d"))
         .localCheckpoint(false)
       val n = next.count()
       if (n == nAlive) {
         fixed = true // monotone peel: a no-op round is the fixpoint
-        Dedup.releaseLocalCheckpoint(next)
+        Dedup.releaseLocalCheckpoint(alive)
+        alive = next // its d column is the final core_deg (see above)
       } else {
         Dedup.releaseLocalCheckpoint(alive)
         alive = next; nAlive = n
       }
       round += 1
     }
-    // materialize the result eagerly, then RELEASE the per-query edge
-    // cache and the final alive snapshot — a bench/session running many
-    // queries must not accumulate one edge cache per kcore invocation
-    val out = edges
-      .join(if (useBroadcast) broadcast(alive.select(col("node").as("u"))) else alive.select(col("node").as("u")), "u")
-      .join(if (useBroadcast) broadcast(alive.select(col("node").as("v"))) else alive.select(col("node").as("v")), "v")
-      .groupBy("u").agg(count(lit(1)).as("core_deg"))
-      .select(col("u").as("node"), col("core_deg"))
-      .orderBy("node")
-      .localCheckpoint(true) // blocks self-clean once the frame is GC'd
-    Dedup.releaseLocalCheckpoint(alive)
-    out
+    if (fixed) {
+      // fixpoint reached: the last peel already computed core_deg
+      val out = alive.select(col("node"), col("d").as("core_deg"))
+        .orderBy("node")
+        .localCheckpoint(true) // blocks self-clean once the frame is GC'd
+      Dedup.releaseLocalCheckpoint(alive)
+      out
+    } else {
+      // round cap hit pre-fixpoint: the stored d predates the final
+      // alive set — recompute degrees over it (the pre-round-13 path)
+      val out = edges
+        .join(if (useBroadcast) broadcast(alive.select(col("node").as("u"))) else alive.select(col("node").as("u")), "u")
+        .join(if (useBroadcast) broadcast(alive.select(col("node").as("v"))) else alive.select(col("node").as("v")), "v")
+        .groupBy("u").agg(count(lit(1)).as("core_deg"))
+        .select(col("u").as("node"), col("core_deg"))
+        .orderBy("node")
+        .localCheckpoint(true)
+      Dedup.releaseLocalCheckpoint(alive)
+      out
+    }
   }
 
   private val BfsQty = 42
@@ -1296,9 +1311,14 @@ object Graph {
       .distinct()
     val newPairs = delta0.join(basePairs, Seq("src", "dst"), "left_anti")
     val intermediates = scala.collection.mutable.Buffer[DataFrame]()
+    // LAZY checkpoints for the batch scratch: each is materialized once
+    // by the first round's broadcast-build job and then served from its
+    // blocks — the former EAGER checkpoints here and on sNew ran one
+    // extra driver-blocking job apiece (4 of the serve path's ~8 jobs)
+    // for frames the rounds were about to materialize anyway.
     val newE = newPairs
       .union(newPairs.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint(true) // small; consumed by deg patch + every round
+      .localCheckpoint(false) // small; consumed by deg patch + every round
     intermediates += newE
     val degDelta = newE.groupBy("src").agg(count(lit(1)).as("ddeg"))
     // combined degree for the CHANGED srcs only — semi-probe the base
@@ -1309,7 +1329,7 @@ object Graph {
       .select(col("src"),
         (coalesce(col("outdeg"), lit(0L)) + col("ddeg")).as("cdeg"),
         col("outdeg").isNull.as("is_new"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     intermediates += changed
     val patch = changed.select("src", "cdeg")
     // broadcast left join preserves the cache's dst partitioning
@@ -1327,7 +1347,7 @@ object Graph {
           .groupBy("dst").agg(sum(col("rank") / col("outdeg")).as("s"))
         val sNew = newE2.join(broadcast(prev), "src")
           .groupBy("dst").agg(sum(col("rank") / col("outdeg")).as("sn"))
-          .localCheckpoint(true) // tiny; consumed twice below
+          .localCheckpoint(false) // tiny; consumed twice below
         intermediates += sNew
         val nextBase = sBase.join(broadcast(sNew), Seq("dst"), "left")
           .select(col("dst").as("node"),

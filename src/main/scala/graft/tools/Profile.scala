@@ -33,7 +33,7 @@ object Profile {
       val t0 = System.nanoTime(); val r = body
       (r, (System.nanoTime() - t0) / 1e9)
     }
-    println(f"${"query"}%-28s ${"construct"}%9s ${"plan"}%9s ${"exec1"}%9s ${"exec2"}%9s ${"total"}%9s")
+    println(f"${"query"}%-28s ${"construct"}%9s ${"plan"}%9s ${"exec1"}%9s ${"exec2"}%9s ${"total"}%9s ${"serve"}%9s")
     names.foreach { name =>
       graft.SparkEntry.queries.get(name) match {
         case None => println(s"$name: unknown query")
@@ -43,7 +43,10 @@ object Profile {
           val (_, tp) = t(df.queryExecution.executedPlan)
           val (_, t1) = t(df.count())
           val (_, t2) = t(df.count())
-          println(f"$name%-28s $tc%9.2f $tp%9.2f $t1%9.2f $t2%9.2f ${tc + tp + t1}%9.2f")
+          // second full invocation: memoized builds and shared caches
+          // are warm, so this is the bench's steady serve cost
+          val (_, ts) = t { val d2 = fn(spark, sfDir); d2.count() }
+          println(f"$name%-28s $tc%9.2f $tp%9.2f $t1%9.2f $t2%9.2f ${tc + tp + t1}%9.2f $ts%9.2f")
           spark.sparkContext.clearJobGroup()
       }
     }
