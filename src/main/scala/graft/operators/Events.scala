@@ -1372,15 +1372,21 @@ object Events {
       .withColumn("sid",
         sum("ns").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     val wSess = Window.partitionBy("user_id", "sid").orderBy("ts", "event_id")
-    val pos = e.withColumn("pos", row_number().over(wSess))
-    val fp = pos.filter(col("event_type") === "purchase")
-      .groupBy("user_id", "sid").agg(min("pos").as("ppos"))
     val st = when(col("event_type") === "purchase", "CONV").otherwise(col("event_type"))
-    val steps = pos.join(fp, Seq("user_id", "sid"), "left")
-      .filter(col("ppos").isNull || col("pos") <= col("ppos"))
+    // first-purchase position as a whole-partition window aggregate
+    // riding the SAME (user_id, sid) exchange+sort as pos/nxt — the
+    // former groupBy + left join paid a second session-keyed exchange
+    // and a sort-merge join for the identical ppos. nxt is safe to
+    // compute BEFORE the ppos truncation: the only row whose lead
+    // crosses the cut is the CONV row itself, which never emits an
+    // outgoing transition.
+    val pos = e.withColumn("pos", row_number().over(wSess))
       .withColumn("st", st)
-      .withColumn("nxt",
-        lead("st", 1).over(Window.partitionBy("user_id", "sid").orderBy("pos")))
+      .withColumn("nxt", lead("st", 1).over(wSess))
+      .withColumn("ppos",
+        min(when(col("event_type") === "purchase", col("pos")))
+          .over(Window.partitionBy("user_id", "sid")))
+    val steps = pos.filter(col("ppos").isNull || col("pos") <= col("ppos"))
     val trans = steps.filter(col("pos") === 1)
       .select(lit("START").as("f"), col("st").as("t"))
       .unionByName(steps.filter(col("st") =!= "CONV")

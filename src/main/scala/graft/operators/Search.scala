@@ -142,7 +142,18 @@ object Search {
       .select(col("doc_id"), col("source"),
         explode(graft.functions.Hashing.wordHashes(col("text"))).as("h"))
       .groupBy("doc_id", "source", "h").agg(count(lit(1)).as("c"))
-    val v = dc.groupBy("h").agg(count(lit(1)).as("df"))
+    // ONE corpus tokenize: collapse straight to the (source, h)
+    // profile — term totals AND the per-source doc membership count —
+    // then derive df(h) = Σ_source nd (dc is distinct by (doc, h) and
+    // doc → source is functional, so the sums agree with the oracle's
+    // per-h doc count). The previous shape referenced dc from both the
+    // vocab head and the tf pass, tokenizing the corpus TWICE per
+    // action; sc is |sources|·|vocab| rows, cached so both consumers
+    // read one materialization.
+    val sc = dc.groupBy("source", "h")
+      .agg(sum("c").as("tf"), count(lit(1)).as("nd"))
+      .cache()
+    val v = sc.groupBy("h").agg(sum("nd").as("df"))
     val vocab = v
       .agg(graft.functions.TopKAgg.topk_by_score(
         col("df").cast("double"), col("h"), simVocabK).as("tk"))
@@ -150,9 +161,8 @@ object Search {
       .select(col("t.id").as("h"))
       .join(v, "h") // re-attach df for the idf term
     val nd = Tables.documents(spark, dir).agg(count(lit(1)).as("n"))
-    val tf = dc.join(broadcast(vocab), "h")
-      .groupBy("source", "h", "df")
-      .agg(sum("c").as("tf"))
+    val tf = sc.join(broadcast(vocab), "h")
+      .select(col("source"), col("h"), col("df"), col("tf"))
     pairCosines(weightsOf(tf, nd))
   }
 
@@ -276,12 +286,17 @@ object Search {
       val qt = dt.filter(col("doc_id") < HybridQueries)
         .select(col("doc_id").as("query_id"), col("h"))
       val nn = docs.agg(count(lit(1)).as("n"))
-      val df = dt.join(broadcast(qt.select("h").distinct()), "h")
-        .groupBy("h").agg(count(lit(1)).as("df"))
+      // ONE corpus tokenize: restrict dt to query-term hits first and
+      // cache that (doc, h) hit stream — both the df aggregate and the
+      // lexical scoring join read it, where referencing dt from each
+      // tokenized the corpus TWICE per action (the query-side filter
+      // qt is a pushed doc_id scan, not a second pass).
+      val dtq = dt.join(broadcast(qt.select("h").distinct()), "h").cache()
+      val df = dtq.groupBy("h").agg(count(lit(1)).as("df"))
       val idf = df.crossJoin(broadcast(nn))
         .select(col("h"),
           (log((col("n") + 1) / (col("df") + 1).cast("double")) + 1).as("idf"))
-      val lex = dt.join(broadcast(qt), "h")
+      val lex = dtq.join(broadcast(qt), "h")
         .filter(col("doc_id") =!= col("query_id"))
         .join(broadcast(idf), "h")
         .groupBy("query_id", "doc_id")
