@@ -932,11 +932,16 @@ object Graph {
       // reached the node) zeroes re-entries
       var fs = Vector(f0)
       var hop = 0
-      var exhausted = false
       def maskOf(f: DataFrame): DataFrame = f.select(col("node"),
         (0 until k).map(i => when(col(s"s$i") > 0, lit(1L << i)).otherwise(lit(0L)))
           .reduce(_.bitwiseOR(_)).as("mask"))
-      while (hop < BetwMaxHops && !exhausted) {
+      // No per-hop isEmpty probe: the walk is depth-bounded at 4 on a
+      // co-purchase graph that never exhausts in 4 hops at any SF, so
+      // the probe was one extra driver-blocking job per hop for a
+      // branch that never fired; an empty frontier (degenerate inputs)
+      // just flows through as empty frames — every downstream join,
+      // union and aggregate of it is a no-op.
+      while (hop < BetwMaxHops) {
         val visited = fs.map(maskOf).reduce(_ union _)
           .groupBy("node").agg(bit_or(col("mask")).as("vm"))
         val next = edges
@@ -952,19 +957,19 @@ object Graph {
           }: _*)
           .filter((0 until k).map(i => col(s"s$i") > 0).reduce(_ || _))
           .localCheckpoint(false)
-        if (next.isEmpty) {
-          exhausted = true
-          Dedup.releaseLocalCheckpoint(next)
-        } else fs :+= next
+        fs :+= next
         hop += 1
       }
       val depth = fs.length - 1
       // backward: Brandes dependency accumulation per seed column over
-      // the same stored level frames
+      // the same stored level frames. LAZY checkpoints: each level is
+      // materialized by the next level's broadcast build (the final
+      // union then reads the stored blocks) — the former eager
+      // checkpoints ran one extra driver-blocking job per level.
       var deltas = Vector(fs(depth)
         .select(col("node") +: (sigCols.map(col) ++
           (0 until k).map(i => lit(0.0).as(s"d$i"))): _*)
-        .localCheckpoint(true))
+        .localCheckpoint(false))
       for (d <- depth - 1 to 0 by -1) {
         val deeper = deltas.head.select(col("node").as("v") +:
           ((0 until k).map(i => col(s"s$i").as(s"t$i")) ++
@@ -975,7 +980,7 @@ object Graph {
           .groupBy(col("u").as("node") +: sigCols.map(col): _*)
           .agg(
             deltaAgg(0), (1 until k).map(deltaAgg): _*)
-          .localCheckpoint(true)
+          .localCheckpoint(false)
         deltas +:= dd
       }
       val out = deltas.drop(1) // level 0 is the seed itself — excluded
