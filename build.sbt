@@ -33,5 +33,13 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Local-mode heap default: 16g (was 8g). In local mode the one JVM is
+  // driver AND executor, so it holds every memoized build's persisted
+  // blocks; round 13 added the incremental-PageRank base artifacts
+  // (~4 GB at the 100x leg: bidirectional base edges + pair index +
+  // converged ranks), and the first sf10 leg died building a rank
+  // broadcast against the old 8g ceiling. Parameterized for the scale
+  // legs via SPARK_DRIVER_MEM; on a real cluster this maps to executor
+  // memory sized to the resident index set (guide §5), not a constant.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

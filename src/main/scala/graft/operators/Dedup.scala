@@ -337,13 +337,17 @@ object Dedup {
     // Broadcast the |V|-row label frames when the graph is small
     // (checkpointed frames carry no stats, so auto-broadcast never
     // fires on them): every round's plan otherwise holds ~13 tiny
-    // exchanges (neighbor-min join + agg, stepped join, 4 jump
+    // exchanges (neighbor-min join + agg, stepped join, jump
     // self-joins × 2 sides) and AQE executes each as its own
     // sequential stage-job — ~0.6 s/round of pure scheduling on a
-    // 364-edge graph. The gate is edge count ≤ 4 M (labels ≤ 8 M
-    // 16-byte rows, the Graph.BroadcastNodeCap budget class); past it
-    // the shuffled shape takes over unchanged.
-    val bcastLabels = nEdges <= 4000000L
+    // 364-edge graph. Gate: edge count ≤ 1 M (labels ≤ 2 M 16-byte
+    // rows ≈ 32 MB data / ~150 MB built relation) — deliberately
+    // tighter than the pagerank node cap because the loop builds a
+    // FRESH label broadcast every round and several stay live until
+    // the context cleaner runs, so the budget must cover rounds ×
+    // relations, not one; past the gate the shuffled shape takes over
+    // unchanged (exactly the pre-round-13 plan).
+    val bcastLabels = nEdges <= 1000000L
     def side(d: DataFrame): DataFrame = if (bcastLabels) broadcast(d) else d
     var labels = e.select(col("u").as("doc")).distinct()
       .coalesce(parts)

@@ -1364,9 +1364,21 @@ object Graph {
             (lit(0.15) + lit(Damping) * col("sn")).as("rank"))
         nextBase.union(nextNew)
       } else {
-        patchedBase.union(newE2).join(prev.hint("SHUFFLE_HASH"), "src")
+        // fallback past the broadcast gate: ONE explicit |V|-row
+        // exchange of the ranks, shared by both legs (the two joins'
+        // exchange subtrees canonicalize equal → ReuseExchange); the
+        // src-partitioned base cache then streams against it with no
+        // edge exchange, and the dst aggregation's map-side combine
+        // bounds the remaining shuffle by |V|·partitions. (The
+        // union-first shape this replaces destroyed the cache
+        // partitioning and re-exchanged the FULL edge frame on src
+        // every round.)
+        val prevP = prev.repartition(col("src"))
+        val contrib = (col("rank") / col("outdeg")).as("contrib")
+        patchedBase.join(prevP.hint("SHUFFLE_HASH"), "src").select(col("dst"), contrib)
+          .union(newE2.join(prevP.hint("SHUFFLE_HASH"), "src").select(col("dst"), contrib))
           .groupBy("dst")
-          .agg((lit(0.15) + lit(Damping) * sum(col("rank") / col("outdeg"))).as("rank"))
+          .agg((lit(0.15) + lit(Damping) * sum(col("contrib"))).as("rank"))
           .select(col("dst").as("node"), col("rank"))
       }
       r = if (it < WarmIters) {
