@@ -133,6 +133,9 @@ object Bench {
       built("ivf_index", Seq("ann_ivf", "ann_ivfpq", "ann_knn_join")) {
         operators.Ann.ivfIndex(spark, sfDir)
       },
+      built("knn_cell_index", Seq("ann_knn_join")) {
+        operators.Ann.knnCellIndex(spark, sfDir)
+      },
       built("pq_index", Seq("ann_pq", "ann_ivfpq")) {
         operators.Ann.pqIndex(spark, sfDir)
       },
@@ -290,6 +293,16 @@ object Bench {
     // both shipped `parsed: null`. Per-query numbers therefore live
     // ONLY in the file; stdout carries what always fits: total, count,
     // failures, and the artifact path holding the full numbers.
+    // Centisecond per-query map for stdout (full nanosecond precision
+    // stays in the file artifact): the driver contract's ONE JSON line
+    // includes "queries" — round 13 withheld it (fearing the log-tail
+    // window) and the driver's per-query regression comparison went
+    // blind (PERF_r13 per_query empty, now_bench_ok false). The r09-r12
+    // parse failures were trailing [info]/[success] banner lines, not
+    // line length — both are suppressed since r13, so the clean full
+    // line IS the last stdout line now.
+    val qsShort = results.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.2f" }
+      .mkString("{", ",", "}")
     val json = {
       val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")
@@ -313,9 +326,12 @@ object Bench {
     // Re-emit the summary AFTER spark.stop(): shutdown logging can no
     // longer trail it, so the final stdout line is always the clean
     // JSON the driver scrapes; the prefixed twin gives any scraper a
-    // unique anchor independent of line position.
+    // unique anchor independent of line position. The per-query map is
+    // IN the line (driver contract) — queries first, then the short
+    // total fields, so even a head-truncating scrape still ends on the
+    // parseable total/failed/sf tail.
     val summary =
-      s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec","action":"$action","n":${results.size},"failed":$failed,"artifact":"$out","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec","action":"$action","n":${results.size},"queries":$qsShort,"failed":$failed,"artifact":"$out","sf":"$sfDir"}"""
     println(s"GRAFT_BENCH_JSON $summary")
     println(summary)
     System.out.flush()

@@ -238,6 +238,123 @@ object PolyHashing {
     * and can be skipped without evaluating its rounded form. In the
     * common case exactly one candidate pays the BigDecimal.
     */
+  /** Top-k nearest IVF cells of one vector against a packed centroid
+    * book (cws/cns/ks parallel arrays, sorted by ascending cell id):
+    * cosine per cell = ⟨e, cw_i⟩ / (nrm · cn_i) with the identical
+    * sequential dot product and division as scoreAgainst, ranked by
+    * the identical TreeSet ordering TopKByScore uses (higher score
+    * first, ties to the smaller id — including its behavior on
+    * degenerate scores), returned best-first as cell ids. Replaces a
+    * corpus×centroid cross join + two ObjectHashAggregate heap passes
+    * (N·nlist rows through aggregation buffers) with one compiled
+    * loop per corpus row.
+    */
+  def topCells(e: ArrayData, nrm: Double, cws: ArrayData, cns: ArrayData,
+      ks: ArrayData, k: Int): GenericArrayData = {
+    val n = ks.numElements()
+    val ev = e.toDoubleArray()
+    // primitive insertion-sorted top-k, best-first — keeps the k best
+    // by the strict (score DESC, id ASC) total order, which for the
+    // unique ids here is exactly the TreeSet selection TopKByScore
+    // makes (a boxed per-candidate TreeSet costs ~1e9 allocations at
+    // the 100× leg); scores are finite because the corpus filters
+    // nrm > 0 and centroid norms are positive on any non-degenerate
+    // cell
+    val kk = math.min(k, n)
+    if (kk <= 0) return new GenericArrayData(Array.empty[Any])
+    val ss = new Array[Double](kk)
+    val ii = new Array[Long](kk)
+    var cnt = 0
+    def better(s: Double, id: Long, s2: Double, id2: Long): Boolean =
+      s > s2 || (s == s2 && id < id2)
+    var i = 0
+    while (i < n) {
+      val cw = cws.getArray(i)
+      val m = math.min(ev.length, cw.numElements())
+      var dot = 0d
+      var j = 0
+      while (j < m) { dot += ev(j) * cw.getDouble(j); j += 1 }
+      val s = dot / (nrm * cns.getDouble(i))
+      val id = ks.getLong(i)
+      if (cnt < kk) {
+        var q = cnt
+        while (q > 0 && better(s, id, ss(q - 1), ii(q - 1))) {
+          ss(q) = ss(q - 1); ii(q) = ii(q - 1); q -= 1
+        }
+        ss(q) = s; ii(q) = id
+        cnt += 1
+      } else if (better(s, id, ss(kk - 1), ii(kk - 1))) {
+        var q = kk - 1
+        while (q > 0 && better(s, id, ss(q - 1), ii(q - 1))) {
+          ss(q) = ss(q - 1); ii(q) = ii(q - 1); q -= 1
+        }
+        ss(q) = s; ii(q) = id
+      }
+      i += 1
+    }
+    val out = new Array[Any](cnt)
+    var r = 0
+    while (r < cnt) { out(r) = ii(r); r += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** Top-k nearest members of ONE packed IVF cell for one query
+    * vector: member embeddings arrive FLATTENED (stride = the query
+    * vector's length) so the scan touches no per-member array wrapper;
+    * the score is the identical sequential dot / (qn·nb) cosine the
+    * join+aggregate formulation computes, the selection the identical
+    * strict (score DESC, id ASC) order, and the query row itself
+    * (vb == va) is skipped exactly like the join's va != vb filter.
+    * Returns (id, score) structs best-first; empty cells return an
+    * empty array (the exploded row disappears, matching the inner
+    * join emitting nothing).
+    */
+  def cellTopk(qe: ArrayData, qn: Double, va: Long, vbs: ArrayData,
+      nbs: ArrayData, ebsFlat: ArrayData, k: Int): GenericArrayData = {
+    val ev = qe.toDoubleArray()
+    val dim = ev.length
+    val n = vbs.numElements()
+    val kk = math.min(k, n)
+    if (kk <= 0) return new GenericArrayData(Array.empty[Any])
+    val ss = new Array[Double](kk)
+    val ii = new Array[Long](kk)
+    var cnt = 0
+    def better(s: Double, id: Long, s2: Double, id2: Long): Boolean =
+      s > s2 || (s == s2 && id < id2)
+    var mi = 0
+    while (mi < n) {
+      val id = vbs.getLong(mi)
+      if (id != va) {
+        val base = mi * dim
+        var dot = 0d
+        var j = 0
+        while (j < dim) { dot += ev(j) * ebsFlat.getDouble(base + j); j += 1 }
+        val s = dot / (qn * nbs.getDouble(mi))
+        if (cnt < kk) {
+          var q = cnt
+          while (q > 0 && better(s, id, ss(q - 1), ii(q - 1))) {
+            ss(q) = ss(q - 1); ii(q) = ii(q - 1); q -= 1
+          }
+          ss(q) = s; ii(q) = id
+          cnt += 1
+        } else if (better(s, id, ss(kk - 1), ii(kk - 1))) {
+          var q = kk - 1
+          while (q > 0 && better(s, id, ss(q - 1), ii(q - 1))) {
+            ss(q) = ss(q - 1); ii(q) = ii(q - 1); q -= 1
+          }
+          ss(q) = s; ii(q) = id
+        }
+      }
+      mi += 1
+    }
+    val out = new Array[Any](cnt)
+    var r = 0
+    while (r < cnt) {
+      out(r) = org.apache.spark.sql.catalyst.InternalRow(ii(r), ss(r)); r += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def pqNearest(sub: ArrayData, cws: ArrayData, cw2s: ArrayData, ks: ArrayData): Long = {
     val n = ks.numElements()
     val s = sub.toDoubleArray()
@@ -444,6 +561,60 @@ case class PqNearestExpr(sub: Expression, cws: Expression, cw2s: Expression, ks:
   override def prettyName: String = "pq_nearest"
 }
 
+/** Per-row top-k IVF probe cells against a packed centroid book (see
+  * PolyHashing.topCells). CodegenFallback like PqNearestExpr: the
+  * nlist·dim inner loop IS the work; the scan stage it runs in is not
+  * codegen-width-sensitive.
+  */
+case class TopCellsExpr(e: Expression, nrm: Expression, cws: Expression,
+    cns: Expression, ks: Expression, k: Int)
+    extends Expression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def children: Seq[Expression] = Seq(e, nrm, cws, cns, ks)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val ev = e.eval(input); val nv = nrm.eval(input)
+    val cv = cws.eval(input); val nsv = cns.eval(input); val kv = ks.eval(input)
+    if (ev == null || nv == null || cv == null || nsv == null || kv == null) null
+    else PolyHashing.topCells(ev.asInstanceOf[ArrayData],
+      nv.asInstanceOf[Double], cv.asInstanceOf[ArrayData],
+      nsv.asInstanceOf[ArrayData], kv.asInstanceOf[ArrayData], k)
+  }
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): TopCellsExpr =
+    copy(cs(0), cs(1), cs(2), cs(3), cs(4))
+  override def prettyName: String = "top_cells"
+}
+
+/** Per-(query, packed cell) top-k member scorer (see
+  * PolyHashing.cellTopk). CodegenFallback like TopCellsExpr — the
+  * members·dim loop IS the work.
+  */
+case class CellTopKExpr(qe: Expression, qn: Expression, va: Expression,
+    vbs: Expression, nbs: Expression, ebs: Expression, k: Int)
+    extends Expression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+  override def children: Seq[Expression] = Seq(qe, qn, va, vbs, nbs, ebs)
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("score", DoubleType, nullable = false))),
+    containsNull = false)
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val q = qe.eval(input); val n = qn.eval(input); val a = va.eval(input)
+    val v = vbs.eval(input); val nb = nbs.eval(input); val e = ebs.eval(input)
+    if (q == null || n == null || a == null || v == null || nb == null || e == null) null
+    else PolyHashing.cellTopk(q.asInstanceOf[ArrayData], n.asInstanceOf[Double],
+      a.asInstanceOf[Long], v.asInstanceOf[ArrayData],
+      nb.asInstanceOf[ArrayData], e.asInstanceOf[ArrayData], k)
+  }
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): CellTopKExpr =
+    copy(cs(0), cs(1), cs(2), cs(3), cs(4), cs(5))
+  override def prettyName: String = "cell_topk"
+}
+
 /** Whole-string polynomial fold (document fingerprint). */
 case class PolyHashExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -474,6 +645,14 @@ object HashExprs {
   def pq_nearest(sub: Column, cws: Column, cw2s: Column, ks: Column): Column =
     Bridge.column(PqNearestExpr(Bridge.expression(sub), Bridge.expression(cws),
       Bridge.expression(cw2s), Bridge.expression(ks)))
+  def top_cells(e: Column, nrm: Column, cws: Column, cns: Column, ks: Column, k: Int): Column =
+    Bridge.column(TopCellsExpr(Bridge.expression(e), Bridge.expression(nrm),
+      Bridge.expression(cws), Bridge.expression(cns), Bridge.expression(ks), k))
+  def cell_topk(qe: Column, qn: Column, va: Column, vbs: Column, nbs: Column,
+      ebs: Column, k: Int): Column =
+    Bridge.column(CellTopKExpr(Bridge.expression(qe), Bridge.expression(qn),
+      Bridge.expression(va), Bridge.expression(vbs), Bridge.expression(nbs),
+      Bridge.expression(ebs), k))
 
   /** SQL registration so the operators are usable from spark.sql too. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -1332,6 +1332,37 @@ object Ann {
     */
   private val KnnJoinCellCap = 128
 
+  /** One-time packed serving layout for the kNN join: each IVF cell's
+    * capped member list (lowest KnnJoinCellCap vec_ids — the identical
+    * row_number cap the oracle replays) as ONE row carrying the member
+    * ids, norms and FLATTENED embeddings. ~nlist rows ≈ 128·√N members
+    * total — the broadcastable candidate side a vector store ships to
+    * its query executors. Built once per (session, dir) from the
+    * memoized IVF assignment (SessionMemo; billed as a bench build
+    * like phash_rep_edges / dedup_edges).
+    */
+  private[graft] def knnCellIndex(spark: SparkSession, dir: String): DataFrame =
+    graft.SessionMemo.frames(spark, s"ann.knnCells:$dir") {
+      val (_, assigned) = ivfIndex(spark, dir)
+      val wCell = Window.partitionBy("cell").orderBy("vec_id")
+      val capped = assigned
+        .withColumn("mrn", row_number().over(wCell))
+        .filter(col("mrn") <= KnnJoinCellCap)
+        .select("cell", "vec_id")
+      val packed = capped
+        .join(corpus(spark, dir), Seq("vec_id"))
+        .groupBy("cell")
+        .agg(collect_list(struct(col("vec_id").as("vb"), col("nrm").as("nb"),
+          col("e").as("eb"))).as("ms"))
+        .select(col("cell"),
+          transform(col("ms"), m => m.getField("vb")).as("vbs"),
+          transform(col("ms"), m => m.getField("nb")).as("nbs"),
+          flatten(transform(col("ms"), m => m.getField("eb"))).as("ebs"))
+        .persist()
+      packed.count()
+      Seq(packed)
+    }.head
+
   val knnJoin = Q(
     "ann_knn_join",
     s"""WITH c AS ($corpusSql),
@@ -1364,13 +1395,23 @@ object Ann {
        |ORDER BY vec_id, rank""".stripMargin) { (spark, dir) =>
     val c = corpus(spark, dir)
     val (cent, assigned) = ivfIndex(spark, dir)
-    // top-4 probe cells per vector via the bounded heap (no corpus
-    // window), then the cell-keyed candidate join
-    val probe = scoreAgainst(c, cent)
-      .groupBy("vec_id")
-      .agg(graft.functions.TopKAgg.topk_by_score(col("ccos"), col("cid"), KnnJoinProbe).as("pc"))
-      .select(col("vec_id"), explode(col("pc")).as("p"))
-      .select(col("vec_id"), col("p.id").as("cell"))
+    // Per-vector top-12 probe cells computed MAP-SIDE against the
+    // packed broadcast centroid book (top_cells replays scoreAgainst's
+    // arithmetic and the heap's TreeSet ordering exactly — see
+    // PolyHashing.topCells; the argmax/heap equivalence is pinned in
+    // AnnSpec). The former shape pushed N·nlist cross-join rows
+    // through two ObjectHashAggregate heap passes plus an exchange,
+    // then RE-JOINED the corpus by vec_id to re-attach the embedding
+    // it had just discarded — at the 100× leg that aggregation alone
+    // carried ~7e8 rows. Now the probe is one compiled loop per corpus
+    // row and the embedding never leaves the row, so the vec_id
+    // re-join is gone too.
+    val packed = cent
+      .agg(array_sort(collect_list(struct(col("cid"), col("ce"), col("cn")))).as("cs"))
+      .select(
+        transform(col("cs"), s => s.getField("ce")).as("cws"),
+        transform(col("cs"), s => s.getField("cn")).as("cns"),
+        transform(col("cs"), s => s.getField("cid")).as("pks"))
     // the join side of each cell is CAPPED at KnnJoinCellCap members
     // (deterministic: the lowest vec_ids) — with nlist = √N the
     // uncapped candidate volume is 4·N·√N, which grew to 3.6e8 pairs
@@ -1378,32 +1419,55 @@ object Ann {
     // at 4·cap·N, linear in N. Cells at the correctness SFs hold
     // fewer than the cap, so recall there is untouched, and the
     // oracle replays the identical cap so parity holds at ANY scale.
-    val wCell = Window.partitionBy("cell").orderBy("vec_id")
-    val members = assigned
-      .withColumn("mrn", row_number().over(wCell))
-      .filter(col("mrn") <= KnnJoinCellCap)
-      .select(col("cell"), col("vec_id").as("vb"))
-    // score INSIDE the cell join: arrays ride only the two O(N)
-    // join-input exchanges; the candidate rows themselves collapse
-    // into per-query partial heaps in the same stage, so nothing
-    // candidate-sized ever reaches an exchange. (The earlier plan
-    // materialized id pairs, deduped them, and re-attached both
-    // embeddings by sort-merge — 110 M pair rows sorted with arrays,
-    // 130 GB of spill at the 100× leg. A member belongs to exactly
-    // one cell — assignment is argmax — so a pair can only meet once
-    // and no dedup is needed at all.)
-    val qSide = probe
-      .join(c.select(col("vec_id"), col("e").as("qe"), col("nrm").as("qn")),
-        Seq("vec_id"))
-      .select(col("cell"), col("vec_id").as("va"), col("qe"), col("qn"))
-    val mSide = members
-      .join(c.select(col("vec_id").as("vb"), col("e").as("eb"), col("nrm").as("nb")),
-        Seq("vb"))
-      .select(col("cell"), col("vb"), col("eb"), col("nb"))
-    qSide.join(mSide, Seq("cell"))
-      .filter(col("va") =!= col("vb"))
-      .select(col("va"), col("vb"),
-        (dotC(col("qe"), col("eb")) / (col("qn") * col("nb"))).as("cos_raw"))
+    //
+    // Broadcast gate for the packed member-cell index: it holds at
+    // most min(N, nlist·cap) members ≈ 128·√N — at the 100× leg 128 k
+    // rows ≈ 70 MB framed. Under the gate the whole query is MAP-SIDE:
+    // each probe row meets its packed cell in a broadcast join and the
+    // native cell_topk prunes the cell's ≤128 candidates to k=3 in one
+    // compiled loop, so the heap-merge aggregation sees 12·k rows per
+    // vector instead of 12·cap (the former per-candidate join rows —
+    // 1.5e9 interpreted aggregate updates at the 100× leg — are never
+    // materialized as rows at all). Per-cell top-k then global top-k
+    // is exact: cells partition members, so every global top-3
+    // candidate is inside its own cell's top-3. Budget 256 MB of
+    // ~552-byte member rows; past it (≈ N > 1.3e7 under √N sizing)
+    // the shuffled cell join + full heap takes over unchanged.
+    val nEmb = Tables.embeddings(spark, dir).count()
+    val memberRows = math.min(nEmb, nlistForCount(nEmb).toLong * KnnJoinCellCap)
+    val bcastMembers = memberRows * 552L <= (256L << 20)
+    val qSide = c.crossJoin(broadcast(packed))
+      .select(explode(graft.functions.HashExprs.top_cells(
+          col("e"), col("nrm"), col("cws"), col("cns"), col("pks"),
+          KnnJoinProbe)).as("cell"),
+        col("vec_id").as("va"), col("e").as("qe"), col("nrm").as("qn"))
+    val scored =
+      if (bcastMembers) {
+        qSide.join(broadcast(knnCellIndex(spark, dir)), Seq("cell"))
+          .select(col("va"), explode(graft.functions.HashExprs.cell_topk(
+            col("qe"), col("qn"), col("va"), col("vbs"), col("nbs"), col("ebs"),
+            KnnJoinK)).as("t"))
+          .select(col("va"), col("t.id").as("vb"), col("t.score").as("cos_raw"))
+      } else {
+        // score INSIDE the cell join: arrays ride only the two O(N)
+        // join-input exchanges; the candidate rows collapse into
+        // per-query partial heaps in the same stage, so nothing
+        // candidate-sized ever reaches an exchange
+        val wCell = Window.partitionBy("cell").orderBy("vec_id")
+        val members = assigned
+          .withColumn("mrn", row_number().over(wCell))
+          .filter(col("mrn") <= KnnJoinCellCap)
+          .select(col("cell"), col("vec_id").as("vb"))
+        val mSide = members
+          .join(c.select(col("vec_id").as("vb"), col("e").as("eb"), col("nrm").as("nb")),
+            Seq("vb"))
+          .select(col("cell"), col("vb"), col("eb"), col("nb"))
+        qSide.join(mSide, Seq("cell"))
+          .filter(col("va") =!= col("vb"))
+          .select(col("va"), col("vb"),
+            (dotC(col("qe"), col("eb")) / (col("qn") * col("nb"))).as("cos_raw"))
+      }
+    scored
       .groupBy(col("va").as("vec_id"))
       .agg(graft.functions.TopKAgg.topk_by_score(col("cos_raw"), col("vb"), KnnJoinK).as("tk"))
       .select(col("vec_id"), explode(col("tk")).as("t"))

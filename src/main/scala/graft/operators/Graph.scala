@@ -485,7 +485,12 @@ object Graph {
           .join(broadcast(visited), Seq("node"), "left_anti")
           .select(col("node"), lit(hop + 1).as("dist"))
           .localCheckpoint(false)
-        if (next.isEmpty) {
+        // count, not isEmpty: ONE driver job both answers the
+        // exhaustion probe AND materializes every checkpoint partition
+        // (isEmpty's limit(1) computed only partition 0, so the next
+        // hop's broadcast build re-ran the rest of the hop — two
+        // compute passes per hop for one load-bearing bit)
+        if (next.count() == 0L) {
           exhausted = true
           Dedup.releaseLocalCheckpoint(next)
         } else frontiers :+= next
@@ -799,7 +804,9 @@ object Graph {
             col("nm").bitwiseAND(bitwise_not(coalesce(col("vm"), lit(0L)))).as("mask"))
           .filter(col("mask") =!= 0)
           .localCheckpoint(false)
-        if (next.isEmpty) {
+        // count, not isEmpty — same single-job materialize+probe as
+        // the gr_bfs loop (see there)
+        if (next.count() == 0L) {
           exhausted = true
           Dedup.releaseLocalCheckpoint(next)
         } else frontiers :+= ((next, hop + 1))
@@ -957,6 +964,12 @@ object Graph {
           }: _*)
           .filter((0 until k).map(i => col(s"s$i") > 0).reduce(_ || _))
           .localCheckpoint(false)
+        // past the broadcast gate nothing pins this level's blocks
+        // until the final action, so concurrent consumers (the visited
+        // unions + both passes) could each recompute it — materialize
+        // eagerly there; on the broadcast path the next level's
+        // broadcast build does it for free
+        if (!bcast) next.count()
         fs :+= next
         hop += 1
       }
@@ -981,6 +994,8 @@ object Graph {
           .agg(
             deltaAgg(0), (1 until k).map(deltaAgg): _*)
           .localCheckpoint(false)
+        // same non-broadcast eager materialization as the forward pass
+        if (!bcast) dd.count()
         deltas +:= dd
       }
       val out = deltas.drop(1) // level 0 is the seed itself — excluded

@@ -255,7 +255,12 @@ object Report {
     val pc = Style.probeConsistency.fn(spark, dir)
       .select("model_a", "model_b", "n_probes", "n_consistent")
 
-    val joined = pairsDf(spark, dir)
+    // Memoized per (session, dir): repeat invocations reuse ONE
+    // materialized barrier instead of leaving a fresh checkpoint-block
+    // set behind each time (the old per-invocation checkpoint could
+    // never be released because the returned frame depended on it).
+    val joined = graft.SessionMemo.frames(spark, s"report.flags:$dir") {
+      Seq(pairsDf(spark, dir)
       .join(audit, Seq("model_a", "model_b"))
       .join(pc, Seq("model_a", "model_b"))
       .join(dist, Seq("model_a", "model_b"))
@@ -285,7 +290,8 @@ object Report {
       // optimization — measured 1.7 s per count at sf0.1 with all
       // leaf caches warm. The eager checkpoint pays the upstream once
       // and leaves a 190-row LogicalRDD under the projection.
-      .localCheckpoint(true)
+      .localCheckpoint(true))
+    }.head
 
     val llm4 = format_string("%.4f", col("llmmap_similarity") + lit(1e-9))
     val featLines = displayFeatures.map { case (k, label, fmt) =>

@@ -402,7 +402,10 @@ object ReportFull {
       val dist = dist0.groupBy("model_a", "model_b").agg(
         aggLines(Seq((-col("cnt")).as("nc"), col("fi").as("fi")), distLine).as("dist_table"))
 
-      val joined = base
+      // memoized per (session, dir) — same one-materialization
+      // discipline as ma_report's barrier (see there)
+      val joined = graft.SessionMemo.frames(spark, s"reportfull.flags:$dir") {
+        Seq(base
         .join(pt, Seq("model_a", "model_b"))
         .join(dist, Seq("model_a", "model_b"))
         .withColumn("max_sd", greatest(
@@ -433,7 +436,8 @@ object ReportFull {
         // (measured 7.0 s per count at sf0.1 with warm leaf caches);
         // the eager checkpoint runs it once and leaves a 190-row
         // LogicalRDD under the giant concat.
-        .localCheckpoint(true)
+        .localCheckpoint(true))
+      }.head
 
       val sim4 = format_string("%.4f", col("llmmap_similarity") + lit(1e-9))
       val dli4 = format_string("%.4f", col("dli_similarity") + lit(1e-9))

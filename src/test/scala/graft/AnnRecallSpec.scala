@@ -202,4 +202,49 @@ class AnnRecallSpec extends AnyFunSuite {
     info(f"kNN-join recall@3 vs exact: $recall%.3f")
     assert(recall >= 0.75, f"12-probe kNN-join recall $recall%.3f below floor")
   }
+
+  test("ann_knn_join packed map-side path equals the join+heap formulation") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    // the registered query (top_cells probe + cell_topk scorer under
+    // the broadcast gate at this SF)
+    val got = SparkEntry.queries("ann_knn_join")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Double]("cosine"), r.getAs[Long]("rank"))).toSet
+    // the pre-packed formulation it replaced: heap-aggregated probe
+    // over the centroid cross join + shuffled cell join + one global
+    // heap over every candidate row (KnnJoinProbe=12, KnnJoinCellCap=128)
+    val c = operators.Ann.corpus(spark, sf)
+    val (cent, assigned) = operators.Ann.ivfIndex(spark, sf)
+    val probe = operators.Ann.scoreAgainst(c, cent)
+      .groupBy("vec_id")
+      .agg(functions.TopKAgg.topk_by_score(col("ccos"), col("cid"), 12).as("pc"))
+      .select(col("vec_id"), explode(col("pc")).as("p"))
+      .select(col("vec_id"), col("p.id").as("cell"))
+    val wCell = Window.partitionBy("cell").orderBy("vec_id")
+    val members = assigned
+      .withColumn("mrn", row_number().over(wCell))
+      .filter(col("mrn") <= 128)
+      .select(col("cell"), col("vec_id").as("vb"))
+    val want = probe
+      .join(c.select(col("vec_id"), col("e").as("qe"), col("nrm").as("qn")), Seq("vec_id"))
+      .select(col("cell"), col("vec_id").as("va"), col("qe"), col("qn"))
+      .join(members
+        .join(c.select(col("vec_id").as("vb"), col("e").as("eb"), col("nrm").as("nb")), Seq("vb")),
+        Seq("cell"))
+      .filter(col("va") =!= col("vb"))
+      .select(col("va"), col("vb"),
+        (graft.functions.HashExprs.dot_product(col("qe"), col("eb"))
+          / (col("qn") * col("nb"))).as("cos_raw"))
+      .groupBy(col("va").as("vec_id"))
+      .agg(functions.TopKAgg.topk_by_score(col("cos_raw"), col("vb"), 3).as("tk"))
+      .select(col("vec_id"), explode(col("tk")).as("t"))
+      .select(col("vec_id"), col("t.id").as("neighbor_id"),
+        round(lit(1e-9) + col("t.score"), 6).as("cosine"), col("t.rank").as("rank"))
+      .collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Double]("cosine"), r.getAs[Long]("rank"))).toSet
+    assert(got == want,
+      s"packed path diverged: only-new=${(got -- want).take(5)} only-old=${(want -- got).take(5)}")
+  }
 }

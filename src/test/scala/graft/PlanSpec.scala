@@ -851,14 +851,20 @@ class PlanSpec extends AnyFunSuite {
   }
 
 
-  test("ann_knn_join scores inside the cell join and heap-reduces map-side") {
+  test("ann_knn_join probes and scores map-side off the packed indexes") {
     val p = plan("ann_knn_join")
+    assert(p.contains("top_cells"),
+      "probe cells must come from the packed-centroid loop, not a cross-join heap")
+    assert(p.contains("cell_topk"),
+      "per-cell candidates must collapse in the native scorer, never as join rows")
     assert(p.contains("partial_topk_by_score"),
-      "candidates must collapse into partial heaps before any exchange")
+      "the per-vector merge must stay a map-side bounded heap")
     // the only candidate-keyed exchange is the |queries|-sized heap merge;
     // the old plan materialized id pairs and re-attached arrays by SMJ
     assert("Exchange hashpartitioning\\(va".r.findAllIn(p).size <= 1,
       "pair rows must not be exchanged more than the heap merge")
+    assert(!p.contains("SortMergeJoin"),
+      "nothing embedding-sized may be shuffled on the packed path")
   }
 
   test("ix_bm25_incremental serves O(|delta|): one delta scan, standing stats cached") {
