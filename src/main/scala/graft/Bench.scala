@@ -154,6 +154,12 @@ object Bench {
       built("bm25_stats", Seq("ix_bm25")) {
         operators.Search.bm25Stats(spark, sfDir)
       },
+      built("audit_caches",
+        Seq("ma_audit", "ma_summary", "ma_report", "ma_report_full",
+          "ma_report_json", "ma_report_basic", "ma_probe_consistency",
+          "ma_probe_consistency_by_category", "ma_detect_confusion")) {
+        operators.Style.warmSharedCaches(spark, sfDir)
+      },
       built("km_centroids", Seq("km_topics", "km_profile")) {
         operators.Cluster.centroids(spark, sfDir)
       },

@@ -309,105 +309,155 @@ object Dedup {
       case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
     }.foreach(_.unpersist(blocking = false))
 
+  /** Two-phase (large-star / small-star) connected components
+    * (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond"): the edge set itself is CONTRACTED every round —
+    *   large-star: each node u connects its strictly larger
+    *     neighbors to m(u) = min(N(u) ∪ {u});
+    *   small-star: each node connects its smaller neighbors and
+    *     itself to the minimum of those —
+    * so the graph converges to a star forest centered at the
+    * component minima. This replaces the min-label + pointer-jump
+    * loop, whose round count was min-FLOW-limited: labels moved one
+    * GRAPH hop per round no matter how many pointer jumps compressed
+    * the label paths (the phash rep graph took 9 rounds at every
+    * jump setting). Star operations shorten the graph distances
+    * themselves, so the round count tracks log(diameter).
+    *
+    * Exit is NOT trusted to the convergence theorem: the loop stops
+    * only when (a) no node's min-neighbor label changed over a full
+    * round AND (b) the edge set verifiably IS a star forest (every
+    * edge's low endpoint is the high endpoint's label and its own).
+    * A label stall on a non-star keeps contracting; the maxRounds cap
+    * still fails loudly rather than emitting partial components.
+    * Star forest + preserved connectivity (each star op reconnects
+    * every touched endpoint through the emitted minimum) imply every
+    * component is exactly one star whose center is the component
+    * minimum — the same label the recursive-CTE oracles compute.
+    *
+    * Loop hygiene carried over from the pointer-jump version:
+    * graph-sized coalesce everywhere, ONE driver-blocking count per
+    * round (it also materializes the round's lazy stats-stripped
+    * checkpoint), broadcast label/min-frames under the 1 M-edge gate
+    * (checkpointed frames carry no stats so auto-broadcast can never
+    * fire; the gate is tight because several round-frames stay live
+    * until the ContextCleaner runs), superseded checkpoints released
+    * each round.
+    */
   private[graft] def connectedComponents(
       edges: DataFrame, maxRounds: Int = 50): (DataFrame, Int) = {
-    // Size the loop's parallelism to the GRAPH, not the session: a
-    // 25-edge graph on 32 shuffle partitions pays 32 near-empty tasks
-    // per round for the join, the checkpoint AND the count — fixed
-    // overhead that dwarfs the work (the r4/r5 dd_clusters wall time).
-    // ~10k edges per partition, capped at the configured shuffle
-    // parallelism so a large graph keeps full width. coalesce() is
-    // narrow — no extra shuffle is introduced.
     val spark = edges.sparkSession
-    // checkpoint the edge frame ONCE: every round runs several jobs
-    // over it (neighbor-min + the convergence count), and a caller's
-    // lazy union/distinct lineage would otherwise re-shuffle per job
+    // checkpoint the (symmetric) input once: V and the canonical set
+    // both scan it, and a caller's lazy union/distinct lineage would
+    // otherwise re-shuffle per job
     val e0 = edges.localCheckpoint(true)
     val nEdges = e0.count()
     val parts = math.max(1L, math.min(
       spark.sessionState.conf.numShufflePartitions.toLong, nEdges / 10000L)).toInt
-    // coalesce the EDGE frame to the graph-sized width too (narrow, on
-    // the checkpoint's blocks): the labels frame was already sized to
-    // the graph, but every round's neighbor-min join still launched one
-    // near-empty task per checkpoint partition on the edge side — on a
-    // few-hundred-edge graph (mm_phash_clusters' contracted reps) that
-    // fixed cost was ~0.6 s/round × 9 rounds while the actual join work
-    // is microseconds
-    val e = if (e0.rdd.getNumPartitions > parts) e0.coalesce(parts) else e0
-    // Broadcast the |V|-row label frames when the graph is small
-    // (checkpointed frames carry no stats, so auto-broadcast never
-    // fires on them): every round's plan otherwise holds ~13 tiny
-    // exchanges (neighbor-min join + agg, stepped join, jump
-    // self-joins × 2 sides) and AQE executes each as its own
-    // sequential stage-job — ~0.6 s/round of pure scheduling on a
-    // 364-edge graph. Gate: edge count ≤ 1 M (labels ≤ 2 M 16-byte
-    // rows ≈ 32 MB data / ~150 MB built relation) — deliberately
-    // tighter than the pagerank node cap because the loop builds a
-    // FRESH label broadcast every round and several stay live until
-    // the context cleaner runs, so the budget must cover rounds ×
-    // relations, not one; past the gate the shuffled shape takes over
-    // unchanged (exactly the pre-round-13 plan).
     val bcastLabels = nEdges <= 1000000L
     def side(d: DataFrame): DataFrame = if (bcastLabels) broadcast(d) else d
-    var labels = e.select(col("u").as("doc")).distinct()
-      .coalesce(parts)
-      .withColumn("label", col("doc")).cache()
-    var prevCheckpoint: DataFrame = null
-    var changed = 1L
+    def fresh(df: DataFrame, eager: Boolean): DataFrame =
+      org.apache.spark.sql.graftbridge.Bridge.freshLocalCheckpoint(
+        df.coalesce(parts), eager = eager)
+    // canonical working set: (hi > lo), deduplicated; self-loops drop
+    // here (they cannot join components) and their nodes are restored
+    // by the final V left-join
+    var e = fresh(e0.filter(col("u") > col("v"))
+      .select(col("u").as("hi"), col("v").as("lo")).distinct(), eager = true)
+    var prevE: DataFrame = null // superseded, awaiting release
+    var mnPrev: DataFrame = null // previous round's (u, m) labels, cached
+    var sumPrev = Long.MinValue // Σ m of the previous round
     var rounds = 0
-    while (changed > 0) {
+    var done = nEdges == 0L
+    while (!done) {
       if (rounds >= maxRounds)
         throw new IllegalStateException(
-          s"connectedComponents: still $changed labels changing after $maxRounds rounds")
-      val neighborMin = e
-        .join(side(labels.select(col("doc").as("v"), col("label").as("vlabel"))), Seq("v"))
-        .groupBy("u").agg(min("vlabel").as("nmin"))
-      val stepped = labels
-        .join(side(neighborMin.select(col("u").as("doc"), col("nmin"))), Seq("doc"), "left")
-        .select(col("doc"), col("label").as("old"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("l1"))
+          s"connectedComponents: labels still changing after $maxRounds rounds")
+      val sym = e.select(col("hi").as("u"), col("lo").as("v"))
+        .union(e.select(col("lo").as("u"), col("hi").as("v")))
+      val mn = sym.groupBy("u").agg(min("v").as("mv"))
+        .select(col("u"), least(col("u"), col("mv")).as("m"))
         .coalesce(parts)
         .cache()
-      // ITERATED pointer jumps (path halving): follow my label to its
-      // label, repeatedly. A single jump per round compresses paths by
-      // only a constant factor — on a long min-label chain (the sf1
-      // phash graph: hamming-space chains hundreds of hops long) the
-      // min then CRAWLS and the loop hits maxRounds. TWO jumps per
-      // round is the measured sweet spot: each extra jump adds one
-      // self-join (one broadcast-build job / exchange pair) to EVERY
-      // round, while rounds shrink only logarithmically — on a
-      // 300-node chain jumps 1/2/4 converge in 9/5/4 rounds, and on
-      // the phash rep graph (min-FLOW-limited, not distance-limited)
-      // the round count is 9 at every jump setting, so the extra
-      // jumps were pure per-round overhead (measured 4.8 s vs 3.4 s
-      // per CC call at sf0.1).
-      var cur = stepped.select(col("doc"), col("old"), col("l1").as("label"))
-      for (_ <- 1 to 2) {
-        val jump = side(cur.select(col("doc").as("jdoc"), col("label").as("l2")))
-        cur = cur.join(jump, cur("label") === jump("jdoc"), "left")
-          .select(col("doc"), col("old"),
-            least(col("label"), coalesce(col("l2"), col("label"))).as("label"))
+      // the round's ONE driver-blocking action: Σ m — the node set is
+      // fixed and every node's m is monotone non-increasing, so an
+      // unchanged sum means NO label changed (and a collision can at
+      // worst trigger the star check below, never a wrong exit). The
+      // scalar compare replaces a per-round mnPrev broadcast + join;
+      // the job also materializes mn and this round's lazy checkpoint.
+      val sumNow = mn.agg(sum("m")).collect()(0).getLong(0)
+      val changed = sumNow != sumPrev
+      sumPrev = sumNow
+      if (prevE != null) { releaseLocalCheckpoint(prevE); prevE = null }
+      var fixed = false
+      if (!changed) {
+        // candidate fixpoint — accept only a verified star forest
+        val viol = e
+          .join(side(mn.select(col("u").as("hi"), col("m").as("mh"))), Seq("hi"))
+          .join(side(mn.select(col("u").as("lo"), col("m").as("ml"))), Seq("lo"))
+          .filter(col("lo") =!= col("mh") || col("ml") =!= col("lo"))
+          .count()
+        fixed = viol == 0L
       }
-      // fresh (stats-stripped) checkpoint: the plain Dataset
-      // localCheckpoint inherits the round plan's Statistics, whose
-      // sizeInBytes COMPOUNDS through the per-round self-joins until
-      // stats estimation itself goes exponential (see
-      // Bridge.freshLocalCheckpoint) — this was mm_phash_clusters'
-      // sf1 failure: 50 rounds at 33 s/round, killed in explainString
-      val next = org.apache.spark.sql.graftbridge.Bridge.freshLocalCheckpoint(
-        cur.coalesce(parts), // pin the checkpoint width to the graph size
-        eager = false) // lazy: the count below materializes it
-      changed = next.filter(col("label") =!= col("old")).count()
-      stepped.unpersist()
-      labels.unpersist()
-      // this round's checkpoint is materialized (the count above ran on
-      // it), so the previous round's snapshot is now unreachable —
-      // release its blocks instead of retaining O(rounds) of them
-      if (prevCheckpoint != null) releaseLocalCheckpoint(prevCheckpoint)
-      prevCheckpoint = next
-      labels = next.select("doc", "label")
+      if (fixed) {
+        done = true
+        if (mnPrev != null) mnPrev.unpersist()
+        mnPrev = mn
+      } else {
+        // large-star: (v, m(u)) for every neighbor v > u — hi = v is
+        // always strictly above lo = m(u) ≤ u, so the output stays
+        // canonical with no self-loops
+        val ls = sym.filter(col("v") > col("u"))
+          .join(side(mn), Seq("u"))
+          .select(col("v").as("hi"), col("m").as("lo"))
+        // small-star over the large-star output: each node with
+        // smaller neighbors points itself and all of them at their
+        // minimum (one (hi, m) row per star head from the aggregate,
+        // not per edge)
+        val mn2 = ls.groupBy("hi").agg(min("lo").as("m"))
+        val ss = mn2.select(col("hi"), col("m").as("lo"))
+          .union(ls.join(side(mn2), Seq("hi"))
+            .filter(col("lo") =!= col("m"))
+            .select(col("lo").as("hi"), col("m").as("lo")))
+        // one pointer jump on the star output: retarget each edge at
+        // its low endpoint's own minimum (lo keeps its (lo, jm) edge,
+        // so hi—lo stays connected through jm and no cross-component
+        // edge can appear). Star rounds contract flow-limited graphs
+        // but walk long CHAINS only geometrically — the jump restores
+        // the pointer-jumping convergence there (chain-300: 11 → 7
+        // rounds, phash reps stay at 5, both measured).
+        val mn3 = ss.groupBy("hi").agg(min("lo").as("jm"))
+        val jumped = ss
+          .join(side(mn3.select(col("hi").as("lo"), col("jm"))), Seq("lo"), "left")
+          .select(col("hi"), least(col("lo"), coalesce(col("jm"), col("lo"))).as("lo"))
+        // lazy stats-stripped checkpoint (see Bridge.freshLocalCheckpoint
+        // — plain checkpoints compound Statistics through the round
+        // joins until estimation itself goes exponential); the next
+        // round's count materializes it
+        val next = fresh(jumped, eager = false)
+        prevE = e
+        e = next
+        if (mnPrev != null) mnPrev.unpersist()
+        mnPrev = mn
+      }
       rounds += 1
     }
+    // labels over the ORIGINAL node set (V left-join restores nodes
+    // whose only edges were self-loops); eager checkpoint so the
+    // returned frame is self-contained and every loop intermediate
+    // can be released now
+    val labels =
+      if (nEdges == 0L)
+        e0.select(col("u").as("doc"), col("u").as("label")).localCheckpoint(true)
+      else {
+        val lab = e0.select(col("u")).distinct().coalesce(parts)
+          .join(side(mnPrev.select(col("u"), col("m"))), Seq("u"), "left")
+          .select(col("u").as("doc"), coalesce(col("m"), col("u")).as("label"))
+          .localCheckpoint(true)
+        mnPrev.unpersist()
+        lab
+      }
+    releaseLocalCheckpoint(e)
     releaseLocalCheckpoint(e0)
     (labels, rounds)
   }

@@ -204,7 +204,13 @@ object Graph {
           col("a.o") === col("b.o") && col("a.p") < col("b.p"))
         .select(col("a.p").as("u"), col("b.p").as("v"))
         .distinct()
+      // hash-partition the cache by u (one build-time exchange): the
+      // kcore peel's per-round groupBy(u) and the wedge self-joins
+      // (gr_jaccard, gr_triangles) then reuse the cached partitioning
+      // through the broadcast joins instead of re-exchanging the edge
+      // list every round/pass (guide §2.4 — share one exchange)
       val edges = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
+        .repartition(col("u"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       edges.count()
       Seq(edges)

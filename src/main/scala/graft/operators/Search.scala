@@ -150,9 +150,16 @@ object Search {
     // vocab head and the tf pass, tokenizing the corpus TWICE per
     // action; sc is |sources|·|vocab| rows, cached so both consumers
     // read one materialization.
-    val sc = dc.groupBy("source", "h")
-      .agg(sum("c").as("tf"), count(lit(1)).as("nd"))
-      .cache()
+    // SessionMemo, not a bare cache(): the profile participates in the
+    // memo's LRU eviction instead of holding session-lifetime storage
+    // outside any reclamation discipline
+    val sc = graft.SessionMemo.frames(spark, s"search.simProfile:$dir") {
+      val f = dc.groupBy("source", "h")
+        .agg(sum("c").as("tf"), count(lit(1)).as("nd"))
+        .persist()
+      f.count()
+      Seq(f)
+    }.head
     val v = sc.groupBy("h").agg(sum("nd").as("df"))
     val vocab = v
       .agg(graft.functions.TopKAgg.topk_by_score(
@@ -291,7 +298,13 @@ object Search {
       // lexical scoring join read it, where referencing dt from each
       // tokenized the corpus TWICE per action (the query-side filter
       // qt is a pushed doc_id scan, not a second pass).
-      val dtq = dt.join(broadcast(qt.select("h").distinct()), "h").cache()
+      // SessionMemo like the ix_source_sim profile: LRU-evictable
+      // instead of a session-lifetime bare cache
+      val dtq = graft.SessionMemo.frames(spark, s"search.hybridHits:$dir") {
+        val f = dt.join(broadcast(qt.select("h").distinct()), "h").persist()
+        f.count()
+        Seq(f)
+      }.head
       val df = dtq.groupBy("h").agg(count(lit(1)).as("df"))
       val idf = df.crossJoin(broadcast(nn))
         .select(col("h"),

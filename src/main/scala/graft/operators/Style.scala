@@ -172,6 +172,20 @@ object Style {
       .cache()
   }
 
+  /** Bench-build warmer for the two shared cached frames the whole
+    * report family self-joins (detectedDf, auditDf — and their
+    * fingerprint/DLI upstreams transitively): populating them is a
+    * one-time cost that otherwise bills to whichever family query the
+    * bench happens to run first (ma_audit, 23 s at the 100× leg),
+    * making that entry useless for regression tracking. Declared in
+    * Bench `builds` — this SHIFTS the time into the visible build
+    * field, it does not save it.
+    */
+  private[graft] def warmSharedCaches(spark: SparkSession, dir: String): Unit = {
+    detectedDf(spark, dir).count()
+    auditDf(spark, dir).count()
+  }
+
   // ═══════════════ queries ═══════════════
 
   val styleScores = Q(

@@ -41,6 +41,37 @@ class ClustersSpec extends AnyFunSuite {
     assert(Seq(20L, 21L, 22L).forall(m(_) == 20L))
   }
 
+  test("planted random graphs: labels equal in-JVM union-find components") {
+    import spark.implicits._
+    // deterministic pseudo-random edge sets of three densities; the
+    // two-phase star loop must agree with union-find on every node
+    for ((n, m, seed) <- Seq((50, 30, 1L), (300, 300, 2L), (400, 1200, 3L))) {
+      val rnd = new scala.util.Random(seed)
+      val pairs = (0 until m).map { _ =>
+        val a = rnd.nextInt(n).toLong; val b = rnd.nextInt(n).toLong
+        (math.min(a, b), math.max(a, b))
+      }.filter(p => p._1 != p._2).distinct
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      // component minimum per member (roots union toward the min but
+      // path order can leave a non-min root — take min over members)
+      val members = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+        .groupBy(v => find(v.toInt)).values
+        .flatMap(vs => { val mn = vs.min; vs.map(_ -> mn) }).toMap
+      val df = pairs.toDF("doc_a", "doc_b")
+      val edges = df.select(col("doc_a").as("u"), col("doc_b").as("v"))
+        .union(df.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      val (labels, rounds) = operators.Dedup.connectedComponents(edges)
+      info(s"n=$n m=${pairs.size}: $rounds rounds")
+      val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == members, s"seed=$seed diverged: ${(got.toSet -- members.toSet).take(5)}")
+    }
+  }
+
   test("hitting the round cap while still changing fails loudly") {
     val e = intercept[IllegalStateException] {
       operators.Dedup.connectedComponents(chainEdges(64), maxRounds = 2)
