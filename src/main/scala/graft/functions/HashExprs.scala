@@ -379,6 +379,88 @@ object PolyHashing {
   }
 }
 
+/** Single-pass text scan for the langid/curation stack: ONE traversal
+  * of the text yields every counter the tx_langid / pipe_curate
+  * expression family previously derived from a stack of regex
+  * replaces and interpreted array-filter lambdas (checksum-mode cost
+  * adjudicated twice as the full-value price of that stack):
+  *  - per-set word hit counts over the SAME whitespace tokenization
+  *    as split(trim(lower(text)), '\\s+') (PolyHashing.tokenize —
+  *    empties kept, so counts match size(filter(words, ...)) exactly;
+  *    stop sets contain no empty string);
+  *  - code-point counters replicating the regexp_replace+length
+  *    forms: n_chars (= length(text), code points), cjk (chars kept
+  *    by '[^一-鿿]' removal — all BMP, so unit and code-point counts
+  *    agree), non_ws (chars surviving '\\s+' removal — Java \\s is
+  *    exactly the 6 ASCII whitespace chars), punct (chars kept by
+  *    '[^.,;:!?]' removal).
+  */
+object TextScan {
+  final class Counts(val nWords: Int, val hits: Array[Int], val cjk: Int,
+    val nonWs: Int, val punct: Int, val nChars: Int)
+
+  def buildSets(sets: Seq[Seq[String]]): Array[java.util.HashSet[String]] =
+    sets.map { ws =>
+      val s = new java.util.HashSet[String](ws.size * 2)
+      ws.foreach(s.add)
+      s
+    }.toArray
+
+  def scan(text: String, sets: Array[java.util.HashSet[String]]): Counts = {
+    var cjk = 0; var nonWs = 0; var punct = 0; var nChars = 0
+    var i = 0
+    while (i < text.length) {
+      val cp = text.codePointAt(i)
+      nChars += 1
+      if (cp >= 0x4E00 && cp <= 0x9FFF) cjk += 1
+      val isWs = cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0B || cp == '\f' || cp == '\r'
+      if (!isWs) nonWs += 1
+      if (cp == '.' || cp == ',' || cp == ';' || cp == ':' || cp == '!' || cp == '?') punct += 1
+      i += Character.charCount(cp)
+    }
+    val toks = PolyHashing.tokenize(text)
+    val hits = new Array[Int](sets.length)
+    var w = 0
+    while (w < toks.length) {
+      var s = 0
+      while (s < sets.length) { if (sets(s).contains(toks(w))) hits(s) += 1; s += 1 }
+      w += 1
+    }
+    new Counts(toks.length, hits, cjk, nonWs, punct, nChars)
+  }
+
+  /** The tx_langid decision over one scan — the exact CASE chain of
+    * predLangExpr (sets order: en, fr, es, de).
+    */
+  def predLang(text: UTF8String, sets: Array[java.util.HashSet[String]]): UTF8String = {
+    val c = scan(text.toString, sets)
+    val Array(en, fr, es, de) = c.hits
+    val lang =
+      if (c.cjk >= 10) "zh"
+      else if (en >= fr && en >= es && en >= de) "en"
+      else if (fr >= es && fr >= de) "fr"
+      else if (es >= de) "es"
+      else "de"
+    UTF8String.fromString(lang)
+  }
+
+  /** The tx_quality score over one scan — the exact arithmetic of
+    * qualityExpr (same operand forms, association order and HALF_UP
+    * 6-dp rounding), with `sets` = the single quality stopword set.
+    */
+  def quality(text: UTF8String, sets: Array[java.util.HashSet[String]]): Double = {
+    val c = scan(text.toString, sets)
+    val denom = math.max(c.nWords, 1).toDouble
+    val lenScore = math.min(c.nWords / 100.0, 1.0)
+    val stopRatio = c.hits(0) / denom
+    val wlScore = math.max(1.0 - math.abs(c.nonWs / denom - 5.0) / 5.0, 0.0)
+    val punctRatio = (c.nChars - c.punct) / math.max(c.nChars, 1).toDouble
+    PolyHashing.round6(
+      1e-9 + 0.35 * lenScore + 0.25 * (1.0 - stopRatio)
+        + 0.2 * wlScore + 0.2 * (1.0 - math.min(punctRatio * 10.0, 1.0)) + 1e-9)
+  }
+}
+
 // Codegen note: every expression below emits a single call to a static
 // PolyHashing method (scalac generates static forwarders for the
 // object), so the generated Java stays inside WholeStageCodegen — the
@@ -615,6 +697,68 @@ case class CellTopKExpr(qe: Expression, qn: Expression, va: Expression,
   override def prettyName: String = "cell_topk"
 }
 
+/** Single-pass scan counters as a struct (tx_langid's output columns
+  * come straight from this). CodegenFallback: one struct per row, the
+  * scan loop IS the work.
+  */
+case class TextScanExpr(child: Expression, sets: Seq[Seq[String]])
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+  @transient private lazy val builtSets = TextScan.buildSets(sets)
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_words", IntegerType, nullable = false),
+    StructField("hits", ArrayType(IntegerType, containsNull = false), nullable = false),
+    StructField("cjk", IntegerType, nullable = false),
+    StructField("non_ws", IntegerType, nullable = false),
+    StructField("punct", IntegerType, nullable = false),
+    StructField("n_chars", IntegerType, nullable = false)))
+  override def nullSafeEval(input: Any): Any = {
+    val c = TextScan.scan(input.asInstanceOf[UTF8String].toString, builtSets)
+    org.apache.spark.sql.catalyst.InternalRow(
+      c.nWords, new GenericArrayData(c.hits.map(x => x: Any)), c.cjk, c.nonWs,
+      c.punct, c.nChars)
+  }
+  override protected def withNewChildInternal(c: Expression): TextScanExpr =
+    copy(child = c)
+  override def prettyName: String = "text_scan"
+}
+
+/** The tx_langid heuristic decision in one compiled scan. */
+case class PredLangExprNative(child: Expression, sets: Seq[Seq[String]])
+    extends UnaryExpression {
+  @transient private lazy val builtSets = TextScan.buildSets(sets)
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+  override def nullSafeEval(input: Any): Any =
+    TextScan.predLang(input.asInstanceOf[UTF8String], builtSets)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("langSets", builtSets, "java.util.HashSet[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextScan.predLang($c, $ref);")
+  }
+  override protected def withNewChildInternal(c: Expression): PredLangExprNative =
+    copy(child = c)
+  override def prettyName: String = "pred_lang"
+}
+
+/** The tx_quality score in one compiled scan. */
+case class QualityExprNative(child: Expression, sets: Seq[Seq[String]])
+    extends UnaryExpression {
+  @transient private lazy val builtSets = TextScan.buildSets(sets)
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Double.valueOf(
+      TextScan.quality(input.asInstanceOf[UTF8String], builtSets))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("stopSets", builtSets, "java.util.HashSet[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextScan.quality($c, $ref);")
+  }
+  override protected def withNewChildInternal(c: Expression): QualityExprNative =
+    copy(child = c)
+  override def prettyName: String = "quality_score"
+}
+
 /** Whole-string polynomial fold (document fingerprint). */
 case class PolyHashExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -653,6 +797,12 @@ object HashExprs {
     Bridge.column(CellTopKExpr(Bridge.expression(qe), Bridge.expression(qn),
       Bridge.expression(va), Bridge.expression(vbs), Bridge.expression(nbs),
       Bridge.expression(ebs), k))
+  def text_scan(c: Column, sets: Seq[Seq[String]]): Column =
+    Bridge.column(TextScanExpr(Bridge.expression(c), sets))
+  def pred_lang(c: Column, sets: Seq[Seq[String]]): Column =
+    Bridge.column(PredLangExprNative(Bridge.expression(c), sets))
+  def quality_score(c: Column, sets: Seq[Seq[String]]): Column =
+    Bridge.column(QualityExprNative(Bridge.expression(c), sets))
 
   /** SQL registration so the operators are usable from spark.sql too. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -113,13 +113,18 @@ object TextAnalysis {
          |)
          |ORDER BY doc_id""".stripMargin
     }) { (spark, dir) =>
-    val words = split(trim(lower(col("text"))), "\\s+")
-    val hitCols = langStops.map { case (l, ws) =>
-      size(filter(words, w => ws.map(w === _).reduce(_ || _))).cast("long").as(s"${l}_hits")
+    // ONE native scan per doc (text_scan) replaces four interpreted
+    // array-filter lambdas + a regexp_replace pass — the hit counts
+    // and CJK counter are the same values field-by-field (see
+    // TextScan); the two-projection shape keeps CollapseProject from
+    // re-duplicating the scan per output column.
+    val sc = graft.functions.HashExprs.text_scan(col("text"), langStops.map(_._2))
+    val hitCols = langStops.zipWithIndex.map { case ((l, _), i) =>
+      element_at(col("sc.hits"), i + 1).cast("long").as(s"${l}_hits")
     }
-    val cjk = length(regexp_replace(col("text"), "[^一-鿿]", "")).cast("long")
     Tables.documents(spark, dir)
-      .select(col("doc_id") +: hitCols :+ cjk.as("cjk_chars"): _*)
+      .select(col("doc_id"), sc.as("sc"))
+      .select(col("doc_id") +: hitCols :+ col("sc.cjk").cast("long").as("cjk_chars"): _*)
       .withColumn("pred_lang",
         when(col("cjk_chars") >= 10, "zh")
           .when(col("en_hits") >= col("fr_hits") && col("en_hits") >= col("es_hits")
@@ -423,36 +428,25 @@ object TextAnalysis {
     * batch funnel and the streaming filter can never disagree on what
     * "good" means.
     */
-  private[graft] def qualityExpr: org.apache.spark.sql.Column = {
-    val words = split(trim(lower(col("text"))), "\\s+")
-    val nWords = size(words)
-    val nStop = size(filter(words, w => stopwords.map(w === _).reduce(_ || _)))
-    val denom = greatest(nWords, lit(1)).cast("double")
-    val lenScore = least(nWords / lit(100).cast("double"), lit(1d))
-    val stopRatio = nStop / denom
-    val wlScore = greatest(
-      lit(1d) - abs(length(regexp_replace(col("text"), "\\s+", "")) / denom - 5) / 5, lit(0d))
-    val punctRatio = (length(col("text")) -
-      length(regexp_replace(col("text"), "[^.,;:!?]", ""))) /
-      greatest(length(col("text")), lit(1)).cast("double")
-    round(lit(1e-9) + lit(0.35) * lenScore + lit(0.25) * (lit(1d) - stopRatio)
-      + lit(0.2) * wlScore + lit(0.2) * (lit(1d) - least(punctRatio * 10, lit(1d))) + 1e-9, 6)
-  }
+  /** Quality score of col("text") — the identical arithmetic the
+    * regex/HOF formulation computed (and the oracle still spells out),
+    * collapsed into ONE native scan of the text: the old stack paid
+    * three full regexp_replace passes plus an interpreted array-filter
+    * lambda per word, which checksum-mode runs adjudicated twice as
+    * this family's dominant full-value cost (TextScan.quality documents
+    * the operand-for-operand equivalence; QualityLangSpec pins it
+    * against the original expression on the corpus + edge fixtures).
+    */
+  private[graft] def qualityExpr: org.apache.spark.sql.Column =
+    graft.functions.HashExprs.quality_score(col("text"), Seq(stopwords))
 
   /** Predicted language of col("text") — self-contained form of the
     * tx_langid decision, shared with the streaming curation filter.
+    * One native scan (TextScan.predLang) replaying the exact stop-hit
+    * counts, CJK counter and CASE chain of the HOF formulation.
     */
-  private[graft] def predLangExpr: org.apache.spark.sql.Column = {
-    val words = split(trim(lower(col("text"))), "\\s+")
-    def hits(ws: Seq[String]) = size(filter(words, w => ws.map(w === _).reduce(_ || _)))
-    val Seq(en, fr, es, de) = langStops.map { case (_, ws) => hits(ws) }
-    val cjk = length(regexp_replace(col("text"), "[^一-鿿]", ""))
-    when(cjk >= 10, "zh")
-      .when(en >= fr && en >= es && en >= de, "en")
-      .when(fr >= es && fr >= de, "fr")
-      .when(es >= de, "es")
-      .otherwise("de")
-  }
+  private[graft] def predLangExpr: org.apache.spark.sql.Column =
+    graft.functions.HashExprs.pred_lang(col("text"), langStops.map(_._2))
 
   private[graft] val qualityFloor = 0.55
 
