@@ -347,11 +347,14 @@ object Dedup {
   private[graft] def connectedComponents(
       edges: DataFrame, maxRounds: Int = 50): (DataFrame, Int) = {
     val spark = edges.sparkSession
-    // checkpoint the (symmetric) input once: V and the canonical set
-    // both scan it, and a caller's lazy union/distinct lineage would
-    // otherwise re-shuffle per job
+    // checkpoint the (symmetric) input once: the canonical set (and,
+    // only when self-loops exist, the node frame) scan it, and a
+    // caller's lazy union/distinct lineage would otherwise re-shuffle
+    // per job. ONE aggregate returns both counts the setup needs.
     val e0 = edges.localCheckpoint(true)
-    val nEdges = e0.count()
+    val cnts = e0.agg(count(lit(1)), count(when(col("u") === col("v"), 1))).collect()(0)
+    val nEdges = cnts.getLong(0)
+    val nSelfLoops = cnts.getLong(1)
     val parts = math.max(1L, math.min(
       spark.sessionState.conf.numShufflePartitions.toLong, nEdges / 10000L)).toInt
     val bcastLabels = nEdges <= 1000000L
@@ -359,11 +362,17 @@ object Dedup {
     def fresh(df: DataFrame, eager: Boolean): DataFrame =
       org.apache.spark.sql.graftbridge.Bridge.freshLocalCheckpoint(
         df.coalesce(parts), eager = eager)
-    // canonical working set: (hi > lo), deduplicated; self-loops drop
-    // here (they cannot join components) and their nodes are restored
-    // by the final V left-join
-    var e = fresh(e0.filter(col("u") > col("v"))
-      .select(col("u").as("hi"), col("v").as("lo")).distinct(), eager = true)
+    // canonical working set: (hi > lo) via greatest/least — correct
+    // for ANY input orientation, not just the documented symmetric
+    // contract (a one-directional caller would otherwise silently
+    // lose the u < v edges), and identical to a plain u > v filter on
+    // symmetric input. Self-loops drop here (they cannot join
+    // components); their nodes are restored by the final node-frame
+    // left-join on the (rare) nSelfLoops > 0 path. Lazy: round 0's Σ
+    // job materializes it.
+    var e = fresh(e0.filter(col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("hi"),
+        least(col("u"), col("v")).as("lo")).distinct(), eager = false)
     var prevE: DataFrame = null // superseded, awaiting release
     var mnPrev: DataFrame = null // previous round's (u, m) labels, cached
     var sumPrev = Long.MinValue // Σ m of the previous round
@@ -385,7 +394,10 @@ object Dedup {
       // worst trigger the star check below, never a wrong exit). The
       // scalar compare replaces a per-round mnPrev broadcast + join;
       // the job also materializes mn and this round's lazy checkpoint.
-      val sumNow = mn.agg(sum("m")).collect()(0).getLong(0)
+      val sumRow = mn.agg(sum("m")).collect()(0)
+      // null sum = empty canonical set (all-self-loop input): nothing
+      // to contract, the star check on the empty frame passes
+      val sumNow = if (sumRow.isNullAt(0)) Long.MinValue else sumRow.getLong(0)
       val changed = sumNow != sumPrev
       sumPrev = sumNow
       if (prevE != null) { releaseLocalCheckpoint(prevE); prevE = null }
@@ -442,14 +454,22 @@ object Dedup {
       }
       rounds += 1
     }
-    // labels over the ORIGINAL node set (V left-join restores nodes
-    // whose only edges were self-loops); eager checkpoint so the
-    // returned frame is self-contained and every loop intermediate
-    // can be released now
+    // Final labels, eagerly checkpointed so the returned frame is
+    // self-contained and every loop intermediate can be released now.
+    // Nodes never leave the working edge set (each star op and the
+    // jump keep every touched endpoint attached to its minimum), so
+    // the fixpoint min-frame covers the entire input node set — the
+    // node-frame left-join is only needed to restore nodes whose only
+    // edges were self-loops, and only runs when such edges exist.
     val labels =
       if (nEdges == 0L)
         e0.select(col("u").as("doc"), col("u").as("label")).localCheckpoint(true)
-      else {
+      else if (nSelfLoops == 0L) {
+        val lab = mnPrev.select(col("u").as("doc"), col("m").as("label"))
+          .localCheckpoint(true)
+        mnPrev.unpersist()
+        lab
+      } else {
         val lab = e0.select(col("u")).distinct().coalesce(parts)
           .join(side(mnPrev.select(col("u"), col("m"))), Seq("u"), "left")
           .select(col("u").as("doc"), coalesce(col("m"), col("u")).as("label"))

@@ -29,8 +29,12 @@ object CCProbe {
         graft.operators.Dedup.releaseLocalCheckpoint(labels)
       }
     }
-    t("phash_reps")(graft.operators.Multimodal.phashRepEdges(spark, sfDir).head
-      .select(col("rep_a").as("u"), col("rep_b").as("v")))
+    t("phash_reps") {
+      // symmetrize like the real caller (the CC contract)
+      val cross = graft.operators.Multimodal.phashRepEdges(spark, sfDir).head
+      cross.select(col("rep_a").as("u"), col("rep_b").as("v"))
+        .union(cross.select(col("rep_b").as("u"), col("rep_a").as("v")))
+    }
     t("dedup_edges")(graft.operators.Dedup.duplicateEdges(spark, sfDir))
     t("embed_edges")(graft.operators.Ann.embedEdges(spark, sfDir))
     val chain = {
