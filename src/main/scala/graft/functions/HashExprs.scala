@@ -125,6 +125,29 @@ object PolyHashing {
     out
   }
 
+  /** Positional k-word-gram polynomial hashes over a token-hash
+    * array: out(i) = fold((a, x) -> (a*B + x) % P, 0, wh[i..i+k)) —
+    * the exact left fold the HOF form
+    * `transform(sequence(0, n-k), i -> aggregate(slice(wh, i+1, k), 0L,
+    * (a, x) -> (a*B + x) % P))` evaluates, as one tight loop instead
+    * of an interpreted lambda per element per window (dd_spans'
+    * dominant full-value cost). Windows shorter than k produce an
+    * empty array, matching the CASE WHEN size(wh) >= k guard.
+    */
+  def spanGrams(wh: Array[Long], k: Int): Array[Long] = {
+    if (wh.length < k) return Array.emptyLongArray
+    val out = new Array[Long](wh.length - k + 1)
+    var i = 0
+    while (i + k <= wh.length) {
+      var a = 0L
+      var j = i
+      while (j < i + k) { a = (a * B + wh(j)) % P; j += 1 }
+      out(i) = a
+      i += 1
+    }
+    out
+  }
+
   def minhashSig(shingles: Array[Long]): Array[Long] = {
     val out = new Array[Long](NumPerms)
     var j = 0
@@ -529,6 +552,23 @@ case class BigramPacksExpr(child: Expression) extends UnaryExpression {
   override def prettyName: String = "bigram_packs"
 }
 
+/** array<long> of positional k-word-gram polynomial hashes over a
+  * token-hash array — the dd_spans gram projection (see
+  * PolyHashing.spanGrams for the HOF form this replays exactly).
+  */
+case class SpanGramsExpr(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(
+      PolyHashing.spanGrams(input.asInstanceOf[ArrayData].toLongArray(), k))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = new ${GenHelper.GAD}(${GenHelper.Poly}.spanGrams($c.toLongArray(), $k));")
+  override protected def withNewChildInternal(c: Expression): SpanGramsExpr =
+    copy(child = c)
+  override def prettyName: String = "span_grams"
+}
+
 /** array<long> of the k=24 MinHash values over a shingle array;
   * null for an empty shingle set (mirrors array_min's null).
   */
@@ -777,6 +817,8 @@ object HashExprs {
   def bigram_hashes(c: Column): Column = Bridge.column(BigramHashesExpr(Bridge.expression(c)))
   def bigram_packs(c: Column): Column = Bridge.column(BigramPacksExpr(Bridge.expression(c)))
   def minhash_sig(c: Column): Column = Bridge.column(MinHashSigExpr(Bridge.expression(c)))
+  def span_grams(c: Column, k: Int): Column =
+    Bridge.column(SpanGramsExpr(Bridge.expression(c), k))
   def poly_hash(c: Column): Column = Bridge.column(PolyHashExpr(Bridge.expression(c)))
   def dot_product(a: Column, b: Column): Column =
     Bridge.column(DotProductExpr(Bridge.expression(a), Bridge.expression(b)))

@@ -680,11 +680,11 @@ object Dedup {
     docs.select(col("doc_id"), wordHashes(col("text")).as("wh"))
       .select(col("doc_id"),
         greatest(size(col("wh")) - lit(SpanK - 1), lit(0)).cast("long").as("n_grams"),
-        expr(s"""CASE WHEN size(wh) >= $SpanK
-                 |  THEN transform(sequence(0, size(wh) - $SpanK),
-                 |         i -> aggregate(slice(wh, i + 1, $SpanK),
-                 |                CAST(0 AS BIGINT), (a, x) -> (a * $B + x) % $P))
-                 |  ELSE CAST(array() AS array<bigint>) END""".stripMargin).as("gs"))
+        // native single-pass gram projection; SpanGramsSpec pins it
+        // equal to the HOF form (transform(sequence) + aggregate(slice))
+        // it replaced — interpreted lambdas per window were the
+        // dominant full-value cost of dd_spans (guide §1.2 step 2)
+        graft.functions.HashExprs.span_grams(col("wh"), SpanK).as("gs"))
 
   /** One-time repeated-gram index build: the gram hashes whose
     * corpus-wide multiplicity is ≥ 2 — the static side of the

@@ -63,4 +63,32 @@ class SpanDedupSpec extends AnyFunSuite {
       .queryExecution.optimizedPlan.toString
     assert(!plan.toLowerCase.contains("cartesian"), "span dedup must never go pairwise")
   }
+
+  test("native span_grams equals the HOF fold on the real corpus and edge docs") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val k = operators.Dedup.SpanK
+    val B = functions.Hashing.B
+    val P = functions.Hashing.P
+    val edge = Seq(
+      "", " ", "\t\n", "one", // below the gram width
+      (0 until k).map(i => s"w$i").mkString(" "), // exactly one gram
+      "a a a a a a a a a a a a", // repeated token
+      "一 二 三 四 五 六 七 八 九 十").zipWithIndex
+      .map { case (t, i) => (90000000L + i, t) }.toDF("doc_id", "text")
+    val rows = edge.union(
+      Tables.documents(spark, SparkTestSession.sf).select("doc_id", "text"))
+    val wh = functions.Hashing.wordHashes(col("text")).as("wh")
+    val hof = expr(s"""CASE WHEN size(wh) >= $k
+                       |  THEN transform(sequence(0, size(wh) - $k),
+                       |         i -> aggregate(slice(wh, i + 1, $k),
+                       |                CAST(0 AS BIGINT), (a, x) -> (a * $B + x) % $P))
+                       |  ELSE CAST(array() AS array<bigint>) END""".stripMargin)
+    val diff = rows.select(col("doc_id"), wh)
+      .select(col("doc_id"),
+        functions.HashExprs.span_grams(col("wh"), k).as("native"), hof.as("old"))
+      .filter(not(col("native") <=> col("old")))
+      .count()
+    assert(diff == 0L, s"native span_grams diverges from the HOF fold on $diff docs")
+  }
 }
