@@ -24,11 +24,21 @@ import org.apache.spark.sql.functions._
   */
 object DataQuality {
 
+  /** Violating-row count for a child→parent FK: rows whose key has no
+    * parent (NULL keys never match, so they count — same as the anti
+    * join on raw rows this replaces). The child is pre-aggregated to
+    * (key, multiplicity) BEFORE the anti join (guide §2.3 "aggregate
+    * before you shuffle"): the per-key partial aggregation combines
+    * map-side, so the exchange carries one row per distinct child key
+    * instead of one per child row (lineitem at 100× ships ~15M pairs,
+    * not 60M keys), and the join reuses that exchange's partitioning.
+    * Σ multiplicity over unmatched keys ≡ the raw anti-join row count.
+    */
   private def fkViolations(child: DataFrame, key: String, parent: DataFrame, pkey: String): DataFrame =
-    child.select(col(key)).join(
-      parent.select(col(pkey)).distinct(),
-      col(key) === col(pkey), "left_anti")
-      .agg(count(lit(1)).as("violations"))
+    child.select(col(key)).groupBy(col(key)).agg(count(lit(1)).as("cnt"))
+      .join(parent.select(col(pkey)).distinct(),
+        col(key) === col(pkey), "left_anti")
+      .agg(coalesce(sum("cnt"), lit(0L)).as("violations"))
 
   val audit = Q(
     "dq_audit",
