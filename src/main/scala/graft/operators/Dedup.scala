@@ -431,22 +431,21 @@ object Dedup {
           .union(ls.join(side(mn2), Seq("hi"))
             .filter(col("lo") =!= col("m"))
             .select(col("lo").as("hi"), col("m").as("lo")))
-        // one pointer jump on the star output: retarget each edge at
-        // its low endpoint's own minimum (lo keeps its (lo, jm) edge,
-        // so hi—lo stays connected through jm and no cross-component
-        // edge can appear). Star rounds contract flow-limited graphs
-        // but walk long CHAINS only geometrically — the jump restores
-        // the pointer-jumping convergence there (chain-300: 11 → 7
-        // rounds, phash reps stay at 5, both measured).
-        val mn3 = ss.groupBy("hi").agg(min("lo").as("jm"))
-        val jumped = ss
-          .join(side(mn3.select(col("hi").as("lo"), col("jm"))), Seq("lo"), "left")
-          .select(col("hi"), least(col("lo"), coalesce(col("jm"), col("lo"))).as("lo"))
-        // lazy stats-stripped checkpoint (see Bridge.freshLocalCheckpoint
+        // NO pointer jump on the star output: a jump (retarget each
+        // edge at its low endpoint's minimum) was tried and REMOVED —
+        // it costs one aggregation + one broadcast build + one join
+        // (three serial stage barriers) EVERY round to save rounds
+        // only on chain-like graphs, and measured net-negative at all
+        // three scales (sf1 CCProbe: phash 4.4→3.7 s at 6→8 rounds,
+        // embed 4.3→3.1 s at 5→6, chain-300 4.2→3.9 s at 7→11; sf10
+        // consumer family 38.4→32.9 s). Star rounds alone still
+        // converge in O(log n): LS+SS composition roughly halves
+        // chain distances per round.
+        // Lazy stats-stripped checkpoint (see Bridge.freshLocalCheckpoint
         // — plain checkpoints compound Statistics through the round
         // joins until estimation itself goes exponential); the next
-        // round's count materializes it
-        val next = fresh(jumped, eager = false)
+        // round's count materializes it.
+        val next = fresh(ss, eager = false)
         prevE = e
         e = next
         if (mnPrev != null) mnPrev.unpersist()
